@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** Relational analytics layer (SURVEY.md §2 E) — proves out the general
+  * query engine around the vector core.
+  *
+  * Determinism / oracle-parity notes:
+  *  - Money sums are cast per-row to DECIMAL before aggregation so the
+  *    result is exact and independent of partition/accumulation order
+  *    (a plain double sum is order-dependent and would not hash-match
+  *    the DuckDB oracle). The final value is cast back to DOUBLE.
+  *  - Every query ends in a total ORDER BY for stable row order.
+  *  - Counts are Long on both engines (oracle casts to BIGINT).
+  *
+  * Scale notes: dims (customer/nation/region/supplier/part) are
+  * broadcast; only fact-fact joins (lineitem⋈orders) shuffle, on their
+  * join key; aggregations are partial (map-side) by construction.
+  */
+object Relational {
+  private def dec(c: Column, p: Int, s: Int): Column = c.cast(DecimalType(p, s))
+  private def money(c: Column): Column = dec(c, 18, 6)
+  private def revenueExpr: Column =
+    money(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+
+  /** e1: pricing-summary aggregation (TPC-H Q1 shape). */
+  def q1Agg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") <= lit("2000-12-01").cast(TimestampType))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(dec(col("l_quantity"), 18, 2)).cast(DoubleType).as("sum_qty"),
+        sum(dec(col("l_extendedprice"), 18, 2)).cast(DoubleType).as("sum_base_price"),
+        sum(revenueExpr).cast(DoubleType).as("sum_disc_price"),
+        sum(money(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+          * (lit(1.0) + col("l_tax")))).cast(DoubleType).as("sum_charge"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** e2: 3-table join + agg + top-N (TPC-H Q3 shape). Customer dim is
+    * broadcast; orders⋈lineitem shuffles on the order key. */
+  def q3Join(spark: SparkSession, dir: String): DataFrame = {
+    val cutoff = lit("1997-06-30").cast(TimestampType)
+    val c = Tables.customer(spark, dir).filter(col("c_mktsegment") === "BUILDING")
+    val o = Tables.orders(spark, dir).filter(col("o_orderdate") < cutoff)
+    val l = Tables.lineitem(spark, dir).filter(col("l_shipdate") > cutoff)
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy("o_orderkey")
+      .agg(sum(revenueExpr).cast(DoubleType).as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  /** e3: 6-table star join (TPC-H Q5 shape); all dims broadcast. */
+  def q5MultiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast(TimestampType) &&
+              col("o_orderdate") <  lit("1998-01-01").cast(TimestampType))
+    val asiaNations = Tables.nation(spark, dir)
+      .join(broadcast(Tables.region(spark, dir).filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+    Tables.lineitem(spark, dir)
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(spark, dir)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.supplier(spark, dir)),
+        col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(asiaNations), col("s_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(sum(revenueExpr).cast(DoubleType).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** e4: per-group top-k via window rank. */
+  def topkWindow(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("p_brand")
+      .orderBy(col("p_retailprice").desc, col("p_partkey"))
+    Tables.part(spark, dir)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select("p_brand", "p_partkey", "p_retailprice", "rk")
+      .orderBy("p_brand", "rk")
+  }
+
+  /** e5: event-type × day rollup with distinct users. */
+  def eventsRollup(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(money(col("value"))).cast(DoubleType).as("sum_value"))
+      .orderBy("event_type", "day")
+}

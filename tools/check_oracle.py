@@ -1,0 +1,49 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate: run each
+SparkEntry.oracleSql in DuckDB over the sf tables, compare with the
+parquet written by graft.Verify (columns sorted by name, rows sorted,
+values compared with float tolerance-free equality after repr-rounding).
+
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+"""
+import sys, json, glob, os
+import duckdb
+
+sfdir, outdir = sys.argv[1], sys.argv[2]
+con = duckdb.connect()
+for f in glob.glob(f"{sfdir}/*.parquet"):
+    name = os.path.basename(f).replace(".parquet", "")
+    con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{f}'")
+
+oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+fails = 0
+for key, sql in sorted(oracle.items()):
+    got_dir = f"{outdir}/{key}"
+    if not os.path.isdir(got_dir):
+        print(f"FAIL {key}: no spark output"); fails += 1; continue
+    try:
+        exp = con.execute(sql).fetch_arrow_table()
+    except Exception as e:
+        print(f"FAIL {key}: oracle error {e}"); fails += 1; continue
+    got = con.execute(
+        f"SELECT * FROM '{got_dir}/*.parquet'").fetch_arrow_table()
+    ecols, gcols = sorted(exp.column_names), sorted(got.column_names)
+    if ecols != gcols:
+        print(f"FAIL {key}: cols {gcols} != {ecols}"); fails += 1; continue
+    etypes = [str(exp.schema.field(c).type) for c in ecols]
+    gtypes = [str(got.schema.field(c).type) for c in gcols]
+    if etypes != gtypes:
+        print(f"FAIL {key}: types {gtypes} != {etypes}"); fails += 1; continue
+    e_rows = sorted(map(tuple, exp.select(ecols).to_pylist() and
+                        [tuple(r[c] for c in ecols) for r in exp.to_pylist()]))
+    g_rows = sorted([tuple(r[c] for c in gcols) for r in got.to_pylist()])
+    if len(e_rows) != len(g_rows):
+        print(f"FAIL {key}: rows {len(g_rows)} != {len(e_rows)}"); fails += 1; continue
+    bad = [(a, b) for a, b in zip(e_rows, g_rows) if a != b]
+    if bad:
+        print(f"FAIL {key}: {len(bad)} mismatched rows; first: exp={bad[0][0]} got={bad[0][1]}")
+        fails += 1
+    else:
+        print(f"OK   {key} ({len(g_rows)} rows)")
+print("ALL OK" if fails == 0 else f"{fails} FAILURES")
+sys.exit(1 if fails else 0)
