@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.Relational
+import graft.operators.{Relational, VectorQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
@@ -12,6 +12,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a1_vec_l2"      -> (VectorQueries.vecL2(_, _)),
+    "a2_vec_dot"     -> (VectorQueries.vecDot(_, _)),
+    "a3_vec_cosine"  -> (VectorQueries.vecCosine(_, _)),
+    "a4_vec_norm"    -> (VectorQueries.vecNorm(_, _)),
+    "a5_vec_pad"     -> (VectorQueries.vecPad(_, _)),
+    "b1_gt_topk"     -> (VectorQueries.gtTopK(_, _)),
     "e1_q1_agg"      -> (Relational.q1Agg(_, _)),
     "e2_q3_join"     -> (Relational.q3Join(_, _)),
     "e3_q5_multijoin" -> (Relational.q5MultiJoin(_, _)),
@@ -21,7 +27,7 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = VectorQueries.oracles ++ Map(
     "e1_q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

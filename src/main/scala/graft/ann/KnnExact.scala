@@ -1,0 +1,78 @@
+package graft.ann
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.functions.VectorFunctions.l2sq
+
+/** Exact brute-force top-k nearest neighbors (ground truth;
+  * reference: /root/reference/python/compute_gt.py).
+  *
+  * Scale design: the query set is small by definition (it's a query
+  * workload, not the corpus), so it is broadcast; each base partition
+  * computes a *local* bounded heap per query (map-side top-k), and only
+  * `numPartitions × nQueries × k` candidate rows are shuffled — never
+  * O(N·Q). This is the distributed analogue of the reference's
+  * ResultPool (inc/index/Pool.hpp) and survives a 1000-executor /
+  * 100 TB corpus because the shuffle is independent of corpus size.
+  */
+object KnnExact {
+  /** Bounded max-heap of (dist, id), keeping the k smallest with
+    * deterministic (dist, id) lexicographic ordering. */
+  final class BoundedTopK(k: Int) {
+    private val heap = new java.util.PriorityQueue[(Double, Long)](
+      math.max(1, k),
+      // max-heap: worst (largest dist, then largest id) at the head
+      (p1: (Double, Long), p2: (Double, Long)) => {
+        val c = java.lang.Double.compare(p2._1, p1._1)
+        if (c != 0) c else java.lang.Long.compare(p2._2, p1._2)
+      })
+    def insert(dist: Double, id: Long): Unit = {
+      if (heap.size < k) heap.add((dist, id))
+      else {
+        val worst = heap.peek()
+        if (dist < worst._1 || (dist == worst._1 && id < worst._2)) {
+          heap.poll(); heap.add((dist, id))
+        }
+      }
+    }
+    def drain(): Seq[(Double, Long)] = {
+      val b = Seq.newBuilder[(Double, Long)]
+      while (!heap.isEmpty) b += heap.poll()
+      b.result()
+    }
+  }
+
+  /** Top-k neighbors of each query among `base` rows by squared L2.
+    * Output: (query_id, neighbor_id, rk) with rk 1-based, ties broken
+    * by neighbor id. */
+  def topK(
+      spark: SparkSession,
+      base: DataFrame,
+      queries: Array[(Long, Array[Float])],
+      k: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    import spark.implicits._
+    val qb = spark.sparkContext.broadcast(queries)
+    val ds = base.select(col(idCol).cast(LongType), col(vecCol)).as[(Long, Array[Float])]
+    val partial = ds.mapPartitions { iter =>
+      val qs = qb.value
+      val heaps = Array.fill(qs.length)(new BoundedTopK(k))
+      iter.foreach { case (id, vec) =>
+        var qi = 0
+        while (qi < qs.length) { heaps(qi).insert(l2sq(qs(qi)._2, vec), id); qi += 1 }
+      }
+      heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
+        h.drain().map { case (d, id) => (qs(qi)._1, id, d) }
+      }
+    }
+    partial.groupByKey(_._1)
+      .flatMapGroups { (q, it) =>
+        it.toArray.sortBy(t => (t._3, t._2)).take(k).iterator.zipWithIndex
+          .map { case ((_, id, _), i) => (q, id, i + 1) }
+      }
+      .toDF("query_id", "neighbor_id", "rk")
+  }
+}

@@ -1,0 +1,115 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+import graft.ann.KnnExact
+import graft.functions.VectorFunctions._
+
+/** Vector-primitive queries (SURVEY.md §2 A) + exact ground-truth
+  * top-k (b1). Oracle parity: distances accumulate in double,
+  * rounded to 6 decimals; ids/ranks are integral. */
+object VectorQueries {
+  /** Consecutive-id embedding pairs — a small deterministic pair set. */
+  private def pairs(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+    val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+    a.join(b, col("id_b") === col("id_a") + 1)
+  }
+
+  /** a1: L2 distance between consecutive embedding pairs. */
+  def vecL2(spark: SparkSession, dir: String): DataFrame =
+    pairs(spark, dir)
+      .select(col("id_a"), col("id_b"),
+        round(vec_l2(col("va"), col("vb")), 6).as("l2"))
+      .orderBy("id_a")
+
+  /** a2: inner product between consecutive embedding pairs. */
+  def vecDot(spark: SparkSession, dir: String): DataFrame =
+    pairs(spark, dir)
+      .select(col("id_a"), col("id_b"),
+        round(vec_dot(col("va"), col("vb")), 6).as("dot"))
+      .orderBy("id_a")
+
+  /** a3: cosine similarity between consecutive embedding pairs. */
+  def vecCosine(spark: SparkSession, dir: String): DataFrame =
+    pairs(spark, dir)
+      .select(col("id_a"), col("id_b"),
+        round(vec_cosine(col("va"), col("vb")), 6).as("cos"))
+      .orderBy("id_a")
+
+  /** a4: per-vector L2 norm + dimensionality. */
+  def vecNorm(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        size(col("embedding")).as("dim"),
+        round(vec_norm(col("embedding")), 6).as("norm"))
+      .orderBy("vec_id")
+
+  /** a5: zero-pad vectors to a multiple of 96 (reference pads to a
+    * multiple of 64, IVF.hpp:96; 96 exercises a non-trivial pad for
+    * our 64-dim vectors). Checksum proves content is preserved and
+    * the tail is zero. */
+  def vecPad(spark: SparkSession, dir: String): DataFrame = {
+    val padded = vec_pad(col("embedding"), 96)
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        size(padded).as("padded_dim"),
+        round(aggregate(padded, lit(0.0),
+          (acc, x) => acc + x.cast(DoubleType)), 6).as("checksum"),
+        padded.getItem(80).cast(DoubleType).as("tail_elem"))
+      .orderBy("vec_id")
+  }
+
+  /** b1: exact ground-truth top-10 — queries are embeddings with
+    * vec_id < 8, base is the rest (compute_gt.py equivalent). */
+  def gtTopK(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val queries = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").cast(LongType), col("embedding"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+    KnnExact.topK(spark, e.filter(col("vec_id") >= 8), queries, k = 10)
+      .orderBy("query_id", "rk")
+  }
+
+  val oracles: Map[String, String] = Map(
+    "a1_vec_l2" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        | ROUND(list_distance(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS l2
+        |FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+        |ORDER BY id_a""".stripMargin,
+    "a2_vec_dot" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        | ROUND(list_inner_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS dot
+        |FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+        |ORDER BY id_a""".stripMargin,
+    "a3_vec_cosine" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        | ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS cos
+        |FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+        |ORDER BY id_a""".stripMargin,
+    "a4_vec_norm" ->
+      """SELECT vec_id, CAST(len(embedding) AS INT) AS dim,
+        | ROUND(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))), 6) AS norm
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "a5_vec_pad" ->
+      """SELECT vec_id, CAST(96 AS INT) AS padded_dim,
+        | ROUND(list_sum(CAST(embedding AS DOUBLE[])), 6) AS checksum,
+        | CAST(0.0 AS DOUBLE) AS tail_elem
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "b1_gt_topk" ->
+      """SELECT query_id, neighbor_id, CAST(rk AS INT) AS rk FROM (
+        | SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |  ROW_NUMBER() OVER (PARTITION BY q.vec_id
+        |    ORDER BY list_distance(CAST(q.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), b.vec_id) AS rk
+        | FROM embeddings q, embeddings b
+        | WHERE q.vec_id < 8 AND b.vec_id >= 8) t
+        |WHERE rk <= 10
+        |ORDER BY query_id, rk""".stripMargin,
+  )
+}
