@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Relational, VectorQueries}
+import graft.operators.{AnnQueries, Relational, VectorQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
@@ -18,6 +18,14 @@ object SparkEntry {
     "a4_vec_norm"    -> (VectorQueries.vecNorm(_, _)),
     "a5_vec_pad"     -> (VectorQueries.vecPad(_, _)),
     "b1_gt_topk"     -> (VectorQueries.gtTopK(_, _)),
+    "b2_ivf_train"   -> (AnnQueries.ivfTrain(_, _)),
+    "b3_ivf_assign"  -> (AnnQueries.ivfAssign(_, _)),
+    "b4_rabitq_code" -> (AnnQueries.rabitqCode(_, _)),
+    "b5_exrabitq_code" -> (AnnQueries.exrabitqCode(_, _)),
+    "b6_rabitq_estimate" -> (AnnQueries.rabitqEstimate(_, _)),
+    "b7_ivf_search"  -> (AnnQueries.ivfSearch(_, _)),
+    "b8_ann_recall"  -> (AnnQueries.annRecall(_, _)),
+    "b9_index_build" -> (AnnQueries.indexBuild(_, _)),
     "e1_q1_agg"      -> (Relational.q1Agg(_, _)),
     "e2_q3_join"     -> (Relational.q3Join(_, _)),
     "e3_q5_multijoin" -> (Relational.q5MultiJoin(_, _)),

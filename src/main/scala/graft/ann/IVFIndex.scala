@@ -1,0 +1,201 @@
+package graft.ann
+
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.functions.VectorFunctions.l2sq
+
+/** IVF + (Ex)RaBitQ index: Spark-first re-expression of
+  * /root/reference/inc/index/IVF.hpp and /root/reference/python/ivf.py.
+  *
+  * Build (reference: faiss k-means + IVF::construct):
+  *  - k-means centroids via MLlib (seeded), trained on a bounded sample
+  *    — at 100 TB you train on ~1M rows, constant cost;
+  *  - one narrow pass assigns each vector to its nearest centroid
+  *    (broadcast centroids), rotates the residual and quantizes it —
+  *    no shuffle except the final repartition by cluster for locality;
+  *  - the index is a columnar Dataset (parquet-persistable, partitioned
+  *    by cluster), replacing the reference's single binary blob
+  *    (IVF.hpp:219-252). Column pruning means the estimate phase never
+  *    reads `ex_code` bytes.
+  *
+  * Search (reference: IVF::search, IVF.hpp:295-324):
+  *  - queries are broadcast; centroid ranking happens on the driver
+  *    (K centroids ≪ N — the reference's FlatInitializer);
+  *  - only partitions holding probed clusters are scanned; each task
+  *    keeps per-query bounded heaps: 1-bit estimate → error-bound prune
+  *    (vs the local kth distance) → extended-code rerank;
+  *  - the shuffle carries O(partitions × queries × k) rows, independent
+  *    of corpus size.
+  */
+object IVFIndex {
+  /** One indexed vector (columnar analogue of SHORT_DATA/LONG_CODE/
+    * EX_FACTOR/IDs, IVF.hpp:29-33). */
+  final case class Entry(
+      id: Long,
+      cluster_id: Int,
+      sign_bits: Array[Long],
+      ex_code: Array[Byte],
+      x2: Float,
+      fac_ip: Float,
+      sum_xb: Float,
+      fac_err: Float,
+      xipnorm: Float)
+
+  final case class Params(
+      k: Int = 16,
+      totalBits: Int = 4, // B; exBits = B-1. Reference supports B ∈ {3,4,5,7,8,9}
+      seed: Long = 42L,
+      maxTrainRows: Long = 1000000L) {
+    require(Set(3, 4, 5, 7, 8, 9).contains(totalBits), s"unsupported totalBits $totalBits")
+    def exBits: Int = totalBits - 1
+  }
+
+  /** Train centroids + assign + quantize. `df` must have (idCol: long,
+    * vecCol: array<float>). */
+  def build(
+      spark: SparkSession,
+      df: DataFrame,
+      params: Params,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): IVFModel = {
+    import spark.implicits._
+    val data = df.select(col(idCol).cast(LongType).as("id"), col(vecCol).as("vec"))
+    val dim = data.select(size(col("vec"))).head().getInt(0)
+
+    // --- k-means on a bounded sample (python/ivf.py:26-29) ---
+    val total = data.count()
+    val fraction = math.min(1.0, params.maxTrainRows.toDouble / math.max(1L, total))
+    val train = (if (fraction < 1.0) data.sample(withReplacement = false, fraction, params.seed)
+                 else data)
+      .withColumn("features", array_to_vector(col("vec")))
+    val km = new KMeans()
+      .setK(params.k).setSeed(params.seed).setMaxIter(20).setFeaturesCol("features")
+    val centroids: Array[Array[Float]] =
+      km.fit(train).clusterCenters.map(_.toArray.map(_.toFloat))
+
+    buildWithCentroids(spark, data, centroids, dim, params)
+  }
+
+  private[ann] def buildWithCentroids(
+      spark: SparkSession,
+      data: DataFrame,
+      centroids: Array[Array[Float]],
+      dim: Int,
+      params: Params): IVFModel = {
+    import spark.implicits._
+    val rotator = new Rotator(dim, params.seed)
+    val rotatedCentroids = centroids.map(rotator.rotate)
+    val bc = spark.sparkContext.broadcast((rotator, centroids, rotatedCentroids))
+    val exBits = params.exBits
+
+    // --- assign + rotate + quantize in one narrow pass (IVF::construct) ---
+    val entries: Dataset[Entry] = data.as[(Long, Array[Float])].mapPartitions { iter =>
+      val (rot, cents, rotCents) = bc.value
+      iter.map { case (id, vec) =>
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < cents.length) {
+          val d = l2sq(vec, cents(c))
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        val rot_x = rot.rotate(vec)
+        val cRot = rotCents(best)
+        val residual = new Array[Float](rot.paddedDim)
+        var i = 0
+        while (i < rot.paddedDim) { residual(i) = rot_x(i) - cRot(i); i += 1 }
+        val q = RaBitQ.quantize(residual, exBits)
+        Entry(id, best, q.signBits, q.exCode, q.x2, q.facIp, q.sumXb, q.facErr, q.xipnorm)
+      }
+    }
+    // cluster the index by cluster_id for scan locality / partition pruning
+    val index = entries.repartition(col("cluster_id")).cache()
+    new IVFModel(params, rotator, centroids, rotatedCentroids, index)
+  }
+}
+
+final class IVFModel(
+    val params: IVFIndex.Params,
+    val rotator: Rotator,
+    val centroids: Array[Array[Float]],
+    val rotatedCentroids: Array[Array[Float]],
+    val index: Dataset[IVFIndex.Entry]) extends Serializable {
+  import IVFIndex.Entry
+
+  /** Persist the index columnar, partitioned by cluster (the Spark
+    * analogue of IVF::save). Rebuild the model with `IVFModel.load`. */
+  def save(path: String): Unit =
+    index.write.mode("overwrite").partitionBy("cluster_id").parquet(path)
+
+  /** Approximate top-k: returns (query_id, neighbor_id, rk). */
+  def search(
+      spark: SparkSession,
+      queries: Array[(Long, Array[Float])],
+      k: Int,
+      nprobe: Int): DataFrame = {
+    import spark.implicits._
+    val exBits = params.exBits
+    // --- driver-side centroid ranking (FlatInitializer) ---
+    val qRot = queries.map { case (qid, v) => (qid, rotator.rotate(v)) }
+    // per query: nprobe nearest rotated centroids
+    val probes: Array[(Long, Array[Float], Array[Int])] = qRot.map { case (qid, qr) =>
+      val byDist = rotatedCentroids.zipWithIndex
+        .map { case (cr, ci) => (l2sq(qr, cr), ci) }
+        .sortBy(t => (t._1, t._2))
+        .take(math.min(nprobe, rotatedCentroids.length))
+        .map(_._2)
+      (qid, qr, byDist)
+    }
+    val probedClusters = probes.flatMap(_._3).distinct.toSet
+    val bc = spark.sparkContext.broadcast((probes, rotatedCentroids))
+
+    // --- scan only probed clusters; estimate → prune → rerank → local top-k ---
+    val candidates = index
+      .filter(col("cluster_id").isin(probedClusters.toSeq.map(_.asInstanceOf[AnyRef]): _*))
+      .mapPartitions { iter =>
+        val (qs, rotCents) = bc.value
+        // per (query, probed cluster) prepared residuals, lazily materialized
+        val prepared = new java.util.HashMap[(Int, Int), RaBitQ.QueryCluster]()
+        val heaps = Array.fill(qs.length)(new KnnExact.BoundedTopK(k))
+        val dists = Array.fill(qs.length)(Double.MaxValue) // local distk
+        iter.foreach { e =>
+          var qi = 0
+          while (qi < qs.length) {
+            val (_, qr, probe) = qs(qi)
+            if (probe.contains(e.cluster_id)) {
+              var qc = prepared.get((qi, e.cluster_id))
+              if (qc == null) {
+                qc = RaBitQ.prepareQuery(qr, rotCents(e.cluster_id))
+                prepared.put((qi, e.cluster_id), qc)
+              }
+              val v = RaBitQ.Quantized(e.sign_bits, e.ex_code, e.x2, e.fac_ip,
+                e.sum_xb, e.fac_err, e.xipnorm)
+              val (_, lower) = RaBitQ.estimate(qc, v)
+              if (lower <= dists(qi)) {
+                val ex = RaBitQ.rerank(qc, v, exBits)
+                heaps(qi).insert(ex, e.id)
+                val w = heaps(qi).worstOrElse(Double.MaxValue, k)
+                dists(qi) = w
+              }
+            }
+            qi += 1
+          }
+        }
+        heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
+          h.drain().map { case (d, id) => (qs(qi)._1, id, d) }
+        }
+      }
+
+    candidates.groupByKey(_._1)
+      .flatMapGroups { (q, it) =>
+        it.toArray.sortBy(t => (t._3, t._2)).take(k).iterator.zipWithIndex
+          .map { case ((_, id, _), i) => (q, id, i + 1) }
+      }
+      .toDF("query_id", "neighbor_id", "rk")
+  }
+}

@@ -37,6 +37,10 @@ object KnnExact {
         }
       }
     }
+    /** Current pruning threshold: the worst kept distance once the heap
+      * is full, else `default` (nothing can be pruned yet). */
+    def worstOrElse(default: Double, kk: Int): Double =
+      if (heap.size >= kk) heap.peek()._1 else default
     def drain(): Seq[(Double, Long)] = {
       val b = Seq.newBuilder[(Double, Long)]
       while (!heap.isEmpty) b += heap.poll()

@@ -1,0 +1,212 @@
+package graft.ann
+
+import scala.collection.mutable
+
+/** RaBitQ + Extended-RaBitQ quantization and distance estimation.
+  *
+  * Clean-room re-expression of the reference semantics
+  * (/root/reference/inc/index/Quantizer.hpp, Searcher.hpp): a vector's
+  * residual to its cluster centroid is rotated and stored as
+  *  - a 1-bit-per-dim sign code (packed into Longs) with four scalar
+  *    factors for cheap estimated distances with an error bound, and
+  *  - an extra (B−1)-bit-per-dim code with a per-vector optimal scale,
+  *    used to re-rank candidates that survive the 1-bit prune.
+  *
+  * The reference's AVX512 FastScan/LUT machinery is single-node
+  * mechanism; here the same estimator algebra runs inside Spark tasks
+  * on the packed words.
+  */
+object RaBitQ {
+  /** Per-vector quantization output (reference: SHORT_DATA factors +
+    * LONG_CODE + EX_FACTOR, IVF.hpp:29-33). `exCode(d)` stores the
+    * sign-flipped extended code (Quantizer.hpp:480-487), one byte per
+    * dim (exBits ≤ 8); parquet/dictionary encoding compresses it. */
+  final case class Quantized(
+      signBits: Array[Long], // 1-bit code, LSB-first within each word
+      exCode: Array[Byte],   // (B-1)-bit code per dim, flipped for negative dims
+      x2: Float,             // squared distance to centroid (fac_x2)
+      facIp: Float,          // 2x / (0.5·Σ|o'|)           (fac_ip)
+      sumXb: Float,          // popcount of sign code       (fac_sumxb)
+      facErr: Float,         // error-bound factor          (fac_err)
+      xipnorm: Float)        // 2x / ⟨u+0.5, |o'|⟩          (ExFactor.xipnorm)
+
+  def facNorm(d: Int): Double = 1.0 / math.sqrt(d.toDouble)
+  def facErrConst(d: Int): Double = 2.0 / math.sqrt((d - 1).toDouble)
+
+  /** Quantize one rotated residual (length = paddedDim).
+    * @param residual rotated(x) − rotated(centroid)
+    * @param exBits   extra bits per dim (total bits B = exBits + 1) */
+  def quantize(residual: Array[Float], exBits: Int): Quantized = {
+    val d = residual.length
+    require(d % 64 == 0, s"padded dim must be a multiple of 64, got $d")
+    // squared norm of residual = squared distance to centroid
+    var x2 = 0.0
+    locally { var i = 0; while (i < d) { x2 += residual(i).toDouble * residual(i); i += 1 } }
+    val x = math.sqrt(x2)
+
+    // normalized residual o' and its abs; sign bits
+    val abs = new Array[Double](d)
+    val words = new Array[Long](d / 64)
+    var sumAbs = 0.0
+    var popcnt = 0
+    var i = 0
+    while (i < d) {
+      val v = if (x > 0) residual(i) / x else 0.0
+      if (residual(i) > 0) { words(i >> 6) |= (1L << (i & 63)); popcnt += 1 }
+      val a = math.abs(v)
+      abs(i) = a
+      sumAbs += a
+      i += 1
+    }
+
+    // <o, ō> for the 1-bit code: Σ o'_d·sign_d/√D = Σ|o'_d|/√D
+    var oObar = sumAbs * facNorm(d)
+    if (!java.lang.Double.isFinite(oObar) || oObar == 0.0) oObar = 0.8 // Quantizer.hpp:418-420
+    val facIp = if (sumAbs > 0) (1.0 / (0.5 * sumAbs)) * 2.0 * x else 0.0
+    val facErr =
+      math.sqrt(math.max(0.0, 1.0 - oObar * oObar) / (oObar * oObar)) * facErrConst(d) * 2.0 * x
+
+    // extended code over |o'| with per-vector optimal scale
+    val (code, ipnorm) = fastQuantize(abs, exBits)
+    val xipnorm = ipnorm * 2.0 * x
+
+    // flip codes for negative dims (Quantizer.hpp:480-486)
+    val mask = (1 << exBits) - 1
+    val exCode = new Array[Byte](d)
+    i = 0
+    while (i < d) {
+      val bit = (words(i >> 6) >>> (i & 63)) & 1L
+      val c = if (bit == 1L) code(i) else (~code(i)) & mask
+      exCode(i) = c.toByte
+      i += 1
+    }
+    Quantized(words, exCode, x2.toFloat, facIp.toFloat, popcnt.toFloat,
+      facErr.toFloat, xipnorm.toFloat)
+  }
+
+  /** Find the per-vector scale t maximizing ⟨ō, o⟩ and the code at that
+    * scale (reference `fast_quantize`, Quantizer.hpp:138-219).
+    * @param absRes |o'| (normalized abs residual)
+    * @return (code per dim in [0, 2^exBits−1], ipnorm = 1/⟨u+0.5, |o'|⟩) */
+  def fastQuantize(absRes: Array[Double], exBits: Int): (Array[Int], Double) = {
+    val d = absRes.length
+    val maxLevel = (1 << exBits) - 1
+    var maxO = 0.0
+    locally { var i = 0; while (i < d) { if (absRes(i) > maxO) maxO = absRes(i); i += 1 } }
+    if (maxO <= 0.0) return (new Array[Int](d), 1.0)
+    val eps = 1e-5
+    val nEnum = 10
+    val tStart = (maxLevel / 3).toDouble / maxO // integer division as in the reference
+    val tEnd = (maxLevel + nEnum).toDouble / maxO
+
+    val cur = new Array[Int](d)
+    var sqrDen = d * 0.25
+    var num = 0.0
+    // min-heap of (next threshold t, dim)
+    val pq = mutable.PriorityQueue.empty[(Double, Int)](Ordering.by[(Double, Int), Double](_._1).reverse)
+    var i = 0
+    while (i < d) {
+      cur(i) = (tStart * absRes(i) + eps).toInt
+      sqrDen += cur(i).toDouble * cur(i) + cur(i)
+      num += (cur(i) + 0.5) * absRes(i)
+      if (absRes(i) > 0) pq.enqueue(((cur(i) + 1).toDouble / absRes(i), i))
+      i += 1
+    }
+    var maxIp = 0.0
+    var bestT = 0.0
+    while (pq.nonEmpty) {
+      val (curT, dim) = pq.dequeue()
+      cur(dim) += 1
+      sqrDen += 2.0 * cur(dim)
+      num += absRes(dim)
+      val curIp = num / math.sqrt(sqrDen)
+      if (curIp > maxIp) { maxIp = curIp; bestT = curT }
+      if (cur(dim) < maxLevel) {
+        val tNext = (cur(dim) + 1).toDouble / absRes(dim)
+        if (tNext < tEnd) pq.enqueue((tNext, dim))
+      }
+    }
+
+    val code = new Array[Int](d)
+    var num2 = 0.0
+    i = 0
+    while (i < d) {
+      var c = (bestT * absRes(i) + eps).toInt
+      if (c > maxLevel) c = maxLevel
+      code(i) = c
+      num2 += (c + 0.5) * absRes(i)
+      i += 1
+    }
+    var ipnorm = 1.0 / num2
+    if (!java.lang.Double.isFinite(ipnorm)) ipnorm = 1.0
+    (code, ipnorm)
+  }
+
+  /** Query-side state for scanning one cluster (reference Searcher
+    * `preparing`, Searcher.hpp:122-128): residual r = q_rot − c_rot,
+    * S = Σ r_d. The reference additionally scalar-quantizes r to build
+    * SIMD LUTs; we use r exactly — same estimator, engine-appropriate
+    * mechanism (strictly less estimation error). */
+  final case class QueryCluster(residual: Array[Float], sumRes: Double, sqrY: Double) {
+    val y: Double = math.sqrt(sqrY)
+  }
+
+  def prepareQuery(qRot: Array[Float], cRot: Array[Float]): QueryCluster = {
+    val d = qRot.length
+    val r = new Array[Float](d)
+    var s = 0.0; var y2 = 0.0
+    var i = 0
+    while (i < d) {
+      val v = qRot(i).toDouble - cRot(i)
+      r(i) = v.toFloat; s += v; y2 += v * v
+      i += 1
+    }
+    QueryCluster(r, s, y2)
+  }
+
+  /** Σ r_d over dims whose sign bit is set (the exact form of the
+    * FastScan-accumulated inner product, Searcher.hpp:199-216). */
+  def sumOverSetBits(words: Array[Long], r: Array[Float]): Double = {
+    var s = 0.0
+    var w = 0
+    while (w < words.length) {
+      var bits = words(w)
+      val base = w << 6
+      while (bits != 0L) {
+        val d = base + java.lang.Long.numberOfTrailingZeros(bits)
+        s += r(d)
+        bits &= bits - 1
+      }
+      w += 1
+    }
+    s
+  }
+
+  /** 1-bit estimated distance and its lower bound
+    * (Searcher.hpp:199-221): est = x²+y² − ip·facIp,
+    * lower = est − facErr·y, with ip = Σ_{bit} r_d − S/2. */
+  def estimate(q: QueryCluster, v: Quantized): (Double, Double) = {
+    val ip = sumOverSetBits(v.signBits, q.residual) - 0.5 * q.sumRes
+    val est = v.x2 + q.sqrY - ip * v.facIp
+    (est, est - v.facErr * q.y)
+  }
+
+  /** Re-ranking distance from the extended code
+    * (Searcher.hpp:227-230, algebraically identical):
+    * dist = x²+y² − xipnorm·(⟨r, F⟩ − (2^B−1)/2·S)
+    * with F_d = 2^exBits·bit_d + exCode_d. */
+  def rerank(q: QueryCluster, v: Quantized, exBits: Int): Double = {
+    val r = q.residual
+    val half = (1 << (exBits + 1)) - 1
+    var ipF = 0.0
+    var i = 0
+    val hi = 1 << exBits
+    while (i < r.length) {
+      val bit = ((v.signBits(i >> 6) >>> (i & 63)) & 1L).toInt
+      val f = bit * hi + (v.exCode(i) & 0xff)
+      ipF += r(i).toDouble * f
+      i += 1
+    }
+    v.x2 + q.sqrY - v.xipnorm * (ipF - 0.5 * half * q.sumRes)
+  }
+}

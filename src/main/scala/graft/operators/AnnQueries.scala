@@ -1,0 +1,130 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.Tables
+import graft.ann.{IVFIndex, IVFModel, RaBitQ}
+
+/** ANN index-pipeline queries (SURVEY.md §2 B2–B9). These are
+  * rows-only-checked by the driver (k-means/rotation are not
+  * SQL-expressible); their numeric behavior is pinned by ScalaTest
+  * specs (recall, estimator-error bounds). */
+object AnnQueries {
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, IVFModel]()
+
+  def model(spark: SparkSession, dir: String): IVFModel =
+    cache.computeIfAbsent(dir, _ =>
+      IVFIndex.build(spark, Tables.embeddings(spark, dir), IVFIndex.Params()))
+
+  private def queryVectors(spark: SparkSession, dir: String, n: Int = 8): Array[(Long, Array[Float])] =
+    Tables.embeddings(spark, dir)
+      .filter(col("vec_id") < n)
+      .select(col("vec_id").cast(LongType), col("embedding"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+
+  /** b2: trained centroids (cluster id, dim, norm of centroid). */
+  def ivfTrain(spark: SparkSession, dir: String): DataFrame = {
+    val m = model(spark, dir)
+    val rows = m.centroids.zipWithIndex.map { case (c, i) =>
+      (i, c.length, math.sqrt(graft.functions.VectorFunctions.dot(c, c)))
+    }
+    spark.createDataFrame(rows.toSeq).toDF("cluster_id", "dim", "centroid_norm")
+      .orderBy("cluster_id")
+  }
+
+  /** b3: nearest-centroid assignment + distance (python/ivf.py:30-32).
+    * Derived from the index entries: x2 is the squared distance. */
+  def ivfAssign(spark: SparkSession, dir: String): DataFrame =
+    model(spark, dir).index.toDF()
+      .select(col("id").as("vec_id"), col("cluster_id"),
+        round(sqrt(col("x2")), 4).as("dist_to_centroid"))
+      .orderBy("vec_id")
+
+  /** b4: RaBitQ 1-bit code summary (popcount + factors). */
+  def rabitqCode(spark: SparkSession, dir: String): DataFrame =
+    model(spark, dir).index.toDF()
+      .select(col("id").as("vec_id"), col("cluster_id"),
+        col("sum_xb").cast("int").as("popcount"),
+        round(col("x2"), 4).as("x2"),
+        round(col("fac_err"), 4).as("fac_err"))
+      .orderBy("vec_id")
+
+  /** b5: extended-code summary (code checksum + rerank factor). */
+  def exrabitqCode(spark: SparkSession, dir: String): DataFrame = {
+    val checksum = udf((b: Array[Byte]) => {
+      var s = 0L; var i = 0
+      while (i < b.length) { s += (b(i) & 0xff); i += 1 }
+      s
+    })
+    model(spark, dir).index.toDF()
+      .select(col("id").as("vec_id"),
+        checksum(col("ex_code")).as("code_sum"),
+        round(col("xipnorm"), 6).as("xipnorm"))
+      .orderBy("vec_id")
+  }
+
+  /** b6: estimated vs exact distance + lower bound for query 0 against
+    * its nearest cluster (Searcher.hpp estimator surfaces). */
+  def rabitqEstimate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val m = model(spark, dir)
+    val q = queryVectors(spark, dir, 1).head
+    val qRot = m.rotator.rotate(q._2)
+    val nearest = m.rotatedCentroids.zipWithIndex
+      .map { case (c, i) => (graft.functions.VectorFunctions.l2sq(qRot, c), i) }
+      .minBy(_._1)._2
+    val qc = RaBitQ.prepareQuery(qRot, m.rotatedCentroids(nearest))
+    val exBits = m.params.exBits
+    val bq = spark.sparkContext.broadcast((qc, exBits, nearest))
+    m.index.filter(col("cluster_id") === nearest)
+      .map { e =>
+        val (qcl, eb, _) = bq.value
+        val v = RaBitQ.Quantized(e.sign_bits, e.ex_code, e.x2, e.fac_ip,
+          e.sum_xb, e.fac_err, e.xipnorm)
+        val (est, lower) = RaBitQ.estimate(qcl, v)
+        val rr = RaBitQ.rerank(qcl, v, eb)
+        (e.id, math.rint(est * 1e4) / 1e4, math.rint(lower * 1e4) / 1e4,
+          math.rint(rr * 1e4) / 1e4)
+      }
+      .toDF("vec_id", "est_dist2", "lower_bound", "rerank_dist2")
+      .orderBy("vec_id")
+  }
+
+  /** b7: full IVF search (estimate → prune → rerank → top-k). */
+  def ivfSearch(spark: SparkSession, dir: String): DataFrame = {
+    val m = model(spark, dir)
+    m.search(spark, queryVectors(spark, dir), k = 10, nprobe = 3 * m.params.k / 4)
+      .orderBy("query_id", "rk")
+  }
+
+  /** b8: recall@10 of IVF search vs exact ground truth
+    * (test_search.cpp:101-130). Self-contained: both sides computed by
+    * the engine. */
+  def annRecall(spark: SparkSession, dir: String): DataFrame = {
+    val approx = ivfSearch(spark, dir)
+    // exact GT over the full base (including query vectors themselves,
+    // as the reference's GT does)
+    val exact = VectorQueries.gtTopKAll(spark, dir)
+    approx.alias("a")
+      .join(exact.alias("e"),
+        col("a.query_id") === col("e.query_id") &&
+          col("a.neighbor_id") === col("e.neighbor_id"), "left")
+      .groupBy(col("a.query_id").as("query_id"))
+      .agg((sum(when(col("e.rk").isNotNull, 1).otherwise(0)) / 10.0).as("recall_at_10"))
+      .orderBy("query_id")
+  }
+
+  /** b9: end-to-end index build summary (per-cluster sizes + bytes),
+    * the Spark analogue of create_index.cpp. */
+  def indexBuild(spark: SparkSession, dir: String): DataFrame =
+    model(spark, dir).index.toDF()
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_vectors"),
+        sum(expr("size(sign_bits) * 8 + length(ex_code)")).as("code_bytes"))
+      .orderBy("cluster_id")
+}

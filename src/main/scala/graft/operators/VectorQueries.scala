@@ -77,6 +77,18 @@ object VectorQueries {
       .orderBy("query_id", "rk")
   }
 
+  /** Exact top-10 for the same 8 queries against the FULL base
+    * (including the query vectors), used as ground truth by b8. */
+  def gtTopKAll(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val queries = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").cast(LongType), col("embedding"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+    KnnExact.topK(spark, e, queries, k = 10)
+  }
+
   val oracles: Map[String, String] = Map(
     "a1_vec_l2" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,

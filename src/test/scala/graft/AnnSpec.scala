@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ann.{IVFIndex, RaBitQ, Rotator}
+import graft.functions.VectorFunctions.{dot, l2sq}
+
+class AnnSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+  val sf = "/root/testdata/sf0.001"
+
+  private def randVec(rnd: scala.util.Random, d: Int): Array[Float] =
+    Array.fill(d)(rnd.nextGaussian().toFloat)
+
+  test("rotator is orthonormal: norms and dots preserved") {
+    val rot = new Rotator(64, seed = 7)
+    val rnd = new scala.util.Random(1)
+    val a = randVec(rnd, 64); val b = randVec(rnd, 64)
+    val ra = rot.rotate(a); val rb = rot.rotate(b)
+    assert(math.abs(dot(ra, ra) - dot(a, a)) < 1e-3)
+    assert(math.abs(dot(ra, rb) - dot(a, b)) < 1e-3)
+  }
+
+  test("rotator is deterministic from (dim, seed)") {
+    val r1 = new Rotator(64, 42); val r2 = new Rotator(64, 42)
+    assert(r1.matrix.zip(r2.matrix).forall { case (a, b) => a.sameElements(b) })
+  }
+
+  test("fastQuantize codes are in range and ipnorm positive") {
+    val rnd = new scala.util.Random(3)
+    val abs = Array.fill(64)(math.abs(rnd.nextGaussian()) / 8.0)
+    for (exBits <- Seq(2, 3, 4, 7)) {
+      val (code, ipnorm) = RaBitQ.fastQuantize(abs, exBits)
+      assert(code.forall(c => c >= 0 && c <= (1 << exBits) - 1))
+      assert(ipnorm > 0 && java.lang.Double.isFinite(ipnorm))
+    }
+  }
+
+  test("rerank distance is far more accurate than 1-bit estimate") {
+    val rnd = new scala.util.Random(5)
+    val d = 64
+    val exBits = 3
+    // residual plays both data and geometry roles: query at origin-ish
+    var errEst = 0.0; var errEx = 0.0; var n = 0
+    for (_ <- 1 to 50) {
+      val res = randVec(rnd, d)
+      val q = RaBitQ.quantize(res, exBits)
+      // query residual = true residual + noise
+      val qres = res.map(v => v + rnd.nextGaussian().toFloat * 0.1f)
+      val qc = RaBitQ.QueryCluster(qres, qres.map(_.toDouble).sum, dot(qres, qres))
+      val exact = l2sq(qres, res)
+      val (est, lower) = RaBitQ.estimate(qc, q)
+      val ex = RaBitQ.rerank(qc, q, exBits)
+      assert(lower <= exact + 1e-6 || lower <= est, "lower bound should rarely exceed exact")
+      errEst += math.abs(est - exact); errEx += math.abs(ex - exact); n += 1
+    }
+    assert(errEx / n < errEst / n, "extended code must improve on the sign code")
+    assert(errEx / n < 0.5, s"rerank mean abs error too high: ${errEx / n}")
+  }
+
+  test("1-bit estimator: lower bound holds with high probability") {
+    val rnd = new scala.util.Random(11)
+    val d = 64
+    var holds = 0; var total = 0
+    for (_ <- 1 to 200) {
+      val res = randVec(rnd, d)
+      val q = RaBitQ.quantize(res, 3)
+      val qres = randVec(rnd, d)
+      val qc = RaBitQ.QueryCluster(qres, qres.map(_.toDouble).sum, dot(qres, qres))
+      val exact = l2sq(qres, res)
+      val (_, lower) = RaBitQ.estimate(qc, qc0(q))
+      if (lower <= exact + 1e-9) holds += 1
+      total += 1
+    }
+    assert(holds.toDouble / total > 0.95, s"lower bound held only $holds/$total")
+  }
+  private def qc0(q: RaBitQ.Quantized): RaBitQ.Quantized = q
+
+  test("IVF search recall@10 >= 0.9 vs exact GT at sf0.001") {
+    import spark.implicits._
+    val m = operators.AnnQueries.model(spark, sf)
+    val approx = operators.AnnQueries.ivfSearch(spark, sf)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val exact = operators.VectorQueries.gtTopKAll(spark, sf)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (approx & exact).size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall@10 = $recall")
+  }
+
+  test("index entries cover all vectors exactly once") {
+    val m = operators.AnnQueries.model(spark, sf)
+    val n = Tables.embeddings(spark, sf).count()
+    assert(m.index.count() == n)
+    assert(m.index.select("id").distinct().count() == n)
+  }
+}
