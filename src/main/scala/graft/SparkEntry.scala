@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{AnnQueries, Relational, VectorQueries}
+import graft.operators.{AnnQueries, PipelineQueries, Relational, VectorQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
@@ -26,6 +26,19 @@ object SparkEntry {
     "b7_ivf_search"  -> (AnnQueries.ivfSearch(_, _)),
     "b8_ann_recall"  -> (AnnQueries.annRecall(_, _)),
     "b9_index_build" -> (AnnQueries.indexBuild(_, _)),
+    "c1_dedup_exact" -> (PipelineQueries.dedupExact(_, _)),
+    "c2_dedup_minhash" -> (PipelineQueries.dedupMinhash(_, _)),
+    "c3_dedup_simhash" -> (PipelineQueries.dedupSimhash(_, _)),
+    "c4_ngram_jaccard" -> (PipelineQueries.ngramJaccard(_, _)),
+    "c5_dedup_embed" -> (PipelineQueries.dedupEmbed(_, _)),
+    "c6_lang_id"     -> (PipelineQueries.langId(_, _)),
+    "c7_text_quality" -> (PipelineQueries.textQuality(_, _)),
+    "c8_token_count" -> (PipelineQueries.tokenCount(_, _)),
+    "c9_doc_fingerprint" -> (PipelineQueries.docFingerprint(_, _)),
+    "c10_multimodal_meta" -> (PipelineQueries.multimodalMeta(_, _)),
+    "d1_sessionize"  -> (PipelineQueries.sessionize(_, _)),
+    "d2_window_agg"  -> (PipelineQueries.windowAgg(_, _)),
+    "d3_stream_agg"  -> (PipelineQueries.streamingAgg(_, _)),
     "e1_q1_agg"      -> (Relational.q1Agg(_, _)),
     "e2_q3_join"     -> (Relational.q3Join(_, _)),
     "e3_q5_multijoin" -> (Relational.q5MultiJoin(_, _)),
@@ -35,7 +48,8 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = VectorQueries.oracles ++ Map(
+  def oracleSql: Map[String, String] =
+    VectorQueries.oracles ++ PipelineQueries.oracles ++ Map(
     "e1_q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -1,0 +1,142 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ops.{Dedup, Multimodal, TextAnalysis}
+import graft.streaming.EventOps
+
+/** LLM-data-pipeline + events queries (SURVEY.md §2 C and D). */
+object PipelineQueries {
+  def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exact(Tables.documents(spark, dir)).orderBy("keep_id")
+
+  def dedupMinhash(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minHashSummary(spark, Tables.documents(spark, dir))
+
+  def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simHashSummary(spark, Tables.documents(spark, dir))
+
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(Tables.documents(spark, dir)).orderBy("id_a")
+
+  def dedupEmbed(spark: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingNearDup(Tables.embeddings(spark, dir), 0.3)
+      .orderBy("id_a", "id_b")
+
+  def langId(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.langId(Tables.documents(spark, dir))
+
+  def textQuality(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.quality(Tables.documents(spark, dir))
+
+  def tokenCount(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tokenCount(Tables.documents(spark, dir))
+
+  def docFingerprint(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.fingerprint(spark, Tables.documents(spark, dir))
+
+  def multimodalMeta(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.metaQuery(spark, Tables.documents(spark, dir))
+
+  def sessionize(spark: SparkSession, dir: String): DataFrame =
+    EventOps.sessionize(spark, dir)
+
+  def windowAgg(spark: SparkSession, dir: String): DataFrame =
+    EventOps.windowAgg(spark, dir)
+
+  def streamingAgg(spark: SparkSession, dir: String): DataFrame =
+    EventOps.streamingWindowAgg(spark, dir)
+
+  private def enList = TextAnalysis.markerSqlList("en")
+
+  val oracles: Map[String, String] = Map(
+    "c1_dedup_exact" ->
+      """SELECT CAST(min(doc_id) AS BIGINT) AS keep_id,
+        | CAST(count(*) AS BIGINT) AS n_copies, md5(text) AS text_md5
+        |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
+    "c4_ngram_jaccard" ->
+      """WITH s AS (SELECT doc_id,
+        |  list_distinct(list_transform(range(1, len(string_split(text,' ')) - 1),
+        |    i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
+        |         || ' ' || string_split(text,' ')[i+2])) AS sh
+        | FROM documents)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        | ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |   / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
+        |FROM s a JOIN s b ON b.doc_id = a.doc_id + 1 ORDER BY id_a""".stripMargin,
+    "c5_dedup_embed" ->
+      """SELECT id_a, id_b, cos FROM (
+        | SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |    CAST(b.embedding AS DOUBLE[])), 6) AS cos
+        | FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id) t
+        |WHERE cos >= 0.3 ORDER BY id_a, id_b""".stripMargin,
+    "c6_lang_id" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w, text FROM documents),
+         |c AS (SELECT doc_id,
+         | CAST(len(list_filter(w, x -> x IN ($enList))) AS INT) AS n_en,
+         | CAST(len(list_filter(w, x -> x IN (${TextAnalysis.markerSqlList("de")}))) AS INT) AS n_de,
+         | CAST(len(list_filter(w, x -> x IN (${TextAnalysis.markerSqlList("fr")}))) AS INT) AS n_fr,
+         | CAST(len(list_filter(w, x -> x IN (${TextAnalysis.markerSqlList("es")}))) AS INT) AS n_es,
+         | CAST(len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) AS INT) AS n_zh
+         |FROM t)
+         |SELECT doc_id, n_en, n_de, n_fr, n_es, n_zh,
+         | CASE WHEN n_en + n_de + n_fr + n_es + n_zh = 0 THEN 'unknown'
+         |  WHEN n_en >= n_de AND n_en >= n_fr AND n_en >= n_es AND n_en >= n_zh THEN 'en'
+         |  WHEN n_de >= n_fr AND n_de >= n_es AND n_de >= n_zh THEN 'de'
+         |  WHEN n_fr >= n_es AND n_fr >= n_zh THEN 'fr'
+         |  WHEN n_es >= n_zh THEN 'es' ELSE 'zh' END AS predicted
+         |FROM c ORDER BY doc_id""".stripMargin,
+    "c7_text_quality" ->
+      s"""SELECT doc_id, CAST(length(text) AS INT) AS n_chars,
+         | CAST(len(string_split(text,' ')) AS INT) AS n_tokens,
+         | ROUND(CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
+         |   / length(text), 6) AS punct_ratio,
+         | ROUND(CAST(len(list_filter(string_split(text,' '), x -> x IN ($enList))) AS DOUBLE)
+         |   / len(string_split(text,' ')), 6) AS stopword_ratio,
+         | ROUND(CAST(list_sum(list_transform(string_split(text,' '), x -> length(x))) AS DOUBLE)
+         |   / len(string_split(text,' ')), 6) AS mean_token_len
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "c8_token_count" ->
+      """SELECT doc_id, CAST(len(string_split(text,' ')) AS INT) AS n_tokens,
+        | CAST(len(list_distinct(string_split(text,' '))) AS INT) AS n_distinct,
+        | CAST(list_sum(list_transform(string_split(text,' '),
+        |   x -> CAST(ceil(length(x)/4.0) AS INT))) AS BIGINT) AS n_subwords
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "c10_multimodal_meta" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS byte_len,
+        | md5(text) AS payload_md5,
+        | CAST(64 + octet_length(encode(text)) % 640 AS INT) AS width,
+        | CAST(64 + octet_length(encode(text)) % 480 AS INT) AS height
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "d1_sessionize" ->
+      """WITH e AS (SELECT user_id, ts, value,
+        |  CAST(floor(epoch(ts)) AS BIGINT) AS es,
+        |  lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+        | FROM events),
+        |f AS (SELECT user_id, ts, es, value,
+        |  CASE WHEN prev_ts IS NULL
+        |    OR es - CAST(floor(epoch(prev_ts)) AS BIGINT) > 1800 THEN 1 ELSE 0 END AS new_session
+        | FROM e),
+        |g AS (SELECT user_id, es, value,
+        |  SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS session_idx
+        | FROM f)
+        |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+        | CAST(min(es) AS BIGINT) AS session_start,
+        | CAST(count(*) AS BIGINT) AS n_events,
+        | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM g GROUP BY user_id, session_idx
+        |ORDER BY user_id, session_idx""".stripMargin,
+    "d2_window_agg" ->
+      """SELECT CAST(floor(floor(epoch(ts))/300)*300 AS BIGINT) AS bucket_start, event_type,
+        | CAST(count(*) AS BIGINT) AS n_events,
+        | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "d3_stream_agg" ->
+      """SELECT CAST(floor(floor(epoch(ts))/300)*300 AS BIGINT) AS bucket_start, event_type,
+        | CAST(count(*) AS BIGINT) AS n_events
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+  )
+}

@@ -1,0 +1,244 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import scala.util.hashing.MurmurHash3
+
+/** Deduplication operators for large-scale training-data pipelines
+  * (SURVEY.md §2 C1–C5).
+  *
+  * Scale design: exact dedup is a hash-groupBy (one shuffle on the text
+  * hash, never on the text itself). MinHash/SimHash turn O(N²) pair
+  * search into a groupBy on band keys; bucket sizes are capped so a
+  * degenerate band (all-identical docs) cannot produce a quadratic
+  * explosion on one task.
+  */
+object Dedup {
+  // ---------- exact (c1) ----------
+  /** One row per distinct text: kept doc id, copy count, content hash. */
+  def exact(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.groupBy(md5(col(textCol).cast(BinaryType)).as("text_md5"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select("keep_id", "n_copies", "text_md5")
+
+  // ---------- MinHash + LSH (c2) ----------
+  final case class MinHashParams(
+      numHashes: Int = 64,
+      bands: Int = 16,
+      shingleSize: Int = 3,
+      seed: Int = 42,
+      maxBucket: Int = 1000) {
+    require(numHashes % bands == 0)
+    def rowsPerBand: Int = numHashes / bands
+  }
+
+  private val MERSENNE61 = (1L << 61) - 1
+
+  private def hash64(s: String, seed: Int): Long = {
+    val h1 = MurmurHash3.stringHash(s, seed).toLong
+    val h2 = MurmurHash3.stringHash(s, seed ^ 0x5bd1e995).toLong
+    ((h1 << 32) | (h2 & 0xffffffffL)) & Long.MaxValue
+  }
+
+  private[graft] def shingles(text: String, k: Int): Array[String] = {
+    val toks = text.split(' ')
+    if (toks.length < k) Array(text)
+    else Array.tabulate(toks.length - k + 1)(i => toks.slice(i, i + k).mkString(" ")).distinct
+  }
+
+  /** Per-doc minhash signature (numHashes longs). Deterministic from
+    * the seed; a narrow map, no shuffle. */
+  def minHashSignatures(
+      spark: SparkSession,
+      docs: DataFrame,
+      p: MinHashParams,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(p.seed)
+    val coefs = Array.fill(p.numHashes)(
+      (1 + (rnd.nextLong() & Long.MaxValue) % (MERSENNE61 - 1),
+        (rnd.nextLong() & Long.MaxValue) % MERSENNE61))
+    val bc = spark.sparkContext.broadcast(coefs)
+    docs.select(col(idCol).cast(LongType), col(textCol)).as[(Long, String)]
+      .mapPartitions { iter =>
+        val cs = bc.value
+        iter.map { case (id, text) =>
+          val sh = shingles(text, p.shingleSize).map(hash64(_, p.seed))
+          val sig = Array.fill(p.numHashes)(Long.MaxValue)
+          var i = 0
+          while (i < sh.length) {
+            val h = sh(i) % MERSENNE61
+            var j = 0
+            while (j < cs.length) {
+              // (a*h + b) mod p on a Mersenne prime, via unsigned 128-bit-free trick:
+              // values < 2^61 so a*h overflows; use BigInt-free mulmod below
+              val v = mulModM61(cs(j)._1, h) + cs(j)._2
+              val m = if (v >= MERSENNE61) v - MERSENNE61 else v
+              if (m < sig(j)) sig(j) = m
+              j += 1
+            }
+            i += 1
+          }
+          (id, sig)
+        }
+      }.toDF(idCol, "signature")
+  }
+
+  /** (a*b) mod 2^61−1 for a,b < 2^61: a·b = hi·2^64 + lo with
+    * 2^64 ≡ 8 (mod M61), and lo split at bit 61. */
+  private[graft] def mulModM61(a: Long, b: Long): Long = {
+    val hi = Math.multiplyHigh(a, b)
+    val lo = a * b
+    modM61((hi << 3) + (lo >>> 61) + (lo & MERSENNE61))
+  }
+  @inline private def modM61(x: Long): Long = {
+    var v = (x & MERSENNE61) + (x >>> 61)
+    if (v >= MERSENNE61) v -= MERSENNE61
+    v
+  }
+
+  /** LSH candidate pairs: equal band-hash → candidate; estimated
+    * jaccard = fraction of equal signature positions. */
+  def lshCandidatePairs(
+      spark: SparkSession,
+      sigs: DataFrame,
+      p: MinHashParams,
+      idCol: String = "doc_id"): DataFrame = {
+    import spark.implicits._
+    val bandRows = sigs.select(col(idCol).cast(LongType), col("signature"))
+      .as[(Long, Array[Long])]
+      .flatMap { case (id, sig) =>
+        (0 until p.bands).iterator.map { b =>
+          val slice = sig.slice(b * p.rowsPerBand, (b + 1) * p.rowsPerBand)
+          (b, MurmurHash3.orderedHash(slice.toSeq, p.seed), id)
+        }
+      }.toDF("band", "bucket", "id")
+    val buckets = bandRows.groupBy("band", "bucket")
+      .agg(collect_list("id").as("ids"))
+      .filter(size(col("ids")).between(2, p.maxBucket))
+    val pairs = buckets.select(explode(pairsOfSorted(col("ids"))).as("pr"))
+      .select(col("pr").getItem(0).as("id_a"), col("pr").getItem(1).as("id_b"))
+      .distinct()
+    val sigA = sigs.select(col(idCol).as("id_a"), col("signature").as("sig_a"))
+    val sigB = sigs.select(col(idCol).as("id_b"), col("signature").as("sig_b"))
+    pairs.join(sigA, "id_a").join(sigB, "id_b")
+      .withColumn("est_jaccard", round(
+        aggregate(zip_with(col("sig_a"), col("sig_b"), (x, y) =>
+          when(x === y, 1).otherwise(0)), lit(0), (acc, v) => acc + v)
+          .cast(DoubleType) / p.numHashes, 6))
+      .select("id_a", "id_b", "est_jaccard")
+  }
+
+  /** All sorted in-bucket pairs, as array<array<long>>. */
+  private def pairsOfSorted(ids: org.apache.spark.sql.Column) = {
+    val sorted = array_sort(ids)
+    flatten(transform(sorted, (a, i) =>
+      transform(slice(sorted, i + 2, size(sorted)), b => array(a, b))))
+  }
+
+  /** c2 per-doc summary (row-count stable even with no near-dups):
+    * signature extremes + number of LSH candidate partners. */
+  def minHashSummary(
+      spark: SparkSession,
+      docs: DataFrame,
+      p: MinHashParams = MinHashParams()): DataFrame = {
+    val sigs = minHashSignatures(spark, docs, p).cache()
+    val pairs = lshCandidatePairs(spark, sigs, p)
+    val partners = pairs.select(col("id_a").as("doc_id"))
+      .union(pairs.select(col("id_b").as("doc_id")))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_candidates"))
+    sigs.select(col("doc_id"),
+        element_at(col("signature"), 1).as("sig0"),
+        aggregate(col("signature"), lit(Long.MaxValue), (acc, x) => least(acc, x)).as("sig_min"))
+      .join(partners, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_candidates"))
+      .orderBy("doc_id")
+  }
+
+  // ---------- SimHash (c3) ----------
+  private[graft] def simHash64(text: String, seed: Int): Long = {
+    val acc = new Array[Int](64)
+    text.split(' ').foreach { tok =>
+      val h = hash64(tok, seed)
+      var j = 0
+      while (j < 64) {
+        if (((h >>> j) & 1L) == 1L) acc(j) += 1 else acc(j) -= 1
+        j += 1
+      }
+    }
+    var out = 0L
+    var j = 0
+    while (j < 64) { if (acc(j) > 0) out |= (1L << j); j += 1 }
+    out
+  }
+
+  /** c3 per-doc summary: simhash fingerprint + candidate partners
+    * within hamming ≤ 3 (via 4×16-bit band buckets). */
+  def simHashSummary(
+      spark: SparkSession,
+      docs: DataFrame,
+      seed: Int = 42,
+      maxHamming: Int = 3,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    import spark.implicits._
+    val hashes = docs.select(col(idCol).cast(LongType), col(textCol)).as[(Long, String)]
+      .map { case (id, t) => (id, simHash64(t, seed)) }
+      .toDF("doc_id", "simhash").cache()
+    val bands = hashes.select(col("doc_id"), col("simhash"),
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).as("band"),
+            shiftright(col("simhash"), b * 16).bitwiseAND(lit(65535L)).as("bucket"))): _*)).as("bb"))
+      .select(col("doc_id"), col("simhash"), col("bb.band"), col("bb.bucket"))
+    val j = bands.alias("x").join(bands.alias("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
+        col("x.simhash").as("ha"), col("y.simhash").as("hb"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
+      .filter(col("hamming") <= maxHamming)
+    val partners = j.select(col("id_a").as("doc_id"))
+      .union(j.select(col("id_b").as("doc_id")))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_candidates"))
+    hashes.select(col("doc_id"), format_string("%016x", col("simhash")).as("simhash_hex"))
+      .join(partners, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_candidates"))
+      .orderBy("doc_id")
+  }
+
+  // ---------- exact n-gram jaccard (c4) ----------
+  /** Shingle-set jaccard for consecutive doc-id pairs, built entirely
+    * from codegen'd collection functions (SQL-oracle parity). */
+  def ngramJaccardPairs(docs: DataFrame, k: Int = 3): DataFrame = {
+    def shingleSet(c: org.apache.spark.sql.Column) = {
+      val toks = split(c, " ")
+      array_distinct(transform(sequence(lit(0), size(toks) - k),
+        i => concat_ws(" ", (0 until k).map(o => element_at(toks, i + o + 1)): _*)))
+    }
+    val a = docs.select(col("doc_id").as("id_a"), shingleSet(col("text")).as("sa"))
+    val b = docs.select(col("doc_id").as("id_b"), shingleSet(col("text")).as("sb"))
+    a.join(b, col("id_b") === col("id_a") + 1)
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
+      .withColumn("uni", size(col("sa")) + size(col("sb")) - col("inter"))
+      .select(col("id_a"), col("id_b"),
+        round(col("inter").cast(DoubleType) / col("uni"), 6).as("jaccard"))
+  }
+
+  // ---------- embedding cosine near-dup (c5) ----------
+  /** Brute-force all-pairs cosine ≥ threshold. This is the correctness
+    * baseline; at 100 TB the LSH/IVF paths (c2 / b7) provide the
+    * candidate generation instead. */
+  def embeddingNearDup(embeddings: DataFrame, threshold: Double): DataFrame = {
+    import graft.functions.VectorFunctions.vec_cosine
+    val a = embeddings.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+    val b = embeddings.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cos", round(vec_cosine(col("va"), col("vb")), 6))
+      .filter(col("cos") >= threshold)
+      .select("id_a", "id_b", "cos")
+  }
+}

@@ -1,0 +1,77 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing (SURVEY.md §2 C10): treat image/audio/
+  * video payloads as opaque `binary` columns with typed metadata, and
+  * run decode / feature-extraction as per-partition batch transforms.
+  *
+  * The decode kernels are STUBBED (no image/audio libs in this
+  * environment) with a clearly-marked deterministic fake; the Spark
+  * plumbing — binary schema, typed Dataset transform, partition-wise
+  * batching, metadata struct — is real and tested. Swapping
+  * [[decodeStub]] for a JNI/OpenCV call changes no query shape.
+  */
+object Multimodal {
+  final case class MediaMeta(
+      doc_id: Long,
+      byte_len: Int,
+      format: String,
+      width: Int,
+      height: Int,
+      channels: Int)
+
+  /** Synthesize an opaque binary payload column from text (the test
+    * corpus has no real media; payload bytes are the UTF-8 text). */
+  def withPayload(docs: DataFrame): DataFrame =
+    docs.withColumn("payload", encode(col("text"), "UTF-8"))
+
+  /** STUB decode: derive deterministic fake metadata from the payload
+    * bytes. A real implementation would parse the container header. */
+  def decodeStub(id: Long, payload: Array[Byte]): MediaMeta = {
+    val len = payload.length
+    val fmt = (id % 3) match {
+      case 0 => "img"; case 1 => "audio"; case _ => "video"
+    }
+    MediaMeta(id, len, fmt, 64 + (len % 640), 64 + (len % 480),
+      if (fmt == "audio") 1 else 3)
+  }
+
+  /** Typed per-partition decode pass (the mapInPandas analogue in
+    * Scala): batches stay columnar until the iterator, kernels run
+    * once per row without per-row task overhead. */
+  def decode(spark: SparkSession, docs: DataFrame): Dataset[MediaMeta] = {
+    import spark.implicits._
+    withPayload(docs)
+      .select(col("doc_id").cast(LongType), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, p) => decodeStub(id, p) })
+  }
+
+  /** STUB frame sampling: pick every `stride`-th 16-byte "frame". */
+  def sampleFrames(spark: SparkSession, docs: DataFrame, stride: Int = 4): DataFrame = {
+    import spark.implicits._
+    withPayload(docs)
+      .select(col("doc_id").cast(LongType), col("payload"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, p) =>
+        p.grouped(16).zipWithIndex.collect {
+          case (frame, i) if i % stride == 0 => (id, i, frame.length)
+        }
+      }
+      .toDF("doc_id", "frame_idx", "frame_bytes")
+  }
+
+  /** c10 query: binary plumbing with SQL-checkable outputs (payload
+    * length, md5, stub metadata — all deterministic). */
+  def metaQuery(spark: SparkSession, docs: DataFrame): DataFrame =
+    withPayload(docs).select(
+        col("doc_id"),
+        length(col("payload")).as("byte_len"),
+        md5(col("payload")).as("payload_md5"),
+        (lit(64) + length(col("payload")) % 640).as("width"),
+        (lit(64) + length(col("payload")) % 480).as("height"))
+      .orderBy("doc_id")
+}

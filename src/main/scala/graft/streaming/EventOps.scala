@@ -1,0 +1,85 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** Event-stream operators (SURVEY.md §2 D). d1/d2 are batch queries
+  * with SQL oracles; d3 runs a genuine Structured Streaming query
+  * (file source → windowed agg → memory sink) whose result is the
+  * batch-parity aggregation, so it is oracle-checkable too. */
+object EventOps {
+  /** d1: gap-based sessionization (30-min inactivity). One shuffle on
+    * user_id; windows are per-user (bounded state). */
+  def sessionize(spark: SparkSession, dir: String, gapMinutes: Int = 30): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts")
+    val ev = Tables.events(spark, dir)
+      .withColumn("prev_ts", lag("ts", 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > gapMinutes * 60L, 1)
+          .otherwise(0))
+      .withColumn("session_idx",
+        sum("new_session").over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+    ev.groupBy("user_id", "session_idx")
+      .agg(
+        min(unix_timestamp(col("ts"))).as("session_start"),
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 6))).cast(DoubleType).as("sum_value"))
+      .orderBy("user_id", "session_idx")
+  }
+
+  /** d2: tumbling 5-minute window aggregation per event type (batch
+    * parity of the streaming query; uses Spark's native window()). */
+  def windowAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "5 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 6))).cast(DoubleType).as("sum_value"))
+      .select(unix_timestamp(col("w.start")).as("bucket_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+      .orderBy("bucket_start", "event_type")
+
+  private val runId = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** d3: the same aggregation executed as a real Structured Streaming
+    * query — file stream source, watermark, complete-mode memory sink,
+    * drained synchronously with availableNow. */
+  def streamingWindowAgg(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    val name = s"graft_d3_sink_${runId.incrementAndGet()}"
+    // The file stream source requires a directory; expose the single
+    // events file through a temp dir (at cluster scale the source would
+    // be a real landing directory).
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_d3_src")
+    val link = srcDir.resolve("events.parquet")
+    java.nio.file.Files.createSymbolicLink(link,
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    srcDir.toFile.deleteOnExit(); link.toFile.deleteOnExit()
+    val stream = spark.readStream.schema(schema)
+      .parquet(srcDir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+    val q = stream.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+      .select(unix_timestamp(col("w.start")).as("bucket_start"),
+        col("event_type"), col("n_events"))
+      .orderBy("bucket_start", "event_type")
+  }
+}

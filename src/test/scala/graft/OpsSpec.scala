@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{Dedup, Multimodal, TextAnalysis}
+
+class OpsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+
+  test("minhash LSH finds planted near-duplicates and skips unrelated docs") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today " * 4
+    val nearDup = base.replace("lazy", "sleepy")
+    val unrelated = "completely different content about spark catalyst optimizer internals " * 4
+    val d = docs(1L -> base, 2L -> nearDup, 3L -> unrelated, 4L -> (base + "trailing bit"))
+    val sigs = Dedup.minHashSignatures(spark, d, Dedup.MinHashParams())
+    val pairs = Dedup.lshCandidatePairs(spark, sigs, Dedup.MinHashParams())
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)), s"near-dup pair not found: $pairs")
+    assert(pairs.contains((1L, 4L)), s"superset pair not found: $pairs")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), s"unrelated doc flagged: $pairs")
+  }
+
+  test("minhash estimated jaccard approximates exact shingle jaccard") {
+    val tokens = (1 to 200).map(i => s"w$i")
+    val a = tokens.mkString(" ")
+    val b = (tokens.take(150) ++ (1 to 50).map(i => s"x$i")).mkString(" ")
+    val d = docs(1L -> a, 2L -> b)
+    val p = Dedup.MinHashParams(bands = 32) // aggressive banding → candidate found
+    val sigs = Dedup.minHashSignatures(spark, d, p)
+    val est = Dedup.lshCandidatePairs(spark, sigs, p)
+      .select("est_jaccard").as[Double].collect()
+    assert(est.nonEmpty)
+    val sa = Dedup.shingles(a, 3).toSet
+    val sb = Dedup.shingles(b, 3).toSet
+    val exact = (sa & sb).size.toDouble / (sa | sb).size
+    assert(math.abs(est.head - exact) < 0.2, s"est=${est.head} exact=$exact")
+  }
+
+  test("mulModM61 matches BigInt arithmetic") {
+    val m = BigInt(2).pow(61) - 1
+    val rnd = new scala.util.Random(9)
+    for (_ <- 1 to 1000) {
+      val a = (rnd.nextLong() & Long.MaxValue) % ((1L << 61) - 1)
+      val b = (rnd.nextLong() & Long.MaxValue) % ((1L << 61) - 1)
+      assert(BigInt(Dedup.mulModM61(a, b)) == (BigInt(a) * BigInt(b)) % m)
+    }
+  }
+
+  test("simhash: near-identical docs collide, unrelated do not") {
+    val base = (1 to 100).map(i => s"tok$i").mkString(" ")
+    val near = (1 to 100).map(i => if (i == 50) "changed" else s"tok$i").mkString(" ")
+    val far = (1 to 100).map(i => s"other$i").mkString(" ")
+    val ha = Dedup.simHash64(base, 42)
+    val hb = Dedup.simHash64(near, 42)
+    val hc = Dedup.simHash64(far, 42)
+    assert(java.lang.Long.bitCount(ha ^ hb) <= 8)
+    assert(java.lang.Long.bitCount(ha ^ hc) > 16)
+  }
+
+  test("exact dedup groups identical texts") {
+    val d = docs(1L -> "same text", 2L -> "same text", 3L -> "different")
+    val out = Dedup.exact(d).orderBy("keep_id")
+      .select("keep_id", "n_copies").as[(Long, Long)].collect()
+    assert(out.toSeq == Seq((1L, 2L), (3L, 1L)))
+  }
+
+  test("language id picks the language with most markers") {
+    val d = docs(
+      1L -> "the cat and the dog is in a house of cards",
+      2L -> "der hund und die katze ist nicht das problem",
+      3L -> "xyzzy plugh quux")
+    val out = TextAnalysis.langId(d).select("doc_id", "predicted")
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) == "en"); assert(out(2L) == "de"); assert(out(3L) == "unknown")
+  }
+
+  test("fingerprint is deterministic and content-sensitive") {
+    val (f1, w1) = TextAnalysis.fingerprintOf("hello world hello world")
+    val (f2, w2) = TextAnalysis.fingerprintOf("hello world hello world")
+    val (f3, _) = TextAnalysis.fingerprintOf("hello world hello worle")
+    assert(f1 == f2 && w1 == w2)
+    assert(f1 != f3)
+  }
+
+  test("multimodal decode stub: schema and per-row plumbing") {
+    val d = docs(1L -> "abcd", 2L -> ("x" * 100))
+    val meta = Multimodal.decode(spark, d).collect().sortBy(_.doc_id)
+    assert(meta(0).byte_len == 4 && meta(1).byte_len == 100)
+    assert(meta.forall(m => Set("img", "audio", "video").contains(m.format)))
+    val frames = Multimodal.sampleFrames(spark, d, stride = 2).count()
+    assert(frames == 1 + 4) // 1 frame for 4B doc; ceil(100/16)=7 frames -> idx 0,2,4,6
+  }
+}
