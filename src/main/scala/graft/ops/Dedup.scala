@@ -233,11 +233,17 @@ object Dedup {
     * baseline; at 100 TB the LSH/IVF paths (c2 / b7) provide the
     * candidate generation instead. */
   def embeddingNearDup(embeddings: DataFrame, threshold: Double): DataFrame = {
-    import graft.functions.VectorFunctions.vec_cosine
-    val a = embeddings.select(col("vec_id").as("id_a"), col("embedding").as("va"))
-    val b = embeddings.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+    import graft.functions.VectorFunctions.{vec_dot, vec_norm}
+    // Precompute norms once per vector (O(N)), so the O(N²) pair loop
+    // does a single dot product per pair instead of dot + two norms.
+    val withNorm = embeddings.select(col("vec_id"), col("embedding"),
+      vec_norm(col("embedding")).as("nrm"))
+    val a = withNorm.select(col("vec_id").as("id_a"), col("embedding").as("va"),
+      col("nrm").as("na"))
+    val b = withNorm.select(col("vec_id").as("id_b"), col("embedding").as("vb"),
+      col("nrm").as("nb"))
     a.join(b, col("id_a") < col("id_b"))
-      .withColumn("cos", round(vec_cosine(col("va"), col("vb")), 6))
+      .withColumn("cos", round(vec_dot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")
   }
