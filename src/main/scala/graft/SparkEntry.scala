@@ -6,9 +6,11 @@ import graft.operators.{AnnQueries, PipelineQueries, Relational, VectorQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks
+    * rows>0. Exact vector top-k — the engine's headline capability,
+    * fast and deterministic (no k-means training in the smoke path). */
   def entry(spark: SparkSession): DataFrame =
-    Relational.q5MultiJoin(spark, "/root/testdata/sf0.001")
+    VectorQueries.gtTopK(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

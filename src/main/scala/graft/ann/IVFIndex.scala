@@ -119,6 +119,28 @@ object IVFIndex {
   }
 }
 
+object IVFModel {
+  /** Load a persisted index (analogue of IVF::load, IVF.hpp:254-293). */
+  def load(spark: SparkSession, path: String): IVFModel = {
+    import spark.implicits._
+    val meta = spark.read.json(s"$path/meta").head()
+    val params = IVFIndex.Params(
+      k = meta.getAs[Long]("k").toInt,
+      totalBits = meta.getAs[Long]("total_bits").toInt,
+      seed = meta.getAs[Long]("seed"))
+    val dim = meta.getAs[Long]("dim").toInt
+    val centroids = spark.read.parquet(s"$path/centroids")
+      .select("cluster_id", "centroid")
+      .as[(Int, Array[Float])].collect().sortBy(_._1).map(_._2)
+    val rotator = new Rotator(dim, params.seed)
+    val index = spark.read.parquet(s"$path/entries")
+      .select("id", "cluster_id", "sign_bits", "ex_code", "x2", "fac_ip",
+        "sum_xb", "fac_err", "xipnorm")
+      .as[IVFIndex.Entry]
+    new IVFModel(params, rotator, centroids, centroids.map(rotator.rotate), index)
+  }
+}
+
 final class IVFModel(
     val params: IVFIndex.Params,
     val rotator: Rotator,
@@ -128,9 +150,22 @@ final class IVFModel(
   import IVFIndex.Entry
 
   /** Persist the index columnar, partitioned by cluster (the Spark
-    * analogue of IVF::save). Rebuild the model with `IVFModel.load`. */
-  def save(path: String): Unit =
-    index.write.mode("overwrite").partitionBy("cluster_id").parquet(path)
+    * analogue of IVF::save, IVF.hpp:219-252). Partitioning by
+    * cluster_id means a search with nprobe probes reads only those
+    * directories (real partition pruning at 100 TB). The rotator is
+    * NOT persisted — it is deterministic from (dim, seed) in the
+    * metadata, unlike the reference which must serialize its matrix. */
+  def save(path: String): Unit = {
+    val spark = index.sparkSession
+    import spark.implicits._
+    index.write.mode("overwrite").partitionBy("cluster_id").parquet(s"$path/entries")
+    centroids.zipWithIndex.map { case (c, i) => (i, c) }.toSeq
+      .toDF("cluster_id", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    Seq((params.k, params.totalBits, params.seed, rotator.dim))
+      .toDF("k", "total_bits", "seed", "dim")
+      .coalesce(1).write.mode("overwrite").json(s"$path/meta")
+  }
 
   /** Approximate top-k: returns (query_id, neighbor_id, rk). */
   def search(

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ann.{IVFIndex, IVFModel}
+import graft.functions.GraftFunctions
+import graft.sources.VecsIO
+
+class SourcesSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+  import spark.implicits._
+
+  test("fvecs roundtrip: write with VecsIO, read with format(fvecs)") {
+    val dir = java.nio.file.Files.createTempDirectory("fvecs_test")
+    val f = dir.resolve("sample.fvecs").toString
+    val vecs = Seq(Array(1.0f, 2.5f, -3.0f), Array(0.0f, 4.25f, 9.5f))
+    VecsIO.writeFvecs(f, vecs.iterator)
+    val got = spark.read.format("fvecs").load(f)
+      .orderBy("row_id").as[(Long, Array[Float])].collect()
+    assert(got.length == 2)
+    assert(got(0)._2.toSeq == vecs(0).toSeq)
+    assert(got(1)._2.toSeq == vecs(1).toSeq)
+  }
+
+  test("ivecs roundtrip with a directory of files") {
+    val dir = java.nio.file.Files.createTempDirectory("ivecs_test")
+    VecsIO.writeIvecs(dir.resolve("a.ivecs").toString, Iterator(Array(1, 2, 3)))
+    VecsIO.writeIvecs(dir.resolve("b.ivecs").toString, Iterator(Array(7, 8, 9, 10)))
+    val got = spark.read.format("ivecs").load(dir.toString)
+      .as[(Long, Array[Int])].collect().map(_._2.toSeq).toSet
+    assert(got == Set(Seq(1, 2, 3), Seq(7, 8, 9, 10)))
+  }
+
+  test("SQL registration: vec_l2sq and vec_dot usable from spark.sql") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT vec_l2sq(array(1.0F, 2.0F), array(1.0F, 0.0F)) AS d, " +
+        "vec_dot(array(1.0F, 2.0F), array(3.0F, 4.0F)) AS p").head()
+    assert(r.getDouble(0) == 4.0)
+    assert(r.getDouble(1) == 11.0)
+  }
+
+  test("IVF index save/load roundtrip preserves search results") {
+    val sf = "/root/testdata/sf0.001"
+    val m = operators.AnnQueries.model(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_idx").toString
+    m.save(dir)
+    val loaded = IVFModel.load(spark, dir)
+    assert(loaded.params == m.params)
+    assert(loaded.index.count() == m.index.count())
+    val qs = Tables.embeddings(spark, sf)
+      .filter($"vec_id" < 4).select($"vec_id".cast("long"), $"embedding")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+    val a = m.search(spark, qs, 10, 12).orderBy("query_id", "rk").collect().toSeq
+    val b = loaded.search(spark, qs, 10, 12).orderBy("query_id", "rk").collect().toSeq
+    assert(a == b)
+  }
+}
