@@ -186,39 +186,42 @@ final class IVFModel(
         .map(_._2)
       (qid, qr, byDist)
     }
-    val probedClusters = probes.flatMap(_._3).distinct.toSet
-    val bc = spark.sparkContext.broadcast((probes, rotatedCentroids))
+    // cluster → indices of the queries probing it (the per-entry hot
+    // loop touches only those queries, not the whole query set)
+    val probesByCluster: Map[Int, Array[Int]] = probes.zipWithIndex
+      .flatMap { case ((_, _, cls), qi) => cls.map(c => (c, qi)) }
+      .groupBy(_._1).map { case (c, xs) => (c, xs.map(_._2)) }
+    val probedClusters = probesByCluster.keySet
+    val bc = spark.sparkContext.broadcast((probes, rotatedCentroids, probesByCluster))
 
     // --- scan only probed clusters; estimate → prune → rerank → local top-k ---
     val candidates = index
       .filter(col("cluster_id").isin(probedClusters.toSeq.map(_.asInstanceOf[AnyRef]): _*))
       .mapPartitions { iter =>
-        val (qs, rotCents) = bc.value
+        val (qs, rotCents, byCluster) = bc.value
         // per (query, probed cluster) prepared residuals, lazily materialized
-        val prepared = new java.util.HashMap[(Int, Int), RaBitQ.QueryCluster]()
+        val prepared = new java.util.HashMap[Long, RaBitQ.QueryCluster]()
         val heaps = Array.fill(qs.length)(new KnnExact.BoundedTopK(k))
         val dists = Array.fill(qs.length)(Double.MaxValue) // local distk
         iter.foreach { e =>
-          var qi = 0
-          while (qi < qs.length) {
-            val (_, qr, probe) = qs(qi)
-            if (probe.contains(e.cluster_id)) {
-              var qc = prepared.get((qi, e.cluster_id))
+          byCluster.get(e.cluster_id).foreach { queryIdxs =>
+            var j = 0
+            while (j < queryIdxs.length) {
+              val qi = queryIdxs(j)
+              val key = (qi.toLong << 32) | (e.cluster_id & 0xffffffffL)
+              var qc = prepared.get(key)
               if (qc == null) {
-                qc = RaBitQ.prepareQuery(qr, rotCents(e.cluster_id))
-                prepared.put((qi, e.cluster_id), qc)
+                qc = RaBitQ.prepareQuery(qs(qi)._2, rotCents(e.cluster_id))
+                prepared.put(key, qc)
               }
-              val v = RaBitQ.Quantized(e.sign_bits, e.ex_code, e.x2, e.fac_ip,
-                e.sum_xb, e.fac_err, e.xipnorm)
-              val (_, lower) = RaBitQ.estimate(qc, v)
+              val lower = RaBitQ.estimateLower(qc, e.sign_bits, e.x2, e.fac_ip, e.fac_err)
               if (lower <= dists(qi)) {
-                val ex = RaBitQ.rerank(qc, v, exBits)
+                val ex = RaBitQ.rerankDist(qc, e.sign_bits, e.ex_code, e.x2, e.xipnorm, exBits)
                 heaps(qi).insert(ex, e.id)
-                val w = heaps(qi).worstOrElse(Double.MaxValue, k)
-                dists(qi) = w
+                dists(qi) = heaps(qi).worstOrElse(Double.MaxValue, k)
               }
+              j += 1
             }
-            qi += 1
           }
         }
         heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>

@@ -186,27 +186,39 @@ object RaBitQ {
     * (Searcher.hpp:199-221): est = x²+y² − ip·facIp,
     * lower = est − facErr·y, with ip = Σ_{bit} r_d − S/2. */
   def estimate(q: QueryCluster, v: Quantized): (Double, Double) = {
-    val ip = sumOverSetBits(v.signBits, q.residual) - 0.5 * q.sumRes
-    val est = v.x2 + q.sqrY - ip * v.facIp
+    val est = estimateDist(q, v.signBits, v.x2, v.facIp)
     (est, est - v.facErr * q.y)
   }
+
+  /** Allocation-free forms for the search hot loop. */
+  def estimateDist(q: QueryCluster, signBits: Array[Long], x2: Float, facIp: Float): Double = {
+    val ip = sumOverSetBits(signBits, q.residual) - 0.5 * q.sumRes
+    x2 + q.sqrY - ip * facIp
+  }
+  def estimateLower(q: QueryCluster, signBits: Array[Long], x2: Float,
+      facIp: Float, facErr: Float): Double =
+    estimateDist(q, signBits, x2, facIp) - facErr * q.y
 
   /** Re-ranking distance from the extended code
     * (Searcher.hpp:227-230, algebraically identical):
     * dist = x²+y² − xipnorm·(⟨r, F⟩ − (2^B−1)/2·S)
     * with F_d = 2^exBits·bit_d + exCode_d. */
-  def rerank(q: QueryCluster, v: Quantized, exBits: Int): Double = {
+  def rerank(q: QueryCluster, v: Quantized, exBits: Int): Double =
+    rerankDist(q, v.signBits, v.exCode, v.x2, v.xipnorm, exBits)
+
+  def rerankDist(q: QueryCluster, signBits: Array[Long], exCode: Array[Byte],
+      x2: Float, xipnorm: Float, exBits: Int): Double = {
     val r = q.residual
     val half = (1 << (exBits + 1)) - 1
     var ipF = 0.0
     var i = 0
     val hi = 1 << exBits
     while (i < r.length) {
-      val bit = ((v.signBits(i >> 6) >>> (i & 63)) & 1L).toInt
-      val f = bit * hi + (v.exCode(i) & 0xff)
+      val bit = ((signBits(i >> 6) >>> (i & 63)) & 1L).toInt
+      val f = bit * hi + (exCode(i) & 0xff)
       ipF += r(i).toDouble * f
       i += 1
     }
-    v.x2 + q.sqrY - v.xipnorm * (ipF - 0.5 * half * q.sumRes)
+    x2 + q.sqrY - xipnorm * (ipF - 0.5 * half * q.sumRes)
   }
 }

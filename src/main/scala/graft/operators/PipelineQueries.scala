@@ -49,6 +49,9 @@ object PipelineQueries {
   def streamingAgg(spark: SparkSession, dir: String): DataFrame =
     EventOps.streamingWindowAgg(spark, dir)
 
+  def streamingUserStats(spark: SparkSession, dir: String): DataFrame =
+    EventOps.streamingUserStats(spark, dir)
+
   private def enList = TextAnalysis.markerSqlList("en")
 
   val oracles: Map[String, String] = Map(
@@ -138,5 +141,9 @@ object PipelineQueries {
       """SELECT CAST(floor(floor(epoch(ts))/300)*300 AS BIGINT) AS bucket_start, event_type,
         | CAST(count(*) AS BIGINT) AS n_events
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "d4_stream_user_stats" ->
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        | CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS total_cents
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
   )
 }

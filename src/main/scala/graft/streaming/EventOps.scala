@@ -46,6 +46,61 @@ object EventOps {
 
   private val runId = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** Per-user running aggregate carried in group state (d4). Money is
+    * tracked in integer cents so state merges are order-independent
+    * (a double sum would depend on shuffle order and could not
+    * hash-match the oracle). */
+  final case class UserState(nEvents: Long, totalCents: Long)
+
+  /** d4: custom stateful streaming via mapGroupsWithState — per-user
+    * totals accumulated in GroupState, emitted each micro-batch
+    * (update mode). With an AvailableNow drain over one input file this
+    * yields exactly the batch per-user totals, so the query is
+    * oracle-checkable. */
+  def streamingUserStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_d4_src")
+    val link = srcDir.resolve("events.parquet")
+    java.nio.file.Files.createSymbolicLink(link,
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    srcDir.toFile.deleteOnExit(); link.toFile.deleteOnExit()
+    val name = s"graft_d4_sink_${runId.incrementAndGet()}"
+
+    val updateState = (userId: Long, events: Iterator[(Long, Double)],
+        state: GroupState[UserState]) => {
+      val prev = state.getOption.getOrElse(UserState(0L, 0L))
+      var n = prev.nEvents
+      var cents = prev.totalCents
+      events.foreach { case (_, v) => n += 1; cents += math.round(v * 100) }
+      val next = UserState(n, cents)
+      state.update(next)
+      (userId, n, cents)
+    }
+
+    val q = spark.readStream.schema(schema).parquet(srcDir.toString)
+      .select(col("user_id"), col("event_id"), col("value"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout())(
+        (k: Long, it: Iterator[(Long, Long, Double)], s: GroupState[UserState]) =>
+          updateState(k, it.map(t => (t._2, t._3)), s))
+      .toDF("user_id", "n_events", "total_cents")
+      .writeStream
+      .outputMode(OutputMode.Update())
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name).orderBy("user_id")
+  }
+
   /** d3: the same aggregation executed as a real Structured Streaming
     * query — file stream source, watermark, complete-mode memory sink,
     * drained synchronously with availableNow. */
