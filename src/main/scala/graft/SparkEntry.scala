@@ -28,6 +28,7 @@ object SparkEntry {
     "b7_ivf_search"  -> (AnnQueries.ivfSearch(_, _)),
     "b8_ann_recall"  -> (AnnQueries.annRecall(_, _)),
     "b9_index_build" -> (AnnQueries.indexBuild(_, _)),
+    "b10_ann_ratio"  -> (AnnQueries.annRatio(_, _)),
     "c1_dedup_exact" -> (PipelineQueries.dedupExact(_, _)),
     "c2_dedup_minhash" -> (PipelineQueries.dedupMinhash(_, _)),
     "c3_dedup_simhash" -> (PipelineQueries.dedupSimhash(_, _)),

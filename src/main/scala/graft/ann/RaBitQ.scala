@@ -18,9 +18,10 @@ import scala.collection.mutable
   */
 object RaBitQ {
   /** Per-vector quantization output (reference: SHORT_DATA factors +
-    * LONG_CODE + EX_FACTOR, IVF.hpp:29-33). `exCode(d)` stores the
-    * sign-flipped extended code (Quantizer.hpp:480-487), one byte per
-    * dim (exBits ≤ 8); parquet/dictionary encoding compresses it. */
+    * LONG_CODE + EX_FACTOR, IVF.hpp:29-33). `exCode` stores the
+    * sign-flipped extended codes (Quantizer.hpp:480-487) bit-packed at
+    * exBits per dim — the reference's storage density
+    * (store_compacted_code); read positions with [[RaBitQ.unpackAt]]. */
   final case class Quantized(
       signBits: Array[Long], // 1-bit code, LSB-first within each word
       exCode: Array[Byte],   // (B-1)-bit code per dim, flipped for negative dims
@@ -70,18 +71,45 @@ object RaBitQ {
     val (code, ipnorm) = fastQuantize(abs, exBits)
     val xipnorm = ipnorm * 2.0 * x
 
-    // flip codes for negative dims (Quantizer.hpp:480-486)
+    // flip codes for negative dims (Quantizer.hpp:480-486), then
+    // bit-pack at exBits/dim — the reference's storage density
+    // (store_compacted_code, Quantizer.hpp:491-631)
     val mask = (1 << exBits) - 1
-    val exCode = new Array[Byte](d)
+    val flipped = new Array[Int](d)
     i = 0
     while (i < d) {
       val bit = (words(i >> 6) >>> (i & 63)) & 1L
-      val c = if (bit == 1L) code(i) else (~code(i)) & mask
-      exCode(i) = c.toByte
+      flipped(i) = if (bit == 1L) code(i) else (~code(i)) & mask
       i += 1
     }
-    Quantized(words, exCode, x2.toFloat, facIp.toFloat, popcnt.toFloat,
-      facErr.toFloat, xipnorm.toFloat)
+    Quantized(words, packBits(flipped, exBits), x2.toFloat, facIp.toFloat,
+      popcnt.toFloat, facErr.toFloat, xipnorm.toFloat)
+  }
+
+  /** Pack exBits-wide values into a little-endian bit stream (one
+    * trailing pad byte so readers can always load two bytes). */
+  def packBits(values: Array[Int], exBits: Int): Array[Byte] = {
+    val out = new Array[Byte]((values.length * exBits + 7) / 8 + 1)
+    var i = 0
+    while (i < values.length) {
+      val bitPos = i * exBits
+      val byteIdx = bitPos >> 3
+      val shift = bitPos & 7
+      val v = (values(i) & ((1 << exBits) - 1)) << shift
+      out(byteIdx) = (out(byteIdx) | (v & 0xff)).toByte
+      if ((v >> 8) != 0) out(byteIdx + 1) = (out(byteIdx + 1) | (v >> 8)).toByte
+      i += 1
+    }
+    out
+  }
+
+  /** Read the exBits-wide value at position d from a packed stream. */
+  @inline def unpackAt(packed: Array[Byte], d: Int, exBits: Int): Int = {
+    val bitPos = d * exBits
+    val byteIdx = bitPos >> 3
+    val shift = bitPos & 7
+    val two = (packed(byteIdx) & 0xff) | ((packed(byteIdx + 1) & 0xff) << 8)
+    (two >> shift) & ((1 << exBits) - 1)
   }
 
   /** Find the per-vector scale t maximizing ⟨ō, o⟩ and the code at that
@@ -215,7 +243,7 @@ object RaBitQ {
     val hi = 1 << exBits
     while (i < r.length) {
       val bit = ((signBits(i >> 6) >>> (i & 63)) & 1L).toInt
-      val f = bit * hi + (exCode(i) & 0xff)
+      val f = bit * hi + unpackAt(exCode, i, exBits)
       ipF += r(i).toDouble * f
       i += 1
     }

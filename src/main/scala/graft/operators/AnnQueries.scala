@@ -119,6 +119,39 @@ object AnnQueries {
       .orderBy("query_id")
   }
 
+  /** b10: average distance ratio of IVF results vs ground truth
+    * (reference get_ratio, tools.hpp:16-46): both result lists sorted
+    * by distance, ratio_j = √(d²_ann(j)/d²_gt(j)) over ranks with
+    * non-degenerate gt distance, averaged per query. */
+  def annRatio(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions.vec_l2sq
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("nid"), col("embedding").as("nvec"))
+    val q = Tables.embeddings(spark, dir).filter(col("vec_id") < 8)
+      .select(col("vec_id").cast(LongType).as("qid"), col("embedding").as("qvec"))
+    // the reference pairs the two lists sorted by EXACT distance, not
+    // by result order — re-rank both on the true distance
+    def withDist(results: DataFrame) = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id").orderBy("d2", "neighbor_id")
+      results
+        .join(broadcast(q), col("query_id") === col("qid"))
+        .join(e, col("neighbor_id") === col("nid"))
+        .select(col("query_id"), col("neighbor_id"),
+          vec_l2sq(col("qvec"), col("nvec")).as("d2"))
+        .withColumn("rk", row_number().over(w))
+        .select("query_id", "rk", "d2")
+    }
+    val ann = withDist(ivfSearch(spark, dir)).withColumnRenamed("d2", "d2_ann")
+    val gt = withDist(VectorQueries.gtTopKAll(spark, dir)).withColumnRenamed("d2", "d2_gt")
+    ann.join(gt, Seq("query_id", "rk"))
+      .filter(col("d2_gt") > 1e-5)
+      .groupBy("query_id")
+      .agg(round(avg(sqrt(col("d2_ann") / col("d2_gt"))), 4).as("avg_ratio"),
+        count(lit(1)).as("valid_k"))
+      .orderBy("query_id")
+  }
+
   /** b9: end-to-end index build summary (per-cluster sizes + bytes),
     * the Spark analogue of create_index.cpp. */
   def indexBuild(spark: SparkSession, dir: String): DataFrame =

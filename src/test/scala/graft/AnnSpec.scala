@@ -42,6 +42,18 @@ class AnnSpec extends AnyFunSuite {
     }
   }
 
+  test("exCode bit-packing roundtrips for every supported width") {
+    val rnd = new scala.util.Random(17)
+    for (exBits <- Seq(2, 3, 4, 6, 7, 8)) {
+      val values = Array.fill(128)(rnd.nextInt(1 << exBits))
+      val packed = RaBitQ.packBits(values, exBits)
+      assert(packed.length == (128 * exBits + 7) / 8 + 1)
+      values.indices.foreach { i =>
+        assert(RaBitQ.unpackAt(packed, i, exBits) == values(i), s"exBits=$exBits i=$i")
+      }
+    }
+  }
+
   test("rerank distance is far more accurate than 1-bit estimate") {
     val rnd = new scala.util.Random(5)
     val d = 64
