@@ -33,6 +33,10 @@ import graft.functions.VectorFunctions.l2sq
   *    of corpus size.
   */
 object IVFIndex {
+  /** Persisted-index layout version; bump when Entry encoding changes
+    * (v2 = bit-packed ex_code). Load fails fast on mismatch. */
+  val FormatVersion = 2L
+
   /** One indexed vector (columnar analogue of SHORT_DATA/LONG_CODE/
     * EX_FACTOR/IDs, IVF.hpp:29-33). */
   final case class Entry(
@@ -124,6 +128,13 @@ object IVFModel {
   def load(spark: SparkSession, path: String): IVFModel = {
     import spark.implicits._
     val meta = spark.read.json(s"$path/meta").head()
+    val version =
+      if (meta.schema.fieldNames.contains("format_version"))
+        meta.getAs[Long]("format_version")
+      else 0L
+    require(version == IVFIndex.FormatVersion,
+      s"index at $path has format_version=$version; this build reads " +
+        s"${IVFIndex.FormatVersion} (ex_code layout changed) — rebuild the index")
     val params = IVFIndex.Params(
       k = meta.getAs[Long]("k").toInt,
       totalBits = meta.getAs[Long]("total_bits").toInt,
@@ -162,8 +173,8 @@ final class IVFModel(
     centroids.zipWithIndex.map { case (c, i) => (i, c) }.toSeq
       .toDF("cluster_id", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
-    Seq((params.k, params.totalBits, params.seed, rotator.dim))
-      .toDF("k", "total_bits", "seed", "dim")
+    Seq((params.k, params.totalBits, params.seed, rotator.dim, IVFIndex.FormatVersion))
+      .toDF("k", "total_bits", "seed", "dim", "format_version")
       .coalesce(1).write.mode("overwrite").json(s"$path/meta")
   }
 

@@ -125,18 +125,20 @@ object AnnQueries {
     * non-degenerate gt distance, averaged per query. */
   def annRatio(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.VectorFunctions.vec_l2sq
+    import spark.implicits._
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id").as("nid"), col("embedding").as("nvec"))
-    val q = Tables.embeddings(spark, dir).filter(col("vec_id") < 8)
-      .select(col("vec_id").cast(LongType).as("qid"), col("embedding").as("qvec"))
+    // same query workload as ivfSearch/gtTopKAll — single source of truth
+    val queryRows = queryVectors(spark, dir)
+    val q = queryRows.toSeq.toDF("qid", "qvec")
     // the reference pairs the two lists sorted by EXACT distance, not
-    // by result order — re-rank both on the true distance
+    // by result order — re-rank both on the true distance. The result
+    // set is tiny (Q×k rows): broadcast it against the corpus table.
     def withDist(results: DataFrame) = {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("query_id").orderBy("d2", "neighbor_id")
-      results
-        .join(broadcast(q), col("query_id") === col("qid"))
-        .join(e, col("neighbor_id") === col("nid"))
+      e.join(broadcast(results.join(q, col("query_id") === col("qid"))),
+          col("neighbor_id") === col("nid"))
         .select(col("query_id"), col("neighbor_id"),
           vec_l2sq(col("qvec"), col("nvec")).as("d2"))
         .withColumn("rk", row_number().over(w))
@@ -144,11 +146,16 @@ object AnnQueries {
     }
     val ann = withDist(ivfSearch(spark, dir)).withColumnRenamed("d2", "d2_ann")
     val gt = withDist(VectorQueries.gtTopKAll(spark, dir)).withColumnRenamed("d2", "d2_gt")
-    ann.join(gt, Seq("query_id", "rk"))
+    val ratios = ann.join(gt, Seq("query_id", "rk"))
       .filter(col("d2_gt") > 1e-5)
       .groupBy("query_id")
       .agg(round(avg(sqrt(col("d2_ann") / col("d2_gt"))), 4).as("avg_ratio"),
         count(lit(1)).as("valid_k"))
+    // reference get_ratio returns 1.0 when every gt distance is
+    // degenerate (valid_k == 0) — keep such queries in the output
+    queryRows.map(_._1).toSeq.toDF("query_id")
+      .join(ratios, Seq("query_id"), "left")
+      .na.fill(Map("avg_ratio" -> 1.0, "valid_k" -> 0L))
       .orderBy("query_id")
   }
 
