@@ -48,6 +48,7 @@ object SparkEntry {
     "e3_q5_multijoin" -> (Relational.q5MultiJoin(_, _)),
     "e4_topk_window" -> (Relational.topkWindow(_, _)),
     "e5_events_rollup" -> (Relational.eventsRollup(_, _)),
+    "e6_json_extract" -> (Relational.jsonExtract(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -106,5 +107,11 @@ object SparkEntry {
         |FROM events
         |GROUP BY 1, 2
         |ORDER BY 1, 2""".stripMargin,
+    "e6_json_extract" ->
+      """SELECT event_type,
+        | CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        | CAST(COUNT(*) AS BIGINT) AS n,
+        | CAST(COUNT(DISTINCT CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS n_distinct_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
   )
 }

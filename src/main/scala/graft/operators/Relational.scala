@@ -87,6 +87,19 @@ object Relational {
       .orderBy("p_brand", "rk")
   }
 
+  /** e6: JSON extraction over the events `props` column — semi-
+    * structured processing (Spark get_json_object pushes through
+    * codegen; no UDF). */
+  def jsonExtract(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast(LongType).as("k"))
+      .groupBy("event_type")
+      .agg(sum(col("k")).as("sum_k"),
+        count(lit(1)).as("n"),
+        countDistinct(col("k")).as("n_distinct_k"))
+      .orderBy("event_type")
+
   /** e5: event-type × day rollup with distinct users. */
   def eventsRollup(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
