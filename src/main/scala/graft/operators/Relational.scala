@@ -28,17 +28,25 @@ object Relational {
   private def revenueExpr: Column =
     money(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
 
+  /** Exact order-independent money sum on the hot path: per-row
+    * round(x·1e6) is the same IEEE double op in Spark and DuckDB, the
+    * accumulation is a plain long sum (whole-stage codegen, no
+    * BigDecimal), and the final /1e6 is exact enough for 6-decimal
+    * inputs. Oracle mirror: SUM(CAST(round(x*1e6) AS BIGINT))/1e6. */
+  private def microSum(c: Column): Column =
+    (sum(round(c * lit(1e6)).cast(LongType)) / lit(1e6)).as("_")
+
   /** e1: pricing-summary aggregation (TPC-H Q1 shape). */
   def q1Agg(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .filter(col("l_shipdate") <= lit("2000-12-01").cast(TimestampType))
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
-        sum(dec(col("l_quantity"), 18, 2)).cast(DoubleType).as("sum_qty"),
-        sum(dec(col("l_extendedprice"), 18, 2)).cast(DoubleType).as("sum_base_price"),
-        sum(revenueExpr).cast(DoubleType).as("sum_disc_price"),
-        sum(money(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
-          * (lit(1.0) + col("l_tax")))).cast(DoubleType).as("sum_charge"),
+        microSum(col("l_quantity")).as("sum_qty"),
+        microSum(col("l_extendedprice")).as("sum_base_price"),
+        microSum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+        microSum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+          * (lit(1.0) + col("l_tax"))).as("sum_charge"),
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
 
