@@ -69,7 +69,10 @@ object IVFIndex {
       vecCol: String = "embedding"): IVFModel = {
     import spark.implicits._
     val data = df.select(col(idCol).cast(LongType).as("id"), col(vecCol).as("vec"))
-    val dim = data.select(size(col("vec"))).head().getInt(0)
+    val firstDim = data.select(size(col("vec"))).head(1)
+    require(firstDim.nonEmpty, "cannot build an IVF index on an empty dataset")
+    val dim = firstDim(0).getInt(0)
+    require(dim > 0, "cannot build an IVF index on empty vectors")
 
     // --- k-means on a bounded sample (python/ivf.py:26-29) ---
     val total = data.count()
@@ -101,6 +104,8 @@ object IVFIndex {
     val entries: Dataset[Entry] = data.as[(Long, Array[Float])].mapPartitions { iter =>
       val (rot, cents, rotCents) = bc.value
       iter.map { case (id, vec) =>
+        require(vec.length == dim,
+          s"vector $id has ${vec.length} dims; index dimension is $dim")
         var best = 0; var bestD = Double.MaxValue
         var c = 0
         while (c < cents.length) {
@@ -143,7 +148,10 @@ object IVFModel {
     val centroids = spark.read.parquet(s"$path/centroids")
       .select("cluster_id", "centroid")
       .as[(Int, Array[Float])].collect().sortBy(_._1).map(_._2)
-    val rotator = new Rotator(dim, params.seed)
+    val matrix = spark.read.parquet(s"$path/rotation")
+      .select("row_idx", "row")
+      .as[(Int, Array[Float])].collect().sortBy(_._1).map(_._2)
+    val rotator = Rotator.fromMatrix(dim, params.seed, matrix)
     val index = spark.read.parquet(s"$path/entries")
       .select("id", "cluster_id", "sign_bits", "ex_code", "x2", "fac_ip",
         "sum_xb", "fac_err", "xipnorm")
@@ -173,6 +181,11 @@ final class IVFModel(
     centroids.zipWithIndex.map { case (c, i) => (i, c) }.toSeq
       .toDF("cluster_id", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    // persist the rotation matrix: loads must not depend on bit-exact
+    // reconstruction in a different environment
+    rotator.matrix.zipWithIndex.map { case (r, i) => (i, r) }.toSeq
+      .toDF("row_idx", "row")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/rotation")
     Seq((params.k, params.totalBits, params.seed, rotator.dim, IVFIndex.FormatVersion))
       .toDF("k", "total_bits", "seed", "dim", "format_version")
       .coalesce(1).write.mode("overwrite").json(s"$path/meta")
@@ -197,39 +210,47 @@ final class IVFModel(
         .map(_._2)
       (qid, qr, byDist)
     }
-    // cluster → indices of the queries probing it (the per-entry hot
-    // loop touches only those queries, not the whole query set)
-    val probesByCluster: Map[Int, Array[Int]] = probes.zipWithIndex
+    // cluster → indices of the queries probing it, as a dense array
+    // (cluster ids live in [0, K)) so the per-entry hot loop is
+    // allocation- and boxing-free
+    val probeArr = new Array[Array[Int]](rotatedCentroids.length)
+    probes.zipWithIndex
       .flatMap { case ((_, _, cls), qi) => cls.map(c => (c, qi)) }
-      .groupBy(_._1).map { case (c, xs) => (c, xs.map(_._2)) }
-    val probedClusters = probesByCluster.keySet
-    val bc = spark.sparkContext.broadcast((probes, rotatedCentroids, probesByCluster))
+      .groupBy(_._1)
+      .foreach { case (c, xs) => probeArr(c) = xs.map(_._2).toArray }
+    val probedClusters = probeArr.indices.filter(probeArr(_) != null)
+    val bc = spark.sparkContext.broadcast((probes, rotatedCentroids, probeArr))
 
     // --- scan only probed clusters; estimate → prune → rerank → local top-k ---
     val candidates = index
-      .filter(col("cluster_id").isin(probedClusters.toSeq.map(_.asInstanceOf[AnyRef]): _*))
+      .filter(col("cluster_id").isin(probedClusters.map(_.asInstanceOf[AnyRef]): _*))
       .mapPartitions { iter =>
         val (qs, rotCents, byCluster) = bc.value
-        // per (query, probed cluster) prepared residuals, lazily materialized
-        val prepared = new java.util.HashMap[Long, RaBitQ.QueryCluster]()
+        // prepared query residuals per (cluster, query), lazily filled
+        val prepared = new Array[Array[RaBitQ.QueryCluster]](byCluster.length)
         val heaps = Array.fill(qs.length)(new KnnExact.BoundedTopK(k))
         val dists = Array.fill(qs.length)(Double.MaxValue) // local distk
         iter.foreach { e =>
-          byCluster.get(e.cluster_id).foreach { queryIdxs =>
+          val queryIdxs = byCluster(e.cluster_id)
+          if (queryIdxs != null) {
+            var pc = prepared(e.cluster_id)
+            if (pc == null) {
+              pc = new Array[RaBitQ.QueryCluster](qs.length)
+              prepared(e.cluster_id) = pc
+            }
             var j = 0
             while (j < queryIdxs.length) {
               val qi = queryIdxs(j)
-              val key = (qi.toLong << 32) | (e.cluster_id & 0xffffffffL)
-              var qc = prepared.get(key)
+              var qc = pc(qi)
               if (qc == null) {
                 qc = RaBitQ.prepareQuery(qs(qi)._2, rotCents(e.cluster_id))
-                prepared.put(key, qc)
+                pc(qi) = qc
               }
               val lower = RaBitQ.estimateLower(qc, e.sign_bits, e.x2, e.fac_ip, e.fac_err)
               if (lower <= dists(qi)) {
                 val ex = RaBitQ.rerankDist(qc, e.sign_bits, e.ex_code, e.x2, e.xipnorm, exBits)
                 heaps(qi).insert(ex, e.id)
-                dists(qi) = heaps(qi).worstOrElse(Double.MaxValue, k)
+                dists(qi) = heaps(qi).worstOrElse(Double.MaxValue)
               }
               j += 1
             }
@@ -240,11 +261,6 @@ final class IVFModel(
         }
       }
 
-    candidates.groupByKey(_._1)
-      .flatMapGroups { (q, it) =>
-        it.toArray.sortBy(t => (t._3, t._2)).take(k).iterator.zipWithIndex
-          .map { case ((_, id, _), i) => (q, id, i + 1) }
-      }
-      .toDF("query_id", "neighbor_id", "rk")
+    KnnExact.mergeTopK(spark, candidates, k)
   }
 }

@@ -39,13 +39,29 @@ object KnnExact {
     }
     /** Current pruning threshold: the worst kept distance once the heap
       * is full, else `default` (nothing can be pruned yet). */
-    def worstOrElse(default: Double, kk: Int): Double =
-      if (heap.size >= kk) heap.peek()._1 else default
+    def worstOrElse(default: Double): Double =
+      if (heap.size >= k) heap.peek()._1 else default
     def drain(): Seq[(Double, Long)] = {
       val b = Seq.newBuilder[(Double, Long)]
       while (!heap.isEmpty) b += heap.poll()
       b.result()
     }
+  }
+
+  /** Merge per-partition candidate rows (query_id, neighbor_id, dist)
+    * into the global per-query top-k with deterministic (dist, id)
+    * tie-breaking. Shared by exact and IVF search. */
+  def mergeTopK(
+      spark: SparkSession,
+      partial: org.apache.spark.sql.Dataset[(Long, Long, Double)],
+      k: Int): DataFrame = {
+    import spark.implicits._
+    partial.groupByKey(_._1)
+      .flatMapGroups { (q, it) =>
+        it.toArray.sortBy(t => (t._3, t._2)).take(k).iterator.zipWithIndex
+          .map { case ((_, id, _), i) => (q, id, i + 1) }
+      }
+      .toDF("query_id", "neighbor_id", "rk")
   }
 
   /** Top-k neighbors of each query among `base` rows by squared L2.
@@ -72,11 +88,6 @@ object KnnExact {
         h.drain().map { case (d, id) => (qs(qi)._1, id, d) }
       }
     }
-    partial.groupByKey(_._1)
-      .flatMapGroups { (q, it) =>
-        it.toArray.sortBy(t => (t._3, t._2)).take(k).iterator.zipWithIndex
-          .map { case ((_, id, _), i) => (q, id, i + 1) }
-      }
-      .toDF("query_id", "neighbor_id", "rk")
+    mergeTopK(spark, partial, k)
   }
 }

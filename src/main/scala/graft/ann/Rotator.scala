@@ -1,36 +1,45 @@
 package graft.ann
 
-import breeze.linalg.{qr, DenseMatrix}
-
 import scala.util.Random
 
 /** Seeded random orthonormal rotation (reference:
-  * /root/reference/inc/index/Rotator.hpp:14-19 — QR of a random matrix,
-  * P = Qᵀ). Unlike the reference (which persists the matrix because its
-  * RNG is unseeded), ours is deterministic from (dim, seed), so an index
-  * can be rebuilt or loaded on any executor from two numbers.
+  * /root/reference/inc/index/Rotator.hpp:14-19 — QR of a random
+  * matrix). The orthonormalization is a pure-JVM modified Gram-Schmidt
+  * over a seeded Gaussian matrix: deterministic IEEE double ops, so the
+  * same (dim, seed) reproduces the same matrix on any machine — unlike
+  * a LAPACK-backed QR, whose bits vary with the BLAS backend. Persisted
+  * indexes additionally store the matrix itself (IVFModel.save), so a
+  * load never depends on reconstruction at all.
   *
   * The matrix is small (paddedDim², ≤ a few MB for 1536-dim embeddings)
   * and is shipped to executors via a broadcast of the whole Rotator.
   */
-final class Rotator(val dim: Int, val seed: Long) extends Serializable {
+final class Rotator private (
+    val dim: Int,
+    val seed: Long,
+    /** Row-major P[out][in]: rotate(x)[o] = Σ_i P[o][i]·x[i]. */
+    val matrix: Array[Array[Float]]) extends Serializable {
+
+  def this(dim: Int, seed: Long) =
+    this(dim, seed, Rotator.orthonormal(Rotator.roundUp(dim, 64), seed))
+
   val paddedDim: Int = Rotator.roundUp(dim, 64)
+  require(matrix.length == paddedDim && matrix.forall(_.length == paddedDim),
+    s"rotation matrix must be ${paddedDim}x$paddedDim")
 
-  /** Row-major P[out][in]: rotate(x)[o] = Σ_i P[o][i]·x[i]. */
-  val matrix: Array[Array[Float]] = {
-    val rnd = new Random(seed)
-    val m = DenseMatrix.fill[Double](paddedDim, paddedDim)(rnd.nextGaussian())
-    val q = qr.reduced(m).q
-    Array.tabulate(paddedDim)(o => Array.tabulate(paddedDim)(i => q(i, o).toFloat))
-  }
-
-  /** Zero-pad to paddedDim. */
-  def pad(v: Array[Float]): Array[Float] =
+  /** Zero-pad to paddedDim. Vectors longer than the indexed dimension
+    * are a caller bug — fail fast instead of silently truncating. */
+  def pad(v: Array[Float]): Array[Float] = {
+    require(v.length <= paddedDim,
+      s"vector has ${v.length} dims; this rotator indexes $dim (padded $paddedDim)")
     if (v.length == paddedDim) v
     else java.util.Arrays.copyOf(v, paddedDim)
+  }
 
-  /** Rotate a (possibly unpadded) vector. */
+  /** Rotate a (possibly unpadded) vector of the indexed dimension. */
   def rotate(v: Array[Float]): Array[Float] = {
+    require(v.length == dim || v.length == paddedDim,
+      s"vector has ${v.length} dims; this rotator indexes $dim (padded $paddedDim)")
     val x = pad(v)
     val out = new Array[Float](paddedDim)
     var o = 0
@@ -47,4 +56,47 @@ final class Rotator(val dim: Int, val seed: Long) extends Serializable {
 
 object Rotator {
   def roundUp(x: Int, m: Int): Int = ((x + m - 1) / m) * m
+
+  /** Rebuild from a persisted matrix (bit-exact regardless of
+    * environment). */
+  def fromMatrix(dim: Int, seed: Long, matrix: Array[Array[Float]]): Rotator =
+    new Rotator(dim, seed, matrix)
+
+  /** Deterministic orthonormal d×d matrix: seeded Gaussian rows,
+    * modified Gram-Schmidt in double precision. Pure JVM arithmetic —
+    * no BLAS/LAPACK backend variance. */
+  private[ann] def orthonormal(d: Int, seed: Long): Array[Array[Float]] = {
+    val rnd = new Random(seed)
+    val rows = Array.fill(d, d)(rnd.nextGaussian())
+    var i = 0
+    while (i < d) {
+      val ri = rows(i)
+      // subtract projections onto previous rows
+      var j = 0
+      while (j < i) {
+        val rj = rows(j)
+        var dot = 0.0; var k = 0
+        while (k < d) { dot += ri(k) * rj(k); k += 1 }
+        k = 0
+        while (k < d) { ri(k) -= dot * rj(k); k += 1 }
+        j += 1
+      }
+      var nrm = 0.0; var k = 0
+      while (k < d) { nrm += ri(k) * ri(k); k += 1 }
+      // a seeded Gaussian matrix is full-rank with probability 1; the
+      // guard re-seeds the row deterministically if cancellation ever
+      // degenerates it
+      if (nrm < 1e-12) {
+        k = 0
+        while (k < d) { ri(k) = rnd.nextGaussian(); k += 1 }
+        i -= 1 // redo this row
+      } else {
+        val inv = 1.0 / math.sqrt(nrm)
+        k = 0
+        while (k < d) { ri(k) *= inv; k += 1 }
+      }
+      i += 1
+    }
+    rows.map(_.map(_.toFloat))
+  }
 }
