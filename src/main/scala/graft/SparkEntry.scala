@@ -19,6 +19,7 @@ object SparkEntry {
     "a3_vec_cosine"  -> (VectorQueries.vecCosine(_, _)),
     "a4_vec_norm"    -> (VectorQueries.vecNorm(_, _)),
     "a5_vec_pad"     -> (VectorQueries.vecPad(_, _)),
+    "a6_vec_rotate"  -> (VectorQueries.vecRotate(_, _)),
     "b1_gt_topk"     -> (VectorQueries.gtTopK(_, _)),
     "b2_ivf_train"   -> (AnnQueries.ivfTrain(_, _)),
     "b3_ivf_assign"  -> (AnnQueries.ivfAssign(_, _)),

@@ -64,6 +64,31 @@ object VectorQueries {
       .orderBy("vec_id")
   }
 
+  /** a6: seeded orthonormal rotation applied to every embedding
+    * (Rotator.hpp surface). Rows-only: the rotation itself is not
+    * SQL-expressible; norm preservation is pinned by AnnSpec. */
+  def vecRotate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, dir)
+    val dim = e.select(size(col("embedding"))).head().getInt(0)
+    val rot = new graft.ann.Rotator(dim, seed = 42L)
+    val bc = spark.sparkContext.broadcast(rot)
+    e.select(col("vec_id").cast(LongType), col("embedding"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { iter =>
+        val r = bc.value
+        iter.map { case (id, v) =>
+          val rv = r.rotate(v)
+          val normBefore = math.sqrt(graft.functions.VectorFunctions.dot(v, v))
+          val normAfter = math.sqrt(graft.functions.VectorFunctions.dot(rv, rv))
+          (id, rv.length, math.rint(normBefore * 1e4) / 1e4,
+            math.rint(normAfter * 1e4) / 1e4, math.rint(rv(0) * 1e4) / 1e4)
+        }
+      }
+      .toDF("vec_id", "rotated_dim", "norm_before", "norm_after", "rot_elem0")
+      .orderBy("vec_id")
+  }
+
   /** b1: exact ground-truth top-10 — queries are embeddings with
     * vec_id < 8, base is the rest (compute_gt.py equivalent). */
   def gtTopK(spark: SparkSession, dir: String): DataFrame = {
