@@ -19,13 +19,8 @@ object AnnQueries {
     cache.computeIfAbsent(dir, _ =>
       IVFIndex.build(spark, Tables.embeddings(spark, dir), IVFIndex.Params()))
 
-  private def queryVectors(spark: SparkSession, dir: String, n: Int = 8): Array[(Long, Array[Float])] =
-    Tables.embeddings(spark, dir)
-      .filter(col("vec_id") < n)
-      .select(col("vec_id").cast(LongType), col("embedding"))
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-      .sortBy(_._1)
+  private def queryVectors(spark: SparkSession, dir: String): Array[(Long, Array[Float])] =
+    VectorQueries.queryVectors(spark, dir)
 
   /** b2: trained centroids (cluster id, dim, norm of centroid). */
   def ivfTrain(spark: SparkSession, dir: String): DataFrame = {
@@ -73,7 +68,7 @@ object AnnQueries {
   def rabitqEstimate(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val m = model(spark, dir)
-    val q = queryVectors(spark, dir, 1).head
+    val q = VectorQueries.queryVectors(spark, dir, 1).head
     val qRot = m.rotator.rotate(q._2)
     val nearest = m.rotatedCentroids.zipWithIndex
       .map { case (c, i) => (graft.functions.VectorFunctions.l2sq(qRot, c), i) }

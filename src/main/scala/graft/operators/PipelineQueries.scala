@@ -66,8 +66,9 @@ object PipelineQueries {
         |         || ' ' || string_split(text,' ')[i+2])) AS sh
         | FROM documents)
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        | ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-        |   / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
+        | CASE WHEN len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) = 0 THEN NULL
+        |  ELSE ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |   / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) END AS jaccard
         |FROM s a JOIN s b ON b.doc_id = a.doc_id + 1 ORDER BY id_a""".stripMargin,
     "c5_dedup_embed" ->
       """SELECT id_a, id_b, cos FROM (

@@ -89,30 +89,29 @@ object VectorQueries {
       .orderBy("vec_id")
   }
 
-  /** b1: exact ground-truth top-10 — queries are embeddings with
-    * vec_id < 8, base is the rest (compute_gt.py equivalent). */
-  def gtTopK(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(spark, dir)
-    val queries = e.filter(col("vec_id") < 8)
+  /** THE query workload for b1/b7/b8/b10: the first `n` embeddings.
+    * Single source of truth — all search/metric queries must agree on
+    * this set for recall/ratio parity. */
+  def queryVectors(spark: SparkSession, dir: String, n: Int = 8): Array[(Long, Array[Float])] =
+    Tables.embeddings(spark, dir)
+      .filter(col("vec_id") < n)
       .select(col("vec_id").cast(LongType), col("embedding"))
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
       .sortBy(_._1)
-    KnnExact.topK(spark, e.filter(col("vec_id") >= 8), queries, k = 10)
+
+  /** b1: exact ground-truth top-10 — queries are embeddings with
+    * vec_id < 8, base is the rest (compute_gt.py equivalent). */
+  def gtTopK(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    KnnExact.topK(spark, e.filter(col("vec_id") >= 8), queryVectors(spark, dir), k = 10)
       .orderBy("query_id", "rk")
   }
 
   /** Exact top-10 for the same 8 queries against the FULL base
     * (including the query vectors), used as ground truth by b8. */
-  def gtTopKAll(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(spark, dir)
-    val queries = e.filter(col("vec_id") < 8)
-      .select(col("vec_id").cast(LongType), col("embedding"))
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-      .sortBy(_._1)
-    KnnExact.topK(spark, e, queries, k = 10)
-  }
+  def gtTopKAll(spark: SparkSession, dir: String): DataFrame =
+    KnnExact.topK(spark, Tables.embeddings(spark, dir), queryVectors(spark, dir), k = 10)
 
   val oracles: Map[String, String] = Map(
     "a1_vec_l2" ->

@@ -145,7 +145,9 @@ object Dedup {
       spark: SparkSession,
       docs: DataFrame,
       p: MinHashParams = MinHashParams()): DataFrame = {
-    val sigs = minHashSignatures(spark, docs, p).cache()
+    // not cached: scanned twice, and a cache here would pin executor
+    // storage for the session (queries are expected to be one-shot)
+    val sigs = minHashSignatures(spark, docs, p)
     val pairs = lshCandidatePairs(spark, sigs, p)
     val partners = pairs.select(col("id_a").as("doc_id"))
       .union(pairs.select(col("id_b").as("doc_id")))
@@ -187,18 +189,23 @@ object Dedup {
     import spark.implicits._
     val hashes = docs.select(col(idCol).cast(LongType), col(textCol)).as[(Long, String)]
       .map { case (id, t) => (id, simHash64(t, seed)) }
-      .toDF("doc_id", "simhash").cache()
-    val bands = hashes.select(col("doc_id"), col("simhash"),
+      .toDF("doc_id", "simhash")
+    val bands = hashes.select(col("doc_id"),
         explode(array((0 until 4).map(b =>
           struct(lit(b).as("band"),
             shiftright(col("simhash"), b * 16).bitwiseAND(lit(65535L)).as("bucket"))): _*)).as("bb"))
-      .select(col("doc_id"), col("simhash"), col("bb.band"), col("bb.bucket"))
-    val j = bands.alias("x").join(bands.alias("y"),
-        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
-        col("x.simhash").as("ha"), col("y.simhash").as("hb"))
+      .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
+    // bucket-size cap (same invariant as lshCandidatePairs): a
+    // degenerate bucket of near-identical docs must not go quadratic
+    val buckets = bands.groupBy("band", "bucket")
+      .agg(collect_list("doc_id").as("ids"))
+      .filter(size(col("ids")).between(2, 1000))
+    val pairs = buckets.select(explode(pairsOfSorted(col("ids"))).as("pr"))
+      .select(col("pr").getItem(0).as("id_a"), col("pr").getItem(1).as("id_b"))
       .distinct()
+    val hA = hashes.select(col("doc_id").as("id_a"), col("simhash").as("ha"))
+    val hB = hashes.select(col("doc_id").as("id_b"), col("simhash").as("hb"))
+    val j = pairs.join(hA, "id_a").join(hB, "id_b")
       .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
       .filter(col("hamming") <= maxHamming)
     val partners = j.select(col("id_a").as("doc_id"))
@@ -216,8 +223,12 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, k: Int = 3): DataFrame = {
     def shingleSet(c: org.apache.spark.sql.Column) = {
       val toks = split(c, " ")
-      array_distinct(transform(sequence(lit(0), size(toks) - k),
-        i => concat_ws(" ", (0 until k).map(o => element_at(toks, i + o + 1)): _*)))
+      // docs shorter than k tokens have no shingles (sequence() with a
+      // negative stop would count DOWN and blow up element_at)
+      when(size(toks) >= k,
+        array_distinct(transform(sequence(lit(0), size(toks) - k),
+          i => concat_ws(" ", (0 until k).map(o => element_at(toks, i + o + 1)): _*))))
+        .otherwise(array().cast("array<string>"))
     }
     val a = docs.select(col("doc_id").as("id_a"), shingleSet(col("text")).as("sa"))
     val b = docs.select(col("doc_id").as("id_b"), shingleSet(col("text")).as("sb"))
@@ -225,7 +236,8 @@ object Dedup {
       .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
       .withColumn("uni", size(col("sa")) + size(col("sb")) - col("inter"))
       .select(col("id_a"), col("id_b"),
-        round(col("inter").cast(DoubleType) / col("uni"), 6).as("jaccard"))
+        when(col("uni") === 0, lit(null).cast(DoubleType))
+          .otherwise(round(col("inter").cast(DoubleType) / col("uni"), 6)).as("jaccard"))
   }
 
   // ---------- embedding cosine near-dup (c5) ----------

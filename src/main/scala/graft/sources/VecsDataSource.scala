@@ -22,7 +22,9 @@ import org.apache.spark.util.SerializableConfiguration
   * /root/reference/inc/utils/IO.hpp load_vecs).
   *
   * Usage: `spark.read.format("fvecs").load(path)` →
-  * `(row_id bigint, vec array<float>)` (ivecs → array<int>).
+  * `(file string, row_id bigint, vec array<float>)` (ivecs →
+  * array<int>). `row_id` is the record index *within its file*; the
+  * stable vector identity across a multi-file corpus is (file, row_id).
   * One InputPartition per file; a vector corpus at scale is stored as
   * many files, so parallelism follows the file layout.
   */
@@ -30,6 +32,7 @@ abstract class VecsProviderBase(isFloat: Boolean) extends TableProvider with Dat
   private def elemType: DataType = if (isFloat) FloatType else IntegerType
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     StructType(Seq(
+      StructField("file", StringType, nullable = false),
       StructField("row_id", LongType, nullable = false),
       StructField("vec", ArrayType(elemType, containsNull = false), nullable = false)))
   override def getTable(
@@ -50,8 +53,13 @@ class VecsTable(tableSchema: StructType, props: Map[String, String], isFloat: Bo
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
-    val paths = Option(options.get("path")).toSeq ++
-      Option(options.get("paths")).toSeq.flatMap(_.split(","))
+    // DataFrameReader passes a single path as `path` and 2+ paths as a
+    // JSON-encoded string array in `paths`
+    val multi = Option(options.get("paths")).toSeq.flatMap { s =>
+      new com.fasterxml.jackson.databind.ObjectMapper()
+        .readValue(s, classOf[Array[String]]).toSeq
+    }
+    val paths = Option(options.get("path")).toSeq ++ multi
     new VecsScanBuilder(tableSchema, paths, isFloat)
   }
   override def schema(): StructType = tableSchema // columns() derives from this
@@ -70,9 +78,15 @@ class VecsScanBuilder(schema: StructType, paths: Seq[String], isFloat: Boolean)
       val path = new Path(p)
       val fs = path.getFileSystem(hadoopConf)
       val files =
-        if (fs.getFileStatus(path).isDirectory) fs.listStatus(path).toSeq.filter(_.isFile)
+        if (fs.getFileStatus(path).isDirectory)
+          fs.listStatus(path).toSeq.filter { f =>
+            // skip job markers / checksums (_SUCCESS, .crc, dotfiles)
+            val n = f.getPath.getName
+            f.isFile && !n.startsWith("_") && !n.startsWith(".")
+          }
         else Seq(fs.getFileStatus(path))
-      files.map(f => VecsPartition(f.getPath.toString, f.getLen): InputPartition)
+      files.sortBy(_.getPath.toString)
+        .map(f => VecsPartition(f.getPath.toString, f.getLen): InputPartition)
     }.toArray
   }
 
@@ -96,11 +110,20 @@ class VecsReaderFactory(isFloat: Boolean, conf: SerializableConfiguration)
 class VecsPartitionReader(p: VecsPartition, isFloat: Boolean, conf: SerializableConfiguration)
     extends PartitionReader[InternalRow] {
   private val path = new Path(p.file)
-  private val in: DataInputStream =
-    path.getFileSystem(conf.value).open(path)
+  private val in: DataInputStream = new DataInputStream(
+    new java.io.BufferedInputStream(path.getFileSystem(conf.value).open(path), 1 << 16))
+  private val fileName = org.apache.spark.unsafe.types.UTF8String.fromString(p.file)
   private var bytesRead = 0L
   private var rowId = -1L
   private var current: InternalRow = _
+
+  /** Read one record's payload into a little-endian buffer. */
+  private def readRecord(dim: Int): java.nio.ByteBuffer = {
+    val buf = new Array[Byte](dim * 4)
+    in.readFully(buf)
+    bytesRead += buf.length
+    java.nio.ByteBuffer.wrap(buf).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+  }
 
   private def readLeInt(): Int = {
     val b0 = in.read(); val b1 = in.read(); val b2 = in.read(); val b3 = in.read()
@@ -113,16 +136,17 @@ class VecsPartitionReader(p: VecsPartition, isFloat: Boolean, conf: Serializable
     if (bytesRead >= p.length) return false
     val dim = readLeInt()
     rowId += 1
+    val bb = readRecord(dim)
     if (isFloat) {
       val arr = new Array[Float](dim)
       var i = 0
-      while (i < dim) { arr(i) = java.lang.Float.intBitsToFloat(readLeInt()); i += 1 }
-      current = InternalRow(rowId, ArrayData.toArrayData(arr))
+      while (i < dim) { arr(i) = bb.getFloat(); i += 1 }
+      current = InternalRow(fileName, rowId, ArrayData.toArrayData(arr))
     } else {
       val arr = new Array[Int](dim)
       var i = 0
-      while (i < dim) { arr(i) = readLeInt(); i += 1 }
-      current = InternalRow(rowId, ArrayData.toArrayData(arr))
+      while (i < dim) { arr(i) = bb.getInt(); i += 1 }
+      current = InternalRow(fileName, rowId, ArrayData.toArrayData(arr))
     }
     true
   }

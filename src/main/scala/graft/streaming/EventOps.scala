@@ -46,6 +46,45 @@ object EventOps {
 
   private val runId = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  private val eventsSchema = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** Streaming source over the events table. The file stream source
+    * requires a directory; expose the single events file through a
+    * temp dir (at cluster scale the source would be a real landing
+    * directory). `ts` arrives as raw nanos (see Tables.events). */
+  private def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_stream_src")
+    val link = srcDir.resolve("events.parquet")
+    java.nio.file.Files.createSymbolicLink(link,
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    srcDir.toFile.deleteOnExit(); link.toFile.deleteOnExit()
+    spark.readStream.schema(eventsSchema).parquet(srcDir.toString)
+  }
+
+  /** Drain a streaming DataFrame synchronously into a uniquely-named
+    * memory table and return it as a batch DataFrame. */
+  private def drainToTable(df: DataFrame, mode: String): DataFrame = {
+    val name = s"graft_sink_${runId.incrementAndGet()}"
+    val q = df.writeStream
+      .outputMode(mode)
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    df.sparkSession.table(name)
+  }
+
+  /** round-half-away-from-zero, matching SQL round() in both Spark and
+    * DuckDB (Scala math.round is half-toward-positive-infinity, which
+    * diverges on negative values). */
+  private def roundHalfAway(x: Double): Long =
+    (if (x >= 0) math.floor(x + 0.5) else math.ceil(x - 0.5)).toLong
+
   /** Per-user running aggregate carried in group state (d4). Money is
     * tracked in integer cents so state merges are order-independent
     * (a double sum would depend on shuffle order and could not
@@ -59,80 +98,35 @@ object EventOps {
     * oracle-checkable. */
   def streamingUserStats(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
-    val srcDir = java.nio.file.Files.createTempDirectory("graft_d4_src")
-    val link = srcDir.resolve("events.parquet")
-    java.nio.file.Files.createSymbolicLink(link,
-      java.nio.file.Paths.get(s"$dir/events.parquet"))
-    srcDir.toFile.deleteOnExit(); link.toFile.deleteOnExit()
-    val name = s"graft_d4_sink_${runId.incrementAndGet()}"
-
-    val updateState = (userId: Long, events: Iterator[(Long, Double)],
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    val updateState = (userId: Long, events: Iterator[(Long, Long, Double)],
         state: GroupState[UserState]) => {
       val prev = state.getOption.getOrElse(UserState(0L, 0L))
       var n = prev.nEvents
       var cents = prev.totalCents
-      events.foreach { case (_, v) => n += 1; cents += math.round(v * 100) }
-      val next = UserState(n, cents)
-      state.update(next)
+      events.foreach { t => n += 1; cents += roundHalfAway(t._3 * 100) }
+      state.update(UserState(n, cents))
       (userId, n, cents)
     }
-
-    val q = spark.readStream.schema(schema).parquet(srcDir.toString)
+    val agg = eventsStream(spark, dir)
       .select(col("user_id"), col("event_id"), col("value"))
       .as[(Long, Long, Double)]
       .groupByKey(_._1)
-      .mapGroupsWithState(GroupStateTimeout.NoTimeout())(
-        (k: Long, it: Iterator[(Long, Long, Double)], s: GroupState[UserState]) =>
-          updateState(k, it.map(t => (t._2, t._3)), s))
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout())(updateState)
       .toDF("user_id", "n_events", "total_cents")
-      .writeStream
-      .outputMode(OutputMode.Update())
-      .format("memory")
-      .queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(name).orderBy("user_id")
+    drainToTable(agg, "update").orderBy("user_id")
   }
 
   /** d3: the same aggregation executed as a real Structured Streaming
     * query — file stream source, watermark, complete-mode memory sink,
     * drained synchronously with availableNow. */
   def streamingWindowAgg(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
-    val name = s"graft_d3_sink_${runId.incrementAndGet()}"
-    // The file stream source requires a directory; expose the single
-    // events file through a temp dir (at cluster scale the source would
-    // be a real landing directory).
-    val srcDir = java.nio.file.Files.createTempDirectory("graft_d3_src")
-    val link = srcDir.resolve("events.parquet")
-    java.nio.file.Files.createSymbolicLink(link,
-      java.nio.file.Paths.get(s"$dir/events.parquet"))
-    srcDir.toFile.deleteOnExit(); link.toFile.deleteOnExit()
-    val stream = spark.readStream.schema(schema)
-      .parquet(srcDir.toString)
+    val stream = eventsStream(spark, dir)
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
       .withWatermark("ts", "10 minutes")
       .groupBy(window(col("ts"), "5 minutes").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n_events"))
-    val q = stream.writeStream
-      .outputMode("complete")
-      .format("memory")
-      .queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(name)
+    drainToTable(stream, "complete")
       .select(unix_timestamp(col("w.start")).as("bucket_start"),
         col("event_type"), col("n_events"))
       .orderBy("bucket_start", "event_type")

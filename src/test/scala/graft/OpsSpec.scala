@@ -66,6 +66,14 @@ class OpsSpec extends AnyFunSuite {
     assert(java.lang.Long.bitCount(ha ^ hc) > 16)
   }
 
+  test("ngram jaccard handles docs shorter than the shingle size") {
+    val d = docs(1L -> "only two", 2L -> "x y", 3L -> "a b c d e")
+    val out = Dedup.ngramJaccardPairs(d).orderBy("id_a").collect()
+    assert(out.length == 2)
+    assert(out(0).isNullAt(2), "pair of two shingle-less docs must yield null jaccard")
+    assert(out(1).getDouble(2) == 0.0, "short-vs-long pair has jaccard 0")
+  }
+
   test("exact dedup groups identical texts") {
     val d = docs(1L -> "same text", 2L -> "same text", 3L -> "different")
     val out = Dedup.exact(d).orderBy("keep_id")

@@ -22,19 +22,36 @@ class SourcesSpec extends AnyFunSuite {
     val vecs = Seq(Array(1.0f, 2.5f, -3.0f), Array(0.0f, 4.25f, 9.5f))
     VecsIO.writeFvecs(f, vecs.iterator)
     val got = spark.read.format("fvecs").load(f)
-      .orderBy("row_id").as[(Long, Array[Float])].collect()
+      .orderBy("row_id").as[(String, Long, Array[Float])].collect()
     assert(got.length == 2)
-    assert(got(0)._2.toSeq == vecs(0).toSeq)
-    assert(got(1)._2.toSeq == vecs(1).toSeq)
+    assert(got(0)._3.toSeq == vecs(0).toSeq)
+    assert(got(1)._3.toSeq == vecs(1).toSeq)
   }
 
-  test("ivecs roundtrip with a directory of files") {
+  test("ivecs directory load: (file,row_id) identity, hidden files skipped") {
     val dir = java.nio.file.Files.createTempDirectory("ivecs_test")
     VecsIO.writeIvecs(dir.resolve("a.ivecs").toString, Iterator(Array(1, 2, 3)))
     VecsIO.writeIvecs(dir.resolve("b.ivecs").toString, Iterator(Array(7, 8, 9, 10)))
+    // job markers must be ignored, not parsed as vectors
+    java.nio.file.Files.writeString(dir.resolve("_SUCCESS"), "")
+    java.nio.file.Files.writeString(dir.resolve(".hidden"), "junk")
     val got = spark.read.format("ivecs").load(dir.toString)
-      .as[(Long, Array[Int])].collect().map(_._2.toSeq).toSet
-    assert(got == Set(Seq(1, 2, 3), Seq(7, 8, 9, 10)))
+      .as[(String, Long, Array[Int])].collect()
+    assert(got.map(_._3.toSeq).toSet == Set(Seq(1, 2, 3), Seq(7, 8, 9, 10)))
+    // row_id restarts per file; identity is (file, row_id)
+    assert(got.map(r => (r._1, r._2)).distinct.length == 2)
+    assert(got.forall(_._2 == 0L))
+  }
+
+  test("fvecs multi-path load (paths are JSON-encoded by the reader)") {
+    val dir = java.nio.file.Files.createTempDirectory("fvecs_multi")
+    val f1 = dir.resolve("a.fvecs").toString
+    val f2 = dir.resolve("b.fvecs").toString
+    VecsIO.writeFvecs(f1, Iterator(Array(1.0f, 2.0f)))
+    VecsIO.writeFvecs(f2, Iterator(Array(3.0f, 4.0f)))
+    val got = spark.read.format("fvecs").load(f1, f2)
+      .as[(String, Long, Array[Float])].collect().map(_._3.toSeq).toSet
+    assert(got == Set(Seq(1.0f, 2.0f), Seq(3.0f, 4.0f)))
   }
 
   test("SQL registration: vec_l2sq and vec_dot usable from spark.sql") {
