@@ -58,10 +58,10 @@ object SparkEntry {
     VectorQueries.oracles ++ PipelineQueries.oracles ++ Map(
     "e1_q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
-        | SUM(CAST(round(l_quantity*1e6) AS BIGINT))/1e6 AS sum_qty,
-        | SUM(CAST(round(l_extendedprice*1e6) AS BIGINT))/1e6 AS sum_base_price,
-        | SUM(CAST(round(l_extendedprice*(1-l_discount)*1e6) AS BIGINT))/1e6 AS sum_disc_price,
-        | SUM(CAST(round(l_extendedprice*(1-l_discount)*(1+l_tax)*1e6) AS BIGINT))/1e6 AS sum_charge,
+        | SUM(CAST(floor(l_quantity*1e6+0.5) AS BIGINT))/1e6 AS sum_qty,
+        | SUM(CAST(floor(l_extendedprice*1e6+0.5) AS BIGINT))/1e6 AS sum_base_price,
+        | SUM(CAST(floor(l_extendedprice*(1-l_discount)*1e6+0.5) AS BIGINT))/1e6 AS sum_disc_price,
+        | SUM(CAST(floor(l_extendedprice*(1-l_discount)*(1+l_tax)*1e6+0.5) AS BIGINT))/1e6 AS sum_charge,
         | CAST(COUNT(*) AS BIGINT) AS count_order
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-12-01'
         |GROUP BY l_returnflag, l_linestatus

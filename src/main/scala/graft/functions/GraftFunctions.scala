@@ -25,7 +25,12 @@ object GraftFunctions {
   private[functions] def injections
       : Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
     builders.map { case (name, b, usage) =>
-      (FunctionIdentifier(name), new ExpressionInfo("graft", name, usage), b)
+      // ExpressionInfo's 3-arg ctor is (className, db, name); the
+      // usage text needs the extended ctor
+      (FunctionIdentifier(name),
+        new ExpressionInfo("graft.functions", null, name, usage,
+          "", "", "", "", "", "", "built-in"),
+        b)
     }
 }
 

@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -16,47 +17,85 @@ import org.apache.spark.sql.types._
   * inside whole-stage codegen (no boxed UDF per row) — the Spark
   * analogue of the reference's SIMD kernels. Accumulation is in double
   * regardless of element type, sequentially, matching DuckDB's list
-  * functions for oracle parity.
+  * functions for oracle parity. Policy also matches DuckDB: mismatched
+  * lengths raise, a null element makes the result null.
   */
 abstract class VecBinaryExpression extends BinaryExpression {
   override def dataType: DataType = DoubleType
-  override def nullable: Boolean = left.nullable || right.nullable
+  override def nullable: Boolean = true
 
-  protected def elemIsFloat: Boolean = left.dataType match {
+  private def isVec(t: DataType): Boolean = t match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (isVec(left.dataType) && isVec(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<float|double> arguments, got " +
+        s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
+
+  private def elemIsFloat(e: Expression): Boolean = e.dataType match {
     case ArrayType(FloatType, _) => true
     case _ => false
   }
-  /** Java snippet reading element i of array variable `v` as double. */
-  protected def getter(v: String): String =
-    if (elemIsFloat) s"(double) $v.getFloat(i)" else s"$v.getDouble(i)"
-  protected def getD(v: ArrayData, i: Int): Double =
-    if (elemIsFloat) v.getFloat(i).toDouble else v.getDouble(i)
+  /** Java snippet reading element `idx` of array variable `v` as double. */
+  protected def getter(v: String, leftSide: Boolean, idx: String): String =
+    if (elemIsFloat(if (leftSide) left else right)) s"(double) $v.getFloat($idx)"
+    else s"$v.getDouble($idx)"
+  protected def getD(v: ArrayData, leftSide: Boolean, i: Int): Double =
+    if (elemIsFloat(if (leftSide) left else right)) v.getFloat(i).toDouble
+    else v.getDouble(i)
+
+  protected def checkLengths(x: ArrayData, y: ArrayData): Unit =
+    if (x.numElements() != y.numElements())
+      throw new IllegalArgumentException(
+        s"$prettyName: vector lengths differ (${x.numElements()} vs ${y.numElements()})")
+
+  /** Shared accumulate loop: `combine` folds (a_i, b_i) into the sum.
+    * Returns null if any element is null (DuckDB list-function policy). */
+  protected def evalLoop(a: Any, b: Any)(combine: (Double, Double) => Double): Any = {
+    val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
+    checkLengths(x, y)
+    val n = x.numElements()
+    var s = 0.0; var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      s += combine(getD(x, leftSide = true, i), getD(y, leftSide = false, i))
+      i += 1
+    }
+    s
+  }
+
+  /** Shared codegen: emits the length check, null-element handling and
+    * accumulation; `combineJava(a, b)` is the Java expression added to
+    * the accumulator. */
+  protected def genLoop(ctx: CodegenContext, ev: ExprCode)(
+      combineJava: (String, String) => String): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val n = ctx.freshName("n"); val s = ctx.freshName("s"); val i = ctx.freshName("i")
+      s"""
+         |int $n = $x.numElements();
+         |if ($n != $y.numElements()) {
+         |  throw new IllegalArgumentException(
+         |    "$prettyName: vector lengths differ (" + $n + " vs " + $y.numElements() + ")");
+         |}
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |  $s += ${combineJava(getter(x, leftSide = true, i), getter(y, leftSide = false, i))};
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
 }
 
 /** Squared L2 distance between two vectors. */
 case class VecL2Sq(left: Expression, right: Expression) extends VecBinaryExpression {
   override def prettyName: String = "vec_l2sq"
-  override protected def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
-    var s = 0.0; var i = 0
-    while (i < n) { val d = getD(x, i) - getD(y, i); s += d * d; i += 1 }
-    s
-  }
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    evalLoop(a, b)((u, v) => { val d = u - v; d * d })
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (x, y) => {
-      val i = ctx.freshName("i"); val n = ctx.freshName("n")
-      val s = ctx.freshName("s"); val d = ctx.freshName("d")
-      s"""
-         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
-         |double $s = 0.0;
-         |for (int i = 0; i < $n; i++) {
-         |  double $d = ${getter(x)} - ${getter(y)};
-         |  $s += $d * $d;
-         |}
-         |${ev.value} = $s;
-       """.stripMargin
-    })
+    genLoop(ctx, ev)((u, v) => s"(($u) - ($v)) * (($u) - ($v))")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }
@@ -64,25 +103,10 @@ case class VecL2Sq(left: Expression, right: Expression) extends VecBinaryExpress
 /** Inner product between two vectors. */
 case class VecDot(left: Expression, right: Expression) extends VecBinaryExpression {
   override def prettyName: String = "vec_dot"
-  override protected def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
-    var s = 0.0; var i = 0
-    while (i < n) { s += getD(x, i) * getD(y, i); i += 1 }
-    s
-  }
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    evalLoop(a, b)((u, v) => u * v)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (x, y) => {
-      val n = ctx.freshName("n"); val s = ctx.freshName("s")
-      s"""
-         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
-         |double $s = 0.0;
-         |for (int i = 0; i < $n; i++) {
-         |  $s += (${getter(x)}) * (${getter(y)});
-         |}
-         |${ev.value} = $s;
-       """.stripMargin
-    })
+    genLoop(ctx, ev)((u, v) => s"($u) * ($v)")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }
@@ -108,7 +132,8 @@ object VectorFunctions {
     val padCount = (lit(m) - size(a) % lit(m)) % lit(m)
     concat(a, array_repeat(lit(0.0f), padCount))
   }
-  /** Scalar Java kernels, for typed/mapPartitions paths. */
+  /** Scalar Java kernels, for typed/mapPartitions paths. Both sides
+    * must have the same length (callers pad/validate upstream). */
   def l2sq(a: Array[Float], b: Array[Float]): Double = {
     var s = 0.0; var i = 0; val n = math.min(a.length, b.length)
     while (i < n) { val d = a(i).toDouble - b(i); s += d * d; i += 1 }
@@ -119,5 +144,4 @@ object VectorFunctions {
     while (i < n) { s += a(i).toDouble * b(i); i += 1 }
     s
   }
-  def dotF(a: Array[Float], b: Array[Float]): Float = dot(a, b).toFloat
 }

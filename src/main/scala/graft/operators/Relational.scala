@@ -29,12 +29,13 @@ object Relational {
     money(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
 
   /** Exact order-independent money sum on the hot path: per-row
-    * round(x·1e6) is the same IEEE double op in Spark and DuckDB, the
-    * accumulation is a plain long sum (whole-stage codegen, no
-    * BigDecimal), and the final /1e6 is exact enough for 6-decimal
-    * inputs. Oracle mirror: SUM(CAST(round(x*1e6) AS BIGINT))/1e6. */
+    * floor(x·1e6 + 0.5) is the same IEEE double op in Spark and DuckDB
+    * (equivalent to HALF_UP for the non-negative money values here, and
+    * unlike Spark's round() it avoids a per-row BigDecimal), the
+    * accumulation is a plain long sum, and the final /1e6 is exact for
+    * 6-decimal inputs. Oracle: SUM(CAST(floor(x*1e6+0.5) AS BIGINT))/1e6. */
   private def microSum(c: Column): Column =
-    (sum(round(c * lit(1e6)).cast(LongType)) / lit(1e6)).as("_")
+    (sum(floor(c * lit(1e6) + lit(0.5)).cast(LongType)) / lit(1e6)).as("_")
 
   /** e1: pricing-summary aggregation (TPC-H Q1 shape). */
   def q1Agg(spark: SparkSession, dir: String): DataFrame =

@@ -220,24 +220,34 @@ object Dedup {
   // ---------- exact n-gram jaccard (c4) ----------
   /** Shingle-set jaccard for consecutive doc-id pairs, built entirely
     * from codegen'd collection functions (SQL-oracle parity). */
+  /** Distinct word k-shingles; empty for docs shorter than k tokens
+    * (DuckDB `range(1, n)` with n ≤ 0 is empty — same semantics). */
+  private[graft] def shingleSetOf(text: String, k: Int): Array[String] = {
+    val toks = text.split(' ')
+    if (toks.length < k) Array.empty[String]
+    else Array.tabulate(toks.length - k + 1)(i => toks.slice(i, i + k).mkString(" ")).distinct
+  }
+
   def ngramJaccardPairs(docs: DataFrame, k: Int = 3): DataFrame = {
-    def shingleSet(c: org.apache.spark.sql.Column) = {
-      val toks = split(c, " ")
-      // docs shorter than k tokens have no shingles (sequence() with a
-      // negative stop would count DOWN and blow up element_at)
-      when(size(toks) >= k,
-        array_distinct(transform(sequence(lit(0), size(toks) - k),
-          i => concat_ws(" ", (0 until k).map(o => element_at(toks, i + o + 1)): _*))))
-        .otherwise(array().cast("array<string>"))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // shingle sets built in a typed kernel: Spark's higher-order SQL
+    // lambdas run interpreted per element and dominate the runtime
+    val sets = docs.select(col("doc_id").cast(LongType), col("text"))
+      .as[(Long, String)]
+      .map { case (id, t) => (id, shingleSetOf(t, k)) }
+    val a = sets.toDF("id_a", "sa")
+    val b = sets.toDF("id_b", "sb")
+    val jaccard = udf { (sa: Seq[String], sb: Seq[String]) =>
+      val inter = sa.toSet.intersect(sb.toSet).size
+      val uni = sa.length + sb.length - inter
+      if (uni == 0) None
+      // floor(x*1e6+0.5) = HALF_UP for non-negatives, matching
+      // ROUND(x, 6) in both engines (rint would be half-even)
+      else Some(math.floor(inter.toDouble / uni * 1e6 + 0.5) / 1e6)
     }
-    val a = docs.select(col("doc_id").as("id_a"), shingleSet(col("text")).as("sa"))
-    val b = docs.select(col("doc_id").as("id_b"), shingleSet(col("text")).as("sb"))
     a.join(b, col("id_b") === col("id_a") + 1)
-      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
-      .withColumn("uni", size(col("sa")) + size(col("sb")) - col("inter"))
-      .select(col("id_a"), col("id_b"),
-        when(col("uni") === 0, lit(null).cast(DoubleType))
-          .otherwise(round(col("inter").cast(DoubleType) / col("uni"), 6)).as("jaccard"))
+      .select(col("id_a"), col("id_b"), jaccard(col("sa"), col("sb")).as("jaccard"))
   }
 
   // ---------- embedding cosine near-dup (c5) ----------
@@ -245,18 +255,32 @@ object Dedup {
     * baseline; at 100 TB the LSH/IVF paths (c2 / b7) provide the
     * candidate generation instead. */
   def embeddingNearDup(embeddings: DataFrame, threshold: Double): DataFrame = {
-    import graft.functions.VectorFunctions.{vec_dot, vec_norm}
-    // Precompute norms once per vector (O(N)), so the O(N²) pair loop
-    // does a single dot product per pair instead of dot + two norms.
-    val withNorm = embeddings.select(col("vec_id"), col("embedding"),
-      vec_norm(col("embedding")).as("nrm"))
-    val a = withNorm.select(col("vec_id").as("id_a"), col("embedding").as("va"),
-      col("nrm").as("na"))
-    val b = withNorm.select(col("vec_id").as("id_b"), col("embedding").as("vb"),
-      col("nrm").as("nb"))
-    a.join(b, col("id_a") < col("id_b"))
-      .withColumn("cos", round(vec_dot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
-      .filter(col("cos") >= threshold)
-      .select("id_a", "id_b", "cos")
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    import graft.functions.VectorFunctions.dot
+    // Broadcast one side (with precomputed norms) and scan the other:
+    // each partition runs a tight compiled kernel over its rows × the
+    // broadcast block. A join-based formulation puts the cosine inside
+    // a nested-loop join condition, which Spark evaluates interpreted.
+    val ds = embeddings.select(col("vec_id").cast(LongType), col("embedding"))
+      .as[(Long, Array[Float])]
+    val side = ds.collect().sortBy(_._1)
+    require(side.length <= 1000000,
+      s"embeddingNearDup broadcasts one side (${side.length} rows): it is the " +
+        "O(N²) correctness baseline — use minHashSummary / IVF search for large corpora")
+    val norms = side.map { case (_, v) => math.sqrt(dot(v, v)) }
+    val bc = spark.sparkContext.broadcast((side, norms))
+    ds.mapPartitions { iter =>
+      val (bs, bn) = bc.value
+      iter.flatMap { case (idA, va) =>
+        val na = math.sqrt(dot(va, va))
+        bs.iterator.zipWithIndex
+          .filter { case ((idB, _), _) => idA < idB }
+          .flatMap { case ((idB, vb), j) =>
+            val c = math.floor(dot(va, vb) / (na * bn(j)) * 1e6 + 0.5) / 1e6
+            if (c >= threshold) Some((idA, idB, c)) else None
+          }
+      }
+    }.toDF("id_a", "id_b", "cos")
   }
 }

@@ -63,6 +63,25 @@ class SourcesSpec extends AnyFunSuite {
     assert(r.getDouble(1) == 11.0)
   }
 
+  test("vector expressions: mixed widths, nulls, mismatched lengths, bad types") {
+    GraftFunctions.register(spark)
+    // mixed float/double element widths read each side correctly
+    val mixed = spark.sql(
+      "SELECT vec_l2sq(CAST(array(1.0F, 2.0F) AS ARRAY<DOUBLE>), array(1.0F, 0.0F)) AS d").head()
+    assert(mixed.getDouble(0) == 4.0)
+    // null element → null result (DuckDB list-function policy)
+    assert(spark.sql("SELECT vec_dot(array(1.0F, NULL), array(1.0F, 2.0F)) AS d").head().isNullAt(0))
+    // length mismatch raises rather than silently truncating
+    val ex = intercept[Exception] {
+      spark.sql("SELECT vec_dot(array(1.0F), array(1.0F, 2.0F))").head()
+    }
+    assert(ex.getMessage != null)
+    // non-array arguments fail analysis, not execution
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT vec_l2sq('a', 'b')").head()
+    }
+  }
+
   test("IVF index save/load roundtrip preserves search results") {
     val sf = "/root/testdata/sf0.001"
     val m = operators.AnnQueries.model(spark, sf)
