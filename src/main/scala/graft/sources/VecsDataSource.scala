@@ -156,8 +156,24 @@ class VecsPartitionReader(p: VecsPartition, isFloat: Boolean, conf: Serializable
 
 /** Driver-side writers for small outputs (queries, ground truth) in
   * the reference's formats — the counterparts of python write_fvecs /
-  * write_ivecs. */
+  * write_ivecs — plus a DataFrame exporter (cvt_data.py's conversion
+  * role). */
 object VecsIO {
+  /** Export a vector column to one local fvecs file, ordered by
+    * `idCol` (driver-side: intended for query sets / ground truth /
+    * sampled corpora, like the reference's conversion scripts). */
+  def exportFvecs(
+      df: org.apache.spark.sql.DataFrame,
+      path: String,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): Unit = {
+    import org.apache.spark.sql.functions.col
+    val rows = df.select(col(idCol), col(vecCol)).orderBy(idCol)
+      .collect().iterator
+      .map(r => r.getSeq[Float](1).toArray)
+    writeFvecs(path, rows)
+  }
+
   def writeFvecs(path: String, rows: Iterator[Array[Float]]): Unit = {
     val out = new java.io.DataOutputStream(
       new java.io.BufferedOutputStream(new java.io.FileOutputStream(path)))

@@ -43,6 +43,20 @@ class SourcesSpec extends AnyFunSuite {
     assert(got.forall(_._2 == 0L))
   }
 
+  test("parquet embeddings export to fvecs and read back identically") {
+    val dir = java.nio.file.Files.createTempDirectory("fvecs_export")
+    val f = dir.resolve("emb.fvecs").toString
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    VecsIO.exportFvecs(emb, f)
+    val back = spark.read.format("fvecs").load(f)
+      .orderBy("row_id").as[(String, Long, Array[Float])].collect()
+    val orig = emb.orderBy("vec_id").as[(Long, Array[Float], Int)]
+      .collect()
+    assert(back.length == orig.length)
+    assert(back.head._3.toSeq == orig.head._2.toSeq)
+    assert(back.last._3.toSeq == orig.last._2.toSeq)
+  }
+
   test("fvecs multi-path load (paths are JSON-encoded by the reader)") {
     val dir = java.nio.file.Files.createTempDirectory("fvecs_multi")
     val f1 = dir.resolve("a.fvecs").toString
