@@ -105,6 +105,19 @@ class AnnSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"recall@10 = $recall")
   }
 
+  test("8-bit config: end-to-end build + search reaches near-exact recall") {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, sf)
+    val m = ann.IVFIndex.build(spark, e, ann.IVFIndex.Params(totalBits = 8))
+    val qs = operators.VectorQueries.queryVectors(spark, sf)
+    val approx = m.search(spark, qs, 10, nprobe = 12)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val exact = operators.VectorQueries.gtTopKAll(spark, sf)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (approx & exact).size.toDouble / exact.size
+    assert(recall >= 0.95, s"B=8 recall@10 = $recall")
+  }
+
   test("index entries cover all vectors exactly once") {
     val m = operators.AnnQueries.model(spark, sf)
     val n = Tables.embeddings(spark, sf).count()
