@@ -129,6 +129,11 @@ object IVFIndex {
 }
 
 object IVFModel {
+  /** K at or above which centroid ranking goes through the two-level
+    * router instead of a flat scan (reference: HNSW at K ≥ 20000;
+    * ours kicks in earlier because the router is cheap to build). */
+  val RoutedRankingThreshold = 4096
+
   /** Load a persisted index (analogue of IVF::load, IVF.hpp:254-293). */
   def load(spark: SparkSession, path: String): IVFModel = {
     import spark.implicits._
@@ -168,6 +173,10 @@ final class IVFModel(
     val index: Dataset[IVFIndex.Entry]) extends Serializable {
   import IVFIndex.Entry
 
+  /** Centroid router over the rotated centroids (lazy: only built when
+    * a search happens). */
+  lazy val router = new CentroidRouter(rotatedCentroids, params.seed)
+
   /** Persist the index columnar, partitioned by cluster (the Spark
     * analogue of IVF::save, IVF.hpp:219-252). Partitioning by
     * cluster_id means a search with nprobe probes reads only those
@@ -199,16 +208,16 @@ final class IVFModel(
       nprobe: Int): DataFrame = {
     import spark.implicits._
     val exBits = params.exBits
-    // --- driver-side centroid ranking (FlatInitializer) ---
+    // --- driver-side centroid ranking: flat scan for small K (the
+    // reference's FlatInitializer), two-level routed ranking above
+    // the threshold (its HNSWInitializer role, IVF.hpp:155-160) ---
     val qRot = queries.map { case (qid, v) => (qid, rotator.rotate(v)) }
-    // per query: nprobe nearest rotated centroids
     val probes: Array[(Long, Array[Float], Array[Int])] = qRot.map { case (qid, qr) =>
-      val byDist = rotatedCentroids.zipWithIndex
-        .map { case (cr, ci) => (l2sq(qr, cr), ci) }
-        .sortBy(t => (t._1, t._2))
-        .take(math.min(nprobe, rotatedCentroids.length))
-        .map(_._2)
-      (qid, qr, byDist)
+      val ranked =
+        if (rotatedCentroids.length >= IVFModel.RoutedRankingThreshold)
+          router.rank(qr, nprobe)
+        else router.rankFlat(qr, nprobe)
+      (qid, qr, ranked)
     }
     // cluster → indices of the queries probing it, as a dense array
     // (cluster ids live in [0, K)) so the per-entry hot loop is

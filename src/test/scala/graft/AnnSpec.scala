@@ -118,6 +118,25 @@ class AnnSpec extends AnyFunSuite {
     assert(recall >= 0.95, s"B=8 recall@10 = $recall")
   }
 
+  test("routed centroid ranking closely matches flat ranking at large K") {
+    val rnd = new scala.util.Random(23)
+    val k = 2048
+    val cents = Array.fill(k)(randVec(rnd, 64))
+    val router = new graft.ann.CentroidRouter(cents, seed = 5)
+    var overlap = 0.0
+    val trials = 20
+    for (_ <- 1 to trials) {
+      val q = randVec(rnd, 64)
+      val flat = router.rankFlat(q, 64).toSet
+      val routed = router.rank(q, 64).toSet
+      overlap += (flat & routed).size.toDouble / 64
+    }
+    assert(overlap / trials >= 0.9, s"routing overlap = ${overlap / trials}")
+    // routed ranking is deterministic
+    val q = randVec(rnd, 64)
+    assert(router.rank(q, 32).toSeq == router.rank(q, 32).toSeq)
+  }
+
   test("index entries cover all vectors exactly once") {
     val m = operators.AnnQueries.model(spark, sf)
     val n = Tables.embeddings(spark, sf).count()
