@@ -22,28 +22,38 @@ import graft.functions.VectorFunctions.l2sq
   */
 final class CentroidRouter(
     centroids: Array[Array[Float]],
-    seed: Long,
     m: Int = 16,
     efConstruction: Int = 64) extends Serializable {
   private val k = centroids.length
 
-  /** Adjacency lists, built by incremental NSW insertion. */
-  private val neighbors: Array[Array[Int]] = {
+  /** Adjacency lists, built by incremental NSW insertion. Lazy: the
+    * flat path must never pay the graph build. */
+  private lazy val neighbors: Array[Array[Int]] = {
     val adj = Array.fill(k)(mutable.ArrayBuffer.empty[Int])
+    // in-degree guard: pruning must never remove a node's last
+    // incoming edge, else it becomes unreachable from the entry point
+    // and its cluster is silently never probed
+    val inDeg = new Array[Int](k)
     var i = 1
     while (i < k) {
       // find efConstruction approx-nearest among nodes [0, i)
       val near = beamSearch(centroids(i), math.min(i, efConstruction), i, adj(_))
       val links = near.take(m)
       links.foreach { case (_, j) =>
-        adj(i) += j
-        adj(j) += i
+        adj(i) += j; inDeg(j) += 1
+        adj(j) += i; inDeg(i) += 1
         if (adj(j).length > 2 * m) {
-          // prune j's list back to the 2m closest (deterministic order)
-          val pruned = adj(j).toArray
+          // prune j's list toward the 2m closest, keeping any node
+          // whose only incoming edge is from j
+          val sorted = adj(j).toArray
             .map(x => (l2sq(centroids(j), centroids(x)), x))
-            .sortBy(t => (t._1, t._2)).take(2 * m).map(_._2)
-          adj(j).clear(); adj(j) ++= pruned
+            .sortBy(t => (t._1, t._2)).map(_._2)
+          val keep = mutable.ArrayBuffer.empty[Int]
+          sorted.foreach { x =>
+            if (keep.length < 2 * m || inDeg(x) <= 1) keep += x
+            else inDeg(x) -= 1
+          }
+          adj(j).clear(); adj(j) ++= keep
         }
       }
       i += 1
@@ -93,20 +103,31 @@ final class CentroidRouter(
     res.dequeueAll.toArray.sortBy(identity)
   }
 
-  /** Exact flat ranking (the FlatInitializer path). */
+  /** Exact flat ranking (the FlatInitializer path); does not touch the
+    * lazy graph. */
   def rankFlat(q: Array[Float], nprobe: Int): Array[Int] =
-    centroids.indices
-      .map(i => (l2sq(q, centroids(i)), i))
-      .sortBy(t => (t._1, t._2))
-      .take(math.min(nprobe, k)).map(_._2).toArray
+    CentroidRouter.rankFlat(centroids, q, nprobe)
 
   /** Graph-routed ranking: beam of ef = max(4·nprobe, 64) candidates,
-    * exact-ranked, top nprobe returned. */
+    * exact-ranked, top nprobe returned. When the beam would cover the
+    * whole graph anyway, fall back to the exact flat scan (also
+    * guarantees nprobe ≈ K behaves like the flat initializer). */
   def rank(q: Array[Float], nprobe: Int, ef: Int = 0): Array[Int] = {
     if (k == 0) return Array.empty
-    val effEf = math.min(k, if (ef > 0) ef else math.max(4 * nprobe, 64))
+    val effEf = math.min(k, math.max(math.min(nprobe, k),
+      if (ef > 0) ef else math.max(4 * nprobe, 64)))
+    if (effEf >= k) return rankFlat(q, nprobe)
     beamSearch(q, effEf, k,
       i => scala.collection.immutable.ArraySeq.unsafeWrapArray(neighbors(i)))
       .take(math.min(nprobe, k)).map(_._2)
   }
+}
+
+object CentroidRouter {
+  /** Exact flat ranking over an arbitrary centroid array. */
+  def rankFlat(centroids: Array[Array[Float]], q: Array[Float], nprobe: Int): Array[Int] =
+    centroids.indices
+      .map(i => (l2sq(q, centroids(i)), i))
+      .sortBy(t => (t._1, t._2))
+      .take(math.min(nprobe, centroids.length)).map(_._2).toArray
 }

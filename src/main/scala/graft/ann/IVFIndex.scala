@@ -88,7 +88,7 @@ object IVFIndex {
     buildWithCentroids(spark, data, centroids, dim, params)
   }
 
-  private[ann] def buildWithCentroids(
+  private[graft] def buildWithCentroids(
       spark: SparkSession,
       data: DataFrame,
       centroids: Array[Array[Float]],
@@ -175,7 +175,7 @@ final class IVFModel(
 
   /** Centroid router over the rotated centroids (lazy: only built when
     * a search happens). */
-  lazy val router = new CentroidRouter(rotatedCentroids, params.seed)
+  lazy val router = new CentroidRouter(rotatedCentroids)
 
   /** Persist the index columnar, partitioned by cluster (the Spark
     * analogue of IVF::save, IVF.hpp:219-252). Partitioning by
@@ -216,7 +216,7 @@ final class IVFModel(
       val ranked =
         if (rotatedCentroids.length >= IVFModel.RoutedRankingThreshold)
           router.rank(qr, nprobe)
-        else router.rankFlat(qr, nprobe)
+        else CentroidRouter.rankFlat(rotatedCentroids, qr, nprobe)
       (qid, qr, ranked)
     }
     // cluster → indices of the queries probing it, as a dense array

@@ -122,7 +122,7 @@ class AnnSpec extends AnyFunSuite {
     val rnd = new scala.util.Random(23)
     val k = 2048
     val cents = Array.fill(k)(randVec(rnd, 64))
-    val router = new graft.ann.CentroidRouter(cents, seed = 5)
+    val router = new graft.ann.CentroidRouter(cents)
     var overlap = 0.0
     val trials = 20
     for (_ <- 1 to trials) {
@@ -135,6 +135,29 @@ class AnnSpec extends AnyFunSuite {
     // routed ranking is deterministic
     val q = randVec(rnd, 64)
     assert(router.rank(q, 32).toSeq == router.rank(q, 32).toSeq)
+  }
+
+  test("routed branch of IVFModel.search: recall holds at K >= threshold") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    val dim = 16
+    val kCent = graft.ann.IVFModel.RoutedRankingThreshold // 4096 -> routed branch
+    val cents = Array.fill(kCent)(randVec(rnd, dim))
+    val n = 400
+    val vecs = (0 until n).map(i => (i.toLong, randVec(rnd, dim)))
+    val df = vecs.toDF("id", "vec")
+    val m = graft.ann.IVFIndex.buildWithCentroids(
+      spark, df, cents, dim, graft.ann.IVFIndex.Params(k = kCent, totalBits = 8))
+    val queries = vecs.take(4).map { case (id, v) => (id, v) }.toArray
+    val approx = m.search(spark, queries, k = 5, nprobe = 512)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val exact = graft.ann.KnnExact.topK(spark, df, queries, k = 5,
+      idCol = "id", vecCol = "vec")
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (approx & exact).size.toDouble / exact.size
+    assert(recall >= 0.7, s"routed-branch recall@5 = $recall")
+    // self-match must always be found (query vectors are in the corpus)
+    queries.foreach { case (qid, _) => assert(approx.contains((qid, qid))) }
   }
 
   test("index entries cover all vectors exactly once") {
