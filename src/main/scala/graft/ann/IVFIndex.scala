@@ -80,8 +80,11 @@ object IVFIndex {
     val train = (if (fraction < 1.0) data.sample(withReplacement = false, fraction, params.seed)
                  else data)
       .withColumn("features", array_to_vector(col("vec")))
+    // 12 Lloyd iterations: recall is insensitive beyond ~10 on these
+    // corpora (verified by the recall specs), and train time is the
+    // dominant one-time build cost
     val km = new KMeans()
-      .setK(params.k).setSeed(params.seed).setMaxIter(20).setFeaturesCol("features")
+      .setK(params.k).setSeed(params.seed).setMaxIter(12).setFeaturesCol("features")
     val centroids: Array[Array[Float]] =
       km.fit(train).clusterCenters.map(_.toArray.map(_.toFloat))
 
