@@ -50,6 +50,7 @@ object SparkEntry {
     "e4_topk_window" -> (Relational.topkWindow(_, _)),
     "e5_events_rollup" -> (Relational.eventsRollup(_, _)),
     "e6_json_extract" -> (Relational.jsonExtract(_, _)),
+    "e7_rollup"      -> (Relational.rollupAgg(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -114,5 +115,12 @@ object SparkEntry {
         | CAST(COUNT(*) AS BIGINT) AS n,
         | CAST(COUNT(DISTINCT CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS n_distinct_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "e7_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        | SUM(CAST(floor(l_quantity*1e6+0.5) AS BIGINT))/1e6 AS sum_qty,
+        | CAST(COUNT(*) AS BIGINT) AS n
+        |FROM lineitem
+        |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
   )
 }

@@ -109,6 +109,16 @@ object Relational {
         countDistinct(col("k")).as("n_distinct_k"))
       .orderBy("event_type")
 
+  /** e7: ROLLUP subtotals over returnflag × linestatus — OLAP cube
+    * surface; subtotal rows carry NULL group keys in both engines. */
+  def rollupAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(
+        (sum(floor(col("l_quantity") * lit(1e6) + lit(0.5)).cast(LongType)) / lit(1e6)).as("sum_qty"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
   /** e5: event-type × day rollup with distinct users. */
   def eventsRollup(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)

@@ -34,9 +34,10 @@ for key, sql in sorted(oracle.items()):
     gtypes = [str(got.schema.field(c).type) for c in gcols]
     if etypes != gtypes:
         print(f"FAIL {key}: types {gtypes} != {etypes}"); fails += 1; continue
-    e_rows = sorted(map(tuple, exp.select(ecols).to_pylist() and
-                        [tuple(r[c] for c in ecols) for r in exp.to_pylist()]))
-    g_rows = sorted([tuple(r[c] for c in gcols) for r in got.to_pylist()])
+    def rowkey(row):
+        return tuple((v is None, v) for v in row)
+    e_rows = sorted([tuple(r[c] for c in ecols) for r in exp.to_pylist()], key=rowkey)
+    g_rows = sorted([tuple(r[c] for c in gcols) for r in got.to_pylist()], key=rowkey)
     if len(e_rows) != len(g_rows):
         print(f"FAIL {key}: rows {len(g_rows)} != {len(e_rows)}"); fails += 1; continue
     bad = [(a, b) for a, b in zip(e_rows, g_rows) if a != b]
