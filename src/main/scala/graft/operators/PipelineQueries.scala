@@ -117,12 +117,12 @@ object PipelineQueries {
         |FROM documents ORDER BY doc_id""".stripMargin,
     "d1_sessionize" ->
       """WITH e AS (SELECT user_id, ts, value,
-        |  CAST(floor(epoch(ts)) AS BIGINT) AS es,
+        |  CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS es,
         |  lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
         | FROM events),
         |f AS (SELECT user_id, ts, es, value,
         |  CASE WHEN prev_ts IS NULL
-        |    OR es - CAST(floor(epoch(prev_ts)) AS BIGINT) > 1800 THEN 1 ELSE 0 END AS new_session
+        |    OR es - CAST(epoch(date_trunc('second', prev_ts)) AS BIGINT) > 1800 THEN 1 ELSE 0 END AS new_session
         | FROM e),
         |g AS (SELECT user_id, es, value,
         |  SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS session_idx
@@ -134,12 +134,12 @@ object PipelineQueries {
         |FROM g GROUP BY user_id, session_idx
         |ORDER BY user_id, session_idx""".stripMargin,
     "d2_window_agg" ->
-      """SELECT CAST(floor(floor(epoch(ts))/300)*300 AS BIGINT) AS bucket_start, event_type,
+      """SELECT CAST(floor(epoch(date_trunc('second', ts))/300)*300 AS BIGINT) AS bucket_start, event_type,
         | CAST(count(*) AS BIGINT) AS n_events,
         | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "d3_stream_agg" ->
-      """SELECT CAST(floor(floor(epoch(ts))/300)*300 AS BIGINT) AS bucket_start, event_type,
+      """SELECT CAST(floor(epoch(date_trunc('second', ts))/300)*300 AS BIGINT) AS bucket_start, event_type,
         | CAST(count(*) AS BIGINT) AS n_events
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "d4_stream_user_stats" ->
