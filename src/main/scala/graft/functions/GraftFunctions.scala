@@ -39,6 +39,8 @@ object GraftFunctions {
   * `.withExtensions(new GraftExtensions)`) to get the vector functions
   * in every session, including SQL-only clients. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     GraftFunctions.injections.foreach(e.injectFunction)
+    e.injectOptimizerRule(_ => graft.plans.SimplifyVectorExpressions)
+  }
 }

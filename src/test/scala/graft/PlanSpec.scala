@@ -36,6 +36,20 @@ class PlanSpec extends AnyFunSuite {
       s"column pruning lost:\n$p")
   }
 
+  test("optimizer rule folds self-distance to a null-preserving constant") {
+    import spark.implicits._
+    import graft.functions.VectorFunctions.vec_l2sq
+    graft.plans.SimplifyVectorExpressions.install(spark)
+    val df = Seq((1L, Array(1.0f, 2.0f)), (2L, null.asInstanceOf[Array[Float]]))
+      .toDF("id", "v")
+      .select($"id", vec_l2sq($"v", $"v").as("d"))
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(!optimized.contains("vec_l2sq"), s"rule did not fire:\n$optimized")
+    val rows = df.orderBy("id").collect()
+    assert(rows(0).getDouble(1) == 0.0)
+    assert(rows(1).isNullAt(1), "null vector must stay null, not 0.0")
+  }
+
   test("e1 aggregation is map-side partial with the date filter applied pre-agg") {
     // (AQE prints isFinalPlan=false before execution, so codegen stage
     // markers aren't visible here — partial aggregation is the
