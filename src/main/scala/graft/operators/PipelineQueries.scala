@@ -52,6 +52,9 @@ object PipelineQueries {
   def streamingUserStats(spark: SparkSession, dir: String): DataFrame =
     EventOps.streamingUserStats(spark, dir)
 
+  def sessionWindow(spark: SparkSession, dir: String): DataFrame =
+    EventOps.sessionWindow(spark, dir)
+
   private def enList = TextAnalysis.markerSqlList("en")
 
   val oracles: Map[String, String] = Map(
@@ -146,5 +149,21 @@ object PipelineQueries {
       """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
         | CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS total_cents
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "d5_session_window" ->
+      """WITH e AS (SELECT user_id, ts,
+        |  lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+        | FROM events),
+        |f AS (SELECT user_id, ts,
+        |  CASE WHEN prev_ts IS NULL OR ts - prev_ts >= INTERVAL 30 MINUTE
+        |   THEN 1 ELSE 0 END AS new_session
+        | FROM e),
+        |g AS (SELECT user_id, ts,
+        |  SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+        | FROM f)
+        |SELECT user_id,
+        | CAST(epoch(date_trunc('second', min(ts))) AS BIGINT) AS session_start,
+        | CAST(count(*) AS BIGINT) AS n_events
+        |FROM g GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
   )
 }

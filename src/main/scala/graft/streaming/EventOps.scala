@@ -33,6 +33,21 @@ object EventOps {
       .orderBy("user_id", "session_idx")
   }
 
+  /** d5: sessionization via Spark's NATIVE session_window operator
+    * (gap-merged windows; an event at exactly gap distance starts a
+    * new session — strict `<` merge, mirrored in the oracle's `>=`
+    * split condition). Complements d1, which builds the same sessions
+    * from first principles with lag + cumulative sum. */
+  def sessionWindow(spark: SparkSession, dir: String, gapMinutes: Int = 30): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), s"$gapMinutes minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("first_ts"))
+      .select(col("user_id"),
+        unix_timestamp(col("first_ts")).as("session_start"),
+        col("n_events"))
+      .orderBy("user_id", "session_start")
+
   /** d2: tumbling 5-minute window aggregation per event type (batch
     * parity of the streaming query; uses Spark's native window()). */
   def windowAgg(spark: SparkSession, dir: String): DataFrame =
