@@ -24,10 +24,19 @@ object Tables {
     * (DuckDB keeps nanos — all derived outputs are at ≥second
     * granularity, so the truncation is oracle-safe). */
   def events(spark: SparkSession, dir: String): DataFrame = {
+    enableNanosAsLong(spark)
+    nanosToTimestamp(load(spark, dir, "events"))
+  }
+
+  /** The session conf that lets parquet TIMESTAMP(NANOS) be read (as
+    * raw long nanos). Shared by the batch loader and streaming source. */
+  def enableNanosAsLong(spark: SparkSession): Unit =
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+  /** Convert a raw-nanos `ts` column to a proper timestamp (micros). */
+  def nanosToTimestamp(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
-    load(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
   }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")

@@ -66,17 +66,27 @@ object EventOps {
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
+  private val srcDirCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
+
   /** Streaming source over the events table. The file stream source
-    * requires a directory; expose the single events file through a
-    * temp dir (at cluster scale the source would be a real landing
-    * directory). `ts` arrives as raw nanos (see Tables.events). */
+    * requires a directory (a direct file path fails with "basePath
+    * must be a directory", even with an explicit basePath option —
+    * verified empirically); expose the single events file through a
+    * cached temp dir (at cluster scale the source would be a real
+    * landing directory). `ts` arrives as raw nanos (see Tables). */
   private def eventsStream(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val srcDir = java.nio.file.Files.createTempDirectory("graft_stream_src")
-    val link = srcDir.resolve("events.parquet")
-    java.nio.file.Files.createSymbolicLink(link,
-      java.nio.file.Paths.get(s"$dir/events.parquet"))
-    srcDir.toFile.deleteOnExit(); link.toFile.deleteOnExit()
+    Tables.enableNanosAsLong(spark)
+    val srcDir = srcDirCache.computeIfAbsent(dir, _ => {
+      val d = java.nio.file.Files.createTempDirectory("graft_stream_src")
+      val link = d.resolve("events.parquet")
+      // absolute target: a relative one would resolve against the temp
+      // dir, not the JVM cwd, leaving a dangling symlink
+      java.nio.file.Files.createSymbolicLink(link,
+        java.nio.file.Paths.get(s"$dir/events.parquet").toAbsolutePath)
+      d.toFile.deleteOnExit(); link.toFile.deleteOnExit()
+      d
+    })
     spark.readStream.schema(eventsSchema).parquet(srcDir.toString)
   }
 
@@ -136,8 +146,7 @@ object EventOps {
     * query — file stream source, watermark, complete-mode memory sink,
     * drained synchronously with availableNow. */
   def streamingWindowAgg(spark: SparkSession, dir: String): DataFrame = {
-    val stream = eventsStream(spark, dir)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val stream = Tables.nanosToTimestamp(eventsStream(spark, dir))
       .withWatermark("ts", "10 minutes")
       .groupBy(window(col("ts"), "5 minutes").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n_events"))

@@ -36,18 +36,26 @@ class PlanSpec extends AnyFunSuite {
       s"column pruning lost:\n$p")
   }
 
-  test("optimizer rule folds self-distance to a null-preserving constant") {
+  test("optimizer rule removes sqrt from distance-threshold filters") {
     import spark.implicits._
-    import graft.functions.VectorFunctions.vec_l2sq
+    import org.apache.spark.sql.functions.lit
+    import graft.functions.VectorFunctions.vec_l2
     graft.plans.SimplifyVectorExpressions.install(spark)
-    val df = Seq((1L, Array(1.0f, 2.0f)), (2L, null.asInstanceOf[Array[Float]]))
-      .toDF("id", "v")
-      .select($"id", vec_l2sq($"v", $"v").as("d"))
-    val optimized = df.queryExecution.optimizedPlan.toString
-    assert(!optimized.contains("vec_l2sq"), s"rule did not fire:\n$optimized")
-    val rows = df.orderBy("id").collect()
-    assert(rows(0).getDouble(1) == 0.0)
-    assert(rows(1).isNullAt(1), "null vector must stay null, not 0.0")
+    // file-backed source: a LocalRelation would be fully folded by the
+    // optimizer, hiding the rewrite from the plan string
+    val emb = Tables.embeddings(spark, sf)
+    val q = Array.fill(64)(0.1f)
+    val filtered = emb.filter(vec_l2($"embedding", lit(q).cast("array<float>")) < 2.0)
+    val optimized = filtered.queryExecution.optimizedPlan.toString
+    assert(!optimized.toUpperCase.contains("SQRT"), s"sqrt survived:\n$optimized")
+    assert(optimized.contains("4.0"), s"squared threshold missing:\n$optimized")
+    // semantics preserved, incl. NaN vectors (compare vs unoptimized
+    // squared-space formulation evaluated directly)
+    import graft.functions.VectorFunctions.vec_l2sq
+    val expect = emb.filter(vec_l2sq($"embedding", lit(q).cast("array<float>")) < 4.0)
+      .select("vec_id").as[Long].collect().toSet
+    val got = filtered.select("vec_id").as[Long].collect().toSet
+    assert(got == expect && got.nonEmpty)
   }
 
   test("e1 aggregation is map-side partial with the date filter applied pre-agg") {
