@@ -1,0 +1,94 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ann.RaBitQ
+import graft.functions.VectorFunctions.{dot, l2sq}
+import graft.ops.{Dedup, TextAnalysis}
+
+/** Property-based checks for the arithmetic kernels the engine's
+  * correctness rests on. Uses raw ScalaCheck generators with a
+  * deterministic sampling loop (the scalatest-scalacheck bridge is not
+  * on the offline classpath). */
+class PropertySpec extends AnyFunSuite {
+  private def forAll[A](g: Gen[A], n: Int = 200)(f: A => Unit): Unit = {
+    var seed = org.scalacheck.rng.Seed(42L)
+    val params = Gen.Parameters.default
+    (0 until n).foreach { _ =>
+      g.apply(params, seed).foreach(f)
+      seed = seed.next
+    }
+  }
+  private def forAll2[A, B](ga: Gen[A], gb: Gen[B])(f: (A, B) => Unit): Unit =
+    forAll(Gen.zip(ga, gb))(t => f(t._1, t._2))
+  private val m61 = (BigInt(1) << 61) - 1
+  private val longIn = Gen.chooseNum(0L, (1L << 61) - 2)
+
+  test("mulModM61 equals BigInt multiplication mod 2^61-1") {
+    forAll2(longIn, longIn) { (a, b) =>
+      assert(BigInt(Dedup.mulModM61(a, b)) == (BigInt(a) * BigInt(b)) % m61)
+    }
+  }
+
+  test("packBits/unpackAt roundtrips for arbitrary widths and values") {
+    val gen = for {
+      exBits <- Gen.chooseNum(2, 8)
+      n <- Gen.chooseNum(1, 256)
+      values <- Gen.listOfN(n, Gen.chooseNum(0, (1 << exBits) - 1))
+    } yield (exBits, values.toArray)
+    forAll(gen) { case (exBits, values) =>
+      val packed = RaBitQ.packBits(values, exBits)
+      values.indices.foreach { i =>
+        assert(RaBitQ.unpackAt(packed, i, exBits) == values(i))
+      }
+    }
+  }
+
+  private val vec = Gen.listOfN(64, Gen.chooseNum(-10.0f, 10.0f)).map(_.toArray)
+
+  test("l2sq is symmetric, non-negative, zero on self") {
+    forAll2(vec, vec) { (a, b) =>
+      assert(l2sq(a, b) == l2sq(b, a))
+      assert(l2sq(a, b) >= 0.0)
+      assert(l2sq(a, a) == 0.0)
+    }
+  }
+
+  test("dot matches l2sq expansion: |a-b|^2 = |a|^2 + |b|^2 - 2<a,b>") {
+    forAll2(vec, vec) { (a, b) =>
+      val lhs = l2sq(a, b)
+      val rhs = dot(a, a) + dot(b, b) - 2 * dot(a, b)
+      assert(math.abs(lhs - rhs) < 1e-6 * (1 + math.abs(lhs)))
+    }
+  }
+
+  test("fastQuantize codes are always in range with positive finite ipnorm") {
+    val absVec = Gen.listOfN(64, Gen.chooseNum(0.0, 0.4)).map(_.toArray)
+    forAll2(absVec, Gen.oneOf(2, 3, 4, 6, 7, 8)) { (abs, exBits) =>
+      val (code, ipnorm) = RaBitQ.fastQuantize(abs, exBits)
+      assert(code.forall(c => c >= 0 && c <= (1 << exBits) - 1))
+      assert(ipnorm > 0 && java.lang.Double.isFinite(ipnorm))
+    }
+  }
+
+  test("quantize → estimate/rerank: rerank is finite and x2 exact") {
+    val res = Gen.listOfN(64, Gen.chooseNum(-1.0f, 1.0f)).map(_.toArray)
+    forAll(res) { r =>
+      val q = RaBitQ.quantize(r, exBits = 3)
+      assert(math.abs(q.x2 - l2sq(r, new Array[Float](64))) < 1e-3)
+      val qc = RaBitQ.QueryCluster(r, r.map(_.toDouble).sum, dot(r, r))
+      val ex = RaBitQ.rerank(qc, q, 3)
+      assert(java.lang.Double.isFinite(ex))
+    }
+  }
+
+  test("shingles and fingerprint are total on arbitrary strings") {
+    forAll(Gen.asciiPrintableStr) { s =>
+      Dedup.shingles(s, 3) // must not throw
+      Dedup.shingleSetOf(s, 3)
+      val (f, w) = TextAnalysis.fingerprintOf(s)
+      assert(f >= 0 && w >= 0)
+    }
+  }
+}
