@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import org.apache.spark.storage.StorageLevel
 
 import scala.util.hashing.MurmurHash3
 
@@ -101,7 +102,14 @@ object Dedup {
   }
 
   /** LSH candidate pairs: equal band-hash → candidate; estimated
-    * jaccard = fraction of equal signature positions. */
+    * jaccard = fraction of equal signature positions.
+    *
+    * Pair expansion and the equal-position count run as typed kernels:
+    * Spark's higher-order SQL lambdas (`transform`/`zip_with`) evaluate
+    * interpreted per element, which measured ~8× slower on this shape.
+    * Callers should pass a persisted `sigs` — it is scanned three times
+    * (band rows + both sides of the pair join).
+    */
   def lshCandidatePairs(
       spark: SparkSession,
       sigs: DataFrame,
@@ -119,42 +127,63 @@ object Dedup {
     val buckets = bandRows.groupBy("band", "bucket")
       .agg(collect_list("id").as("ids"))
       .filter(size(col("ids")).between(2, p.maxBucket))
-    val pairs = buckets.select(explode(pairsOfSorted(col("ids"))).as("pr"))
-      .select(col("pr").getItem(0).as("id_a"), col("pr").getItem(1).as("id_b"))
+    val pairs = buckets.select(col("ids")).as[Array[Long]]
+      .flatMap(inBucketPairs)
+      .toDF("id_a", "id_b")
       .distinct()
     val sigA = sigs.select(col(idCol).as("id_a"), col("signature").as("sig_a"))
     val sigB = sigs.select(col(idCol).as("id_b"), col("signature").as("sig_b"))
     pairs.join(sigA, "id_a").join(sigB, "id_b")
-      .withColumn("est_jaccard", round(
-        aggregate(zip_with(col("sig_a"), col("sig_b"), (x, y) =>
-          when(x === y, 1).otherwise(0)), lit(0), (acc, v) => acc + v)
-          .cast(DoubleType) / p.numHashes, 6))
-      .select("id_a", "id_b", "est_jaccard")
+      .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b"))
+      .as[(Long, Long, Array[Long], Array[Long])]
+      .map { case (a, b, sa, sb) =>
+        var eq = 0
+        var i = 0
+        while (i < sa.length) { if (sa(i) == sb(i)) eq += 1; i += 1 }
+        // floor(x*1e6+0.5): HALF_UP round to 6 places without the
+        // per-row BigDecimal that Spark's round() on doubles costs
+        (a, b, math.floor(eq.toDouble / sa.length * 1e6 + 0.5) / 1e6)
+      }.toDF("id_a", "id_b", "est_jaccard")
   }
 
-  /** All sorted in-bucket pairs, as array<array<long>>. */
-  private def pairsOfSorted(ids: org.apache.spark.sql.Column) = {
-    val sorted = array_sort(ids)
-    flatten(transform(sorted, (a, i) =>
-      transform(slice(sorted, i + 2, size(sorted)), b => array(a, b))))
+  /** All sorted in-bucket (a < b) pairs — typed flatMap kernel. Bucket
+    * size is pre-capped by the caller, so the quadratic stays bounded. */
+  private[graft] def inBucketPairs(ids: Array[Long]): Iterator[(Long, Long)] = {
+    val a = ids.clone()
+    java.util.Arrays.sort(a)
+    for {
+      i <- (0 until a.length - 1).iterator
+      j <- (i + 1 until a.length).iterator
+    } yield (a(i), a(j))
   }
 
   /** c2 per-doc summary (row-count stable even with no near-dups):
-    * signature extremes + number of LSH candidate partners. */
+    * signature extremes + number of LSH candidate partners.
+    *
+    * Signatures are the expensive pass (shingle → 64 modular hashes per
+    * shingle), and the plan scans them 4×: band rows, both pair-join
+    * sides, and the final per-doc select. They are persisted once
+    * (MEMORY_AND_DISK — at cluster scale the signature table is ~0.5 KB
+    * per doc, orders of magnitude smaller than the corpus); Spark's
+    * ContextCleaner reclaims the blocks once the plan is unreferenced,
+    * and callers running many one-shot queries can
+    * `spark.catalog.clearCache()`.
+    */
   def minHashSummary(
       spark: SparkSession,
       docs: DataFrame,
       p: MinHashParams = MinHashParams()): DataFrame = {
-    // not cached: scanned twice, and a cache here would pin executor
-    // storage for the session (queries are expected to be one-shot)
-    val sigs = minHashSignatures(spark, docs, p)
+    import spark.implicits._
+    val sigs = minHashSignatures(spark, docs, p).persist(StorageLevel.MEMORY_AND_DISK)
     val pairs = lshCandidatePairs(spark, sigs, p)
     val partners = pairs.select(col("id_a").as("doc_id"))
       .union(pairs.select(col("id_b").as("doc_id")))
       .groupBy("doc_id").agg(count(lit(1)).as("n_candidates"))
-    sigs.select(col("doc_id"),
-        element_at(col("signature"), 1).as("sig0"),
-        aggregate(col("signature"), lit(Long.MaxValue), (acc, x) => least(acc, x)).as("sig_min"))
+    val perDoc = sigs.select(col("doc_id"), col("signature"))
+      .as[(Long, Array[Long])]
+      .map { case (id, sig) => (id, sig(0), sig.min) }
+      .toDF("doc_id", "sig0", "sig_min")
+    perDoc
       .join(partners, Seq("doc_id"), "left")
       .na.fill(0L, Seq("n_candidates"))
       .orderBy("doc_id")
@@ -187,9 +216,12 @@ object Dedup {
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     import spark.implicits._
+    // persisted: scanned 4× (band explosion, both pair-join sides, the
+    // final per-doc select); 16 bytes/doc, negligible at any scale
     val hashes = docs.select(col(idCol).cast(LongType), col(textCol)).as[(Long, String)]
       .map { case (id, t) => (id, simHash64(t, seed)) }
       .toDF("doc_id", "simhash")
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val bands = hashes.select(col("doc_id"),
         explode(array((0 until 4).map(b =>
           struct(lit(b).as("band"),
@@ -200,8 +232,9 @@ object Dedup {
     val buckets = bands.groupBy("band", "bucket")
       .agg(collect_list("doc_id").as("ids"))
       .filter(size(col("ids")).between(2, 1000))
-    val pairs = buckets.select(explode(pairsOfSorted(col("ids"))).as("pr"))
-      .select(col("pr").getItem(0).as("id_a"), col("pr").getItem(1).as("id_b"))
+    val pairs = buckets.select(col("ids")).as[Array[Long]]
+      .flatMap(inBucketPairs)
+      .toDF("id_a", "id_b")
       .distinct()
     val hA = hashes.select(col("doc_id").as("id_a"), col("simhash").as("ha"))
     val hB = hashes.select(col("doc_id").as("id_b"), col("simhash").as("hb"))
