@@ -137,6 +137,9 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b"))
       .as[(Long, Long, Array[Long], Array[Long])]
       .map { case (a, b, sa, sb) =>
+        require(sa.length == sb.length,
+          s"signature length mismatch for pair ($a, $b): ${sa.length} vs ${sb.length} — " +
+            "all rows of `sigs` must come from the same minHashSignatures params")
         var eq = 0
         var i = 0
         while (i < sa.length) { if (sa(i) == sb(i)) eq += 1; i += 1 }
@@ -162,12 +165,16 @@ object Dedup {
     *
     * Signatures are the expensive pass (shingle → 64 modular hashes per
     * shingle), and the plan scans them 4×: band rows, both pair-join
-    * sides, and the final per-doc select. They are persisted once
-    * (MEMORY_AND_DISK — at cluster scale the signature table is ~0.5 KB
-    * per doc, orders of magnitude smaller than the corpus); Spark's
-    * ContextCleaner reclaims the blocks once the plan is unreferenced,
-    * and callers running many one-shot queries can
-    * `spark.catalog.clearCache()`.
+    * sides, and the final per-doc select. They are persisted for the
+    * duration of this call only: the (small, per-doc) result is
+    * materialized eagerly via `localCheckpoint`, after which the
+    * signature cache is dropped. `Dataset.persist` registers the plan
+    * in the session's CacheManager, which holds it until an explicit
+    * `unpersist` — so leaving the handle cached would pin ~0.5 KB/doc
+    * of executor storage per call for the session lifetime. The
+    * checkpointed result blocks themselves are RDD-level storage,
+    * reclaimed by the ContextCleaner once the returned Dataset is
+    * garbage-collected.
     */
   def minHashSummary(
       spark: SparkSession,
@@ -175,18 +182,21 @@ object Dedup {
       p: MinHashParams = MinHashParams()): DataFrame = {
     import spark.implicits._
     val sigs = minHashSignatures(spark, docs, p).persist(StorageLevel.MEMORY_AND_DISK)
-    val pairs = lshCandidatePairs(spark, sigs, p)
-    val partners = pairs.select(col("id_a").as("doc_id"))
-      .union(pairs.select(col("id_b").as("doc_id")))
-      .groupBy("doc_id").agg(count(lit(1)).as("n_candidates"))
-    val perDoc = sigs.select(col("doc_id"), col("signature"))
-      .as[(Long, Array[Long])]
-      .map { case (id, sig) => (id, sig(0), sig.min) }
-      .toDF("doc_id", "sig0", "sig_min")
-    perDoc
-      .join(partners, Seq("doc_id"), "left")
-      .na.fill(0L, Seq("n_candidates"))
-      .orderBy("doc_id")
+    try {
+      val pairs = lshCandidatePairs(spark, sigs, p)
+      val partners = pairs.select(col("id_a").as("doc_id"))
+        .union(pairs.select(col("id_b").as("doc_id")))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_candidates"))
+      val perDoc = sigs.select(col("doc_id"), col("signature"))
+        .as[(Long, Array[Long])]
+        .map { case (id, sig) => (id, sig(0), sig.min) }
+        .toDF("doc_id", "sig0", "sig_min")
+      perDoc
+        .join(partners, Seq("doc_id"), "left")
+        .na.fill(0L, Seq("n_candidates"))
+        .orderBy("doc_id")
+        .localCheckpoint(true) // eager: run the plan while sigs are cached
+    } finally sigs.unpersist(blocking = false)
   }
 
   // ---------- SimHash (c3) ----------
@@ -216,38 +226,44 @@ object Dedup {
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     import spark.implicits._
-    // persisted: scanned 4× (band explosion, both pair-join sides, the
-    // final per-doc select); 16 bytes/doc, negligible at any scale
+    // persisted for this call only (scanned 4×: band explosion, both
+    // pair-join sides, the final per-doc select); the result is
+    // materialized eagerly, then the cache entry is dropped — see the
+    // minHashSummary scaladoc for why the CacheManager entry must not
+    // outlive the call
     val hashes = docs.select(col(idCol).cast(LongType), col(textCol)).as[(Long, String)]
       .map { case (id, t) => (id, simHash64(t, seed)) }
       .toDF("doc_id", "simhash")
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val bands = hashes.select(col("doc_id"),
-        explode(array((0 until 4).map(b =>
-          struct(lit(b).as("band"),
-            shiftright(col("simhash"), b * 16).bitwiseAND(lit(65535L)).as("bucket"))): _*)).as("bb"))
-      .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
-    // bucket-size cap (same invariant as lshCandidatePairs): a
-    // degenerate bucket of near-identical docs must not go quadratic
-    val buckets = bands.groupBy("band", "bucket")
-      .agg(collect_list("doc_id").as("ids"))
-      .filter(size(col("ids")).between(2, 1000))
-    val pairs = buckets.select(col("ids")).as[Array[Long]]
-      .flatMap(inBucketPairs)
-      .toDF("id_a", "id_b")
-      .distinct()
-    val hA = hashes.select(col("doc_id").as("id_a"), col("simhash").as("ha"))
-    val hB = hashes.select(col("doc_id").as("id_b"), col("simhash").as("hb"))
-    val j = pairs.join(hA, "id_a").join(hB, "id_b")
-      .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
-      .filter(col("hamming") <= maxHamming)
-    val partners = j.select(col("id_a").as("doc_id"))
-      .union(j.select(col("id_b").as("doc_id")))
-      .groupBy("doc_id").agg(count(lit(1)).as("n_candidates"))
-    hashes.select(col("doc_id"), format_string("%016x", col("simhash")).as("simhash_hex"))
-      .join(partners, Seq("doc_id"), "left")
-      .na.fill(0L, Seq("n_candidates"))
-      .orderBy("doc_id")
+    try {
+      val bands = hashes.select(col("doc_id"),
+          explode(array((0 until 4).map(b =>
+            struct(lit(b).as("band"),
+              shiftright(col("simhash"), b * 16).bitwiseAND(lit(65535L)).as("bucket"))): _*)).as("bb"))
+        .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
+      // bucket-size cap (same invariant as lshCandidatePairs): a
+      // degenerate bucket of near-identical docs must not go quadratic
+      val buckets = bands.groupBy("band", "bucket")
+        .agg(collect_list("doc_id").as("ids"))
+        .filter(size(col("ids")).between(2, 1000))
+      val pairs = buckets.select(col("ids")).as[Array[Long]]
+        .flatMap(inBucketPairs)
+        .toDF("id_a", "id_b")
+        .distinct()
+      val hA = hashes.select(col("doc_id").as("id_a"), col("simhash").as("ha"))
+      val hB = hashes.select(col("doc_id").as("id_b"), col("simhash").as("hb"))
+      val j = pairs.join(hA, "id_a").join(hB, "id_b")
+        .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
+        .filter(col("hamming") <= maxHamming)
+      val partners = j.select(col("id_a").as("doc_id"))
+        .union(j.select(col("id_b").as("doc_id")))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_candidates"))
+      hashes.select(col("doc_id"), format_string("%016x", col("simhash")).as("simhash_hex"))
+        .join(partners, Seq("doc_id"), "left")
+        .na.fill(0L, Seq("n_candidates"))
+        .orderBy("doc_id")
+        .localCheckpoint(true) // eager: run the plan while hashes are cached
+    } finally hashes.unpersist(blocking = false)
   }
 
   // ---------- exact n-gram jaccard (c4) ----------
@@ -271,49 +287,75 @@ object Dedup {
       .map { case (id, t) => (id, shingleSetOf(t, k)) }
     val a = sets.toDF("id_a", "sa")
     val b = sets.toDF("id_b", "sb")
-    val jaccard = udf { (sa: Seq[String], sb: Seq[String]) =>
-      val inter = sa.toSet.intersect(sb.toSet).size
-      val uni = sa.length + sb.length - inter
-      if (uni == 0) None
-      // floor(x*1e6+0.5) = HALF_UP for non-negatives, matching
-      // ROUND(x, 6) in both engines (rint would be half-even)
-      else Some(math.floor(inter.toDouble / uni * 1e6 + 0.5) / 1e6)
-    }
+    // intersection/union via codegen'd collection builtins (shingle
+    // sets are already distinct, so sizes are true set cardinalities);
+    // floor(x*1e6+0.5)/1e6 = HALF_UP for non-negatives, matching
+    // ROUND(x, 6) in both engines (rint would be half-even)
+    val inter = size(array_intersect(col("sa"), col("sb"))).cast("double")
+    val uni = size(col("sa")) + size(col("sb")) - inter
     a.join(b, col("id_b") === col("id_a") + 1)
-      .select(col("id_a"), col("id_b"), jaccard(col("sa"), col("sb")).as("jaccard"))
+      .select(col("id_a"), col("id_b"),
+        when(uni === 0d, lit(null).cast("double"))
+          .otherwise(floor(inter / uni * 1e6 + 0.5) / 1e6).as("jaccard"))
   }
 
   // ---------- embedding cosine near-dup (c5) ----------
-  /** Brute-force all-pairs cosine ≥ threshold. This is the correctness
-    * baseline; at 100 TB the LSH/IVF paths (c2 / b7) provide the
-    * candidate generation instead. */
-  def embeddingNearDup(embeddings: DataFrame, threshold: Double): DataFrame = {
+  /** Brute-force all-pairs cosine ≥ threshold, as a distributed block
+    * nested-loop: rows are hashed into `numBlocks` blocks and the
+    * B(B+1)/2 block pairs are compared in parallel tasks running a
+    * tight compiled kernel (a join-based formulation would evaluate
+    * the cosine interpreted inside a nested-loop join condition).
+    * Nothing is collected to the driver; shuffle volume is O(N·B)
+    * rows, and each task holds two blocks of ~N/B vectors — pick
+    * `numBlocks` ≈ cluster cores so tasks saturate executors without
+    * replicating the corpus too many times. The O(N²) compute is
+    * inherent to the exact baseline; at 100 TB the LSH/IVF paths
+    * (c2 / b7) provide the candidate generation instead. */
+  def embeddingNearDup(
+      embeddings: DataFrame,
+      threshold: Double,
+      numBlocks: Int = 32): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
     import graft.functions.VectorFunctions.dot
-    // Broadcast one side (with precomputed norms) and scan the other:
-    // each partition runs a tight compiled kernel over its rows × the
-    // broadcast block. A join-based formulation puts the cosine inside
-    // a nested-loop join condition, which Spark evaluates interpreted.
-    val ds = embeddings.select(col("vec_id").cast(LongType), col("embedding"))
+    // replicate each row to every block pair it participates in (one
+    // shuffle, ×numBlocks fan-out), then compare the two blocks of a
+    // pair inside one task — an explicit equi-grouping, so Catalyst
+    // never has to plan a non-equi self-join of corpus-sized rows
+    val expanded = embeddings.select(col("vec_id").cast(LongType), col("embedding"))
       .as[(Long, Array[Float])]
-    val side = ds.collect().sortBy(_._1)
-    require(side.length <= 1000000,
-      s"embeddingNearDup broadcasts one side (${side.length} rows): it is the " +
-        "O(N²) correctness baseline — use minHashSummary / IVF search for large corpora")
-    val norms = side.map { case (_, v) => math.sqrt(dot(v, v)) }
-    val bc = spark.sparkContext.broadcast((side, norms))
-    ds.mapPartitions { iter =>
-      val (bs, bn) = bc.value
-      iter.flatMap { case (idA, va) =>
-        val na = math.sqrt(dot(va, va))
-        bs.iterator.zipWithIndex
-          .filter { case ((idB, _), _) => idA < idB }
-          .flatMap { case ((idB, vb), j) =>
-            val c = math.floor(dot(va, vb) / (na * bn(j)) * 1e6 + 0.5) / 1e6
-            if (c >= threshold) Some((idA, idB, c)) else None
-          }
+      .flatMap { case (id, v) =>
+        val b = (id % numBlocks).toInt
+        val n = math.sqrt(dot(v, v))
+        (0 until numBlocks).iterator.map { o =>
+          (math.min(b, o), math.max(b, o), b, id, v, n)
+        }
       }
-    }.toDF("id_a", "id_b", "cos")
+    expanded.groupByKey { case (lo, hi, _, _, _, _) => (lo, hi) }
+      .flatMapGroups { (key: (Int, Int), iter) =>
+        val (lo, hi) = key
+        def cos(x: (Long, Array[Float], Double), y: (Long, Array[Float], Double)): Double =
+          math.floor(dot(x._2, y._2) / (x._3 * y._3) * 1e6 + 0.5) / 1e6
+        val (raw_a, raw_b) = iter.map { case (_, _, b, id, v, n) => (b, (id, v, n)) }
+          .toArray.partition(_._1 == lo)
+        val ra = raw_a.map(_._2).sortBy(_._1)
+        if (lo == hi) {
+          // within-block: i < j over the id-sorted array
+          for {
+            i <- ra.indices.iterator
+            j <- (i + 1 until ra.length).iterator
+            c = cos(ra(i), ra(j)) if c >= threshold
+          } yield (ra(i)._1, ra(j)._1, c)
+        } else {
+          // cross-block: every unordered pair lands in exactly one
+          // (lo, hi) group; orient by id (float dot is exactly symmetric)
+          val rb = raw_b.map(_._2)
+          for {
+            x <- ra.iterator
+            y <- rb.iterator
+            c = cos(x, y) if c >= threshold
+          } yield if (x._1 < y._1) (x._1, y._1, c) else (y._1, x._1, c)
+        }
+      }.toDF("id_a", "id_b", "cos")
   }
 }

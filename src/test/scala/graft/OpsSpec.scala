@@ -45,6 +45,53 @@ class OpsSpec extends AnyFunSuite {
     assert(math.abs(est.head - exact) < 0.2, s"est=${est.head} exact=$exact")
   }
 
+  test("dedup summaries leave no cached plans behind") {
+    spark.sharedState.cacheManager.clearCache()
+    val d = docs((1L to 20L).map(i => i -> s"document number $i with some shared words " * 3): _*)
+    assert(Dedup.minHashSummary(spark, d).count() == 20)
+    assert(Dedup.simHashSummary(spark, d).count() == 20)
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "summary queries must unpersist their intermediate caches")
+  }
+
+  test("lsh candidate scoring matches an independent recomputation") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today " * 4
+    val d = docs(1L -> base, 2L -> base.replace("lazy", "sleepy"),
+      3L -> (base + "trailing bit"), 4L -> base)
+    val p = Dedup.MinHashParams()
+    val sigs = Dedup.minHashSignatures(spark, d, p)
+    val byId = sigs.as[(Long, Array[Long])].collect().toMap
+    val pairs = Dedup.lshCandidatePairs(spark, sigs, p)
+      .as[(Long, Long, Double)].collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b, est) =>
+      val eq = byId(a).zip(byId(b)).count { case (x, y) => x == y }
+      val expected = BigDecimal(eq.toDouble / p.numHashes)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(est == expected, s"pair ($a,$b): kernel=$est expected=$expected")
+    }
+  }
+
+  test("embedding near-dup block plan matches a local all-pairs check") {
+    import graft.functions.VectorFunctions.dot
+    val rnd = new scala.util.Random(7)
+    val planted = Array.fill(8)(0.9f)
+    val vecs = (1L to 30L).map { i =>
+      val v = Array.fill(8)(rnd.nextFloat() - 0.5f)
+      (i, if (i % 5 == 0) planted else v)
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val got = Dedup.embeddingNearDup(df, 0.3, numBlocks = 4)
+      .as[(Long, Long, Double)].collect().toSet
+    val expected = (for {
+      (ia, va) <- vecs; (ib, vb) <- vecs if ia < ib
+      c = math.floor(dot(va, vb) / (math.sqrt(dot(va, va)) * math.sqrt(dot(vb, vb))) * 1e6 + 0.5) / 1e6
+      if c >= 0.3
+    } yield (ia, ib, c)).toSet
+    assert(got == expected)
+    assert(expected.nonEmpty)
+  }
+
   test("mulModM61 matches BigInt arithmetic") {
     val m = BigInt(2).pow(61) - 1
     val rnd = new scala.util.Random(9)

@@ -36,6 +36,11 @@ class PlanSpec extends AnyFunSuite {
       s"column pruning lost:\n$p")
   }
 
+  test("c4 jaccard stays in codegen (no UDF node in the plan)") {
+    val p = plan(operators.PipelineQueries.ngramJaccard(spark, sf))
+    assert(!p.contains("UDF"), s"c4 fell back to a UDF:\n$p")
+  }
+
   test("optimizer rule removes sqrt from distance-threshold filters") {
     import spark.implicits._
     import org.apache.spark.sql.functions.lit
