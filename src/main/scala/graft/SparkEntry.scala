@@ -25,11 +25,15 @@ object SparkEntry {
     "b3_ivf_assign"  -> (AnnQueries.ivfAssign(_, _)),
     "b4_rabitq_code" -> (AnnQueries.rabitqCode(_, _)),
     "b5_exrabitq_code" -> (AnnQueries.exrabitqCode(_, _)),
+    "b5b_exrabitq_b8" -> (AnnQueries.exrabitqCodeB8(_, _)),
     "b6_rabitq_estimate" -> (AnnQueries.rabitqEstimate(_, _)),
     "b7_ivf_search"  -> (AnnQueries.ivfSearch(_, _)),
+    "b7b_ivf_search_b8" -> (AnnQueries.ivfSearchB8(_, _)),
     "b8_ann_recall"  -> (AnnQueries.annRecall(_, _)),
     "b9_index_build" -> (AnnQueries.indexBuild(_, _)),
     "b10_ann_ratio"  -> (AnnQueries.annRatio(_, _)),
+    "b11_nprobe_sweep" -> (AnnQueries.nprobeSweep(_, _)),
+    "b12_search_highacc" -> (AnnQueries.searchHighAcc(_, _)),
     "c1_dedup_exact" -> (PipelineQueries.dedupExact(_, _)),
     "c2_dedup_minhash" -> (PipelineQueries.dedupMinhash(_, _)),
     "c3_dedup_simhash" -> (PipelineQueries.dedupSimhash(_, _)),

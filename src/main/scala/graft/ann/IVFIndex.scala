@@ -75,10 +75,30 @@ object IVFIndex {
     require(dim > 0, "cannot build an IVF index on empty vectors")
 
     // --- k-means on a bounded sample (python/ivf.py:26-29) ---
-    val total = data.count()
-    val fraction = math.min(1.0, params.maxTrainRows.toDouble / math.max(1L, total))
-    val train = (if (fraction < 1.0) data.sample(withReplacement = false, fraction, params.seed)
-                 else data)
+    // Fraction sampling needs the total row count, which at 100 TB is a
+    // dedicated full-corpus scan. Instead each partition reservoir-
+    // samples up to maxTrainRows/numPartitions rows in ONE pass:
+    // near-uniform when partition sizes are comparable (parquet splits
+    // are size-bounded), and exactly the full corpus whenever it is
+    // smaller than the training budget.
+    val typed = data.as[(Long, Array[Float])]
+    val nParts = math.max(1, typed.rdd.getNumPartitions)
+    val perPart = math.min(params.maxTrainRows / nParts, Int.MaxValue.toLong).toInt.max(1)
+    val sampled = typed.rdd.mapPartitionsWithIndex { (pi, iter) =>
+      val rnd = new scala.util.Random(params.seed ^ pi)
+      val buf = new scala.collection.mutable.ArrayBuffer[Array[Float]](math.min(perPart, 4096))
+      var n = 0L // elements seen so far in this partition
+      iter.foreach { case (_, v) =>
+        if (buf.length < perPart) buf += v
+        else {
+          val j = (rnd.nextDouble() * (n + 1)).toLong // algorithm R
+          if (j < perPart) buf(j.toInt) = v
+        }
+        n += 1
+      }
+      buf.iterator
+    }
+    val train = sampled.toDF("vec")
       .withColumn("features", array_to_vector(col("vec")))
     // 12 Lloyd iterations: recall is insensitive beyond ~10 on these
     // corpora (verified by the recall specs), and train time is the
@@ -274,5 +294,41 @@ final class IVFModel(
       }
 
     KnnExact.mergeTopK(spark, candidates, k)
+  }
+
+  /** High-accuracy search (the Spark analogue of the reference's
+    * HIGH_ACC_FAST_SCAN / HASearcher.hpp path, reference
+    * src/test_search.cpp:1, IVF.hpp:307-308): over-fetch
+    * `k × overFetch` candidates with the quantized pipeline, then
+    * re-rank that tiny (Q × k × overFetch)-row list by EXACT distance
+    * with a broadcast join against the corpus — one corpus scan, no
+    * driver collect. The quantized stage bounds the candidate set, the
+    * exact stage removes code-rerank displacement; the accuracy/speed
+    * knob the quantized path alone lacks. `corpus` must be the same
+    * (idCol, vecCol) table the index was built from. */
+  def searchHighAcc(
+      spark: SparkSession,
+      corpus: DataFrame,
+      queries: Array[(Long, Array[Float])],
+      k: Int,
+      nprobe: Int,
+      overFetch: Int = 4,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    import spark.implicits._
+    import graft.functions.VectorFunctions.vec_l2sq
+    val cand = search(spark, queries, k * overFetch, nprobe)
+      .select("query_id", "neighbor_id")
+    val q = queries.toSeq.toDF("qid", "qvec")
+    val e = corpus.select(col(idCol).cast(LongType).as("nid"), col(vecCol).as("nvec"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy("d2", "neighbor_id")
+    e.join(broadcast(cand.join(q, col("query_id") === col("qid"))),
+        col("neighbor_id") === col("nid"))
+      .select(col("query_id"), col("neighbor_id"),
+        vec_l2sq(col("qvec"), col("nvec")).as("d2"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select("query_id", "neighbor_id", "rk")
   }
 }

@@ -13,23 +13,25 @@ import graft.ann.{IVFIndex, IVFModel, RaBitQ}
   * specs (recall, estimator-error bounds). */
 object AnnQueries {
   private val cache =
-    new java.util.concurrent.ConcurrentHashMap[String, IVFModel]()
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), IVFModel]()
 
-  def model(spark: SparkSession, dir: String): IVFModel =
-    cache.computeIfAbsent(dir, _ =>
-      IVFIndex.build(spark, Tables.embeddings(spark, dir), IVFIndex.Params()))
+  def model(spark: SparkSession, dir: String, bits: Int = 4): IVFModel =
+    cache.computeIfAbsent((dir, bits), _ =>
+      IVFIndex.build(spark, Tables.embeddings(spark, dir),
+        IVFIndex.Params(totalBits = bits)))
 
   // b7's search results and the exact ground truth are inputs to three
   // queries each (b7/b8/b10); cache the small result DataFrames per
-  // dir so the expensive scans run once per session, like the model.
+  // (dir, bits) so the expensive scans run once per session, like the
+  // model.
   private val searchCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), DataFrame]()
   private val gtCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
-  private def searchResults(spark: SparkSession, dir: String): DataFrame =
-    searchCache.computeIfAbsent(dir, _ => {
-      val m = model(spark, dir)
+  private def searchResults(spark: SparkSession, dir: String, bits: Int = 4): DataFrame =
+    searchCache.computeIfAbsent((dir, bits), _ => {
+      val m = model(spark, dir, bits)
       m.search(spark, queryVectors(spark, dir), k = 10, nprobe = 3 * m.params.k / 4).cache()
     })
 
@@ -67,13 +69,22 @@ object AnnQueries {
       .orderBy("vec_id")
 
   /** b5: extended-code summary (code checksum + rerank factor). */
-  def exrabitqCode(spark: SparkSession, dir: String): DataFrame = {
+  def exrabitqCode(spark: SparkSession, dir: String): DataFrame =
+    exrabitqCodeFor(spark, dir, bits = 4)
+
+  /** b5b: the same surface at B=8 — the reference's other headline
+    * config (README `create_index ... 8`; Quantizer.hpp supports
+    * B ∈ {3,4,5,7,8,9}, exercised across the sweep by AnnSpec). */
+  def exrabitqCodeB8(spark: SparkSession, dir: String): DataFrame =
+    exrabitqCodeFor(spark, dir, bits = 8)
+
+  private def exrabitqCodeFor(spark: SparkSession, dir: String, bits: Int): DataFrame = {
     val checksum = udf((b: Array[Byte]) => {
       var s = 0L; var i = 0
       while (i < b.length) { s += (b(i) & 0xff); i += 1 }
       s
     })
-    model(spark, dir).index.toDF()
+    model(spark, dir, bits).index.toDF()
       .select(col("id").as("vec_id"),
         checksum(col("ex_code")).as("code_sum"),
         round(col("xipnorm"), 6).as("xipnorm"))
@@ -111,6 +122,11 @@ object AnnQueries {
   def ivfSearch(spark: SparkSession, dir: String): DataFrame =
     searchResults(spark, dir).orderBy("query_id", "rk")
 
+  /** b7b: the full search path end-to-end at B=8 (9-bit total code);
+    * recall ≥ 0.99 at this width is pinned by AnnSpec's sweep. */
+  def ivfSearchB8(spark: SparkSession, dir: String): DataFrame =
+    searchResults(spark, dir, bits = 8).orderBy("query_id", "rk")
+
   /** b8: recall@10 of IVF search vs exact ground truth
     * (test_search.cpp:101-130). Self-contained: both sides computed by
     * the engine. */
@@ -133,28 +149,13 @@ object AnnQueries {
     * by distance, ratio_j = √(d²_ann(j)/d²_gt(j)) over ranks with
     * non-degenerate gt distance, averaged per query. */
   def annRatio(spark: SparkSession, dir: String): DataFrame = {
-    import graft.functions.VectorFunctions.vec_l2sq
     import spark.implicits._
-    val e = Tables.embeddings(spark, dir)
-      .select(col("vec_id").as("nid"), col("embedding").as("nvec"))
     // same query workload as ivfSearch/gtTopKAll — single source of truth
     val queryRows = queryVectors(spark, dir)
-    val q = queryRows.toSeq.toDF("qid", "qvec")
-    // the reference pairs the two lists sorted by EXACT distance, not
-    // by result order — re-rank both on the true distance. The result
-    // set is tiny (Q×k rows): broadcast it against the corpus table.
-    def withDist(results: DataFrame) = {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("query_id").orderBy("d2", "neighbor_id")
-      e.join(broadcast(results.join(q, col("query_id") === col("qid"))),
-          col("neighbor_id") === col("nid"))
-        .select(col("query_id"), col("neighbor_id"),
-          vec_l2sq(col("qvec"), col("nvec")).as("d2"))
-        .withColumn("rk", row_number().over(w))
-        .select("query_id", "rk", "d2")
-    }
-    val ann = withDist(searchResults(spark, dir)).withColumnRenamed("d2", "d2_ann")
-    val gt = withDist(gtResults(spark, dir)).withColumnRenamed("d2", "d2_gt")
+    val ann = withExactDist(spark, dir, searchResults(spark, dir))
+      .withColumnRenamed("d2", "d2_ann")
+    val gt = withExactDist(spark, dir, gtResults(spark, dir))
+      .withColumnRenamed("d2", "d2_gt")
     val ratios = ann.join(gt, Seq("query_id", "rk"))
       .filter(col("d2_gt") > 1e-5)
       .groupBy("query_id")
@@ -167,6 +168,81 @@ object AnnQueries {
       .na.fill(Map("avg_ratio" -> 1.0, "valid_k" -> 0L))
       .orderBy("query_id")
   }
+
+  /** Exact distances for a tiny (query_id, neighbor_id) result set,
+    * re-ranked per query by TRUE distance — the reference pairs result
+    * lists this way before computing ratios (tools.hpp get_ratio).
+    * The result set (Q×k rows) is broadcast against the corpus table;
+    * the corpus itself is never collected. */
+  private def withExactDist(spark: SparkSession, dir: String, results: DataFrame): DataFrame = {
+    import graft.functions.VectorFunctions.vec_l2sq
+    import spark.implicits._
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("nid"), col("embedding").as("nvec"))
+    val q = queryVectors(spark, dir).toSeq.toDF("qid", "qvec")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy("d2", "neighbor_id")
+    e.join(broadcast(results.join(q, col("query_id") === col("qid"))),
+        col("neighbor_id") === col("nid"))
+      .select(col("query_id"), col("neighbor_id"),
+        vec_l2sq(col("qvec"), col("nvec")).as("d2"))
+      .withColumn("rk", row_number().over(w))
+      .select("query_id", "rk", "d2")
+  }
+
+  /** b11: nprobe-sweep evaluation harness — one row per nprobe with
+    * recall@10, average distance ratio, and wall seconds. The Spark
+    * analogue of the reference's headline output
+    * (src/test_search.cpp:61-94 + get_nprobes → results CSV). Only the
+    * tiny per-sweep result lists (Q×k rows) are collected; distances
+    * come from the same broadcast-join used by b10. wall_s is
+    * measured, so the driver checks this rows-only. */
+  def nprobeSweep(
+      spark: SparkSession,
+      dir: String,
+      k: Int = 10,
+      nprobes: Seq[Int] = Seq(1, 2, 4, 8, 12, 16)): DataFrame = {
+    import spark.implicits._
+    val m = model(spark, dir)
+    val qs = queryVectors(spark, dir)
+    val gt = gtResults(spark, dir)
+    val gtSets: Map[Long, Set[Long]] = gt.select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().groupBy(_._1).map { case (q, xs) => q -> xs.map(_._2).toSet }
+    val gtDist: Map[(Long, Int), Double] = withExactDist(spark, dir, gt)
+      .as[(Long, Int, Double)].collect().map { case (q, rk, d) => (q, rk) -> d }.toMap
+    val rows = nprobes.sorted.map { np =>
+      val t0 = System.nanoTime()
+      val res = m.search(spark, qs, k, math.min(np, m.params.k))
+      val ids = res.select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      val wall = (System.nanoTime() - t0) / 1e9
+      val recall = qs.map { case (qid, _) =>
+        ids.count { case (q, n) => q == qid && gtSets(qid).contains(n) }.toDouble / k
+      }.sum / qs.length
+      val annDist = withExactDist(spark, dir, res)
+        .as[(Long, Int, Double)].collect().map { case (q, rk, d) => (q, rk) -> d }.toMap
+      // reference get_ratio: √(d²_ann/d²_gt) over ranks with
+      // non-degenerate gt distance, averaged per query; 1.0 when all
+      // gt distances are degenerate
+      val ratio = qs.map { case (qid, _) =>
+        val rs = (1 to k).flatMap { rk =>
+          (annDist.get((qid, rk)), gtDist.get((qid, rk))) match {
+            case (Some(a), Some(g)) if g > 1e-5 => Some(math.sqrt(a / g))
+            case _ => None
+          }
+        }
+        if (rs.isEmpty) 1.0 else rs.sum / rs.length
+      }.sum / qs.length
+      (np, math.rint(recall * 1e4) / 1e4, math.rint(ratio * 1e4) / 1e4, wall)
+    }
+    rows.toDF("nprobe", "recall_at_10", "avg_ratio", "wall_s").orderBy("nprobe")
+  }
+
+  /** b12: high-accuracy search — quantized over-fetch + exact-distance
+    * re-rank (reference HIGH_ACC_FAST_SCAN / HASearcher.hpp). */
+  def searchHighAcc(spark: SparkSession, dir: String): DataFrame =
+    model(spark, dir).searchHighAcc(spark, Tables.embeddings(spark, dir),
+        queryVectors(spark, dir), k = 10, nprobe = 12)
+      .orderBy("query_id", "rk")
 
   /** b9: end-to-end index build summary (per-cluster sizes + bytes),
     * the Spark analogue of create_index.cpp. */

@@ -118,6 +118,64 @@ class AnnSpec extends AnyFunSuite {
     assert(recall >= 0.95, s"B=8 recall@10 = $recall")
   }
 
+  test("recall sweep over every supported bit width B in {3,4,5,7,8,9}") {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, sf)
+    val qs = operators.VectorQueries.queryVectors(spark, sf)
+    val exact = operators.VectorQueries.gtTopKAll(spark, sf)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val widths = Seq(3, 4, 5, 7, 8, 9)
+    // full probe (nprobe = K) so the curve isolates quantization error
+    // from cluster-coverage error
+    val recalls = widths.map { b =>
+      val p = ann.IVFIndex.Params(totalBits = b)
+      val m = ann.IVFIndex.build(spark, e, p)
+      val approx = m.search(spark, qs, 10, nprobe = p.k)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      b -> (approx & exact).size.toDouble / exact.size
+    }
+    val byWidth = recalls.toMap
+    // the pure quantized path plateaus just under 1.0 (a near-tie can
+    // be displaced by code-rerank error); ≥0.99 is the high-accuracy
+    // path's contract, pinned in the next test
+    assert(byWidth(8) >= 0.98, s"B=8 recall = ${byWidth(8)}; all: $recalls")
+    assert(byWidth(9) >= 0.98, s"B=9 recall = ${byWidth(9)}; all: $recalls")
+    assert(byWidth(8) > byWidth(3), s"recall curve not increasing: $recalls")
+    // monotone up to a small tolerance (more code bits -> better rerank)
+    recalls.sliding(2).foreach { case Seq((b1, r1), (b2, r2)) =>
+      assert(r2 >= r1 - 0.03, s"recall dropped from B=$b1 ($r1) to B=$b2 ($r2): $recalls")
+    }
+  }
+
+  test("high-accuracy search: exact re-rank reaches recall >= 0.99 at full probe") {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, sf)
+    val m = operators.AnnQueries.model(spark, sf) // B=4 — the fast config
+    val qs = operators.VectorQueries.queryVectors(spark, sf)
+    val approx = m.searchHighAcc(spark, e, qs, k = 10, nprobe = m.params.k)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val exact = operators.VectorQueries.gtTopKAll(spark, sf)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (approx & exact).size.toDouble / exact.size
+    assert(recall >= 0.99, s"high-acc recall@10 = $recall")
+  }
+
+  test("nprobe sweep: recall is non-decreasing in nprobe, ratio sane") {
+    import spark.implicits._
+    val sweep = operators.AnnQueries.nprobeSweep(spark, sf)
+      .select("nprobe", "recall_at_10", "avg_ratio").as[(Int, Double, Double)]
+      .collect().sortBy(_._1)
+    assert(sweep.length == 6)
+    sweep.sliding(2).foreach { case Array((n1, r1, _), (n2, r2, _)) =>
+      assert(r2 >= r1, s"recall dropped from nprobe=$n1 ($r1) to nprobe=$n2 ($r2)")
+    }
+    assert(sweep.last._2 >= 0.9, s"full-probe recall = ${sweep.last._2}")
+    sweep.foreach { case (np, _, ratio) =>
+      assert(ratio >= 1.0 - 1e-9, s"ratio below 1 at nprobe=$np: $ratio")
+      assert(ratio < 2.0, s"ratio implausibly high at nprobe=$np: $ratio")
+    }
+  }
+
   test("routed centroid ranking closely matches flat ranking at large K") {
     val rnd = new scala.util.Random(23)
     val k = 2048

@@ -30,9 +30,10 @@ class RelationalSpec extends AnyFunSuite {
     // rows-only queries are exactly the non-SQL-expressible ones
     val rowsOnly = keys -- oracleKeys
     val expectedRowsOnly = Set("a6_vec_rotate", "b2_ivf_train", "b3_ivf_assign",
-      "b4_rabitq_code", "b5_exrabitq_code", "b6_rabitq_estimate", "b7_ivf_search",
-      "b8_ann_recall", "b9_index_build", "b10_ann_ratio", "c2_dedup_minhash",
-      "c3_dedup_simhash", "c9_doc_fingerprint")
+      "b4_rabitq_code", "b5_exrabitq_code", "b5b_exrabitq_b8", "b6_rabitq_estimate",
+      "b7_ivf_search", "b7b_ivf_search_b8", "b8_ann_recall", "b9_index_build",
+      "b10_ann_ratio", "b11_nprobe_sweep", "b12_search_highacc",
+      "c2_dedup_minhash", "c3_dedup_simhash", "c9_doc_fingerprint")
     assert(rowsOnly.subsetOf(expectedRowsOnly), s"unexpected rows-only: ${rowsOnly -- expectedRowsOnly}")
   }
 
