@@ -154,6 +154,151 @@ class VecsPartitionReader(p: VecsPartition, isFloat: Boolean, conf: Serializable
   override def close(): Unit = in.close()
 }
 
+// ---------------------------------------------------------------------------
+// fbin / ibin: the big-ANN distribution format — one [int32 n][int32 d]
+// header, then n·d little-endian elements row-major
+// (/root/reference/python/utils/io.py:33-41 read_ibin/read_fbin).
+// Unlike fvecs (per-record dim prefix), rows have a FIXED stride, so a
+// single huge file splits into row-range partitions: at 100 TB a corpus
+// shipped as a handful of giant .fbin files still scans with full
+// cluster parallelism. Split size follows spark.sql.files
+// .maxPartitionBytes (override per-read with option("splitBytes", n)).
+// ---------------------------------------------------------------------------
+
+abstract class BinProviderBase(isFloat: Boolean) extends TableProvider with DataSourceRegister {
+  private def elemType: DataType = if (isFloat) FloatType else IntegerType
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    StructType(Seq(
+      StructField("file", StringType, nullable = false),
+      StructField("row_id", LongType, nullable = false),
+      StructField("vec", ArrayType(elemType, containsNull = false), nullable = false)))
+  override def getTable(
+      schema: StructType, partitioning: Array[Transform], properties: JMap[String, String]): Table =
+    new BinTable(schema, properties.asScala.toMap, isFloat, shortName())
+}
+
+class FbinProvider extends BinProviderBase(isFloat = true) {
+  override def shortName(): String = "fbin"
+}
+class IbinProvider extends BinProviderBase(isFloat = false) {
+  override def shortName(): String = "ibin"
+}
+
+class BinTable(tableSchema: StructType, props: Map[String, String], isFloat: Boolean, fmt: String)
+    extends Table with SupportsRead {
+  override def name(): String = s"$fmt(${props.getOrElse("path", "")})"
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val multi = Option(options.get("paths")).toSeq.flatMap { s =>
+      new com.fasterxml.jackson.databind.ObjectMapper()
+        .readValue(s, classOf[Array[String]]).toSeq
+    }
+    val paths = Option(options.get("path")).toSeq ++ multi
+    val spark = org.apache.spark.sql.SparkSession.active
+    val splitBytes = Option(options.get("splitBytes")).map(_.toLong)
+      .getOrElse(spark.sessionState.conf.filesMaxPartitionBytes)
+    new BinScanBuilder(tableSchema, paths, isFloat, math.max(1L, splitBytes))
+  }
+  override def schema(): StructType = tableSchema
+}
+
+class BinScanBuilder(schema: StructType, paths: Seq[String], isFloat: Boolean, splitBytes: Long)
+    extends ScanBuilder with Scan with Batch {
+  override def build(): Scan = this
+  override def readSchema(): StructType = schema
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    val hadoopConf = spark.sessionState.newHadoopConf()
+    paths.flatMap { p =>
+      val path = new Path(p)
+      val fs = path.getFileSystem(hadoopConf)
+      val files =
+        if (fs.getFileStatus(path).isDirectory)
+          fs.listStatus(path).toSeq.filter { f =>
+            val n = f.getPath.getName
+            f.isFile && !n.startsWith("_") && !n.startsWith(".")
+          }
+        else Seq(fs.getFileStatus(path))
+      files.sortBy(_.getPath.toString).flatMap { f =>
+        // read the tiny header on the driver to plan row-range splits
+        val in = fs.open(f.getPath)
+        val (n, d) =
+          try {
+            val b = new Array[Byte](8)
+            in.readFully(0L, b)
+            val bb = java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+            (bb.getInt(), bb.getInt())
+          } finally in.close()
+        require(n >= 0 && (d > 0 || n == 0),
+          s"${f.getPath}: invalid fbin/ibin header (n=$n, d=$d)")
+        if (n == 0) Seq.empty
+        else {
+          val rowBytes = d.toLong * 4
+          val rowsPerSplit = math.max(1L, splitBytes / rowBytes)
+          (0L until n.toLong by rowsPerSplit).map { start =>
+            BinPartition(f.getPath.toString, d, start,
+              math.min(rowsPerSplit, n - start)): InputPartition
+          }
+        }
+      }
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    val conf = new SerializableConfiguration(spark.sessionState.newHadoopConf())
+    new BinReaderFactory(isFloat, conf)
+  }
+}
+
+/** One row-range of one fbin/ibin file: rows [rowStart, rowStart+rowCount). */
+case class BinPartition(file: String, dim: Int, rowStart: Long, rowCount: Long)
+    extends InputPartition
+
+class BinReaderFactory(isFloat: Boolean, conf: SerializableConfiguration)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new BinPartitionReader(partition.asInstanceOf[BinPartition], isFloat, conf)
+}
+
+class BinPartitionReader(p: BinPartition, isFloat: Boolean, conf: SerializableConfiguration)
+    extends PartitionReader[InternalRow] {
+  private val path = new Path(p.file)
+  private val stream = path.getFileSystem(conf.value).open(path)
+  stream.seek(8L + p.rowStart * p.dim * 4L)
+  private val in = new DataInputStream(new java.io.BufferedInputStream(stream, 1 << 16))
+  private val fileName = org.apache.spark.unsafe.types.UTF8String.fromString(p.file)
+  private var produced = 0L
+  private var current: InternalRow = _
+
+  override def next(): Boolean = {
+    if (produced >= p.rowCount) return false
+    val buf = new Array[Byte](p.dim * 4)
+    in.readFully(buf)
+    val bb = java.nio.ByteBuffer.wrap(buf).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val rowId = p.rowStart + produced
+    current =
+      if (isFloat) {
+        val arr = new Array[Float](p.dim)
+        var i = 0
+        while (i < p.dim) { arr(i) = bb.getFloat(); i += 1 }
+        InternalRow(fileName, rowId, ArrayData.toArrayData(arr))
+      } else {
+        val arr = new Array[Int](p.dim)
+        var i = 0
+        while (i < p.dim) { arr(i) = bb.getInt(); i += 1 }
+        InternalRow(fileName, rowId, ArrayData.toArrayData(arr))
+      }
+    produced += 1
+    true
+  }
+  override def get(): InternalRow = current
+  override def close(): Unit = in.close()
+}
+
 /** Driver-side writers for small outputs (queries, ground truth) in
   * the reference's formats — the counterparts of python write_fvecs /
   * write_ivecs — plus a DataFrame exporter (cvt_data.py's conversion
@@ -179,7 +324,8 @@ object VecsIO {
       new java.io.BufferedOutputStream(new java.io.FileOutputStream(path)))
     try rows.foreach { v =>
       writeLeInt(out, v.length)
-      v.foreach(f => writeLeInt(out, java.lang.Float.floatToIntBits(f)))
+      // raw bits: a non-canonical NaN payload must roundtrip bit-exact
+      v.foreach(f => writeLeInt(out, java.lang.Float.floatToRawIntBits(f)))
     } finally out.close()
   }
   def writeIvecs(path: String, rows: Iterator[Array[Int]]): Unit = {
@@ -188,6 +334,34 @@ object VecsIO {
     try rows.foreach { v => writeLeInt(out, v.length); v.foreach(writeLeInt(out, _)) }
     finally out.close()
   }
+  /** Export a vector column to one local fbin file (io.py write
+    * counterpart of read_fbin), ordered by `idCol`. */
+  def exportFbin(
+      df: org.apache.spark.sql.DataFrame,
+      path: String,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): Unit = {
+    import org.apache.spark.sql.functions.col
+    val rows = df.select(col(idCol), col(vecCol)).orderBy(idCol)
+      .collect().map(r => r.getSeq[Float](1).toArray)
+    writeFbin(path, rows.toSeq)
+  }
+
+  def writeFbin(path: String, rows: Seq[Array[Float]]): Unit =
+    writeIbin(path, rows.map(_.map(java.lang.Float.floatToRawIntBits)))
+
+  def writeIbin(path: String, rows: Seq[Array[Int]]): Unit = {
+    val d = if (rows.isEmpty) 0 else rows.head.length
+    require(rows.forall(_.length == d), "fbin/ibin rows must share one dimension")
+    val out = new java.io.DataOutputStream(
+      new java.io.BufferedOutputStream(new java.io.FileOutputStream(path)))
+    try {
+      writeLeInt(out, rows.length)
+      writeLeInt(out, d)
+      rows.foreach(_.foreach(writeLeInt(out, _)))
+    } finally out.close()
+  }
+
   private def writeLeInt(out: java.io.DataOutputStream, v: Int): Unit = {
     out.write(v & 0xff); out.write((v >> 8) & 0xff)
     out.write((v >> 16) & 0xff); out.write((v >> 24) & 0xff)

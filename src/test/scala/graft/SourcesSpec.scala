@@ -68,6 +68,49 @@ class SourcesSpec extends AnyFunSuite {
     assert(got == Set(Seq(1.0f, 2.0f), Seq(3.0f, 4.0f)))
   }
 
+  test("fbin roundtrip is bit-exact, including NaN payloads") {
+    val dir = java.nio.file.Files.createTempDirectory("fbin_test")
+    val f = dir.resolve("sample.fbin").toString
+    val weird = java.lang.Float.intBitsToFloat(0x7fc00123) // non-canonical NaN
+    val vecs = Seq(Array(1.0f, -2.5f, weird), Array(Float.MinPositiveValue, 0.0f, 3e38f))
+    VecsIO.writeFbin(f, vecs)
+    val got = spark.read.format("fbin").load(f)
+      .orderBy("row_id").as[(String, Long, Array[Float])].collect()
+    assert(got.length == 2)
+    got.zip(vecs).foreach { case ((_, _, g), v) =>
+      assert(g.map(java.lang.Float.floatToRawIntBits).toSeq ==
+        v.map(java.lang.Float.floatToRawIntBits).toSeq)
+    }
+  }
+
+  test("ibin roundtrip and row-range splitting reads every row exactly once") {
+    val dir = java.nio.file.Files.createTempDirectory("ibin_test")
+    val f = dir.resolve("big.ibin").toString
+    val vecs = (0 until 1000).map(i => Array(i, i * 2, i * 3, Int.MinValue + i))
+    VecsIO.writeIbin(f, vecs)
+    // 16-byte rows with 64-byte splits -> 4 rows per partition, 250 splits
+    val df = spark.read.format("ibin").option("splitBytes", 64).load(f)
+    assert(df.rdd.getNumPartitions == 250, s"got ${df.rdd.getNumPartitions} partitions")
+    val got = df.orderBy("row_id").as[(String, Long, Array[Int])].collect()
+    assert(got.length == 1000)
+    assert(got.map(_._2).toSeq == (0L until 1000L)) // global row ids, no dup/drop
+    got.zipWithIndex.foreach { case ((_, _, v), i) => assert(v.toSeq == vecs(i).toSeq) }
+  }
+
+  test("parquet embeddings export to fbin and read back identically") {
+    val dir = java.nio.file.Files.createTempDirectory("fbin_export")
+    val f = dir.resolve("emb.fbin").toString
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    VecsIO.exportFbin(emb, f)
+    val back = spark.read.format("fbin").load(f)
+      .orderBy("row_id").as[(String, Long, Array[Float])].collect()
+    val orig = emb.orderBy("vec_id").as[(Long, Array[Float], Int)].collect()
+    assert(back.length == orig.length)
+    back.zip(orig).foreach { case ((_, rid, v), (id, o, _)) =>
+      assert(rid == id && v.toSeq == o.toSeq)
+    }
+  }
+
   test("SQL registration: vec_l2sq and vec_dot usable from spark.sql") {
     GraftFunctions.register(spark)
     val r = spark.sql(
