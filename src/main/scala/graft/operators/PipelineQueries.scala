@@ -55,6 +55,9 @@ object PipelineQueries {
   def sessionWindow(spark: SparkSession, dir: String): DataFrame =
     EventOps.sessionWindow(spark, dir)
 
+  def streamingNearDup(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamDedup.streamingNearDup(spark, dir)
+
   private def enList = TextAnalysis.markerSqlList("en")
 
   val oracles: Map[String, String] = Map(

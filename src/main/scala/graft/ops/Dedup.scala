@@ -49,6 +49,44 @@ object Dedup {
     else Array.tabulate(toks.length - k + 1)(i => toks.slice(i, i + k).mkString(" ")).distinct
   }
 
+  /** The seeded universal-hash coefficients behind a MinHashParams —
+    * shared by the batch and streaming minhash paths. */
+  private[graft] def hashCoefs(p: MinHashParams): Array[(Long, Long)] = {
+    val rnd = new scala.util.Random(p.seed)
+    Array.fill(p.numHashes)(
+      (1 + (rnd.nextLong() & Long.MaxValue) % (MERSENNE61 - 1),
+        (rnd.nextLong() & Long.MaxValue) % MERSENNE61))
+  }
+
+  /** Pure per-doc minhash signature kernel. */
+  private[graft] def signatureOf(
+      text: String, coefs: Array[(Long, Long)], p: MinHashParams): Array[Long] = {
+    val sh = shingles(text, p.shingleSize).map(hash64(_, p.seed))
+    val sig = Array.fill(p.numHashes)(Long.MaxValue)
+    var i = 0
+    while (i < sh.length) {
+      val h = sh(i) % MERSENNE61
+      var j = 0
+      while (j < coefs.length) {
+        // (a*h + b) mod p on a Mersenne prime, via unsigned 128-bit-free trick:
+        // values < 2^61 so a*h overflows; use BigInt-free mulmod below
+        val v = mulModM61(coefs(j)._1, h) + coefs(j)._2
+        val m = if (v >= MERSENNE61) v - MERSENNE61 else v
+        if (m < sig(j)) sig(j) = m
+        j += 1
+      }
+      i += 1
+    }
+    sig
+  }
+
+  /** One LSH bucket hash per band of a signature. */
+  private[graft] def bandHashes(sig: Array[Long], p: MinHashParams): Array[Int] =
+    Array.tabulate(p.bands) { b =>
+      MurmurHash3.orderedHash(
+        sig.slice(b * p.rowsPerBand, (b + 1) * p.rowsPerBand).toSeq, p.seed)
+    }
+
   /** Per-doc minhash signature (numHashes longs). Deterministic from
     * the seed; a narrow map, no shuffle. */
   def minHashSignatures(
@@ -58,33 +96,11 @@ object Dedup {
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     import spark.implicits._
-    val rnd = new scala.util.Random(p.seed)
-    val coefs = Array.fill(p.numHashes)(
-      (1 + (rnd.nextLong() & Long.MaxValue) % (MERSENNE61 - 1),
-        (rnd.nextLong() & Long.MaxValue) % MERSENNE61))
-    val bc = spark.sparkContext.broadcast(coefs)
+    val bc = spark.sparkContext.broadcast(hashCoefs(p))
     docs.select(col(idCol).cast(LongType), col(textCol)).as[(Long, String)]
       .mapPartitions { iter =>
         val cs = bc.value
-        iter.map { case (id, text) =>
-          val sh = shingles(text, p.shingleSize).map(hash64(_, p.seed))
-          val sig = Array.fill(p.numHashes)(Long.MaxValue)
-          var i = 0
-          while (i < sh.length) {
-            val h = sh(i) % MERSENNE61
-            var j = 0
-            while (j < cs.length) {
-              // (a*h + b) mod p on a Mersenne prime, via unsigned 128-bit-free trick:
-              // values < 2^61 so a*h overflows; use BigInt-free mulmod below
-              val v = mulModM61(cs(j)._1, h) + cs(j)._2
-              val m = if (v >= MERSENNE61) v - MERSENNE61 else v
-              if (m < sig(j)) sig(j) = m
-              j += 1
-            }
-            i += 1
-          }
-          (id, sig)
-        }
+        iter.map { case (id, text) => (id, signatureOf(text, cs, p)) }
       }.toDF(idCol, "signature")
   }
 
@@ -119,10 +135,7 @@ object Dedup {
     val bandRows = sigs.select(col(idCol).cast(LongType), col("signature"))
       .as[(Long, Array[Long])]
       .flatMap { case (id, sig) =>
-        (0 until p.bands).iterator.map { b =>
-          val slice = sig.slice(b * p.rowsPerBand, (b + 1) * p.rowsPerBand)
-          (b, MurmurHash3.orderedHash(slice.toSeq, p.seed), id)
-        }
+        bandHashes(sig, p).iterator.zipWithIndex.map { case (h, b) => (b, h, id) }
       }.toDF("band", "bucket", "id")
     val buckets = bandRows.groupBy("band", "bucket")
       .agg(collect_list("id").as("ids"))

@@ -92,7 +92,7 @@ object EventOps {
 
   /** Drain a streaming DataFrame synchronously into a uniquely-named
     * memory table and return it as a batch DataFrame. */
-  private def drainToTable(df: DataFrame, mode: String): DataFrame = {
+  private[streaming] def drainToTable(df: DataFrame, mode: String): DataFrame = {
     val name = s"graft_sink_${runId.incrementAndGet()}"
     val q = df.writeStream
       .outputMode(mode)

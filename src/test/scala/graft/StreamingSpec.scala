@@ -1,0 +1,108 @@
+package graft
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Dedup
+import graft.streaming.StreamDedup
+
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+  import spark.implicits._
+
+  /** Write one parquet file of documents-schema rows into `dir` with a
+    * given modification time (the file source processes oldest-first). */
+  private def writeDocsFile(
+      dir: java.nio.file.Path, name: String, mtimeMs: Long,
+      rows: Seq[(Long, String)]): Unit = {
+    val tmp = java.nio.file.Files.createTempDirectory("docs_part")
+    rows.map { case (id, t) => (id, t, "en", "test", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = java.nio.file.Files.list(tmp).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.head
+    val dest = dir.resolve(name)
+    java.nio.file.Files.copy(part, dest)
+    java.nio.file.Files.setLastModifiedTime(dest,
+      java.nio.file.attribute.FileTime.fromMillis(mtimeMs))
+  }
+
+  test("d6 streaming near-dup matches a batch recomputation on one batch") {
+    val dir = java.nio.file.Files.createTempDirectory("d6_batch_eq")
+    val base = "the quick brown fox jumps over the lazy dog again and again today " * 4
+    val docs: Seq[(Long, String)] = (1L to 24L).map { i =>
+      if (i % 4 == 0) (i, base) // planted dup family
+      else if (i % 4 == 1) (i, base.replace("lazy", "sleepy"))
+      else (i, s"unrelated content number $i about catalyst optimizer internals " * 3)
+    }
+    writeDocsFile(dir, "f1.parquet", 1000000L, docs)
+    val p = Dedup.MinHashParams()
+    val got = StreamDedup.streamingNearDupFromDir(spark, dir.toString, p)
+      .as[(Long, Long)].collect().toMap
+    assert(got.size == 24)
+    // independent batch recomputation: n_prior(d) = sum over bands of
+    // |{d' < d sharing that band bucket}| (single batch -> doc_id order)
+    val coefs = Dedup.hashCoefs(p)
+    val bands = docs.map { case (id, t) =>
+      id -> Dedup.bandHashes(Dedup.signatureOf(t, coefs, p), p)
+    }
+    val expected = bands.map { case (id, bh) =>
+      id -> bands.filter(_._1 < id).map { case (_, other) =>
+        bh.indices.count(b => bh(b) == other(b))
+      }.sum.toLong
+    }.toMap
+    assert(got == expected, s"got=$got expected=$expected")
+    // sanity: the dup family actually produced candidates
+    assert(got(8L) > 0 && got(24L) > got(8L))
+  }
+
+  test("d6 watermark eviction: an idle bucket is forgotten after retention") {
+    val dir = java.nio.file.Files.createTempDirectory("d6_evict")
+    val base = "the quick brown fox jumps over the lazy dog again and again today " * 4
+    // four single-doc batches (maxFilesPerTrigger = 1):
+    //   t=1     doc 1    text X
+    //   t=3000  doc 3000 unrelated (advances the watermark past X's timeout)
+    //   t=3100  doc 3100 unrelated (a data-less trigger for X's buckets ->
+    //           timeout fires, state evicted)
+    //   t=3200  doc 3200 text X again — a fresh bucket, so 0 priors
+    writeDocsFile(dir, "f1.parquet", 1000000L, Seq(1L -> base))
+    writeDocsFile(dir, "f2.parquet", 1010000L,
+      Seq(3000L -> ("completely different content about shuffle partitioning " * 4)))
+    writeDocsFile(dir, "f3.parquet", 1020000L,
+      Seq(3100L -> ("yet another unrelated document about broadcast joins " * 4)))
+    writeDocsFile(dir, "f4.parquet", 1030000L, Seq(3200L -> base))
+    val got = StreamDedup.streamingNearDupFromDir(
+        spark, dir.toString, Dedup.MinHashParams(),
+        retentionSec = 600L, maxFilesPerTrigger = Some(1))
+      .as[(Long, Long)].collect().toMap
+    assert(got.keySet == Set(1L, 3000L, 3100L, 3200L))
+    assert(got(1L) == 0L)
+    assert(got(3200L) == 0L,
+      s"doc 3200 should not see evicted doc 1 as a prior partner: $got")
+  }
+
+  test("d6 without eviction: the same late near-dup IS counted") {
+    val dir = java.nio.file.Files.createTempDirectory("d6_noevict")
+    val base = "the quick brown fox jumps over the lazy dog again and again today " * 4
+    writeDocsFile(dir, "f1.parquet", 1000000L, Seq(1L -> base))
+    writeDocsFile(dir, "f2.parquet", 1010000L,
+      Seq(3000L -> ("completely different content about shuffle partitioning " * 4)))
+    writeDocsFile(dir, "f3.parquet", 1020000L,
+      Seq(3100L -> ("yet another unrelated document about broadcast joins " * 4)))
+    writeDocsFile(dir, "f4.parquet", 1030000L, Seq(3200L -> base))
+    val p = Dedup.MinHashParams()
+    val got = StreamDedup.streamingNearDupFromDir(
+        spark, dir.toString, p,
+        retentionSec = 100000L, maxFilesPerTrigger = Some(1))
+      .as[(Long, Long)].collect().toMap
+    assert(got(3200L) == p.bands.toLong,
+      s"with a long retention doc 3200 shares all ${p.bands} band buckets with doc 1: $got")
+  }
+}
