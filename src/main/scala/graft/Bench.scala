@@ -47,9 +47,9 @@ object Bench {
         val sec = (System.nanoTime() - t0) / 1e9
         if (ok) sec else -1.0
       }
-      // min of the successful runs; -1 only if every run failed
-      val good = secs.filter(_ >= 0)
-      name -> (if (good.nonEmpty) good.min else -1.0)
+      // a query must succeed on EVERY run to report a time — an
+      // intermittent crash must not masquerade as a fast min
+      name -> (if (secs.forall(_ >= 0)) secs.min else -1.0)
     }
     def esc(s: String): String = s.flatMap {
       case '"' => "\\\""

@@ -122,8 +122,9 @@ object AnnQueries {
   def ivfSearch(spark: SparkSession, dir: String): DataFrame =
     searchResults(spark, dir).orderBy("query_id", "rk")
 
-  /** b7b: the full search path end-to-end at B=8 (9-bit total code);
-    * recall ≥ 0.99 at this width is pinned by AnnSpec's sweep. */
+  /** b7b: the full search path end-to-end at B=8; AnnSpec's sweep pins
+    * recall ≥ 0.98 for the quantized path at this width (≥ 0.99 is the
+    * b12 exact-re-rank path's contract). */
   def ivfSearchB8(spark: SparkSession, dir: String): DataFrame =
     searchResults(spark, dir, bits = 8).orderBy("query_id", "rk")
 

@@ -338,7 +338,9 @@ object Dedup {
     val expanded = embeddings.select(col("vec_id").cast(LongType), col("embedding"))
       .as[(Long, Array[Float])]
       .flatMap { case (id, v) =>
-        val b = (id % numBlocks).toInt
+        // floorMod: a Scala % on a negative id would yield a negative
+        // block that no other row's pair keys ever reference
+        val b = java.lang.Math.floorMod(id, numBlocks.toLong).toInt
         val n = math.sqrt(dot(v, v))
         (0 until numBlocks).iterator.map { o =>
           (math.min(b, o), math.max(b, o), b, id, v, n)

@@ -28,6 +28,36 @@ import org.apache.spark.util.SerializableConfiguration
   * One InputPartition per file; a vector corpus at scale is stored as
   * many files, so parallelism follows the file layout.
   */
+/** Path handling shared by every vector-file source in this package. */
+private[sources] object VecsFiles {
+  /** DataFrameReader passes a single path as `path` and 2+ paths as a
+    * JSON-encoded string array in `paths`. */
+  def resolvePaths(options: CaseInsensitiveStringMap): Seq[String] = {
+    val multi = Option(options.get("paths")).toSeq.flatMap { s =>
+      new com.fasterxml.jackson.databind.ObjectMapper()
+        .readValue(s, classOf[Array[String]]).toSeq
+    }
+    Option(options.get("path")).toSeq ++ multi
+  }
+
+  /** Expand a file-or-directory path to its data files, skipping job
+    * markers / checksums (_SUCCESS, .crc, dotfiles), sorted by path. */
+  def listDataFiles(
+      hadoopConf: org.apache.hadoop.conf.Configuration,
+      p: String): Seq[org.apache.hadoop.fs.FileStatus] = {
+    val path = new Path(p)
+    val fs = path.getFileSystem(hadoopConf)
+    val files =
+      if (fs.getFileStatus(path).isDirectory)
+        fs.listStatus(path).toSeq.filter { f =>
+          val n = f.getPath.getName
+          f.isFile && !n.startsWith("_") && !n.startsWith(".")
+        }
+      else Seq(fs.getFileStatus(path))
+    files.sortBy(_.getPath.toString)
+  }
+}
+
 abstract class VecsProviderBase(isFloat: Boolean) extends TableProvider with DataSourceRegister {
   private def elemType: DataType = if (isFloat) FloatType else IntegerType
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
@@ -52,16 +82,8 @@ class VecsTable(tableSchema: StructType, props: Map[String, String], isFloat: Bo
   override def name(): String = s"$fmt(${props.getOrElse("path", "")})"
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ)
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
-    // DataFrameReader passes a single path as `path` and 2+ paths as a
-    // JSON-encoded string array in `paths`
-    val multi = Option(options.get("paths")).toSeq.flatMap { s =>
-      new com.fasterxml.jackson.databind.ObjectMapper()
-        .readValue(s, classOf[Array[String]]).toSeq
-    }
-    val paths = Option(options.get("path")).toSeq ++ multi
-    new VecsScanBuilder(tableSchema, paths, isFloat)
-  }
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new VecsScanBuilder(tableSchema, VecsFiles.resolvePaths(options), isFloat)
   override def schema(): StructType = tableSchema // columns() derives from this
 }
 
@@ -75,17 +97,7 @@ class VecsScanBuilder(schema: StructType, paths: Seq[String], isFloat: Boolean)
     val spark = org.apache.spark.sql.SparkSession.active
     val hadoopConf = spark.sessionState.newHadoopConf()
     paths.flatMap { p =>
-      val path = new Path(p)
-      val fs = path.getFileSystem(hadoopConf)
-      val files =
-        if (fs.getFileStatus(path).isDirectory)
-          fs.listStatus(path).toSeq.filter { f =>
-            // skip job markers / checksums (_SUCCESS, .crc, dotfiles)
-            val n = f.getPath.getName
-            f.isFile && !n.startsWith("_") && !n.startsWith(".")
-          }
-        else Seq(fs.getFileStatus(path))
-      files.sortBy(_.getPath.toString)
+      VecsFiles.listDataFiles(hadoopConf, p)
         .map(f => VecsPartition(f.getPath.toString, f.getLen): InputPartition)
     }.toArray
   }
@@ -190,15 +202,11 @@ class BinTable(tableSchema: StructType, props: Map[String, String], isFloat: Boo
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
-    val multi = Option(options.get("paths")).toSeq.flatMap { s =>
-      new com.fasterxml.jackson.databind.ObjectMapper()
-        .readValue(s, classOf[Array[String]]).toSeq
-    }
-    val paths = Option(options.get("path")).toSeq ++ multi
     val spark = org.apache.spark.sql.SparkSession.active
     val splitBytes = Option(options.get("splitBytes")).map(_.toLong)
       .getOrElse(spark.sessionState.conf.filesMaxPartitionBytes)
-    new BinScanBuilder(tableSchema, paths, isFloat, math.max(1L, splitBytes))
+    new BinScanBuilder(tableSchema, VecsFiles.resolvePaths(options), isFloat,
+      math.max(1L, splitBytes))
   }
   override def schema(): StructType = tableSchema
 }
@@ -213,17 +221,9 @@ class BinScanBuilder(schema: StructType, paths: Seq[String], isFloat: Boolean, s
     val spark = org.apache.spark.sql.SparkSession.active
     val hadoopConf = spark.sessionState.newHadoopConf()
     paths.flatMap { p =>
-      val path = new Path(p)
-      val fs = path.getFileSystem(hadoopConf)
-      val files =
-        if (fs.getFileStatus(path).isDirectory)
-          fs.listStatus(path).toSeq.filter { f =>
-            val n = f.getPath.getName
-            f.isFile && !n.startsWith("_") && !n.startsWith(".")
-          }
-        else Seq(fs.getFileStatus(path))
-      files.sortBy(_.getPath.toString).flatMap { f =>
+      VecsFiles.listDataFiles(hadoopConf, p).flatMap { f =>
         // read the tiny header on the driver to plan row-range splits
+        val fs = f.getPath.getFileSystem(hadoopConf)
         val in = fs.open(f.getPath)
         val (n, d) =
           try {
@@ -347,19 +347,24 @@ object VecsIO {
     writeFbin(path, rows.toSeq)
   }
 
+  // header + streamed rows — no intermediate copy of the payload
   def writeFbin(path: String, rows: Seq[Array[Float]]): Unit =
-    writeIbin(path, rows.map(_.map(java.lang.Float.floatToRawIntBits)))
+    withBinHeader(path, rows.map(_.length)) { out =>
+      // raw bits: non-canonical NaN payloads must roundtrip bit-exact
+      rows.foreach(_.foreach(f => writeLeInt(out, java.lang.Float.floatToRawIntBits(f))))
+    }
 
-  def writeIbin(path: String, rows: Seq[Array[Int]]): Unit = {
-    val d = if (rows.isEmpty) 0 else rows.head.length
-    require(rows.forall(_.length == d), "fbin/ibin rows must share one dimension")
+  def writeIbin(path: String, rows: Seq[Array[Int]]): Unit =
+    withBinHeader(path, rows.map(_.length))(out =>
+      rows.foreach(_.foreach(writeLeInt(out, _))))
+
+  private def withBinHeader(path: String, lengths: Seq[Int])(
+      body: java.io.DataOutputStream => Unit): Unit = {
+    val d = lengths.headOption.getOrElse(0)
+    require(lengths.forall(_ == d), "fbin/ibin rows must share one dimension")
     val out = new java.io.DataOutputStream(
       new java.io.BufferedOutputStream(new java.io.FileOutputStream(path)))
-    try {
-      writeLeInt(out, rows.length)
-      writeLeInt(out, d)
-      rows.foreach(_.foreach(writeLeInt(out, _)))
-    } finally out.close()
+    try { writeLeInt(out, lengths.length); writeLeInt(out, d); body(out) } finally out.close()
   }
 
   private def writeLeInt(out: java.io.DataOutputStream, v: Int): Unit = {

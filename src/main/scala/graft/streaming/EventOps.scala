@@ -67,27 +67,32 @@ object EventOps {
     StructField("value", DoubleType), StructField("props", StringType)))
 
   private val srcDirCache =
-    new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String), java.nio.file.Path]()
 
-  /** Streaming source over the events table. The file stream source
-    * requires a directory (a direct file path fails with "basePath
-    * must be a directory", even with an explicit basePath option —
-    * verified empirically); expose the single events file through a
-    * cached temp dir (at cluster scale the source would be a real
-    * landing directory). `ts` arrives as raw nanos (see Tables). */
-  private def eventsStream(spark: SparkSession, dir: String): DataFrame = {
-    Tables.enableNanosAsLong(spark)
-    val srcDir = srcDirCache.computeIfAbsent(dir, _ => {
+  /** The file stream source requires a directory (a direct file path
+    * fails with "basePath must be a directory", even with an explicit
+    * basePath option — verified empirically): expose a single table
+    * file through a cached symlinked temp dir (at cluster scale the
+    * source would be a real landing directory). Shared by every
+    * streaming operator in this package. */
+  private[streaming] def symlinkedDir(dir: String, fileName: String): String =
+    srcDirCache.computeIfAbsent((dir, fileName), _ => {
       val d = java.nio.file.Files.createTempDirectory("graft_stream_src")
-      val link = d.resolve("events.parquet")
+      val link = d.resolve(fileName)
       // absolute target: a relative one would resolve against the temp
       // dir, not the JVM cwd, leaving a dangling symlink
       java.nio.file.Files.createSymbolicLink(link,
-        java.nio.file.Paths.get(s"$dir/events.parquet").toAbsolutePath)
+        java.nio.file.Paths.get(s"$dir/$fileName").toAbsolutePath)
       d.toFile.deleteOnExit(); link.toFile.deleteOnExit()
       d
-    })
-    spark.readStream.schema(eventsSchema).parquet(srcDir.toString)
+    }).toString
+
+  /** Streaming source over the events table. `ts` arrives as raw
+    * nanos (see Tables). */
+  private def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    Tables.enableNanosAsLong(spark)
+    spark.readStream.schema(eventsSchema)
+      .parquet(symlinkedDir(dir, "events.parquet"))
   }
 
   /** Drain a streaming DataFrame synchronously into a uniquely-named

@@ -19,11 +19,14 @@ import graft.ops.Dedup.MinHashParams
   * band, the number of PRIOR bucket members — summed over bands this
   * is its near-dup candidate-partner count at arrival time (an
   * arrival-ordered variant of c2's `n_candidates`; multiplicity =
-  * number of shared bands). Buckets idle longer than `retention`
-  * (event time) are evicted via EventTimeTimeout — the watermark
-  * bounds state exactly as the reference pipelines bound their
-  * dedup window. Bucket membership is capped at `p.maxBucket`, the
-  * same quadratic-explosion guard as the batch path.
+  * number of shared bands). Members older than `retention` (event
+  * time, judged against the watermark) stop counting as partners and
+  * are pruned on the data path; fully idle buckets are additionally
+  * dropped via EventTimeTimeout — so state is bounded even when a hot
+  * bucket never goes idle. Saturated buckets (≥ `p.maxBucket`
+  * members) report 0 partners and stop growing: the batch path drops
+  * such degenerate buckets entirely, and claiming maxBucket partners
+  * per arrival would invert that semantics.
   *
   * At 100 TB/day the same plan runs unchanged against a real landing
   * directory: state is sharded by (band, bucket) across executors,
@@ -34,10 +37,10 @@ object StreamDedup {
     * table has no timestamp column; arrival order follows doc_id). */
   private[streaming] val BaseEpochSec = 1700000000L
 
-  final case class BucketState(ids: Array[Long])
-
-  private val srcDirCache =
-    new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
+  /** Bucket members with their last-seen event time (ms), so aging is
+    * enforced on every data batch — not only via the group timeout,
+    * which can never fire in a trigger where the group has data. */
+  final case class BucketState(ids: Array[Long], tsMs: Array[Long])
 
   private val docsSchema = StructType(Seq(
     StructField("doc_id", LongType), StructField("text", StringType),
@@ -45,17 +48,8 @@ object StreamDedup {
     StructField("n_chars", LongType)))
 
   /** d6 entry: stream the documents table of `dir`. */
-  def streamingNearDup(spark: SparkSession, dir: String): DataFrame = {
-    val srcDir = srcDirCache.computeIfAbsent(dir, _ => {
-      val d = java.nio.file.Files.createTempDirectory("graft_stream_docs")
-      val link = d.resolve("documents.parquet")
-      java.nio.file.Files.createSymbolicLink(link,
-        java.nio.file.Paths.get(s"$dir/documents.parquet").toAbsolutePath)
-      d.toFile.deleteOnExit(); link.toFile.deleteOnExit()
-      d
-    })
-    streamingNearDupFromDir(spark, srcDir.toString)
-  }
+  def streamingNearDup(spark: SparkSession, dir: String): DataFrame =
+    streamingNearDupFromDir(spark, EventOps.symlinkedDir(dir, "documents.parquet"))
 
   /** Lower-level entry over any directory of documents-schema parquet
     * files (specs use `maxFilesPerTrigger = 1` to force multi-batch
@@ -94,21 +88,32 @@ object StreamDedup {
          rows: Iterator[(Int, Int, Long, java.sql.Timestamp)],
          state: GroupState[BucketState]) =>
           if (state.hasTimedOut) {
-            // idle past retention: evict — old members no longer count
-            // as near-dup partners for future arrivals
+            // idle past retention with no new data: drop the state row
             state.remove()
             Iterator.empty
           } else {
-            var ids = state.getOption.map(_.ids).getOrElse(Array.empty[Long])
+            // age out members older than retention FIRST: a bucket that
+            // stays warm never times out, so eviction must also happen
+            // on the data path (a member expires once the watermark
+            // passes its event time + retention)
+            val wm = state.getCurrentWatermarkMs()
+            val prev = state.getOption.getOrElse(BucketState(Array.empty, Array.empty))
+            val live = prev.ids.indices.filter(i => prev.tsMs(i) + retentionMs >= wm)
+            var ids = live.map(prev.ids).toArray
+            var ts = live.map(prev.tsMs).toArray
             // doc_id order = event-time order here, keeping multi-row
             // batches deterministic regardless of shuffle arrival order
             val batch = rows.toArray.sortBy(_._3)
-            val out = batch.map { case (_, _, id, _) =>
-              val n = ids.length
-              if (ids.length < p.maxBucket) ids :+= id
+            val out = batch.map { case (_, _, id, t) =>
+              // saturated bucket = degenerate content (the batch path
+              // drops such buckets entirely); report 0 partners and
+              // stop growing state rather than claiming maxBucket
+              // near-dups for every arrival
+              val n = if (ids.length >= p.maxBucket) 0L else ids.length.toLong
+              if (ids.length < p.maxBucket) { ids :+= id; ts :+= t.getTime }
               (id, n)
             }
-            state.update(BucketState(ids))
+            state.update(BucketState(ids, ts))
             val maxTsMs = batch.map(_._4.getTime).max
             state.setTimeoutTimestamp(maxTsMs + retentionMs)
             out.iterator

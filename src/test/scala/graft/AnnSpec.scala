@@ -132,6 +132,7 @@ class AnnSpec extends AnyFunSuite {
       val m = ann.IVFIndex.build(spark, e, p)
       val approx = m.search(spark, qs, 10, nprobe = p.k)
         .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      m.index.unpersist() // don't pin 6 throwaway indexes for the suite
       b -> (approx & exact).size.toDouble / exact.size
     }
     val byWidth = recalls.toMap

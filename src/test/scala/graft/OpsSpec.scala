@@ -92,6 +92,14 @@ class OpsSpec extends AnyFunSuite {
     assert(expected.nonEmpty)
   }
 
+  test("embedding near-dup handles negative ids (block assignment is floorMod)") {
+    val v = Array.fill(8)(0.5f)
+    val df = Seq((-7L, v), (-2L, v), (3L, v)).toDF("vec_id", "embedding")
+    val got = Dedup.embeddingNearDup(df, 0.9, numBlocks = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got == Set((-7L, -2L), (-7L, 3L), (-2L, 3L)))
+  }
+
   test("mulModM61 matches BigInt arithmetic") {
     val m = BigInt(2).pow(61) - 1
     val rnd = new scala.util.Random(9)

@@ -88,6 +88,43 @@ class StreamingSpec extends AnyFunSuite {
       s"doc 3200 should not see evicted doc 1 as a prior partner: $got")
   }
 
+  test("d6 warm-bucket aging: a hot bucket still forgets members past retention") {
+    val dir = java.nio.file.Files.createTempDirectory("d6_warm")
+    val base = "the quick brown fox jumps over the lazy dog again and again today " * 4
+    // the bucket receives data in EVERY batch, so the group timeout can
+    // never fire — aging must happen on the data path: by doc 3100's
+    // batch the watermark (2900-60s) has passed doc 1's ts+600s, so
+    // doc 1 must no longer count as a prior partner.
+    writeDocsFile(dir, "f1.parquet", 1000000L, Seq(1L -> base))
+    writeDocsFile(dir, "f2.parquet", 1010000L, Seq(2900L -> base))
+    writeDocsFile(dir, "f3.parquet", 1020000L, Seq(3100L -> base))
+    writeDocsFile(dir, "f4.parquet", 1030000L, Seq(3200L -> base))
+    val p = Dedup.MinHashParams()
+    val got = StreamDedup.streamingNearDupFromDir(
+        spark, dir.toString, p,
+        retentionSec = 600L, maxFilesPerTrigger = Some(1))
+      .as[(Long, Long)].collect().toMap
+    // doc 2900: watermark still MIN_VALUE-ish (only doc 1 seen) -> doc 1 counts
+    assert(got(2900L) == p.bands.toLong, s"doc 2900 should see doc 1: $got")
+    // doc 3100: watermark = 2900-60s -> doc 1 (ts+600 < wm) aged out, 2900 counts
+    assert(got(3100L) == p.bands.toLong, s"doc 3100 should see only doc 2900: $got")
+    // doc 3200: watermark = 3100-60s -> 2900 and 3100 both in retention
+    assert(got(3200L) == 2L * p.bands, s"doc 3200 should see 2900+3100: $got")
+  }
+
+  test("d6 saturated bucket reports zero partners (batch drops such buckets)") {
+    val dir = java.nio.file.Files.createTempDirectory("d6_sat")
+    val base = "the quick brown fox jumps over the lazy dog again and again today " * 4
+    val docs = (1L to 8L).map(_ -> base)
+    writeDocsFile(dir, "f1.parquet", 1000000L, docs)
+    val p = Dedup.MinHashParams(maxBucket = 3)
+    val got = StreamDedup.streamingNearDupFromDir(spark, dir.toString, p)
+      .as[(Long, Long)].collect().toMap
+    // docs 1..3 fill each bucket (0,1,2 priors); docs 4+ see saturation -> 0
+    assert(got(2L) == p.bands.toLong && got(3L) == 2L * p.bands, s"$got")
+    (4L to 8L).foreach(d => assert(got(d) == 0L, s"doc $d in saturated bucket: $got"))
+  }
+
   test("d6 without eviction: the same late near-dup IS counted") {
     val dir = java.nio.file.Files.createTempDirectory("d6_noevict")
     val base = "the quick brown fox jumps over the lazy dog again and again today " * 4
