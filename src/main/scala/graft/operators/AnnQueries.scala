@@ -170,25 +170,32 @@ object AnnQueries {
       .orderBy("query_id")
   }
 
-  /** Exact distances for a tiny (query_id, neighbor_id) result set,
-    * re-ranked per query by TRUE distance — the reference pairs result
-    * lists this way before computing ratios (tools.hpp get_ratio).
-    * The result set (Q×k rows) is broadcast against the corpus table;
-    * the corpus itself is never collected. */
-  private def withExactDist(spark: SparkSession, dir: String, results: DataFrame): DataFrame = {
+  /** Exact distances for a tiny (…, query_id, neighbor_id) result
+    * set, re-ranked by TRUE distance within each partition-key group —
+    * the reference pairs result lists this way before computing ratios
+    * (tools.hpp get_ratio). The result set (Q×k rows per group) is
+    * broadcast against the corpus table; the corpus itself is never
+    * collected. `extraKeys` lets one batched job rank several result
+    * lists at once (b11 tags rows with their nprobe). */
+  private def withExactDist(
+      spark: SparkSession,
+      dir: String,
+      results: DataFrame,
+      extraKeys: Seq[String] = Nil): DataFrame = {
     import graft.functions.VectorFunctions.vec_l2sq
     import spark.implicits._
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id").as("nid"), col("embedding").as("nvec"))
     val q = queryVectors(spark, dir).toSeq.toDF("qid", "qvec")
+    val keys = extraKeys :+ "query_id"
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("query_id").orderBy("d2", "neighbor_id")
+      .partitionBy(keys.map(col): _*).orderBy("d2", "neighbor_id")
     e.join(broadcast(results.join(q, col("query_id") === col("qid"))),
         col("neighbor_id") === col("nid"))
-      .select(col("query_id"), col("neighbor_id"),
-        vec_l2sq(col("qvec"), col("nvec")).as("d2"))
+      .select(keys.map(col) :+
+        col("neighbor_id") :+ vec_l2sq(col("qvec"), col("nvec")).as("d2"): _*)
       .withColumn("rk", row_number().over(w))
-      .select("query_id", "rk", "d2")
+      .select(keys.map(col) :+ col("rk") :+ col("d2"): _*)
   }
 
   /** b11: nprobe-sweep evaluation harness — one row per nprobe with
@@ -211,22 +218,35 @@ object AnnQueries {
       .as[(Long, Long)].collect().groupBy(_._1).map { case (q, xs) => q -> xs.map(_._2).toSet }
     val gtDist: Map[(Long, Int), Double] = withExactDist(spark, dir, gt)
       .as[(Long, Int, Double)].collect().map { case (q, rk, d) => (q, rk) -> d }.toMap
-    val rows = nprobes.sorted.map { np =>
+    // the per-nprobe searches ARE the latency measurement (the
+    // reference re-searches per nprobe too); only the tiny result ids
+    // come back per step
+    val perNp = nprobes.sorted.map { np =>
       val t0 = System.nanoTime()
-      val res = m.search(spark, qs, k, math.min(np, m.params.k))
-      val ids = res.select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      val ids = m.search(spark, qs, k, math.min(np, m.params.k))
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect()
       val wall = (System.nanoTime() - t0) / 1e9
+      (np, ids, wall)
+    }
+    // ONE batched exact-distance job ranks every (nprobe, query) result
+    // list at once, instead of a corpus-scan + window job per nprobe
+    val tagged = perNp.flatMap { case (np, ids, _) =>
+      ids.map { case (q, n) => (np, q, n) }
+    }.toDF("nprobe", "query_id", "neighbor_id")
+    val annDist: Map[(Int, Long, Int), Double] =
+      withExactDist(spark, dir, tagged, extraKeys = Seq("nprobe"))
+        .as[(Int, Long, Int, Double)].collect()
+        .map { case (np, q, rk, d) => (np, q, rk) -> d }.toMap
+    val rows = perNp.map { case (np, ids, wall) =>
       val recall = qs.map { case (qid, _) =>
         ids.count { case (q, n) => q == qid && gtSets(qid).contains(n) }.toDouble / k
       }.sum / qs.length
-      val annDist = withExactDist(spark, dir, res)
-        .as[(Long, Int, Double)].collect().map { case (q, rk, d) => (q, rk) -> d }.toMap
       // reference get_ratio: √(d²_ann/d²_gt) over ranks with
       // non-degenerate gt distance, averaged per query; 1.0 when all
       // gt distances are degenerate
       val ratio = qs.map { case (qid, _) =>
         val rs = (1 to k).flatMap { rk =>
-          (annDist.get((qid, rk)), gtDist.get((qid, rk))) match {
+          (annDist.get((np, qid, rk)), gtDist.get((qid, rk))) match {
             case (Some(a), Some(g)) if g > 1e-5 => Some(math.sqrt(a / g))
             case _ => None
           }

@@ -36,6 +36,12 @@ class PlanSpec extends AnyFunSuite {
       s"column pruning lost:\n$p")
   }
 
+  test("c5 block plan: no cartesian or nested-loop join of corpus rows") {
+    val p = plan(operators.PipelineQueries.dedupEmbed(spark, sf))
+    assert(!p.contains("CartesianProduct"), s"c5 planned a cartesian:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"c5 planned a BNLJ:\n$p")
+  }
+
   test("c4 jaccard stays in codegen (no UDF node in the plan)") {
     val p = plan(operators.PipelineQueries.ngramJaccard(spark, sf))
     assert(!p.contains("UDF"), s"c4 fell back to a UDF:\n$p")
