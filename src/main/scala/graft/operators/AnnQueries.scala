@@ -220,8 +220,9 @@ object AnnQueries {
       .as[(Long, Int, Double)].collect().map { case (q, rk, d) => (q, rk) -> d }.toMap
     // the per-nprobe searches ARE the latency measurement (the
     // reference re-searches per nprobe too); only the tiny result ids
-    // come back per step
-    val perNp = nprobes.sorted.map { np =>
+    // come back per step. distinct: duplicate tags would merge two
+    // result lists into one ranking window and corrupt the ratio
+    val perNp = nprobes.distinct.sorted.map { np =>
       val t0 = System.nanoTime()
       val ids = m.search(spark, qs, k, math.min(np, m.params.k))
         .select("query_id", "neighbor_id").as[(Long, Long)].collect()
@@ -238,8 +239,10 @@ object AnnQueries {
         .as[(Int, Long, Int, Double)].collect()
         .map { case (np, q, rk, d) => (np, q, rk) -> d }.toMap
     val rows = perNp.map { case (np, ids, wall) =>
+      val byQuery = ids.groupBy(_._1)
       val recall = qs.map { case (qid, _) =>
-        ids.count { case (q, n) => q == qid && gtSets(qid).contains(n) }.toDouble / k
+        byQuery.getOrElse(qid, Array.empty[(Long, Long)])
+          .count { case (_, n) => gtSets(qid).contains(n) }.toDouble / k
       }.sum / qs.length
       // reference get_ratio: √(d²_ann/d²_gt) over ranks with
       // non-degenerate gt distance, averaged per query; 1.0 when all
