@@ -44,6 +44,7 @@ object SparkEntry {
     "c8_token_count" -> (PipelineQueries.tokenCount(_, _)),
     "c9_doc_fingerprint" -> (PipelineQueries.docFingerprint(_, _)),
     "c10_multimodal_meta" -> (PipelineQueries.multimodalMeta(_, _)),
+    "c11_media_embed" -> (PipelineQueries.mediaEmbedSearch(_, _)),
     "d1_sessionize"  -> (PipelineQueries.sessionize(_, _)),
     "d2_window_agg"  -> (PipelineQueries.windowAgg(_, _)),
     "d3_stream_agg"  -> (PipelineQueries.streamingAgg(_, _)),

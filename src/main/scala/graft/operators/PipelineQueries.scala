@@ -40,6 +40,18 @@ object PipelineQueries {
   def multimodalMeta(spark: SparkSession, dir: String): DataFrame =
     Multimodal.metaQuery(spark, Tables.documents(spark, dir))
 
+  /** c11: media payloads → stub-encoder embeddings → exact top-3
+    * self-search. The full multimodal → similarity bridge: identical
+    * payloads surface as rank-1/2 neighbors. Rows-only (the histogram
+    * encoder is not SQL-expressible); pinned by OpsSpec. */
+  def mediaEmbedSearch(spark: SparkSession, dir: String): DataFrame = {
+    val feats = Multimodal.featureExtract(spark, Tables.documents(spark, dir))
+    val queries = feats.filter(col("vec_id") < 4)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+    graft.ann.KnnExact.topK(spark, feats, queries, k = 3)
+      .orderBy("query_id", "rk")
+  }
+
   def sessionize(spark: SparkSession, dir: String): DataFrame =
     EventOps.sessionize(spark, dir)
 

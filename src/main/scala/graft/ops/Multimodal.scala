@@ -64,6 +64,32 @@ object Multimodal {
       .toDF("doc_id", "frame_idx", "frame_bytes")
   }
 
+  /** STUB feature extraction: deterministic byte-histogram embedding
+    * (dim buckets over byte values + byte bigrams, L2-normalized). A
+    * real implementation would run a vision/audio encoder over the
+    * decoded frames; the output schema (vec_id, embedding:
+    * array<float>) is exactly what IVFIndex.build / KnnExact consume,
+    * so swapping the encoder changes no downstream plan — this is the
+    * multimodal → similarity-search bridge. */
+  def featureExtract(spark: SparkSession, docs: DataFrame, dim: Int = 64): DataFrame = {
+    import spark.implicits._
+    withPayload(docs)
+      .select(col("doc_id").cast(LongType), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, p) =>
+        val v = new Array[Float](dim)
+        var i = 0
+        while (i < p.length) {
+          v((p(i) & 0xff) % dim) += 1f
+          // bigram term so reorderings of the same bytes differ
+          if (i > 0) v(((p(i - 1) & 0xff) * 31 + (p(i) & 0xff)) % dim) += 0.5f
+          i += 1
+        }
+        val n = math.sqrt(v.map(x => x.toDouble * x).sum)
+        (id, if (n == 0) v else v.map(x => (x / n).toFloat))
+      }).toDF("vec_id", "embedding")
+  }
+
   /** c10 query: binary plumbing with SQL-checkable outputs (payload
     * length, md5, stub metadata — all deterministic). */
   def metaQuery(spark: SparkSession, docs: DataFrame): DataFrame =

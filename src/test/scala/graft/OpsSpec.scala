@@ -154,6 +154,29 @@ class OpsSpec extends AnyFunSuite {
     assert(f1 != f3)
   }
 
+  test("multimodal feature extraction feeds similarity search end-to-end") {
+    val d = docs(
+      1L -> "identical media payload content",
+      2L -> "identical media payload content", // byte-for-byte dup of 1
+      3L -> "payload media identical content ", // same bytes, other order
+      4L -> "completely different binary stuff")
+    val feats = Multimodal.featureExtract(spark, d)
+    val rows = feats.as[(Long, Array[Float])].collect().toMap
+    assert(rows.size == 4 && rows.values.forall(_.length == 64))
+    // unit-norm embeddings; identical payloads -> identical vectors
+    rows.values.foreach { v =>
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum)
+      assert(math.abs(n - 1.0) < 1e-5)
+    }
+    assert(rows(1L).toSeq == rows(2L).toSeq)
+    assert(rows(1L).toSeq != rows(3L).toSeq, "bigram term must see byte order")
+    // the bridge: exact search over extracted features puts the dup first
+    val q = Array((1L, rows(1L)))
+    val top = graft.ann.KnnExact.topK(spark, feats, q, k = 2)
+      .orderBy("rk").select("neighbor_id").as[Long].collect()
+    assert(top.toSet == Set(1L, 2L), s"dup not found by search: ${top.toSeq}")
+  }
+
   test("multimodal decode stub: schema and per-row plumbing") {
     val d = docs(1L -> "abcd", 2L -> ("x" * 100))
     val meta = Multimodal.decode(spark, d).collect().sortBy(_.doc_id)
