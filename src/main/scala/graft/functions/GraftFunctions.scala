@@ -13,7 +13,8 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 object GraftFunctions {
   private val builders: Seq[(String, Seq[Expression] => Expression, String)] = Seq(
     ("vec_l2sq", es => VecL2Sq(es(0), es(1)), "squared L2 distance between two vectors"),
-    ("vec_dot", es => VecDot(es(0), es(1)), "inner product of two vectors"))
+    ("vec_dot", es => VecDot(es(0), es(1)), "inner product of two vectors"),
+    ("vec_sum", es => VecSum(es(0)), "sum of a vector's elements"))
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

@@ -111,9 +111,59 @@ case class VecDot(left: Expression, right: Expression) extends VecBinaryExpressi
     copy(left = l, right = r)
 }
 
+/** Sum of a vector's elements (sequential double accumulation, the
+  * codegen replacement for the interpreted `aggregate()` HOF). */
+case class VecSum(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def prettyName: String = "vec_sum"
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an array<float|double> argument, got ${t.catalogString}")
+  }
+  private def elemIsFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    var s = 0.0; var i = 0
+    while (i < n) {
+      if (x.isNullAt(i)) return null
+      s += (if (elemIsFloat) x.getFloat(i).toDouble else x.getDouble(i))
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x => {
+      val n = ctx.freshName("n"); val s = ctx.freshName("s"); val i = ctx.freshName("i")
+      val get = if (elemIsFloat) s"(double) $x.getFloat($i)" else s"$x.getDouble($i)"
+      s"""
+         |int $n = $x.numElements();
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($x.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |  $s += $get;
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object VectorFunctions {
   private def col(e: Expression): Column = GraftColumnBridge.column(e)
   private def ex(c: Column): Expression = GraftColumnBridge.expression(c)
+
+  /** Element sum (codegen; replaces the interpreted aggregate() HOF). */
+  def vec_sum(a: Column): Column = col(VecSum(ex(a)))
 
   /** Squared L2 distance (space.hpp L2Sqr). */
   def vec_l2sq(a: Column, b: Column): Column = col(VecL2Sq(ex(a), ex(b)))

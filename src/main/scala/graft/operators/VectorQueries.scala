@@ -58,8 +58,8 @@ object VectorQueries {
     Tables.embeddings(spark, dir)
       .select(col("vec_id"),
         size(padded).as("padded_dim"),
-        round(aggregate(padded, lit(0.0),
-          (acc, x) => acc + x.cast(DoubleType)), 6).as("checksum"),
+        // vec_sum: codegen'd; the aggregate() HOF evaluates interpreted
+        round(vec_sum(padded), 6).as("checksum"),
         padded.getItem(80).cast(DoubleType).as("tail_elem"))
       .orderBy("vec_id")
   }

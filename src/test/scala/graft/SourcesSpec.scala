@@ -115,9 +115,14 @@ class SourcesSpec extends AnyFunSuite {
     GraftFunctions.register(spark)
     val r = spark.sql(
       "SELECT vec_l2sq(array(1.0F, 2.0F), array(1.0F, 0.0F)) AS d, " +
-        "vec_dot(array(1.0F, 2.0F), array(3.0F, 4.0F)) AS p").head()
+        "vec_dot(array(1.0F, 2.0F), array(3.0F, 4.0F)) AS p, " +
+        "vec_sum(array(1.0F, 2.0F, 4.0F)) AS s").head()
     assert(r.getDouble(0) == 4.0)
     assert(r.getDouble(1) == 11.0)
+    assert(r.getDouble(2) == 7.0)
+    // null element -> null; double arrays read natively
+    assert(spark.sql("SELECT vec_sum(array(1.0F, NULL))").head().isNullAt(0))
+    assert(spark.sql("SELECT vec_sum(array(1.0D, 2.5D))").head().getDouble(0) == 3.5)
   }
 
   test("vector expressions: mixed widths, nulls, mismatched lengths, bad types") {
