@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.Dedup
+
+/** Scale probe behind SURVEY §6's throughput numbers: runs the dedup /
+  * streaming / ANN paths on synthetic corpora 10-100× the sf0.1 bench
+  * scale and prints one JSON line of wall seconds. Deterministic
+  * (seeded); run with e.g.
+  * `SPARK_GRAFT_PROBE_DOCS=100000 sbt "runMain graft.ScaleProbe"`.
+  */
+object ScaleProbe {
+  private def time[A](body: => A): (A, Double) = {
+    val t0 = System.nanoTime()
+    val a = body
+    (a, (System.nanoTime() - t0) / 1e9)
+  }
+  private def force(df: DataFrame): Unit =
+    df.queryExecution.toRdd.foreach(_ => ())
+
+  def main(args: Array[String]): Unit = {
+    val nDocs = sys.env.getOrElse("SPARK_GRAFT_PROBE_DOCS", "100000").toInt
+    val nVecs = sys.env.getOrElse("SPARK_GRAFT_PROBE_VECS", "200000").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    // --- synthetic docs: ~40 tokens from a small vocab, 10% near-dups ---
+    val docs = spark.range(nDocs).select(col("id").as("doc_id")).as[Long]
+      .mapPartitions { iter =>
+        iter.map { id =>
+          val rnd = new scala.util.Random(id)
+          val base = (0 until 40).map(_ => s"w${rnd.nextInt(5000)}")
+          val toks =
+            if (id % 10 == 0 && id > 0) {
+              // near-dup of doc id-1 with one token changed
+              val prev = new scala.util.Random(id - 1)
+              val p = (0 until 40).map(_ => s"w${prev.nextInt(5000)}").toArray
+              p(20) = "CHANGED"; p.toSeq
+            } else base
+          (id, toks.mkString(" "))
+        }
+      }.toDF("doc_id", "text")
+    val docsDir = java.nio.file.Files.createTempDirectory("probe_docs")
+    docs.withColumn("lang", lit("en")).withColumn("source", lit("synth"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(docsDir.toString)
+    val docsOnDisk = spark.read.parquet(docsDir.toString)
+
+    val (_, tExact) = time(force(Dedup.exact(docsOnDisk)))
+    val (_, tMinhash) = time(force(Dedup.minHashSummary(spark, docsOnDisk)))
+    val (_, tSimhash) = time(force(Dedup.simHashSummary(spark, docsOnDisk)))
+    val (_, tStream) = time(force(
+      graft.streaming.StreamDedup.streamingNearDupFromDir(spark, docsDir.toString)))
+
+    // --- synthetic vectors: clustered gaussians, 64-dim ---
+    val vecs = spark.range(nVecs).select(col("id").as("vec_id")).as[Long]
+      .mapPartitions { iter =>
+        iter.map { id =>
+          val rnd = new scala.util.Random(id)
+          val c = (id % 32).toInt
+          (id, Array.tabulate(64)(d =>
+            (rnd.nextGaussian() * 0.3 + math.sin(c * 64 + d)).toFloat))
+        }
+      }.toDF("vec_id", "embedding")
+    val vecsDir = java.nio.file.Files.createTempDirectory("probe_vecs")
+    vecs.write.mode("overwrite").parquet(vecsDir.toString)
+    val vecsOnDisk = spark.read.parquet(vecsDir.toString)
+
+    val (model, tBuild) = time {
+      val m = graft.ann.IVFIndex.build(spark, vecsOnDisk,
+        graft.ann.IVFIndex.Params(k = 256, totalBits = 4))
+      m.index.count() // materialize the cached index
+      m
+    }
+    val queries = vecsOnDisk.filter(col("vec_id") < 100)
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    val (_, tSearch) = time(force(model.search(spark, queries, k = 100, nprobe = 32)))
+    val (_, tHighAcc) = time(force(
+      model.searchHighAcc(spark, vecsOnDisk, queries, k = 100, nprobe = 32)))
+
+    println(
+      s"""{"probe":"scale","n_docs":$nDocs,"n_vecs":$nVecs,"cpus":$cpus,""" +
+      s""""c1_exact_s":$tExact,"c2_minhash_s":$tMinhash,"c3_simhash_s":$tSimhash,""" +
+      s""""d6_stream_s":$tStream,"index_build_s":$tBuild,""" +
+      s""""search100_s":$tSearch,"search100_highacc_s":$tHighAcc}""")
+    spark.stop()
+  }
+}
