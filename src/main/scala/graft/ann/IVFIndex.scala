@@ -126,28 +126,80 @@ object IVFIndex {
     // --- assign + rotate + quantize in one narrow pass (IVF::construct) ---
     val entries: Dataset[Entry] = data.as[(Long, Array[Float])].mapPartitions { iter =>
       val (rot, cents, rotCents) = bc.value
-      iter.map { case (id, vec) =>
-        require(vec.length == dim,
-          s"vector $id has ${vec.length} dims; index dimension is $dim")
-        var best = 0; var bestD = Double.MaxValue
-        var c = 0
-        while (c < cents.length) {
-          val d = l2sq(vec, cents(c))
-          if (d < bestD) { bestD = d; best = c }
-          c += 1
-        }
-        val rot_x = rot.rotate(vec)
-        val cRot = rotCents(best)
-        val residual = new Array[Float](rot.paddedDim)
-        var i = 0
-        while (i < rot.paddedDim) { residual(i) = rot_x(i) - cRot(i); i += 1 }
-        val q = RaBitQ.quantize(residual, exBits)
-        Entry(id, best, q.signBits, q.exCode, q.x2, q.facIp, q.sumXb, q.facErr, q.xipnorm)
-      }
+      iter.map { case (id, vec) => quantizeRow(rot, cents, rotCents, exBits, dim, id, vec) }
     }
     // cluster the index by cluster_id for scan locality / partition pruning
     val index = entries.repartition(col("cluster_id")).cache()
     new IVFModel(params, rotator, centroids, rotatedCentroids, index)
+  }
+
+  /** The per-vector assign + rotate + quantize kernel, shared by the
+    * batch build and the streaming ingest path. */
+  private[graft] def quantizeRow(
+      rot: Rotator,
+      cents: Array[Array[Float]],
+      rotCents: Array[Array[Float]],
+      exBits: Int,
+      dim: Int,
+      id: Long,
+      vec: Array[Float]): Entry = {
+    require(vec.length == dim,
+      s"vector $id has ${vec.length} dims; index dimension is $dim")
+    var best = 0; var bestD = Double.MaxValue
+    var c = 0
+    while (c < cents.length) {
+      val d = l2sq(vec, cents(c))
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    val rot_x = rot.rotate(vec)
+    val cRot = rotCents(best)
+    val residual = new Array[Float](rot.paddedDim)
+    var i = 0
+    while (i < rot.paddedDim) { residual(i) = rot_x(i) - cRot(i); i += 1 }
+    val q = RaBitQ.quantize(residual, exBits)
+    Entry(id, best, q.signBits, q.exCode, q.x2, q.facIp, q.sumXb, q.facErr, q.xipnorm)
+  }
+
+  /** Incremental ingest (b13): quantize a STREAM of vectors with an
+    * existing model's centroids/rotation and append them to a
+    * persisted index's entries directory — continuous corpus growth
+    * with zero changes to the search path (IVFModel.load sees the new
+    * cluster-partitioned files on the next load). Centroids stay
+    * fixed, as in every production IVF ingest path; retrain + rebuild
+    * when drift warrants it. Blocks until all currently-available
+    * input is processed (AvailableNow). */
+  def appendStream(
+      spark: SparkSession,
+      model: IVFModel,
+      srcDir: String,
+      indexPath: String,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): Unit = {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val dim = model.rotator.dim
+    val exBits = model.params.exBits
+    val bc = spark.sparkContext.broadcast(
+      (model.rotator, model.centroids, model.rotatedCentroids))
+    val schema = StructType(Seq(
+      StructField(idCol, LongType), StructField(vecCol, ArrayType(FloatType))))
+    val entries = spark.readStream.schema(schema).parquet(srcDir)
+      .select(col(idCol).cast(LongType), col(vecCol))
+      .as[(Long, Array[Float])]
+      .mapPartitions { iter =>
+        val (rot, cents, rotCents) = bc.value
+        iter.map { case (id, vec) => quantizeRow(rot, cents, rotCents, exBits, dim, id, vec) }
+      }
+    val checkpoint = java.nio.file.Files.createTempDirectory("graft_ingest_ckpt")
+    val q = entries.toDF().writeStream
+      .format("parquet")
+      .partitionBy("cluster_id")
+      .option("path", s"$indexPath/entries")
+      .option("checkpointLocation", checkpoint.toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
   }
 }
 
@@ -207,9 +259,16 @@ final class IVFModel(
     * NOT persisted — it is deterministic from (dim, seed) in the
     * metadata, unlike the reference which must serialize its matrix. */
   def save(path: String): Unit = {
+    index.write.mode("overwrite").partitionBy("cluster_id").parquet(s"$path/entries")
+    saveMeta(path)
+  }
+
+  /** Persist only the model metadata (centroids, rotation, params) —
+    * seeds an index directory whose entries arrive separately, e.g.
+    * via the streaming ingest path (IVFIndex.appendStream). */
+  def saveMeta(path: String): Unit = {
     val spark = index.sparkSession
     import spark.implicits._
-    index.write.mode("overwrite").partitionBy("cluster_id").parquet(s"$path/entries")
     centroids.zipWithIndex.map { case (c, i) => (i, c) }.toSeq
       .toDF("cluster_id", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")

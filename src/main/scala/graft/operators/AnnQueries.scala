@@ -268,6 +268,23 @@ object AnnQueries {
         queryVectors(spark, dir), k = 10, nprobe = 12)
       .orderBy("query_id", "rk")
 
+  /** b13: incremental index ingest — the embeddings table arrives as a
+    * STREAM, is quantized against the session model's fixed centroids,
+    * and lands as cluster-partitioned parquet that IVFModel.load serves
+    * unchanged (continuous corpus growth; the ANN analogue of d6).
+    * Output: per-cluster entry counts of the stream-built index. */
+  def streamIndexIngest(spark: SparkSession, dir: String): DataFrame = {
+    val m = model(spark, dir)
+    val idxDir = java.nio.file.Files.createTempDirectory("b13_idx").toString
+    m.saveMeta(idxDir)
+    val src = graft.streaming.EventOps.symlinkedDir(dir, "embeddings.parquet")
+    IVFIndex.appendStream(spark, m, src, idxDir)
+    IVFModel.load(spark, idxDir).index.toDF()
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_vectors"))
+      .orderBy("cluster_id")
+  }
+
   /** b9: end-to-end index build summary (per-cluster sizes + bytes),
     * the Spark analogue of create_index.cpp. */
   def indexBuild(spark: SparkSession, dir: String): DataFrame =

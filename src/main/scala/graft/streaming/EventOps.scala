@@ -75,7 +75,7 @@ object EventOps {
     * file through a cached symlinked temp dir (at cluster scale the
     * source would be a real landing directory). Shared by every
     * streaming operator in this package. */
-  private[streaming] def symlinkedDir(dir: String, fileName: String): String =
+  private[graft] def symlinkedDir(dir: String, fileName: String): String =
     srcDirCache.computeIfAbsent((dir, fileName), _ => {
       val d = java.nio.file.Files.createTempDirectory("graft_stream_src")
       val link = d.resolve(fileName)

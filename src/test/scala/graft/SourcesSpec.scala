@@ -144,6 +144,21 @@ class SourcesSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming ingest builds an index that searches identically to batch") {
+    val sf = "/root/testdata/sf0.001"
+    val m = operators.AnnQueries.model(spark, sf)
+    val idxDir = java.nio.file.Files.createTempDirectory("b13_spec").toString
+    m.saveMeta(idxDir)
+    val src = graft.streaming.EventOps.symlinkedDir(sf, "embeddings.parquet")
+    IVFIndex.appendStream(spark, m, src, idxDir)
+    val streamed = IVFModel.load(spark, idxDir)
+    assert(streamed.index.count() == m.index.count())
+    val qs = operators.VectorQueries.queryVectors(spark, sf, 4)
+    val a = m.search(spark, qs, 10, 12).orderBy("query_id", "rk").collect().toSeq
+    val b = streamed.search(spark, qs, 10, 12).orderBy("query_id", "rk").collect().toSeq
+    assert(a == b, "stream-built index must search identically to the batch build")
+  }
+
   test("IVF index save/load roundtrip preserves search results") {
     val sf = "/root/testdata/sf0.001"
     val m = operators.AnnQueries.model(spark, sf)
