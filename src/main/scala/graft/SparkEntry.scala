@@ -35,6 +35,7 @@ object SparkEntry {
     "b11_nprobe_sweep" -> (AnnQueries.nprobeSweep(_, _)),
     "b12_search_highacc" -> (AnnQueries.searchHighAcc(_, _)),
     "b13_stream_index" -> (AnnQueries.streamIndexIngest(_, _)),
+    "b14_search_filtered" -> (AnnQueries.searchFiltered(_, _)),
     "c1_dedup_exact" -> (PipelineQueries.dedupExact(_, _)),
     "c2_dedup_minhash" -> (PipelineQueries.dedupMinhash(_, _)),
     "c3_dedup_simhash" -> (PipelineQueries.dedupSimhash(_, _)),

@@ -287,6 +287,32 @@ final class IVFModel(
       spark: SparkSession,
       queries: Array[(Long, Array[Float])],
       k: Int,
+      nprobe: Int): DataFrame = searchOn(spark, index, queries, k, nprobe)
+
+  /** Attribute-filtered search: only ids present in `allowedIds`
+    * (single column of longs) are eligible results. The filter is a
+    * broadcast semi-join applied BEFORE estimation, so disallowed
+    * entries never cost an estimate and per-query heaps fill with k
+    * eligible results (post-filtering the top-k would return fewer).
+    * At 100 TB the allowed set comes from a metadata predicate — keep
+    * it broadcastable or pre-join it into an index variant. */
+  def searchFiltered(
+      spark: SparkSession,
+      queries: Array[(Long, Array[Float])],
+      k: Int,
+      nprobe: Int,
+      allowedIds: DataFrame): DataFrame = {
+    import spark.implicits._
+    val allowed = allowedIds.toDF("id").select(col("id").cast("long"))
+    val filtered = index.join(broadcast(allowed), Seq("id"), "left_semi").as[Entry]
+    searchOn(spark, filtered, queries, k, nprobe)
+  }
+
+  private def searchOn(
+      spark: SparkSession,
+      idx: Dataset[Entry],
+      queries: Array[(Long, Array[Float])],
+      k: Int,
       nprobe: Int): DataFrame = {
     import spark.implicits._
     val exBits = params.exBits
@@ -313,7 +339,7 @@ final class IVFModel(
     val bc = spark.sparkContext.broadcast((probes, rotatedCentroids, probeArr))
 
     // --- scan only probed clusters; estimate → prune → rerank → local top-k ---
-    val candidates = index
+    val candidates = idx
       .filter(col("cluster_id").isin(probedClusters.map(_.asInstanceOf[AnyRef]): _*))
       .mapPartitions { iter =>
         val (qs, rotCents, byCluster) = bc.value

@@ -285,6 +285,17 @@ object AnnQueries {
       .orderBy("cluster_id")
   }
 
+  /** b14: attribute-filtered search — only even vec_ids are eligible
+    * (standing in for any metadata predicate); the filter is a
+    * broadcast semi-join applied before estimation. */
+  def searchFiltered(spark: SparkSession, dir: String): DataFrame = {
+    val m = model(spark, dir)
+    val allowed = Tables.embeddings(spark, dir)
+      .filter(col("vec_id") % 2 === 0).select(col("vec_id"))
+    m.searchFiltered(spark, queryVectors(spark, dir), k = 10, nprobe = 12, allowed)
+      .orderBy("query_id", "rk")
+  }
+
   /** b9: end-to-end index build summary (per-cluster sizes + bytes),
     * the Spark analogue of create_index.cpp. */
   def indexBuild(spark: SparkSession, dir: String): DataFrame =

@@ -177,6 +177,23 @@ class AnnSpec extends AnyFunSuite {
     }
   }
 
+  test("filtered search: only allowed ids, recall holds vs filtered GT") {
+    import spark.implicits._
+    val m = operators.AnnQueries.model(spark, sf)
+    val e = Tables.embeddings(spark, sf)
+    val allowed = e.filter($"vec_id" % 2 === 0).select($"vec_id")
+    val qs = operators.VectorQueries.queryVectors(spark, sf)
+    val got = m.searchFiltered(spark, qs, 10, nprobe = m.params.k, allowed)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+    assert(got.forall(_._2 % 2 == 0), "a disallowed id leaked into filtered results")
+    assert(got.length == qs.length * 10, "filtered heaps must still fill to k")
+    val exact = graft.ann.KnnExact.topK(spark,
+        e.filter($"vec_id" % 2 === 0), qs, k = 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = got.count(exact.contains).toDouble / exact.size
+    assert(recall >= 0.9, s"filtered recall@10 = $recall")
+  }
+
   test("routed centroid ranking closely matches flat ranking at large K") {
     val rnd = new scala.util.Random(23)
     val k = 2048
