@@ -37,15 +37,16 @@ object ScaleProbe {
     val docs = spark.range(nDocs).select(col("id").as("doc_id")).as[Long]
       .mapPartitions { iter =>
         iter.map { id =>
-          val rnd = new scala.util.Random(id)
-          val base = (0 until 40).map(_ => s"w${rnd.nextInt(5000)}")
           val toks =
             if (id % 10 == 0 && id > 0) {
               // near-dup of doc id-1 with one token changed
               val prev = new scala.util.Random(id - 1)
               val p = (0 until 40).map(_ => s"w${prev.nextInt(5000)}").toArray
               p(20) = "CHANGED"; p.toSeq
-            } else base
+            } else {
+              val rnd = new scala.util.Random(id)
+              (0 until 40).map(_ => s"w${rnd.nextInt(5000)}")
+            }
           (id, toks.mkString(" "))
         }
       }.toDF("doc_id", "text")

@@ -168,7 +168,17 @@ object IVFIndex {
     * cluster-partitioned files on the next load). Centroids stay
     * fixed, as in every production IVF ingest path; retrain + rebuild
     * when drift warrants it. Blocks until all currently-available
-    * input is processed (AvailableNow). */
+    * input is processed (AvailableNow).
+    *
+    * The sink is a foreachBatch plain-parquet append, NOT the
+    * FileStreamSink: the stream sink's `_spark_metadata` log would
+    * shadow any batch-written entries on load (Spark's batch reader
+    * trusts the log exclusively), and its batch-id dedup keyed to a
+    * per-call checkpoint would silently drop later calls' data. The
+    * source checkpoint lives under `indexPath`, so repeated calls
+    * ingest only files that arrived since the last call. Delivery is
+    * at-least-once across crashes mid-batch (standard foreachBatch
+    * semantics) — rebuild or dedup by id if an ingest job died. */
   def appendStream(
       spark: SparkSession,
       model: IVFModel,
@@ -191,12 +201,12 @@ object IVFIndex {
         val (rot, cents, rotCents) = bc.value
         iter.map { case (id, vec) => quantizeRow(rot, cents, rotCents, exBits, dim, id, vec) }
       }
-    val checkpoint = java.nio.file.Files.createTempDirectory("graft_ingest_ckpt")
     val q = entries.toDF().writeStream
-      .format("parquet")
-      .partitionBy("cluster_id")
-      .option("path", s"$indexPath/entries")
-      .option("checkpointLocation", checkpoint.toString)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").partitionBy("cluster_id")
+          .parquet(s"$indexPath/entries")
+      }
+      .option("checkpointLocation", s"$indexPath/_ingest_checkpoint")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()

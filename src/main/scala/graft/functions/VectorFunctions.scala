@@ -124,7 +124,8 @@ case class VecSum(child: Expression)
     case t => TypeCheckResult.TypeCheckFailure(
       s"$prettyName requires an array<float|double> argument, got ${t.catalogString}")
   }
-  private def elemIsFloat: Boolean = child.dataType match {
+  // lazy val: the interpreted eval reads this per element
+  private lazy val elemIsFloat: Boolean = child.dataType match {
     case ArrayType(FloatType, _) => true
     case _ => false
   }

@@ -45,7 +45,11 @@ object PipelineQueries {
     * payloads surface as rank-1/2 neighbors. Rows-only (the histogram
     * encoder is not SQL-expressible); pinned by OpsSpec. */
   def mediaEmbedSearch(spark: SparkSession, dir: String): DataFrame = {
+    // eager localCheckpoint: the extraction pass feeds both the query
+    // collect and the search scan — without it the whole corpus would
+    // be re-embedded twice (and a cache() would leak, see Dedup)
     val feats = Multimodal.featureExtract(spark, Tables.documents(spark, dir))
+      .localCheckpoint(true)
     val queries = feats.filter(col("vec_id") < 4)
       .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
     graft.ann.KnnExact.topK(spark, feats, queries, k = 3)

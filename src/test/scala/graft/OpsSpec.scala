@@ -158,7 +158,7 @@ class OpsSpec extends AnyFunSuite {
     val d = docs(
       1L -> "identical media payload content",
       2L -> "identical media payload content", // byte-for-byte dup of 1
-      3L -> "payload media identical content ", // same bytes, other order
+      3L -> "content payload media identical", // true byte permutation of 1
       4L -> "completely different binary stuff")
     val feats = Multimodal.featureExtract(spark, d)
     val rows = feats.as[(Long, Array[Float])].collect().toMap

@@ -1,5 +1,7 @@
 package graft
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -157,6 +159,35 @@ class SourcesSpec extends AnyFunSuite {
     val a = m.search(spark, qs, 10, 12).orderBy("query_id", "rk").collect().toSeq
     val b = streamed.search(spark, qs, 10, 12).orderBy("query_id", "rk").collect().toSeq
     assert(a == b, "stream-built index must search identically to the batch build")
+  }
+
+  test("streaming ingest: append to a batch-saved index; second call only new files") {
+    val sf = "/root/testdata/sf0.001"
+    val m = operators.AnnQueries.model(spark, sf)
+    val nBatch = m.index.count()
+    val idxDir = java.nio.file.Files.createTempDirectory("b13_incr").toString
+    m.save(idxDir) // FULL batch save — entries must survive the appends
+    val srcDir = java.nio.file.Files.createTempDirectory("b13_incr_src")
+    def addArrivals(name: String, ids: Range): Unit = {
+      val rnd = new scala.util.Random(ids.head)
+      val tmp = java.nio.file.Files.createTempDirectory("b13_part")
+      ids.map(i => (i.toLong + 100000L, Array.fill(64)(rnd.nextFloat())))
+        .toDF("vec_id", "embedding")
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.head
+      java.nio.file.Files.copy(part, srcDir.resolve(name))
+    }
+    addArrivals("f1.parquet", 0 until 10)
+    IVFIndex.appendStream(spark, m, srcDir.toString, idxDir)
+    assert(IVFModel.load(spark, idxDir).index.count() == nBatch + 10,
+      "batch-written entries must survive a streaming append")
+    addArrivals("f2.parquet", 10 until 15)
+    IVFIndex.appendStream(spark, m, srcDir.toString, idxDir)
+    val after = IVFModel.load(spark, idxDir)
+    assert(after.index.count() == nBatch + 15,
+      "second call must ingest ONLY the new file (no drops, no re-ingest)")
+    assert(after.index.select("id").distinct().count() == nBatch + 15)
   }
 
   test("IVF index save/load roundtrip preserves search results") {
