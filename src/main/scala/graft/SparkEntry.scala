@@ -36,6 +36,7 @@ object SparkEntry {
     "b12_search_highacc" -> (AnnQueries.searchHighAcc(_, _)),
     "b13_stream_index" -> (AnnQueries.streamIndexIngest(_, _)),
     "b14_search_filtered" -> (AnnQueries.searchFiltered(_, _)),
+    "b15_index_lifecycle" -> (AnnQueries.indexLifecycle(_, _)),
     "c1_dedup_exact" -> (PipelineQueries.dedupExact(_, _)),
     "c2_dedup_minhash" -> (PipelineQueries.dedupMinhash(_, _)),
     "c3_dedup_simhash" -> (PipelineQueries.dedupSimhash(_, _)),

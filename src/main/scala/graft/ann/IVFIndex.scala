@@ -219,7 +219,16 @@ object IVFModel {
     * ours kicks in earlier because the router is cheap to build). */
   val RoutedRankingThreshold = 4096
 
-  /** Load a persisted index (analogue of IVF::load, IVF.hpp:254-293). */
+  /** Tombstone-delete: the ids stop appearing in every subsequent
+    * load/search. Deletes are an appended id list — no index rewrite
+    * on the hot path; [[compact]] folds them in physically. */
+  def deleteIds(path: String, ids: DataFrame): Unit =
+    ids.toDF("id").select(org.apache.spark.sql.functions.col("id").cast("long"))
+      .write.mode("append").parquet(s"$path/deletes")
+
+  /** Load a persisted index (analogue of IVF::load, IVF.hpp:254-293).
+    * Tombstoned ids (see [[deleteIds]]) are subtracted with a
+    * broadcast anti-join. */
   def load(spark: SparkSession, path: String): IVFModel = {
     import spark.implicits._
     val meta = spark.read.json(s"$path/meta").head()
@@ -242,11 +251,37 @@ object IVFModel {
       .select("row_idx", "row")
       .as[(Int, Array[Float])].collect().sortBy(_._1).map(_._2)
     val rotator = Rotator.fromMatrix(dim, params.seed, matrix)
-    val index = spark.read.parquet(s"$path/entries")
+    val raw = spark.read.parquet(s"$path/entries")
       .select("id", "cluster_id", "sign_bits", "ex_code", "x2", "fac_ip",
         "sum_xb", "fac_err", "xipnorm")
-      .as[IVFIndex.Entry]
+    val deletesPath = new org.apache.hadoop.fs.Path(s"$path/deletes")
+    val fs = deletesPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val index =
+      (if (fs.exists(deletesPath))
+         raw.join(org.apache.spark.sql.functions.broadcast(
+           spark.read.parquet(deletesPath.toString)), Seq("id"), "left_anti")
+       else raw).as[IVFIndex.Entry]
     new IVFModel(params, rotator, centroids, centroids.map(rotator.rotate), index)
+  }
+
+  /** Compaction: apply tombstones physically and merge the small files
+    * accumulated by streaming ingest into one cluster-partitioned
+    * layout. Writes to a sibling directory and renames, so a crash
+    * mid-compact leaves the live index untouched; the ingest
+    * checkpoint is preserved (it tracks SOURCE offsets, which remain
+    * valid). */
+  def compact(spark: SparkSession, path: String): Unit = {
+    val m = load(spark, path) // already tombstone-filtered
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val entriesNew = new org.apache.hadoop.fs.Path(s"$path/entries_compacting")
+    m.index.toDF()
+      .repartition(org.apache.spark.sql.functions.col("cluster_id"))
+      .write.mode("overwrite").partitionBy("cluster_id").parquet(entriesNew.toString)
+    val entries = new org.apache.hadoop.fs.Path(s"$path/entries")
+    fs.delete(entries, true)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/deletes"), true)
+    require(fs.rename(entriesNew, entries), s"compact: rename failed under $path")
   }
 }
 

@@ -296,6 +296,23 @@ object AnnQueries {
       .orderBy("query_id", "rk")
   }
 
+  /** b15: index lifecycle — save, tombstone-delete the odd ids,
+    * compact, reload; output per-cluster counts of the surviving
+    * (even-id) entries. Spec pins the delete/compact semantics. */
+  def indexLifecycle(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val m = model(spark, dir)
+    val idxDir = java.nio.file.Files.createTempDirectory("b15_idx").toString
+    m.save(idxDir)
+    val odd = m.index.toDF().select(col("id")).filter(col("id") % 2 =!= 0)
+    IVFModel.deleteIds(idxDir, odd)
+    IVFModel.compact(spark, idxDir)
+    IVFModel.load(spark, idxDir).index.toDF()
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_vectors"))
+      .orderBy("cluster_id")
+  }
+
   /** b9: end-to-end index build summary (per-cluster sizes + bytes),
     * the Spark analogue of create_index.cpp. */
   def indexBuild(spark: SparkSession, dir: String): DataFrame =

@@ -190,6 +190,33 @@ class SourcesSpec extends AnyFunSuite {
     assert(after.index.select("id").distinct().count() == nBatch + 15)
   }
 
+  test("index lifecycle: tombstone delete filters loads; compact folds them in") {
+    val sf = "/root/testdata/sf0.001"
+    val m = operators.AnnQueries.model(spark, sf)
+    val n = m.index.count()
+    val idxDir = java.nio.file.Files.createTempDirectory("b15_spec").toString
+    m.save(idxDir)
+    val odd = m.index.toDF().select($"id").filter($"id" % 2 =!= 0)
+    val nOdd = odd.count()
+    IVFModel.deleteIds(idxDir, odd)
+    // tombstones apply at load without any rewrite
+    val filtered = IVFModel.load(spark, idxDir)
+    assert(filtered.index.count() == n - nOdd)
+    assert(filtered.index.filter($"id" % 2 =!= 0).count() == 0)
+    // search never returns a deleted id (materialize before compaction:
+    // the tombstone-filtered plan references the deletes files)
+    val qs = operators.VectorQueries.queryVectors(spark, sf, 4)
+    val a = filtered.search(spark, qs, 10, 12).orderBy("query_id", "rk").collect().toSeq
+    assert(a.forall(_.getLong(1) % 2 == 0), "a deleted id surfaced in search results")
+    // compact removes the tombstone dir and preserves content exactly
+    IVFModel.compact(spark, idxDir)
+    assert(!new java.io.File(s"$idxDir/deletes").exists)
+    val compacted = IVFModel.load(spark, idxDir)
+    assert(compacted.index.count() == n - nOdd)
+    val b = compacted.search(spark, qs, 10, 12).orderBy("query_id", "rk").collect().toSeq
+    assert(a == b, "compaction must not change search results")
+  }
+
   test("IVF index save/load roundtrip preserves search results") {
     val sf = "/root/testdata/sf0.001"
     val m = operators.AnnQueries.model(spark, sf)
