@@ -223,8 +223,21 @@ object IVFModel {
     * load/search. Deletes are an appended id list — no index rewrite
     * on the hot path; [[compact]] folds them in physically. */
   def deleteIds(path: String, ids: DataFrame): Unit =
-    ids.toDF("id").select(org.apache.spark.sql.functions.col("id").cast("long"))
+    ids.toDF("id").select(col("id").cast("long"))
       .write.mode("append").parquet(s"$path/deletes")
+
+  /** The persisted entries with tombstones subtracted (broadcast
+    * anti-join) — shared by [[load]] and [[compact]]. */
+  private def entriesMinusDeletes(spark: SparkSession, path: String): DataFrame = {
+    val raw = spark.read.parquet(s"$path/entries")
+      .select("id", "cluster_id", "sign_bits", "ex_code", "x2", "fac_ip",
+        "sum_xb", "fac_err", "xipnorm")
+    val deletesPath = new org.apache.hadoop.fs.Path(s"$path/deletes")
+    val fs = deletesPath.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(deletesPath))
+      raw.join(broadcast(spark.read.parquet(deletesPath.toString)), Seq("id"), "left_anti")
+    else raw
+  }
 
   /** Load a persisted index (analogue of IVF::load, IVF.hpp:254-293).
     * Tombstoned ids (see [[deleteIds]]) are subtracted with a
@@ -251,37 +264,46 @@ object IVFModel {
       .select("row_idx", "row")
       .as[(Int, Array[Float])].collect().sortBy(_._1).map(_._2)
     val rotator = Rotator.fromMatrix(dim, params.seed, matrix)
-    val raw = spark.read.parquet(s"$path/entries")
-      .select("id", "cluster_id", "sign_bits", "ex_code", "x2", "fac_ip",
-        "sum_xb", "fac_err", "xipnorm")
-    val deletesPath = new org.apache.hadoop.fs.Path(s"$path/deletes")
-    val fs = deletesPath.getFileSystem(spark.sessionState.newHadoopConf())
-    val index =
-      (if (fs.exists(deletesPath))
-         raw.join(org.apache.spark.sql.functions.broadcast(
-           spark.read.parquet(deletesPath.toString)), Seq("id"), "left_anti")
-       else raw).as[IVFIndex.Entry]
+    val index = entriesMinusDeletes(spark, path).as[IVFIndex.Entry]
     new IVFModel(params, rotator, centroids, centroids.map(rotator.rotate), index)
   }
 
   /** Compaction: apply tombstones physically and merge the small files
     * accumulated by streaming ingest into one cluster-partitioned
-    * layout. Writes to a sibling directory and renames, so a crash
-    * mid-compact leaves the live index untouched; the ingest
-    * checkpoint is preserved (it tracks SOURCE offsets, which remain
-    * valid). */
+    * layout.
+    *
+    * Safety contract: requires EXCLUSIVE access — pause ingest and
+    * deletes while compacting (the standard contract for file-format
+    * compaction without a transaction log); a concurrent append or
+    * tombstone landing mid-compact would be lost with the old files.
+    * No data is removed until the compacted copy is fully written and
+    * swapped in: a crash before the swap leaves the live index
+    * untouched, and a crash between the two renames (a tiny metadata
+    * window) leaves the complete compacted copy in
+    * `entries_compacting` for recovery. The ingest checkpoint is
+    * preserved (it tracks SOURCE offsets, which remain valid). */
   def compact(spark: SparkSession, path: String): Unit = {
-    val m = load(spark, path) // already tombstone-filtered
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sessionState.newHadoopConf())
-    val entriesNew = new org.apache.hadoop.fs.Path(s"$path/entries_compacting")
-    m.index.toDF()
-      .repartition(org.apache.spark.sql.functions.col("cluster_id"))
-      .write.mode("overwrite").partitionBy("cluster_id").parquet(entriesNew.toString)
-    val entries = new org.apache.hadoop.fs.Path(s"$path/entries")
-    fs.delete(entries, true)
-    fs.delete(new org.apache.hadoop.fs.Path(s"$path/deletes"), true)
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
+    val entriesNew = new Path(s"$path/entries_compacting")
+    fs.delete(entriesNew, true) // leftover from a crashed earlier compact
+    val compacted = entriesMinusDeletes(spark, path)
+    if (compacted.isEmpty)
+      // partitionBy on an empty frame writes no schema-bearing files
+      // and would brick the next load; a plain empty write keeps the
+      // schema (cluster_id stays a regular column — load reads both
+      // layouts)
+      compacted.write.mode("overwrite").parquet(entriesNew.toString)
+    else
+      compacted.repartition(col("cluster_id"))
+        .write.mode("overwrite").partitionBy("cluster_id").parquet(entriesNew.toString)
+    val entries = new Path(s"$path/entries")
+    val entriesOld = new Path(s"$path/entries_old")
+    fs.delete(entriesOld, true)
+    require(fs.rename(entries, entriesOld), s"compact: could not stage $entries aside")
     require(fs.rename(entriesNew, entries), s"compact: rename failed under $path")
+    fs.delete(entriesOld, true)
+    fs.delete(new Path(s"$path/deletes"), true)
   }
 }
 

@@ -215,6 +215,11 @@ class SourcesSpec extends AnyFunSuite {
     assert(compacted.index.count() == n - nOdd)
     val b = compacted.search(spark, qs, 10, 12).orderBy("query_id", "rk").collect().toSeq
     assert(a == b, "compaction must not change search results")
+    // the all-deleted edge: compacting an empty index must not brick it
+    IVFModel.deleteIds(idxDir, compacted.index.toDF().select($"id"))
+    IVFModel.compact(spark, idxDir)
+    assert(IVFModel.load(spark, idxDir).index.count() == 0,
+      "an index compacted to empty must still load")
   }
 
   test("IVF index save/load roundtrip preserves search results") {
