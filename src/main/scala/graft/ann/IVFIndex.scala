@@ -226,24 +226,72 @@ object IVFModel {
     ids.toDF("id").select(col("id").cast("long"))
       .write.mode("append").parquet(s"$path/deletes")
 
+  /** Finish an interrupted [[compact]] swap — called before every
+    * entries read, so a crash between the two renames self-heals on
+    * the next load or compact instead of requiring manual file
+    * surgery. State machine (under the exclusive-access contract):
+    * entries missing + complete compacted copy present → finish the
+    * swap; entries present + staged old copy present → finish the
+    * pending cleanup. */
+  private def recoverCompact(spark: SparkSession, path: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
+    val entries = new Path(s"$path/entries")
+    val old = new Path(s"$path/entries_old")
+    val neu = new Path(s"$path/entries_compacting")
+    if (!fs.exists(entries)) {
+      if (fs.exists(neu)) {
+        // the compacted copy is complete (it is written before the old
+        // entries are staged aside) — finish the swap + cleanup
+        require(fs.rename(neu, entries), s"compact recovery: rename failed under $path")
+        fs.delete(old, true)
+        fs.delete(new Path(s"$path/deletes"), true)
+      } else if (fs.exists(old)) {
+        require(fs.rename(old, entries), s"compact recovery: restore failed under $path")
+      }
+    } else if (fs.exists(old)) {
+      // swap finished, cleanup didn't: the compacted entries already
+      // folded the tombstones in
+      fs.delete(old, true)
+      fs.delete(new Path(s"$path/deletes"), true)
+    }
+  }
+
   /** The persisted entries with tombstones subtracted (broadcast
-    * anti-join) — shared by [[load]] and [[compact]]. */
+    * anti-join) — shared by [[load]] and [[compact]]. An entries
+    * directory with no data files (an index compacted down to empty)
+    * reads as an empty frame with the static Entry schema, keeping
+    * the on-disk layout uniformly partitioned. */
   private def entriesMinusDeletes(spark: SparkSession, path: String): DataFrame = {
-    val raw = spark.read.parquet(s"$path/entries")
+    import org.apache.hadoop.fs.Path
+    recoverCompact(spark, path)
+    val entriesPath = new Path(s"$path/entries")
+    val fs = entriesPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val hasData = fs.exists(entriesPath) && {
+      val it = fs.listFiles(entriesPath, true)
+      var found = false
+      while (!found && it.hasNext) {
+        val n = it.next().getPath.getName
+        found = !n.startsWith("_") && !n.startsWith(".")
+      }
+      found
+    }
+    if (!hasData)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.Encoders.product[IVFIndex.Entry].schema)
+    val raw = spark.read.parquet(entriesPath.toString)
       .select("id", "cluster_id", "sign_bits", "ex_code", "x2", "fac_ip",
         "sum_xb", "fac_err", "xipnorm")
-    val deletesPath = new org.apache.hadoop.fs.Path(s"$path/deletes")
-    val fs = deletesPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val deletesPath = new Path(s"$path/deletes")
     if (fs.exists(deletesPath))
       raw.join(broadcast(spark.read.parquet(deletesPath.toString)), Seq("id"), "left_anti")
     else raw
   }
 
-  /** Load a persisted index (analogue of IVF::load, IVF.hpp:254-293).
-    * Tombstoned ids (see [[deleteIds]]) are subtracted with a
-    * broadcast anti-join. */
-  def load(spark: SparkSession, path: String): IVFModel = {
-    import spark.implicits._
+  /** Fail fast on an incompatible persisted layout — shared by [[load]]
+    * and [[compact]]. */
+  private def checkVersion(spark: SparkSession, path: String): Unit = {
     val meta = spark.read.json(s"$path/meta").head()
     val version =
       if (meta.schema.fieldNames.contains("format_version"))
@@ -252,6 +300,15 @@ object IVFModel {
     require(version == IVFIndex.FormatVersion,
       s"index at $path has format_version=$version; this build reads " +
         s"${IVFIndex.FormatVersion} (ex_code layout changed) — rebuild the index")
+  }
+
+  /** Load a persisted index (analogue of IVF::load, IVF.hpp:254-293).
+    * Tombstoned ids (see [[deleteIds]]) are subtracted with a
+    * broadcast anti-join. */
+  def load(spark: SparkSession, path: String): IVFModel = {
+    import spark.implicits._
+    checkVersion(spark, path)
+    val meta = spark.read.json(s"$path/meta").head()
     val params = IVFIndex.Params(
       k = meta.getAs[Long]("k").toInt,
       totalBits = meta.getAs[Long]("total_bits").toInt,
@@ -284,19 +341,20 @@ object IVFModel {
     * preserved (it tracks SOURCE offsets, which remain valid). */
   def compact(spark: SparkSession, path: String): Unit = {
     import org.apache.hadoop.fs.Path
+    checkVersion(spark, path)
+    // reads entries + tombstones; also finishes any interrupted swap
+    // first (recoverCompact), so a stale entries_compacting below is
+    // genuinely a partial write, never an unconsumed complete copy
+    val compacted = entriesMinusDeletes(spark, path)
     val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
     val entriesNew = new Path(s"$path/entries_compacting")
-    fs.delete(entriesNew, true) // leftover from a crashed earlier compact
-    val compacted = entriesMinusDeletes(spark, path)
-    if (compacted.isEmpty)
-      // partitionBy on an empty frame writes no schema-bearing files
-      // and would brick the next load; a plain empty write keeps the
-      // schema (cluster_id stays a regular column — load reads both
-      // layouts)
-      compacted.write.mode("overwrite").parquet(entriesNew.toString)
-    else
-      compacted.repartition(col("cluster_id"))
-        .write.mode("overwrite").partitionBy("cluster_id").parquet(entriesNew.toString)
+    fs.delete(entriesNew, true)
+    // an empty result still writes a directory (with _SUCCESS only);
+    // entriesMinusDeletes reads that back as an empty frame with the
+    // static Entry schema, and the layout stays uniformly partitioned
+    // for later streaming appends
+    compacted.repartition(col("cluster_id"))
+      .write.mode("overwrite").partitionBy("cluster_id").parquet(entriesNew.toString)
     val entries = new Path(s"$path/entries")
     val entriesOld = new Path(s"$path/entries_old")
     fs.delete(entriesOld, true)

@@ -220,6 +220,19 @@ class SourcesSpec extends AnyFunSuite {
     IVFModel.compact(spark, idxDir)
     assert(IVFModel.load(spark, idxDir).index.count() == 0,
       "an index compacted to empty must still load")
+    // and the layout must still accept streaming appends afterwards
+    val srcDir = java.nio.file.Files.createTempDirectory("b15_refill")
+    val tmp = java.nio.file.Files.createTempDirectory("b15_refill_part")
+    val rnd = new scala.util.Random(5)
+    (0 until 8).map(i => (i.toLong + 900000L, Array.fill(64)(rnd.nextFloat())))
+      .toDF("vec_id", "embedding")
+      .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = java.nio.file.Files.list(tmp).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.head
+    java.nio.file.Files.copy(part, srcDir.resolve("f1.parquet"))
+    IVFIndex.appendStream(spark, m, srcDir.toString, idxDir)
+    assert(IVFModel.load(spark, idxDir).index.count() == 8,
+      "an emptied-then-compacted index must accept streaming appends")
   }
 
   test("IVF index save/load roundtrip preserves search results") {
