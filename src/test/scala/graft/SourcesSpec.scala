@@ -122,6 +122,11 @@ class SourcesSpec extends AnyFunSuite {
     assert(r.getDouble(0) == 4.0)
     assert(r.getDouble(1) == 11.0)
     assert(r.getDouble(2) == 7.0)
+    val c = spark.sql(
+      "SELECT vec_l2(array(3.0F, 0.0F), array(0.0F, 4.0F)) AS l2, " +
+        "vec_norm(array(3.0F, 4.0F)) AS n, " +
+        "vec_cosine(array(1.0F, 0.0F), array(1.0F, 0.0F)) AS cos").head()
+    assert(c.getDouble(0) == 5.0 && c.getDouble(1) == 5.0 && c.getDouble(2) == 1.0)
     // null element -> null; double arrays read natively
     assert(spark.sql("SELECT vec_sum(array(1.0F, NULL))").head().isNullAt(0))
     assert(spark.sql("SELECT vec_sum(array(1.0D, 2.5D))").head().getDouble(0) == 3.5)
