@@ -239,21 +239,27 @@ object IVFModel {
     val entries = new Path(s"$path/entries")
     val old = new Path(s"$path/entries_old")
     val neu = new Path(s"$path/entries_compacting")
+    // NOTE: the tombstone dir is never touched here. Tombstones the
+    // interrupted compact already folded in re-apply idempotently via
+    // the anti-join (the ids are gone from entries), while tombstones
+    // appended AFTER the crash are still pending — deleting the dir
+    // would lose them. The next successful compact clears it.
+    // Renames tolerate a concurrent recoverer: losing the race is fine
+    // as long as someone installed the entries dir.
     if (!fs.exists(entries)) {
       if (fs.exists(neu)) {
         // the compacted copy is complete (it is written before the old
-        // entries are staged aside) — finish the swap + cleanup
-        require(fs.rename(neu, entries), s"compact recovery: rename failed under $path")
+        // entries are staged aside) — finish the swap
+        if (!fs.rename(neu, entries))
+          require(fs.exists(entries), s"compact recovery: rename failed under $path")
         fs.delete(old, true)
-        fs.delete(new Path(s"$path/deletes"), true)
       } else if (fs.exists(old)) {
-        require(fs.rename(old, entries), s"compact recovery: restore failed under $path")
+        if (!fs.rename(old, entries))
+          require(fs.exists(entries), s"compact recovery: restore failed under $path")
       }
     } else if (fs.exists(old)) {
-      // swap finished, cleanup didn't: the compacted entries already
-      // folded the tombstones in
+      // swap finished, the old staged copy wasn't removed
       fs.delete(old, true)
-      fs.delete(new Path(s"$path/deletes"), true)
     }
   }
 
@@ -290,8 +296,9 @@ object IVFModel {
   }
 
   /** Fail fast on an incompatible persisted layout — shared by [[load]]
-    * and [[compact]]. */
-  private def checkVersion(spark: SparkSession, path: String): Unit = {
+    * and [[compact]]. Returns the metadata row so callers don't read
+    * the meta file twice. */
+  private def checkVersion(spark: SparkSession, path: String): org.apache.spark.sql.Row = {
     val meta = spark.read.json(s"$path/meta").head()
     val version =
       if (meta.schema.fieldNames.contains("format_version"))
@@ -300,6 +307,7 @@ object IVFModel {
     require(version == IVFIndex.FormatVersion,
       s"index at $path has format_version=$version; this build reads " +
         s"${IVFIndex.FormatVersion} (ex_code layout changed) — rebuild the index")
+    meta
   }
 
   /** Load a persisted index (analogue of IVF::load, IVF.hpp:254-293).
@@ -307,8 +315,7 @@ object IVFModel {
     * broadcast anti-join. */
   def load(spark: SparkSession, path: String): IVFModel = {
     import spark.implicits._
-    checkVersion(spark, path)
-    val meta = spark.read.json(s"$path/meta").head()
+    val meta = checkVersion(spark, path)
     val params = IVFIndex.Params(
       k = meta.getAs[Long]("k").toInt,
       totalBits = meta.getAs[Long]("total_bits").toInt,
@@ -358,7 +365,10 @@ object IVFModel {
     val entries = new Path(s"$path/entries")
     val entriesOld = new Path(s"$path/entries_old")
     fs.delete(entriesOld, true)
-    require(fs.rename(entries, entriesOld), s"compact: could not stage $entries aside")
+    // a meta-only index (saveMeta before any entries landed) has
+    // nothing to stage aside — install the (empty) compacted dir
+    if (fs.exists(entries))
+      require(fs.rename(entries, entriesOld), s"compact: could not stage $entries aside")
     require(fs.rename(entriesNew, entries), s"compact: rename failed under $path")
     fs.delete(entriesOld, true)
     fs.delete(new Path(s"$path/deletes"), true)

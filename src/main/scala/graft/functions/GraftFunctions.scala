@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Divide, Expression, ExpressionInfo, Multiply, Sqrt}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 /** SQL-surface registration for graft's native expressions, so
   * `spark.sql("SELECT vec_l2sq(a, b) ...")` works alongside the Column
@@ -11,15 +11,29 @@ import org.apache.spark.sql.catalyst.expressions.{Divide, Expression, Expression
   * globally via `spark.sql.extensions=graft.functions.GraftExtensions`.
   */
 object GraftFunctions {
+  /** Wrap a builder with an arity check, so `vec_norm(a, b)` fails the
+    * query with a clear message instead of silently ignoring `b` (and
+    * a missing argument doesn't surface as an index error). */
+  private def arity(n: Int, name: String)(
+      b: Seq[Expression] => Expression): Seq[Expression] => Expression =
+    es => {
+      require(es.length == n, s"$name expects $n argument(s), got ${es.length}")
+      b(es)
+    }
+
   private val builders: Seq[(String, Seq[Expression] => Expression, String)] = Seq(
-    ("vec_l2sq", es => VecL2Sq(es(0), es(1)), "squared L2 distance between two vectors"),
-    ("vec_dot", es => VecDot(es(0), es(1)), "inner product of two vectors"),
-    ("vec_sum", es => VecSum(es(0)), "sum of a vector's elements"),
-    ("vec_l2", es => Sqrt(VecL2Sq(es(0), es(1))), "L2 distance between two vectors"),
-    ("vec_norm", es => Sqrt(VecDot(es(0), es(0))), "L2 norm of a vector"),
-    ("vec_cosine", es => Divide(VecDot(es(0), es(1)),
-      Multiply(Sqrt(VecDot(es(0), es(0))), Sqrt(VecDot(es(1), es(1))))),
-      "cosine similarity of two vectors"))
+    ("vec_l2sq", arity(2, "vec_l2sq")(es => VecL2Sq(es(0), es(1))),
+      "squared L2 distance between two vectors"),
+    ("vec_dot", arity(2, "vec_dot")(es => VecDot(es(0), es(1))),
+      "inner product of two vectors"),
+    ("vec_sum", arity(1, "vec_sum")(es => VecSum(es(0))),
+      "sum of a vector's elements"),
+    ("vec_l2", arity(2, "vec_l2")(es => VectorFunctions.l2Expr(es(0), es(1))),
+      "L2 distance between two vectors"),
+    ("vec_norm", arity(1, "vec_norm")(es => VectorFunctions.normExpr(es(0))),
+      "L2 norm of a vector"),
+    ("vec_cosine", arity(2, "vec_cosine")(es => VectorFunctions.cosineExpr(es(0), es(1))),
+      "cosine similarity of two vectors (null for zero-norm inputs)"))
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

@@ -160,8 +160,28 @@ case class VecSum(child: Expression)
 }
 
 object VectorFunctions {
+  import org.apache.spark.sql.catalyst.expressions.{Divide, EqualTo, If, Literal, Multiply, Sqrt}
+
   private def col(e: Expression): Column = GraftColumnBridge.column(e)
   private def ex(c: Column): Expression = GraftColumnBridge.expression(c)
+
+  // Expression-level compositions — the single definition behind BOTH
+  // the Column API below and the SQL registration in GraftFunctions,
+  // so the two surfaces cannot drift.
+  private[functions] def l2Expr(a: Expression, b: Expression): Expression =
+    Sqrt(VecL2Sq(a, b))
+  private[functions] def normExpr(a: Expression): Expression =
+    Sqrt(VecDot(a, a))
+  /** Cosine with a zero-norm guard: Spark 4's default ANSI mode makes
+    * a bare Divide THROW on a 0.0 divisor (all-zero vectors — padding
+    * rows, failed encoders), so the degenerate case yields null
+    * instead of killing the query. */
+  private[functions] def cosineExpr(a: Expression, b: Expression): Expression = {
+    val denom = Multiply(normExpr(a), normExpr(b))
+    If(EqualTo(denom, Literal(0.0)),
+      Literal.create(null, DoubleType),
+      Divide(VecDot(a, b), denom))
+  }
 
   /** Element sum (codegen; replaces the interpreted aggregate() HOF). */
   def vec_sum(a: Column): Column = col(VecSum(ex(a)))
@@ -169,14 +189,13 @@ object VectorFunctions {
   /** Squared L2 distance (space.hpp L2Sqr). */
   def vec_l2sq(a: Column, b: Column): Column = col(VecL2Sq(ex(a), ex(b)))
   /** L2 distance. */
-  def vec_l2(a: Column, b: Column): Column = sqrt(vec_l2sq(a, b))
+  def vec_l2(a: Column, b: Column): Column = col(l2Expr(ex(a), ex(b)))
   /** Inner product (space.hpp IP). */
   def vec_dot(a: Column, b: Column): Column = col(VecDot(ex(a), ex(b)))
   /** L2 norm. */
-  def vec_norm(a: Column): Column = sqrt(vec_dot(a, a))
-  /** Cosine similarity. */
-  def vec_cosine(a: Column, b: Column): Column =
-    vec_dot(a, b) / (vec_norm(a) * vec_norm(b))
+  def vec_norm(a: Column): Column = col(normExpr(ex(a)))
+  /** Cosine similarity (null for zero-norm inputs, see [[cosineExpr]]). */
+  def vec_cosine(a: Column, b: Column): Column = col(cosineExpr(ex(a), ex(b)))
   /** Zero-pad a float vector so its length is a multiple of `m`
     * (reference pads to a multiple of 64, IVF.hpp:96). */
   def vec_pad(a: Column, m: Int): Column = {

@@ -18,6 +18,20 @@ class SourcesSpec extends AnyFunSuite {
     .getOrCreate()
   import spark.implicits._
 
+  /** Write one parquet file of (vec_id, embedding) rows into `dir` —
+    * fixture for the streaming-ingest tests. */
+  private def writeVecsFile(
+      dir: java.nio.file.Path, name: String, ids: Seq[Long], seed: Int): Unit = {
+    val rnd = new scala.util.Random(seed)
+    val tmp = java.nio.file.Files.createTempDirectory("vecs_part")
+    ids.map(i => (i, Array.fill(64)(rnd.nextFloat())))
+      .toDF("vec_id", "embedding")
+      .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = java.nio.file.Files.list(tmp).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.head
+    java.nio.file.Files.copy(part, dir.resolve(name))
+  }
+
   test("fvecs roundtrip: write with VecsIO, read with format(fvecs)") {
     val dir = java.nio.file.Files.createTempDirectory("fvecs_test")
     val f = dir.resolve("sample.fvecs").toString
@@ -127,6 +141,15 @@ class SourcesSpec extends AnyFunSuite {
         "vec_norm(array(3.0F, 4.0F)) AS n, " +
         "vec_cosine(array(1.0F, 0.0F), array(1.0F, 0.0F)) AS cos").head()
     assert(c.getDouble(0) == 5.0 && c.getDouble(1) == 5.0 && c.getDouble(2) == 1.0)
+    // zero-norm cosine is null, not an ANSI DIVIDE_BY_ZERO error
+    assert(spark.sql(
+      "SELECT vec_cosine(array(0.0F, 0.0F), array(1.0F, 0.0F))").head().isNullAt(0))
+    // wrong arity fails with a clear message, not an index error
+    val arityErr = intercept[Exception] {
+      spark.sql("SELECT vec_norm(array(1.0F), array(2.0F))").head()
+    }
+    assert(arityErr.getMessage.contains("expects 1 argument"),
+      s"unexpected arity error: ${arityErr.getMessage}")
     // null element -> null; double arrays read natively
     assert(spark.sql("SELECT vec_sum(array(1.0F, NULL))").head().isNullAt(0))
     assert(spark.sql("SELECT vec_sum(array(1.0D, 2.5D))").head().getDouble(0) == 3.5)
@@ -173,21 +196,11 @@ class SourcesSpec extends AnyFunSuite {
     val idxDir = java.nio.file.Files.createTempDirectory("b13_incr").toString
     m.save(idxDir) // FULL batch save — entries must survive the appends
     val srcDir = java.nio.file.Files.createTempDirectory("b13_incr_src")
-    def addArrivals(name: String, ids: Range): Unit = {
-      val rnd = new scala.util.Random(ids.head)
-      val tmp = java.nio.file.Files.createTempDirectory("b13_part")
-      ids.map(i => (i.toLong + 100000L, Array.fill(64)(rnd.nextFloat())))
-        .toDF("vec_id", "embedding")
-        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val part = java.nio.file.Files.list(tmp).iterator().asScala
-        .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.head
-      java.nio.file.Files.copy(part, srcDir.resolve(name))
-    }
-    addArrivals("f1.parquet", 0 until 10)
+    writeVecsFile(srcDir, "f1.parquet", (100000L until 100010L), seed = 1)
     IVFIndex.appendStream(spark, m, srcDir.toString, idxDir)
     assert(IVFModel.load(spark, idxDir).index.count() == nBatch + 10,
       "batch-written entries must survive a streaming append")
-    addArrivals("f2.parquet", 10 until 15)
+    writeVecsFile(srcDir, "f2.parquet", (100010L until 100015L), seed = 2)
     IVFIndex.appendStream(spark, m, srcDir.toString, idxDir)
     val after = IVFModel.load(spark, idxDir)
     assert(after.index.count() == nBatch + 15,
@@ -227,14 +240,7 @@ class SourcesSpec extends AnyFunSuite {
       "an index compacted to empty must still load")
     // and the layout must still accept streaming appends afterwards
     val srcDir = java.nio.file.Files.createTempDirectory("b15_refill")
-    val tmp = java.nio.file.Files.createTempDirectory("b15_refill_part")
-    val rnd = new scala.util.Random(5)
-    (0 until 8).map(i => (i.toLong + 900000L, Array.fill(64)(rnd.nextFloat())))
-      .toDF("vec_id", "embedding")
-      .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-    val part = java.nio.file.Files.list(tmp).iterator().asScala
-      .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.head
-    java.nio.file.Files.copy(part, srcDir.resolve("f1.parquet"))
+    writeVecsFile(srcDir, "f1.parquet", (900000L until 900008L), seed = 5)
     IVFIndex.appendStream(spark, m, srcDir.toString, idxDir)
     assert(IVFModel.load(spark, idxDir).index.count() == 8,
       "an emptied-then-compacted index must accept streaming appends")
