@@ -188,6 +188,10 @@ object IVFIndex {
       vecCol: String = "embedding"): Unit = {
     import spark.implicits._
     import org.apache.spark.sql.types._
+    // finish any interrupted compact swap first: appending would
+    // otherwise CREATE a fresh entries/ dir that shadows the recovery
+    // copies and turns the next load's self-heal destructive
+    IVFModel.recoverCompact(spark, indexPath)
     val dim = model.rotator.dim
     val exBits = model.params.exBits
     val bc = spark.sparkContext.broadcast(
@@ -233,7 +237,7 @@ object IVFModel {
     * entries missing + complete compacted copy present → finish the
     * swap; entries present + staged old copy present → finish the
     * pending cleanup. */
-  private def recoverCompact(spark: SparkSession, path: String): Unit = {
+  private[ann] def recoverCompact(spark: SparkSession, path: String): Unit = {
     import org.apache.hadoop.fs.Path
     val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
     val entries = new Path(s"$path/entries")
@@ -291,7 +295,11 @@ object IVFModel {
         "sum_xb", "fac_err", "xipnorm")
     val deletesPath = new Path(s"$path/deletes")
     if (fs.exists(deletesPath))
-      raw.join(broadcast(spark.read.parquet(deletesPath.toString)), Seq("id"), "left_anti")
+      // no broadcast hint: a forced broadcast of an unbounded tombstone
+      // set (e.g. a retention pass deleting half the corpus) would OOM
+      // the driver on every load; the planner broadcasts small sets on
+      // its own and falls back to a shuffled anti-join for large ones
+      raw.join(spark.read.parquet(deletesPath.toString), Seq("id"), "left_anti")
     else raw
   }
 

@@ -187,7 +187,11 @@ object Dedup {
     * of executor storage per call for the session lifetime. The
     * checkpointed result blocks themselves are RDD-level storage,
     * reclaimed by the ContextCleaner once the returned Dataset is
-    * garbage-collected.
+    * garbage-collected. Tradeoff: the blocks are node-local and the
+    * lineage is truncated, so on a cluster that loses the computing
+    * executor the result cannot be recomputed — write long-lived
+    * results to durable storage promptly rather than holding the
+    * returned handle across executor churn.
     */
   def minHashSummary(
       spark: SparkSession,
@@ -355,10 +359,13 @@ object Dedup {
           .toArray.partition(_._1 == lo)
         val ra = raw_a.map(_._2).sortBy(_._1)
         if (lo == hi) {
-          // within-block: i < j over the id-sorted array
+          // within-block: i < j over the id-sorted array; skip equal
+          // ids (a re-ingested duplicate row must not emit a self-pair
+          // — the oracle's a.vec_id < b.vec_id excludes them)
           for {
             i <- ra.indices.iterator
             j <- (i + 1 until ra.length).iterator
+            if ra(i)._1 != ra(j)._1
             c = cos(ra(i), ra(j)) if c >= threshold
           } yield (ra(i)._1, ra(j)._1, c)
         } else {

@@ -100,6 +100,16 @@ class OpsSpec extends AnyFunSuite {
     assert(got == Set((-7L, -2L), (-7L, 3L), (-2L, 3L)))
   }
 
+  test("embedding near-dup: duplicate ids never emit self-pairs") {
+    val v = Array.fill(8)(0.5f)
+    val df = Seq((7L, v), (7L, v), (9L, v)).toDF("vec_id", "embedding")
+    val got = Dedup.embeddingNearDup(df, 0.9, numBlocks = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSeq
+    assert(!got.contains((7L, 7L)), s"self-pair leaked: $got")
+    // the distinct-id pair is still reported (once per duplicate row)
+    assert(got.count(_ == (7L, 9L)) == 2)
+  }
+
   test("mulModM61 matches BigInt arithmetic") {
     val m = BigInt(2).pow(61) - 1
     val rnd = new scala.util.Random(9)
