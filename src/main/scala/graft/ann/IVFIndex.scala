@@ -434,11 +434,12 @@ final class IVFModel(
 
   /** Attribute-filtered search: only ids present in `allowedIds`
     * (single column of longs) are eligible results. The filter is a
-    * broadcast semi-join applied BEFORE estimation, so disallowed
-    * entries never cost an estimate and per-query heaps fill with k
-    * eligible results (post-filtering the top-k would return fewer).
-    * At 100 TB the allowed set comes from a metadata predicate — keep
-    * it broadcastable or pre-join it into an index variant. */
+    * semi-join applied BEFORE estimation, so disallowed entries never
+    * cost an estimate and per-query heaps fill with k eligible results
+    * (post-filtering the top-k would return fewer). No broadcast hint:
+    * the planner broadcasts small allowed sets and shuffles large ones
+    * — a selective-but-large metadata predicate (billions of ids at
+    * 100 TB) must not be forced through the driver. */
   def searchFiltered(
       spark: SparkSession,
       queries: Array[(Long, Array[Float])],
@@ -447,7 +448,7 @@ final class IVFModel(
       allowedIds: DataFrame): DataFrame = {
     import spark.implicits._
     val allowed = allowedIds.toDF("id").select(col("id").cast("long"))
-    val filtered = index.join(broadcast(allowed), Seq("id"), "left_semi").as[Entry]
+    val filtered = index.join(allowed, Seq("id"), "left_semi").as[Entry]
     searchOn(spark, filtered, queries, k, nprobe)
   }
 

@@ -79,16 +79,22 @@ object AnnQueries {
     exrabitqCodeFor(spark, dir, bits = 8)
 
   private def exrabitqCodeFor(spark: SparkSession, dir: String, bits: Int): DataFrame = {
-    val checksum = udf((b: Array[Byte]) => {
-      var s = 0L; var i = 0
-      while (i < b.length) { s += (b(i) & 0xff); i += 1 }
-      s
-    })
-    model(spark, dir, bits).index.toDF()
-      .select(col("id").as("vec_id"),
-        checksum(col("ex_code")).as("code_sum"),
+    import spark.implicits._
+    // typed map kernel (not a UDF): the checksum runs inside the
+    // deserializer pipeline and the plan stays codegen'd end-to-end
+    model(spark, dir, bits).index
+      .map(e => (e.id, byteSum(e.ex_code), e.xipnorm))
+      .toDF("vec_id", "code_sum", "xipnorm")
+      .select(col("vec_id"), col("code_sum"),
         round(col("xipnorm"), 6).as("xipnorm"))
       .orderBy("vec_id")
+  }
+
+  /** Unsigned byte sum of a packed code — the b5 bench checksum. */
+  private[graft] def byteSum(b: Array[Byte]): Long = {
+    var s = 0L; var i = 0
+    while (i < b.length) { s += (b(i) & 0xff); i += 1 }
+    s
   }
 
   /** b6: estimated vs exact distance + lower bound for query 0 against

@@ -194,6 +194,27 @@ class AnnSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"filtered recall@10 = $recall")
   }
 
+  test("filtered search survives a non-broadcastable allowed set (shuffled semi-join)") {
+    import spark.implicits._
+    val m = operators.AnnQueries.model(spark, sf)
+    val e = Tables.embeddings(spark, sf)
+    val allowed = e.filter($"vec_id" % 2 === 0).select($"vec_id")
+    val qs = operators.VectorQueries.queryVectors(spark, sf)
+    val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    // Forbid broadcast entirely: the planner must pick a shuffled
+    // semi-join, the path a billions-of-ids allowed set takes at scale.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val got = m.searchFiltered(spark, qs, 10, nprobe = m.params.k, allowed)
+      val plan = got.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastExchange"),
+        s"allowed-set semi-join still broadcasts with threshold=-1:\n$plan")
+      val rows = got.select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      assert(rows.forall(_._2 % 2 == 0), "a disallowed id leaked through the shuffled path")
+      assert(rows.length == qs.length * 10, "shuffled-path heaps must still fill to k")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+  }
+
   test("routed centroid ranking closely matches flat ranking at large K") {
     val rnd = new scala.util.Random(23)
     val k = 2048

@@ -47,6 +47,11 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("UDF"), s"c4 fell back to a UDF:\n$p")
   }
 
+  test("b5 ex-code checksum is a typed kernel (no UDF node in the plan)") {
+    val p = plan(operators.AnnQueries.exrabitqCode(spark, sf))
+    assert(!p.contains("UDF"), s"b5 fell back to a UDF:\n$p")
+  }
+
   test("optimizer rule removes sqrt from distance-threshold filters") {
     import spark.implicits._
     import org.apache.spark.sql.functions.lit
