@@ -128,8 +128,19 @@ object IVFIndex {
       val (rot, cents, rotCents) = bc.value
       iter.map { case (id, vec) => quantizeRow(rot, cents, rotCents, exBits, dim, id, vec) }
     }
-    // cluster the index by cluster_id for scan locality / partition pruning
-    val index = entries.repartition(col("cluster_id")).cache()
+    // cluster the index by cluster_id for scan locality / partition
+    // pruning. The layout is pinned fully deterministic: an EXPLICIT
+    // partition count (AQE coalesces a bare repartition(col) and its
+    // decision can differ between the cached materialization and a
+    // post-uncache re-plan) and sortWithinPartitions for the row order
+    // (shuffle fetch order is randomized). Without both, the
+    // estimate-phase pruning trajectory — and thus near-tie results —
+    // would vary per materialization; with them every search is
+    // bit-reproducible, and each cluster's rows stay contiguous for
+    // the per-cluster query-preparation cache.
+    val n = spark.sessionState.conf.numShufflePartitions
+    val index = entries.repartition(n, col("cluster_id"))
+      .sortWithinPartitions("cluster_id", "id").cache()
     new IVFModel(params, rotator, centroids, rotatedCentroids, index)
   }
 
@@ -369,6 +380,7 @@ object IVFModel {
     // static Entry schema, and the layout stays uniformly partitioned
     // for later streaming appends
     compacted.repartition(col("cluster_id"))
+      .sortWithinPartitions("cluster_id", "id") // canonical on-disk order
       .write.mode("overwrite").partitionBy("cluster_id").parquet(entriesNew.toString)
     val entries = new Path(s"$path/entries")
     val entriesOld = new Path(s"$path/entries_old")

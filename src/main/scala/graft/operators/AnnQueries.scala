@@ -205,12 +205,15 @@ object AnnQueries {
   }
 
   /** b11: nprobe-sweep evaluation harness — one row per nprobe with
-    * recall@10, average distance ratio, and wall seconds. The Spark
-    * analogue of the reference's headline output
-    * (src/test_search.cpp:61-94 + get_nprobes → results CSV). Only the
-    * tiny per-sweep result lists (Q×k rows) are collected; distances
-    * come from the same broadcast-join used by b10. wall_s is
-    * measured, so the driver checks this rows-only. */
+    * recall@10, average distance ratio, wall seconds and QPS (the
+    * reference publishes QPS — results/exrabitq/openai1536_exhaf4.csv
+    * has columns nprobe,QPS,recall,ratio; graft.SweepCsv emits that
+    * exact artifact shape). The Spark analogue of the reference's
+    * headline output (src/test_search.cpp:61-94 + get_nprobes →
+    * results CSV). Only the tiny per-sweep result lists (Q×k rows) are
+    * collected; distances come from the same broadcast-join used by
+    * b10. wall_s/qps are measured, so the driver checks this
+    * rows-only. */
   def nprobeSweep(
       spark: SparkSession,
       dir: String,
@@ -266,9 +269,11 @@ object AnnQueries {
         }
         if (rs.isEmpty) 1.0 else rs.sum / rs.length
       }.sum / qs.length
-      (np, math.rint(recall * 1e4) / 1e4, math.rint(ratio * 1e4) / 1e4, wall)
+      (np, math.rint(recall * 1e4) / 1e4, math.rint(ratio * 1e4) / 1e4, wall,
+        math.rint(qs.length / wall * 1e2) / 1e2)
     }
-    rows.toDF("nprobe", "recall_at_10", "avg_ratio", "wall_s").orderBy("nprobe")
+    rows.toDF("nprobe", "recall_at_10", "avg_ratio", "wall_s", "qps")
+      .orderBy("nprobe")
   }
 
   /** b12: high-accuracy search — quantized over-fetch + exact-distance

