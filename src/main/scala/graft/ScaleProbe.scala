@@ -23,6 +23,7 @@ object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val nDocs = sys.env.getOrElse("SPARK_GRAFT_PROBE_DOCS", "100000").toInt
     val nVecs = sys.env.getOrElse("SPARK_GRAFT_PROBE_VECS", "200000").toInt
+    val dim = sys.env.getOrElse("SPARK_GRAFT_PROBE_DIM", "64").toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -62,14 +63,16 @@ object ScaleProbe {
     val (_, tStream) = time(force(
       graft.streaming.StreamDedup.streamingNearDupFromDir(spark, docsDir.toString)))
 
-    // --- synthetic vectors: clustered gaussians, 64-dim ---
+    // --- synthetic vectors: clustered gaussians, `dim`-dim (probe
+    // high dims with SPARK_GRAFT_PROBE_DIM — the query-quantization
+    // LUT path is aimed at reference-scale dims like 1536) ---
     val vecs = spark.range(nVecs).select(col("id").as("vec_id")).as[Long]
       .mapPartitions { iter =>
         iter.map { id =>
           val rnd = new scala.util.Random(id)
           val c = (id % 32).toInt
-          (id, Array.tabulate(64)(d =>
-            (rnd.nextGaussian() * 0.3 + math.sin(c * 64 + d)).toFloat))
+          (id, Array.tabulate(dim)(d =>
+            (rnd.nextGaussian() * 0.3 + math.sin(c * dim + d)).toFloat))
         }
       }.toDF("vec_id", "embedding")
     val vecsDir = java.nio.file.Files.createTempDirectory("probe_vecs")
@@ -84,15 +87,25 @@ object ScaleProbe {
     }
     val queries = vecsOnDisk.filter(col("vec_id") < 100)
       .as[(Long, Array[Float])].collect().sortBy(_._1)
+    // warm both estimate paths once (JIT + codegen) so the timed runs
+    // compare kernels, not first-call compilation
+    force(model.search(spark, queries, k = 100, nprobe = 32))
+    force(model.withQueryBits(14).search(spark, queries, k = 100, nprobe = 32))
     val (_, tSearch) = time(force(model.search(spark, queries, k = 100, nprobe = 32)))
     val (_, tHighAcc) = time(force(
       model.searchHighAcc(spark, vecsOnDisk, queries, k = 100, nprobe = 32)))
+    // query-side scalar quantization (Params.queryBits = 14): the
+    // estimate-phase hot loop swaps per-set-bit float adds for packed
+    // nibble-LUT lookups — this probe measures that delta at scale
+    val (_, tSearchQ) = time(force(
+      model.withQueryBits(14).search(spark, queries, k = 100, nprobe = 32)))
 
     println(
-      s"""{"probe":"scale","n_docs":$nDocs,"n_vecs":$nVecs,"cpus":$cpus,""" +
+      s"""{"probe":"scale","n_docs":$nDocs,"n_vecs":$nVecs,"dim":$dim,"cpus":$cpus,""" +
       s""""c1_exact_s":$tExact,"c2_minhash_s":$tMinhash,"c3_simhash_s":$tSimhash,""" +
       s""""d6_stream_s":$tStream,"index_build_s":$tBuild,""" +
-      s""""search100_s":$tSearch,"search100_highacc_s":$tHighAcc}""")
+      s""""search100_s":$tSearch,"search100_highacc_s":$tHighAcc,""" +
+      s""""search100_q14_s":$tSearchQ}""")
     spark.stop()
   }
 }

@@ -37,6 +37,7 @@ object SparkEntry {
     "b13_stream_index" -> (AnnQueries.streamIndexIngest(_, _)),
     "b14_search_filtered" -> (AnnQueries.searchFiltered(_, _)),
     "b15_index_lifecycle" -> (AnnQueries.indexLifecycle(_, _)),
+    "b16_search_quantized" -> (AnnQueries.ivfSearchQuantized(_, _)),
     "c1_dedup_exact" -> (PipelineQueries.dedupExact(_, _)),
     "c2_dedup_minhash" -> (PipelineQueries.dedupMinhash(_, _)),
     "c3_dedup_simhash" -> (PipelineQueries.dedupSimhash(_, _)),

@@ -54,8 +54,18 @@ object IVFIndex {
       k: Int = 16,
       totalBits: Int = 4, // B; exBits = B-1. Reference supports B ∈ {3,4,5,7,8,9}
       seed: Long = 42L,
-      maxTrainRows: Long = 1000000L) {
+      maxTrainRows: Long = 1000000L,
+      // Search-time knob, NOT index state (never persisted): 0 = exact
+      // float query residual on the estimate phase (default; strictly
+      // more accurate than the reference); >0 = scalar-quantize the
+      // residual to this many bits and accumulate via packed nibble
+      // LUTs — the reference's BQUERY=14 FastScan mechanism
+      // (Searcher.hpp:16,122-172), trading a sliver of estimate
+      // accuracy for a cheaper per-entry hot loop.
+      queryBits: Int = 0) {
     require(Set(3, 4, 5, 7, 8, 9).contains(totalBits), s"unsupported totalBits $totalBits")
+    require(queryBits == 0 || (queryBits >= 4 && queryBits <= 16),
+      s"queryBits must be 0 (exact) or in [4,16], got $queryBits")
     def exBits: Int = totalBits - 1
   }
 
@@ -407,6 +417,12 @@ final class IVFModel(
     * a search happens). */
   lazy val router = new CentroidRouter(rotatedCentroids)
 
+  /** Same model, same (cached) index, different query-side estimate
+    * precision (Params.queryBits) — the knob costs nothing to flip. */
+  def withQueryBits(bits: Int): IVFModel =
+    new IVFModel(params.copy(queryBits = bits), rotator, centroids,
+      rotatedCentroids, index)
+
   /** Persist the index columnar, partitioned by cluster (the Spark
     * analogue of IVF::save, IVF.hpp:219-252). Partitioning by
     * cluster_id means a search with nprobe probes reads only those
@@ -472,6 +488,7 @@ final class IVFModel(
       nprobe: Int): DataFrame = {
     import spark.implicits._
     val exBits = params.exBits
+    val queryBits = params.queryBits
     // --- driver-side centroid ranking: flat scan for small K (the
     // reference's FlatInitializer), two-level routed ranking above
     // the threshold (its HNSWInitializer role, IVF.hpp:155-160) ---
@@ -516,10 +533,14 @@ final class IVFModel(
               val qi = queryIdxs(j)
               var qc = pc(qi)
               if (qc == null) {
-                qc = RaBitQ.prepareQuery(qs(qi)._2, rotCents(e.cluster_id))
+                qc = RaBitQ.prepareQuery(qs(qi)._2, rotCents(e.cluster_id), queryBits)
                 pc(qi) = qc
               }
-              val lower = RaBitQ.estimateLower(qc, e.sign_bits, e.x2, e.fac_ip, e.fac_err)
+              val lower =
+                if (queryBits > 0)
+                  RaBitQ.estimateLowerLut(qc, e.sign_bits, e.x2, e.fac_ip, e.fac_err)
+                else
+                  RaBitQ.estimateLower(qc, e.sign_bits, e.x2, e.fac_ip, e.fac_err)
               if (lower <= dists(qi)) {
                 val ex = RaBitQ.rerankDist(qc, e.sign_bits, e.ex_code, e.x2, e.xipnorm, exBits)
                 heaps(qi).insert(ex, e.id)

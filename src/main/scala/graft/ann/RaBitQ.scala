@@ -172,14 +172,33 @@ object RaBitQ {
 
   /** Query-side state for scanning one cluster (reference Searcher
     * `preparing`, Searcher.hpp:122-128): residual r = q_rot − c_rot,
-    * S = Σ r_d. The reference additionally scalar-quantizes r to build
-    * SIMD LUTs; we use r exactly — same estimator, engine-appropriate
-    * mechanism (strictly less estimation error). */
-  final case class QueryCluster(residual: Array[Float], sumRes: Double, sqrY: Double) {
+    * S = Σ r_d. With `queryBits = 0` (default) the estimate phase uses
+    * r exactly — same estimator, strictly less estimation error than
+    * the reference. With `queryBits > 0` it scalar-quantizes r and
+    * pre-packs nibble LUTs (`qlut`), the JVM re-expression of the
+    * reference's BQUERY=14 + pack_LUT FastScan mechanism
+    * (Searcher.hpp:122-172) — the speed-for-accuracy knob on the
+    * per-entry hot loop. */
+  final case class QueryCluster(
+      residual: Array[Float],
+      sumRes: Double,
+      sqrY: Double,
+      qlut: QueryLut = null) {
     val y: Double = math.sqrt(sqrY)
   }
 
-  def prepareQuery(qRot: Array[Float], cRot: Array[Float]): QueryCluster = {
+  /** Scalar-quantized query residual, packed for nibble accumulation:
+    * r_d ≈ vl + width·u_d, and `lut(g*16 + mask)` = Σ u over the set
+    * bits of `mask` within dim group g (4 dims per group — the JVM
+    * analogue of the reference's 4-bit LUT rows, Searcher.hpp:130-172).
+    * Groups are padded to full sign-bit words so the accumulation loop
+    * needs no tail handling. */
+  final case class QueryLut(lut: Array[Int], vl: Float, width: Float)
+
+  def prepareQuery(
+      qRot: Array[Float],
+      cRot: Array[Float],
+      queryBits: Int = 0): QueryCluster = {
     val d = qRot.length
     val r = new Array[Float](d)
     var s = 0.0; var y2 = 0.0
@@ -189,7 +208,38 @@ object RaBitQ {
       r(i) = v.toFloat; s += v; y2 += v * v
       i += 1
     }
-    QueryCluster(r, s, y2)
+    QueryCluster(r, s, y2, if (queryBits > 0) buildLut(r, queryBits) else null)
+  }
+
+  /** Quantize the residual to `bits`-bit ints (reference
+    * data_range16 + scalar_quantize16, space.hpp:608-659) and build
+    * the per-4-dim subset-sum LUTs (reference pack_LUT). Cost is
+    * O(d·4) per (query, cluster), amortized over every entry of the
+    * cluster scan. */
+  private[graft] def buildLut(r: Array[Float], bits: Int): QueryLut = {
+    val d = r.length
+    var vl = Float.MaxValue; var vr = Float.MinValue
+    var i = 0
+    while (i < d) { val v = r(i); if (v < vl) vl = v; if (v > vr) vr = v; i += 1 }
+    val levels = (1 << bits) - 1
+    val width = if (vr > vl) (vr - vl) / levels else 1.0f
+    val words = (d + 63) >> 6
+    val groups = words << 4 // 16 groups of 4 dims per 64-bit word
+    val lut = new Array[Int](groups << 4)
+    var g = 0
+    while (g < groups) {
+      val base = g << 2
+      val off = g << 4
+      var m = 1
+      while (m < 16) {
+        val dim = base + Integer.numberOfTrailingZeros(m)
+        val u = if (dim < d) math.round((r(dim) - vl) / width) else 0
+        lut(off + m) = lut(off + (m & (m - 1))) + u
+        m += 1
+      }
+      g += 1
+    }
+    QueryLut(lut, vl, width)
   }
 
   /** Σ r_d over dims whose sign bit is set (the exact form of the
@@ -226,6 +276,42 @@ object RaBitQ {
   def estimateLower(q: QueryCluster, signBits: Array[Long], x2: Float,
       facIp: Float, facErr: Float): Double =
     estimateDist(q, signBits, x2, facIp) - facErr * q.y
+
+  /** LUT-accumulated estimate (reference scan_one_block's
+    * accumulate_robust over the packed LUTs, Searcher.hpp:176-216):
+    * Σ_{set bits} r_d ≈ width·Σ u_d + vl·popcount, with Σ u_d read
+    * nibble-by-nibble from the subset-sum tables — 16 adds + 16 table
+    * loads per 64 dims instead of one float add per set bit. Requires
+    * `q.qlut != null` (prepareQuery with queryBits > 0). */
+  def estimateDistLut(q: QueryCluster, signBits: Array[Long], x2: Float,
+      facIp: Float): Double = {
+    val ql = q.qlut
+    val lut = ql.lut
+    // Int accumulator: u ≤ 2^16-1 and ≤ 4 dims per lookup, so even
+    // d = 4096 stays far below Int overflow
+    var sum = 0
+    var pop = 0
+    var w = 0
+    while (w < signBits.length) {
+      var bits = signBits(w)
+      pop += java.lang.Long.bitCount(bits)
+      var off = w << 8 // 16 groups × 16 entries per word
+      var n = 0
+      while (n < 16) {
+        sum += lut(off + (bits & 15L).toInt)
+        bits >>>= 4
+        off += 16
+        n += 1
+      }
+      w += 1
+    }
+    val ip = ql.width.toDouble * sum + ql.vl.toDouble * pop - 0.5 * q.sumRes
+    x2 + q.sqrY - ip * facIp
+  }
+
+  def estimateLowerLut(q: QueryCluster, signBits: Array[Long], x2: Float,
+      facIp: Float, facErr: Float): Double =
+    estimateDistLut(q, signBits, x2, facIp) - facErr * q.y
 
   /** Re-ranking distance from the extended code
     * (Searcher.hpp:227-230, algebraically identical):

@@ -134,6 +134,17 @@ object AnnQueries {
   def ivfSearchB8(spark: SparkSession, dir: String): DataFrame =
     searchResults(spark, dir, bits = 8).orderBy("query_id", "rk")
 
+  /** b16: the full search path with query-side scalar quantization
+    * enabled — the reference's BQUERY=14 estimate mechanism
+    * (Searcher.hpp:16,122-172) behind Params.queryBits; same workload
+    * as b7 so the two result lists are directly comparable. */
+  def ivfSearchQuantized(spark: SparkSession, dir: String): DataFrame = {
+    val m = model(spark, dir)
+    m.withQueryBits(14)
+      .search(spark, queryVectors(spark, dir), k = 10, nprobe = 3 * m.params.k / 4)
+      .orderBy("query_id", "rk")
+  }
+
   /** b8: recall@10 of IVF search vs exact ground truth
     * (test_search.cpp:101-130). Self-contained: both sides computed by
     * the engine. */

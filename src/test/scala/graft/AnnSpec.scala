@@ -194,6 +194,43 @@ class AnnSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"filtered recall@10 = $recall")
   }
 
+  test("LUT estimate at 14 bits tracks the exact-float estimate closely") {
+    val rnd = new scala.util.Random(11)
+    val d = 64
+    val rot = new Rotator(d, 5)
+    for (_ <- 1 to 50) {
+      val q = randVec(rnd, d); val c = randVec(rnd, d)
+      val x = randVec(rnd, d)
+      val xr = rot.rotate(x); val cr = rot.rotate(c)
+      val residual = xr.indices.map(i => xr(i) - cr(i)).toArray
+      val ent = RaBitQ.quantize(residual, exBits = 3)
+      val qcF = RaBitQ.prepareQuery(rot.rotate(q), cr)
+      val qcQ = RaBitQ.prepareQuery(rot.rotate(q), cr, queryBits = 14)
+      val estF = RaBitQ.estimateDist(qcF, ent.signBits, ent.x2, ent.facIp)
+      val estQ = RaBitQ.estimateDistLut(qcQ, ent.signBits, ent.x2, ent.facIp)
+      val scale = math.max(1.0, math.abs(estF))
+      assert(math.abs(estF - estQ) / scale < 1e-3,
+        s"LUT estimate diverged: float=$estF lut=$estQ")
+    }
+  }
+
+  test("query-side scalar quantization: recall within 0.01 of the float path") {
+    import spark.implicits._
+    val m = operators.AnnQueries.model(spark, sf)
+    val qs = operators.VectorQueries.queryVectors(spark, sf)
+    val gt = operators.VectorQueries.gtTopKAll(spark, sf)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    def recallOf(model: graft.ann.IVFModel): Double = {
+      val got = model.search(spark, qs, 10, nprobe = 12)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      got.count(gt.contains).toDouble / gt.size
+    }
+    val rFloat = recallOf(m)
+    val rQuant = recallOf(m.withQueryBits(14))
+    assert(rQuant >= rFloat - 0.01,
+      s"quantized-query recall $rQuant dropped more than 0.01 below float $rFloat")
+  }
+
   test("filtered search survives a non-broadcastable allowed set (shuffled semi-join)") {
     import spark.implicits._
     val m = operators.AnnQueries.model(spark, sf)

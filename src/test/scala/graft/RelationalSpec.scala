@@ -34,6 +34,7 @@ class RelationalSpec extends AnyFunSuite {
       "b7_ivf_search", "b7b_ivf_search_b8", "b8_ann_recall", "b9_index_build",
       "b10_ann_ratio", "b11_nprobe_sweep", "b12_search_highacc",
       "b13_stream_index", "b14_search_filtered", "b15_index_lifecycle",
+      "b16_search_quantized",
       "c2_dedup_minhash", "c3_dedup_simhash", "c9_doc_fingerprint",
       "c11_media_embed", "d6_stream_dedup")
     assert(rowsOnly.subsetOf(expectedRowsOnly), s"unexpected rows-only: ${rowsOnly -- expectedRowsOnly}")
