@@ -42,7 +42,7 @@ object Golden {
     val cols = df.columns.filterNot(exclude).sorted
     val proj = df.select(cols.map(col).toIndexedSeq: _*)
     proj.collect()
-      .map(r => (0 until r.length).map(i => fmt(r.get(i))).mkString(""))
+      .map(r => (0 until r.length).map(i => fmt(r.get(i))).mkString("\t"))
       .sorted
   }
 

@@ -91,14 +91,14 @@ object ScaleProbe {
     // compare kernels, not first-call compilation
     force(model.search(spark, queries, k = 100, nprobe = 32))
     force(model.withQueryBits(14).search(spark, queries, k = 100, nprobe = 32))
+    // float vs queryBits=14 timed BACK-TO-BACK (same JVM/GC state) —
+    // the quantized path swaps per-set-bit float adds for packed
+    // nibble-LUT lookups on the estimate phase
     val (_, tSearch) = time(force(model.search(spark, queries, k = 100, nprobe = 32)))
-    val (_, tHighAcc) = time(force(
-      model.searchHighAcc(spark, vecsOnDisk, queries, k = 100, nprobe = 32)))
-    // query-side scalar quantization (Params.queryBits = 14): the
-    // estimate-phase hot loop swaps per-set-bit float adds for packed
-    // nibble-LUT lookups — this probe measures that delta at scale
     val (_, tSearchQ) = time(force(
       model.withQueryBits(14).search(spark, queries, k = 100, nprobe = 32)))
+    val (_, tHighAcc) = time(force(
+      model.searchHighAcc(spark, vecsOnDisk, queries, k = 100, nprobe = 32)))
 
     println(
       s"""{"probe":"scale","n_docs":$nDocs,"n_vecs":$nVecs,"dim":$dim,"cpus":$cpus,""" +

@@ -309,9 +309,36 @@ object RaBitQ {
     x2 + q.sqrY - ip * facIp
   }
 
+  /** Lower bound on the LUT path. Widens the float path's bound by the
+    * query-quantization error: each set bit contributes r_d known only
+    * to ±width/2, so |ip_lut − ip_float| ≤ popcount·width/2, and the
+    * pruning margin must absorb it — otherwise a coarse `queryBits`
+    * (Params allows down to 4) would silently prune true neighbors
+    * instead of just costing more reranks. */
   def estimateLowerLut(q: QueryCluster, signBits: Array[Long], x2: Float,
-      facIp: Float, facErr: Float): Double =
-    estimateDistLut(q, signBits, x2, facIp) - facErr * q.y
+      facIp: Float, facErr: Float): Double = {
+    val ql = q.qlut
+    val lut = ql.lut
+    var sum = 0
+    var pop = 0
+    var w = 0
+    while (w < signBits.length) {
+      var bits = signBits(w)
+      pop += java.lang.Long.bitCount(bits)
+      var off = w << 8
+      var n = 0
+      while (n < 16) {
+        sum += lut(off + (bits & 15L).toInt)
+        bits >>>= 4
+        off += 16
+        n += 1
+      }
+      w += 1
+    }
+    val ip = ql.width.toDouble * sum + ql.vl.toDouble * pop - 0.5 * q.sumRes
+    x2 + q.sqrY - ip * facIp - facErr * q.y -
+      math.abs(facIp) * (0.5 * ql.width) * pop
+  }
 
   /** Re-ranking distance from the extended code
     * (Searcher.hpp:227-230, algebraically identical):

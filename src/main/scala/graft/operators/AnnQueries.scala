@@ -29,10 +29,16 @@ object AnnQueries {
   private val gtCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
+  /** The shared b-query search workload: top-10, probing 3/4 of the
+    * clusters. b16 reuses these so its result list is directly
+    * comparable to b7's. */
+  private val SearchK = 10
+  private def searchNprobe(m: graft.ann.IVFModel): Int = 3 * m.params.k / 4
+
   private def searchResults(spark: SparkSession, dir: String, bits: Int = 4): DataFrame =
     searchCache.computeIfAbsent((dir, bits), _ => {
       val m = model(spark, dir, bits)
-      m.search(spark, queryVectors(spark, dir), k = 10, nprobe = 3 * m.params.k / 4).cache()
+      m.search(spark, queryVectors(spark, dir), SearchK, searchNprobe(m)).cache()
     })
 
   private def gtResults(spark: SparkSession, dir: String): DataFrame =
@@ -141,7 +147,7 @@ object AnnQueries {
   def ivfSearchQuantized(spark: SparkSession, dir: String): DataFrame = {
     val m = model(spark, dir)
     m.withQueryBits(14)
-      .search(spark, queryVectors(spark, dir), k = 10, nprobe = 3 * m.params.k / 4)
+      .search(spark, queryVectors(spark, dir), SearchK, searchNprobe(m))
       .orderBy("query_id", "rk")
   }
 
@@ -313,7 +319,9 @@ object AnnQueries {
 
   /** b14: attribute-filtered search — only even vec_ids are eligible
     * (standing in for any metadata predicate); the filter is a
-    * broadcast semi-join applied before estimation. */
+    * semi-join applied before estimation, broadcast or shuffled at the
+    * planner's discretion (no hint — large allowed sets must not be
+    * forced through the driver). */
   def searchFiltered(spark: SparkSession, dir: String): DataFrame = {
     val m = model(spark, dir)
     val allowed = Tables.embeddings(spark, dir)

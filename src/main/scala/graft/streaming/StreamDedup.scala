@@ -60,7 +60,8 @@ object StreamDedup {
       p: MinHashParams = MinHashParams(),
       retentionSec: Long = 600L,
       watermarkDelay: String = "60 seconds",
-      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+      maxFilesPerTrigger: Option[Int] = None,
+      sinkDir: Option[String] = None): DataFrame = {
     import spark.implicits._
     val retentionMs = retentionSec * 1000L
     val reader = spark.readStream.schema(docsSchema)
@@ -127,11 +128,14 @@ object StreamDedup {
     // same batch), so the per-batch aggregate is already the doc's
     // final partner count. Each microbatch therefore lands O(docs in
     // batch) rows — the materialized output is O(docs) total, never
-    // O(docs × bands), and the same plan drains to any durable sink at
-    // 100 TB/day. The final rollup below re-sums over O(docs) rows
-    // purely as a guard (it is a no-op while the one-trigger-per-doc
-    // invariant holds).
-    val outDir = java.nio.file.Files.createTempDirectory("d6_out").toString
+    // O(docs × bands). A production run passes `sinkDir` on shared
+    // storage and keeps the parquet output; without it the drain uses
+    // local scratch, materializes the (small, per-doc) result, and
+    // deletes the scratch so repeated harness runs don't accumulate
+    // temp files.
+    val scratch = sinkDir.isEmpty
+    val outDir = sinkDir.getOrElse(
+      java.nio.file.Files.createTempDirectory("d6_out").toString)
     val q = perBand.writeStream
       .outputMode("append")
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
@@ -141,9 +145,16 @@ object StreamDedup {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.read.schema("doc_id LONG, n_prior_candidates LONG").parquet(outDir)
+    // the rollup re-sums over O(docs) rows purely as a guard (a no-op
+    // while the one-trigger-per-doc invariant holds)
+    val result = spark.read.schema("doc_id LONG, n_prior_candidates LONG").parquet(outDir)
       .groupBy("doc_id")
       .agg(sum("n_prior_candidates").as("n_prior_candidates"))
       .orderBy("doc_id")
+    if (scratch) {
+      val materialized = result.localCheckpoint(true) // eager: free the scratch dir
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(outDir))
+      materialized
+    } else result
   }
 }

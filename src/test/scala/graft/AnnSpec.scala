@@ -229,6 +229,11 @@ class AnnSpec extends AnyFunSuite {
     val rQuant = recallOf(m.withQueryBits(14))
     assert(rQuant >= rFloat - 0.01,
       s"quantized-query recall $rQuant dropped more than 0.01 below float $rFloat")
+    // coarse quantization: the widened lower bound (quantization error
+    // folded into the pruning margin) must cost reranks, not neighbors
+    val rCoarse = recallOf(m.withQueryBits(6))
+    assert(rCoarse >= rFloat - 0.01,
+      s"queryBits=6 recall $rCoarse dropped more than 0.01 below float $rFloat")
   }
 
   test("filtered search survives a non-broadcastable allowed set (shuffled semi-join)") {

@@ -48,24 +48,31 @@ class OpsSpec extends AnyFunSuite {
 
   test("dedup summaries leave no cached plans behind") {
     // No clearCache here: the cacheManager is SESSION-SHARED, and
-    // wiping it evicts other suites' caches mid-run (it cost the IVF
-    // index its pinned partitioning once). Instead assert precisely:
-    // rebuilding the summaries' internal cached plans must find no
-    // surviving CacheManager entry (lookup is by canonicalized plan).
+    // wiping it evicts other suites' caches (it cost the IVF index its
+    // pinned partitioning once). A CacheManager plan-lookup can't work
+    // either — typed-operator lambdas compare by reference, so a
+    // rebuilt plan never matches the cached one. Instead diff the
+    // SparkContext's persistent-RDD registry: the summaries' internal
+    // signature caches must be gone; only their localCheckpoint'd
+    // RESULTS (by-design node-local, reclaimed on GC) may remain.
+    // Suites run sequentially in the forked test JVM, so the delta is
+    // race-free. Deleting either `unpersist` in Dedup fails this test.
     val d = docs((1L to 20L).map(i => i -> s"document number $i with some shared words " * 3): _*)
-    assert(Dedup.minHashSummary(spark, d).count() == 20)
-    assert(Dedup.simHashSummary(spark, d).count() == 20)
-    val sigsAgain = Dedup.minHashSignatures(spark, d, Dedup.MinHashParams())
-    assert(spark.sharedState.cacheManager.lookupCachedData(sigsAgain.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]).isEmpty,
-      "minHashSummary must unpersist its signature cache")
-    val hashesAgain = {
-      import spark.implicits._
-      d.select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
-        .map { case (id, t) => (id, Dedup.simHash64(t, 42)) }
-        .toDF("doc_id", "simhash")
-    }
-    assert(spark.sharedState.cacheManager.lookupCachedData(hashesAgain.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]).isEmpty,
-      "simHashSummary must unpersist its hash cache")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val mh = Dedup.minHashSummary(spark, d)
+    assert(mh.count() == 20)
+    val sh = Dedup.simHashSummary(spark, d)
+    assert(sh.count() == 20)
+    val added = spark.sparkContext.getPersistentRDDs
+      .filter { case (id, _) => !before.contains(id) }
+    // exactly the two localCheckpoint'd results (held live by mh/sh —
+    // an unreferenced checkpoint is ContextCleaner-reclaimed and would
+    // make the count flaky); a leaked signature cache, pinned strongly
+    // by the CacheManager, would be a third entry
+    assert(added.size == 2,
+      s"expected only the two checkpointed results to stay registered, " +
+        s"got ${added.size}: ${added.values.map(_.toString)}")
+    assert(mh.count() + sh.count() == 40) // keeps mh/sh live through the delta check
   }
 
   test("lsh candidate scoring matches an independent recomputation") {
