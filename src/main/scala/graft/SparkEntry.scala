@@ -49,6 +49,12 @@ object SparkEntry {
     "c9_doc_fingerprint" -> (PipelineQueries.docFingerprint(_, _)),
     "c10_multimodal_meta" -> (PipelineQueries.multimodalMeta(_, _)),
     "c11_media_embed" -> (PipelineQueries.mediaEmbedSearch(_, _)),
+    "c12_pii_scrub"  -> (PipelineQueries.piiScrub(_, _)),
+    "c13_train_split" -> (PipelineQueries.trainSplit(_, _)),
+    "c14_stratified_sample" -> (PipelineQueries.stratifiedSample(_, _)),
+    "c15_pack_chunks" -> (PipelineQueries.packChunks(_, _)),
+    "c16_corpus_filter" -> (PipelineQueries.corpusFilter(_, _)),
+    "c17_contamination" -> (PipelineQueries.contamination(_, _)),
     "d1_sessionize"  -> (PipelineQueries.sessionize(_, _)),
     "d2_window_agg"  -> (PipelineQueries.windowAgg(_, _)),
     "d3_stream_agg"  -> (PipelineQueries.streamingAgg(_, _)),

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{Dedup, Multimodal, TextAnalysis}
+import graft.ops.{CorpusOps, Dedup, Multimodal, TextAnalysis}
 import graft.streaming.EventOps
 
 /** LLM-data-pipeline + events queries (SURVEY.md §2 C and D). */
@@ -56,6 +56,24 @@ object PipelineQueries {
       .orderBy("query_id", "rk")
   }
 
+  def piiScrub(spark: SparkSession, dir: String): DataFrame =
+    CorpusOps.piiScrub(Tables.documents(spark, dir))
+
+  def trainSplit(spark: SparkSession, dir: String): DataFrame =
+    CorpusOps.trainSplit(Tables.documents(spark, dir))
+
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame =
+    CorpusOps.stratifiedSample(Tables.documents(spark, dir))
+
+  def packChunks(spark: SparkSession, dir: String): DataFrame =
+    CorpusOps.packChunks(Tables.documents(spark, dir))
+
+  def corpusFilter(spark: SparkSession, dir: String): DataFrame =
+    CorpusOps.corpusFilter(Tables.documents(spark, dir))
+
+  def contamination(spark: SparkSession, dir: String): DataFrame =
+    CorpusOps.contamination(Tables.documents(spark, dir))
+
   def sessionize(spark: SparkSession, dir: String): DataFrame =
     EventOps.sessionize(spark, dir)
 
@@ -75,8 +93,78 @@ object PipelineQueries {
     graft.streaming.StreamDedup.streamingNearDup(spark, dir)
 
   private def enList = TextAnalysis.markerSqlList("en")
+  private def hashBucketSql = "substring(md5(CAST(doc_id AS VARCHAR)), 1, 2)"
 
   val oracles: Map[String, String] = Map(
+    "c12_pii_scrub" ->
+      s"""SELECT doc_id,
+         | CAST(len(regexp_extract_all(text, '${CorpusOps.EmailRe}')) AS INT) AS n_emails,
+         | CAST(len(regexp_extract_all(text, '${CorpusOps.Ipv4Re}')) AS INT) AS n_ipv4,
+         | CAST(len(regexp_extract_all(text, '${CorpusOps.PhoneRe}')) AS INT) AS n_phones,
+         | regexp_replace(regexp_replace(regexp_replace(text,
+         |   '${CorpusOps.EmailRe}', '<EMAIL>', 'g'),
+         |   '${CorpusOps.Ipv4Re}', '<IP>', 'g'),
+         |   '${CorpusOps.PhoneRe}', '<PHONE>', 'g') AS scrubbed
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "c13_train_split" ->
+      s"""SELECT doc_id, $hashBucketSql AS bucket,
+         | CASE WHEN $hashBucketSql < 'f0' THEN 'train'
+         |      WHEN $hashBucketSql < 'f8' THEN 'val'
+         |      ELSE 'test' END AS split
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "c14_stratified_sample" ->
+      s"""SELECT doc_id, lang, $hashBucketSql AS bucket
+         |FROM documents
+         |WHERE $hashBucketSql < ${CorpusOps.sampleThresholdSql}
+         |ORDER BY doc_id""".stripMargin,
+    "c15_pack_chunks" ->
+      s"""WITH t AS (SELECT doc_id, source,
+         |  CAST(len(string_split(text, ' ')) AS INT) AS n_tokens FROM documents),
+         |c AS (SELECT doc_id, source, n_tokens,
+         |  SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+         |    ROWS UNBOUNDED PRECEDING) AS cum FROM t)
+         |SELECT doc_id, source, n_tokens,
+         | CAST(floor((cum - n_tokens) / ${CorpusOps.PackBudget}.0) AS BIGINT) AS bin,
+         | CAST(cum - n_tokens
+         |   - CAST(floor((cum - n_tokens) / ${CorpusOps.PackBudget}.0) AS BIGINT)
+         |     * ${CorpusOps.PackBudget} AS BIGINT) AS offset
+         |FROM c ORDER BY doc_id""".stripMargin,
+    "c16_corpus_filter" ->
+      """WITH m AS (SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+        |  ROUND(CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
+        |    / length(text), 6) AS punct_ratio,
+        |  ROUND(CAST(list_sum(list_transform(string_split(text, ' '), x -> length(x))) AS DOUBLE)
+        |    / len(string_split(text, ' ')), 6) AS mean_token_len,
+        |  MIN(doc_id) OVER (PARTITION BY md5(text)) AS keep_id
+        | FROM documents),
+        |r AS (SELECT doc_id, n_tokens,
+        |  CASE WHEN doc_id <> keep_id THEN 'duplicate'
+        |       WHEN n_tokens < 15 THEN 'too_short'
+        |       WHEN punct_ratio > 0.10 THEN 'punctuation'
+        |       WHEN mean_token_len < 2.0 OR mean_token_len > 10.0 THEN 'token_len'
+        |       ELSE 'keep' END AS reason
+        | FROM m)
+        |SELECT doc_id, n_tokens, CAST(reason = 'keep' AS INT) AS kept, reason
+        |FROM r ORDER BY doc_id""".stripMargin,
+    "c17_contamination" ->
+      // 5-token shingles: keep the [i]..[i+4] chain and the range bound
+      // (len - 3 = len - (k-2)) in sync with CorpusOps.ContamShingle
+      """WITH sh AS (SELECT doc_id,
+        |  list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 3),
+        |    i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' ||
+        |         string_split(text, ' ')[i+2] || ' ' || string_split(text, ' ')[i+3] || ' ' ||
+        |         string_split(text, ' ')[i+4])) AS s
+        | FROM documents),
+        |ev AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id < 20),
+        |cg AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id >= 20),
+        |hits AS (SELECT cg.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+        |  FROM cg JOIN ev USING (g) GROUP BY cg.doc_id)
+        |SELECT d.doc_id, COALESCE(h.n_shared, 0) AS n_shared,
+        | CAST(COALESCE(h.n_shared, 0) > 0 AS INT) AS contaminated
+        |FROM (SELECT doc_id FROM sh WHERE doc_id >= 20) d
+        |LEFT JOIN hits h USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "c1_dedup_exact" ->
       """SELECT CAST(min(doc_id) AS BIGINT) AS keep_id,
         | CAST(count(*) AS BIGINT) AS n_copies, md5(text) AS text_md5

@@ -1,0 +1,196 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, LongType}
+
+/** Corpus-preparation operators (SURVEY.md §2 C12–C17) — the steps a
+  * large-scale training-data pipeline runs after text analysis and
+  * dedup: PII scrubbing, deterministic train/val/test splitting,
+  * stratified sampling, token-budget packing, a composed quality gate,
+  * and benchmark-contamination detection.
+  *
+  * Every operator is built from codegen'd built-ins (no UDFs) so the
+  * identical logic runs as the DuckDB oracle, and every operator is a
+  * narrow map or a single keyed shuffle — each scales linearly with
+  * corpus size (see the per-op notes).
+  */
+object CorpusOps {
+  // ---------------------------------------------------------------- c12
+  /** PII patterns — ASCII-only so Java regex (Spark) and RE2 (DuckDB)
+    * agree. Kept deliberately simple: the operator is the scrubbing
+    * PIPELINE (count + ordered redaction in one pass); swapping in
+    * stricter patterns changes no plumbing. */
+  val EmailRe = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+  val Ipv4Re  = """\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"""
+  val PhoneRe = """\+?\d[\d .-]{7,}\d"""
+
+  /** c12: PII scrub — per-pattern match counts (on the original text)
+    * plus the redacted text, replacements applied email → IPv4 → phone
+    * so a redacted placeholder is never re-matched by a later, looser
+    * pattern. Narrow map, no shuffle: at 100 TB this is a pure scan. */
+  def piiScrub(docs: DataFrame): DataFrame = {
+    val scrubbed = regexp_replace(
+      regexp_replace(
+        regexp_replace(col("text"), EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      PhoneRe, "<PHONE>")
+    docs.select(
+        col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(EmailRe), lit(0))).as("n_emails"),
+        size(regexp_extract_all(col("text"), lit(Ipv4Re), lit(0))).as("n_ipv4"),
+        size(regexp_extract_all(col("text"), lit(PhoneRe), lit(0))).as("n_phones"),
+        scrubbed.as("scrubbed"))
+      .orderBy("doc_id")
+  }
+
+  /** First two hex chars of md5 of the stringified id: a uniform,
+    * engine-portable 256-bucket hash (hex strings compare identically
+    * everywhere). The basis for splitting and sampling — deterministic
+    * across runs, clusters, and engines, unlike `rand()`. */
+  private def hashBucket(idCol: String): org.apache.spark.sql.Column =
+    substring(md5(col(idCol).cast("string")), 1, 2)
+
+  // ---------------------------------------------------------------- c13
+  /** c13: deterministic train/val/test split — 240/8/8 of the 256 hash
+    * buckets (93.75% / 3.125% / 3.125%). Assignment is a pure function
+    * of doc_id: re-running on a grown corpus never moves an old doc
+    * across splits (critical for eval integrity). Narrow map. */
+  def trainSplit(docs: DataFrame): DataFrame =
+    docs.select(
+        col("doc_id"),
+        hashBucket("doc_id").as("bucket"),
+        when(hashBucket("doc_id") < "f0", "train")
+          .when(hashBucket("doc_id") < "f8", "val")
+          .otherwise("test").as("split"))
+      .orderBy("doc_id")
+
+  // ---------------------------------------------------------------- c14
+  /** Per-language keep-thresholds on the 256-bucket hash: en keeps all
+    * ("zz" is above every hex prefix), de 1/2, fr 1/4, es 1/8, others
+    * 1/16 — the class-rebalancing step of corpus curation. */
+  val SampleThresholds: Seq[(String, String)] =
+    Seq("en" -> "zz", "de" -> "80", "fr" -> "40", "es" -> "20")
+  val DefaultSampleThreshold = "10"
+
+  /** The threshold rule as a DuckDB CASE expression — shared with the
+    * oracle SQL so both engines apply identical thresholds. */
+  def sampleThresholdSql: String =
+    "CASE lang " +
+      SampleThresholds.map { case (l, t) => s"WHEN '$l' THEN '$t'" }.mkString(" ") +
+      s" ELSE '$DefaultSampleThreshold' END"
+
+  /** c14: stratified sample — deterministic per-language downsampling
+    * by hash threshold. A filter, not a `sample()`: reproducible and
+    * shuffle-free at any scale. */
+  def stratifiedSample(docs: DataFrame): DataFrame = {
+    val thr = SampleThresholds.foldRight(lit(DefaultSampleThreshold)) {
+      case ((lang, t), other) => when(col("lang") === lang, t).otherwise(other)
+    }
+    docs.filter(hashBucket("doc_id") < thr)
+      .select(col("doc_id"), col("lang"), hashBucket("doc_id").as("bucket"))
+      .orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------------------- c15
+  /** Token budget per packed training chunk. */
+  val PackBudget = 256
+
+  /** c15: sequence packing — assign docs to fixed-token-budget training
+    * chunks by running token offset, independently WITHIN each source
+    * shard. The per-shard window is the scale story: a single global
+    * cumsum would serialize the corpus through one ordering, while
+    * per-source packing runs one window task per shard (at 100 TB the
+    * shard key is whatever upstream bucketing exists). A doc whose
+    * start offset falls in bin b belongs to chunk (source, b). */
+  def packChunks(docs: DataFrame): DataFrame = {
+    val n = size(split(col("text"), " "))
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = sum(n).over(w)
+    val start = cum - n
+    val bin = floor(start / lit(PackBudget)).cast(LongType)
+    docs.select(
+        col("doc_id"), col("source"), n.as("n_tokens"),
+        bin.as("bin"),
+        (start - bin * PackBudget).cast(LongType).as("offset"))
+      .orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------------------- c16
+  /** c16: the composed corpus-quality gate — exact-dup canonicalization
+    * plus the c7 quality metrics folded into one keep/drop decision
+    * with a first-failing-rule reason. One shuffle total: the
+    * canonical-copy rule is a window min over md5(text) (no groupBy +
+    * re-join). Rules, in order: duplicate → too_short (<15 tokens) →
+    * punctuation (ratio >0.10) → token_len (mean outside [2,10]). */
+  def corpusFilter(docs: DataFrame): DataFrame = {
+    val t = split(col("text"), " ")
+    val nChars = length(col("text"))
+    val nPunct = nChars - length(regexp_replace(col("text"), "\\p{Punct}", ""))
+    val tokLenSum = aggregate(transform(t, x => length(x)), lit(0), (a, x) => a + x)
+    val metrics = docs.select(
+      col("doc_id"),
+      size(t).as("n_tokens"),
+      round(nPunct.cast("double") / nChars, 6).as("punct_ratio"),
+      round(tokLenSum.cast("double") / size(t), 6).as("mean_token_len"),
+      md5(col("text")).as("h"))
+    val keepId = min("doc_id").over(Window.partitionBy("h"))
+    metrics
+      .withColumn("reason",
+        when(col("doc_id") =!= keepId, "duplicate")
+          .when(col("n_tokens") < 15, "too_short")
+          .when(col("punct_ratio") > 0.10, "punctuation")
+          .when(col("mean_token_len") < 2.0 || col("mean_token_len") > 10.0, "token_len")
+          .otherwise("keep"))
+      .select(
+        col("doc_id"), col("n_tokens"),
+        (col("reason") === "keep").cast(IntegerType).as("kept"),
+        col("reason"))
+      .orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------------------- c17
+  /** Shingle width for contamination checking. */
+  val ContamShingle = 5
+  /** Docs below this id form the held-out "benchmark" set. */
+  val EvalIdBound = 20L
+
+  /** Distinct `ContamShingle`-token shingles of `text` (empty when the
+    * doc is shorter than one shingle). */
+  private def shingles: org.apache.spark.sql.Column = {
+    val t = split(col("text"), " ")
+    val k = ContamShingle
+    when(size(t) >= k,
+      array_distinct(transform(
+        sequence(lit(1), size(t) - lit(k - 1)),
+        i => concat_ws(" ", slice(t, i, lit(k))))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** c17: benchmark-contamination check — for every corpus doc, the
+    * number of distinct word shingles it shares with the held-out eval
+    * set (docs with id < [[EvalIdBound]]). Explode + equi-join on the
+    * shingle string: the eval side is tiny (it is a benchmark), so the
+    * planner broadcasts it and the corpus side never shuffles — at
+    * 100 TB this stays a scan + broadcast-hash-join. Output has one
+    * row per corpus doc (0 = clean) so downstream can anti-select. */
+  def contamination(docs: DataFrame): DataFrame = {
+    val sh = docs.select(col("doc_id"), shingles.as("sh"))
+    val evalShingles = sh.filter(col("doc_id") < EvalIdBound)
+      .select(explode(col("sh")).as("g")).distinct()
+    val corpus = sh.filter(col("doc_id") >= EvalIdBound)
+    val hits = corpus.select(col("doc_id"), explode(col("sh")).as("g"))
+      .join(evalShingles, "g")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shared"))
+    corpus.select(col("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        (coalesce(col("n_shared"), lit(0L)) > 0).cast(IntegerType).as("contaminated"))
+      .orderBy("doc_id")
+  }
+}

@@ -1,0 +1,126 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.CorpusOps
+
+/** Pins the corpus-preparation operators (c12–c17) on inline data with
+  * known ground truth. The driver's oracle check proves Spark/DuckDB
+  * parity on the synthetic tables; these specs prove the SEMANTICS on
+  * inputs the synthetic word-salad never exercises (real PII hits,
+  * planted duplicates, oversized docs, planted contamination). */
+class CorpusSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+
+  test("pii scrub redacts emails, IPs, phones and counts each pattern") {
+    val d = docs(
+      1L -> "contact alice.smith+spam@example-mail.co.uk or bob@test.org today",
+      2L -> "server at 10.0.255.3 and 192.168.1.1, call +1 555-123-4567 now",
+      3L -> "no pii here at all")
+    val out = CorpusOps.piiScrub(d).collect()
+    val r1 = out(0)
+    assert(r1.getAs[Int]("n_emails") == 2 && r1.getAs[Int]("n_ipv4") == 0)
+    assert(r1.getAs[String]("scrubbed") == "contact <EMAIL> or <EMAIL> today")
+    val r2 = out(1)
+    assert(r2.getAs[Int]("n_ipv4") == 2 && r2.getAs[Int]("n_phones") >= 1)
+    val s2 = r2.getAs[String]("scrubbed")
+    assert(!s2.matches(".*\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}.*"), s2)
+    assert(s2.contains("<IP>") && s2.contains("<PHONE>"), s2)
+    val r3 = out(2)
+    assert(r3.getAs[String]("scrubbed") == "no pii here at all")
+    assert(r3.getAs[Int]("n_emails") + r3.getAs[Int]("n_ipv4") + r3.getAs[Int]("n_phones") == 0)
+  }
+
+  test("train split is a pure function of doc_id with stable proportions") {
+    val d = docs((0L until 2000L).map(i => i -> s"doc $i"): _*)
+    val out = CorpusOps.trainSplit(d)
+    val byId = out.select("doc_id", "split").as[(Long, String)].collect().toMap
+    // stability: a grown corpus never reassigns an old doc
+    val grown = CorpusOps.trainSplit(docs((0L until 4000L).map(i => i -> s"doc $i"): _*))
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(byId.forall { case (id, s) => grown(id) == s })
+    // proportions: 93.75 / 3.125 / 3.125 ±2pp at n=2000
+    val frac = byId.values.groupBy(identity).view.mapValues(_.size / 2000.0).toMap
+    assert(math.abs(frac("train") - 0.9375) < 0.02, frac.toString)
+    assert(math.abs(frac.getOrElse("val", 0.0) - 0.03125) < 0.02, frac.toString)
+    assert(math.abs(frac.getOrElse("test", 0.0) - 0.03125) < 0.02, frac.toString)
+  }
+
+  test("stratified sample keeps all 'en' docs and downsamples the rest by lang") {
+    val d = (0L until 1000L).map(i =>
+        (i, s"doc $i", Seq("en", "de", "fr", "es", "zh")((i % 5).toInt)))
+      .toDF("doc_id", "text", "lang")
+    val kept = CorpusOps.stratifiedSample(d)
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(kept("en") == 200, s"en must keep every doc: $kept")
+    // thresholds 1/2, 1/4, 1/8, 1/16 of 200 per class, ±binomial noise
+    assert(math.abs(kept("de") - 100.0) < 40, kept.toString)
+    assert(math.abs(kept("fr") - 50.0) < 30, kept.toString)
+    assert(math.abs(kept("es") - 25.0) < 20, kept.toString)
+    assert(kept.getOrElse("zh", 0L) < 40, kept.toString)
+  }
+
+  test("pack chunks: offsets stay inside the budget and bins advance with the cumsum") {
+    val words = (1 to 100).map(i => s"w$i").mkString(" ") // 100 tokens per doc
+    val d = (0L until 10L).map(i => (i, words, s"shard${i % 2}"))
+      .toDF("doc_id", "text", "source")
+    val out = CorpusOps.packChunks(d)
+      .select("doc_id", "source", "n_tokens", "bin", "offset")
+      .as[(Long, String, Int, Long, Long)].collect().sortBy(_._1)
+    assert(out.forall(r => r._5 >= 0 && r._5 < CorpusOps.PackBudget))
+    // within a shard: bin/offset follow the running token count exactly
+    for (shard <- Seq("shard0", "shard1")) {
+      var cum = 0L
+      for (r <- out.filter(_._2 == shard)) {
+        assert(r._4 == cum / CorpusOps.PackBudget, s"bin mismatch at $r")
+        assert(r._5 == cum % CorpusOps.PackBudget, s"offset mismatch at $r")
+        cum += r._3
+      }
+    }
+    // shards pack independently: both start at bin 0, offset 0
+    assert(out.count(r => r._4 == 0L && r._5 == 0L) >= 2)
+  }
+
+  test("corpus filter applies rules in order with first-failing reason") {
+    val good = (1 to 30).map(i => s"word$i").mkString(" ")
+    val d = docs(
+      1L -> good,               // keep (canonical)
+      2L -> good,               // duplicate of 1
+      3L -> "too short text",   // too_short (3 tokens)
+      4L -> ((1 to 30).map(_ => "a.b.c.!?;").mkString(" ")), // punctuation
+      5L -> ((1 to 30).map(_ => "internationalization").mkString(" "))) // token_len
+    val out = CorpusOps.corpusFilter(d)
+      .select("doc_id", "kept", "reason").as[(Long, Int, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L) == ((1, "keep")), out.toString)
+    assert(out(2L) == ((0, "duplicate")), out.toString)
+    assert(out(3L) == ((0, "too_short")), out.toString)
+    assert(out(4L) == ((0, "punctuation")), out.toString)
+    assert(out(5L) == ((0, "token_len")), out.toString)
+  }
+
+  test("contamination counts distinct shared shingles against the eval set") {
+    val evalText = (1 to 20).map(i => s"e$i").mkString(" ") // ids < 20 are eval
+    val cleanText = (1 to 20).map(i => s"c$i").mkString(" ")
+    // leaked doc: contains tokens e5..e12 → 8-token run → 4 distinct 5-shingles
+    val leaked = ((1 to 10).map(i => s"x$i") ++ (5 to 12).map(i => s"e$i")).mkString(" ")
+    val d = docs(0L -> evalText, 20L -> cleanText, 21L -> leaked,
+      22L -> "tiny doc") // < 5 tokens → no shingles, still reported clean
+    val out = CorpusOps.contamination(d)
+      .as[(Long, Long, Int)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(!out.contains(0L), "eval docs must not appear in the output")
+    assert(out(20L) == ((0L, 0)), out.toString)
+    assert(out(21L) == ((4L, 1)), out.toString)
+    assert(out(22L) == ((0L, 0)), out.toString)
+  }
+}
