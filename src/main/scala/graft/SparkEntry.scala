@@ -68,6 +68,7 @@ object SparkEntry {
     "e5_events_rollup" -> (Relational.eventsRollup(_, _)),
     "e6_json_extract" -> (Relational.jsonExtract(_, _)),
     "e7_rollup"      -> (Relational.rollupAgg(_, _)),
+    "e8_source_roundtrip" -> (Relational.sourceRoundtrip(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -139,5 +140,11 @@ object SparkEntry {
         |FROM lineitem
         |GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    // runs on the ORIGINAL parquet: a match proves the Spark-side
+    // csv and json round-trips reproduced every value bit-exactly
+    "e8_source_roundtrip" ->
+      """SELECT doc_id, md5(text) AS csv_md5, md5(text) AS json_md5,
+        | lang, n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
   )
 }

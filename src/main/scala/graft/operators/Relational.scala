@@ -128,4 +128,29 @@ object Relational {
         countDistinct(col("user_id")).as("n_users"),
         sum(money(col("value"))).cast(DoubleType).as("sum_value"))
       .orderBy("event_type", "day")
+
+  /** e8: csv/json source round-trip — documents written to BOTH
+    * formats via [[graft.sources.TableIO]], read back with the
+    * explicit parquet schema, and fingerprinted per row. The oracle
+    * runs on the ORIGINAL parquet, so a hash match proves both
+    * round-trips were bit-faithful (any text/number corruption shifts
+    * an md5). Scratch is local and deleted after materializing the
+    * (small) fingerprint result, mirroring d6's harness pattern. */
+  def sourceRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val tmp = java.nio.file.Files.createTempDirectory("e8_roundtrip").toString
+    try {
+      graft.sources.TableIO.writeCsv(docs, s"$tmp/csv")
+      graft.sources.TableIO.writeJson(docs, s"$tmp/json")
+      val c = graft.sources.TableIO.readCsv(spark, s"$tmp/csv", docs.schema)
+      val j = graft.sources.TableIO.readJson(spark, s"$tmp/json", docs.schema)
+      c.select(col("doc_id"), md5(col("text")).as("csv_md5"),
+          col("lang"), col("n_chars"))
+        .join(j.select(col("doc_id"), md5(col("text")).as("json_md5")), "doc_id")
+        .orderBy("doc_id")
+        .localCheckpoint(true) // eager: free the scratch dir
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    }
+  }
 }
