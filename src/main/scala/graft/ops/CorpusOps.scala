@@ -108,11 +108,15 @@ object CorpusOps {
     val n = size(split(col("text"), " "))
     val w = Window.partitionBy("source").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = sum(n).over(w)
-    val start = cum - n
+    // materialize the running sum ONCE: deriving bin and offset from
+    // `sum(n).over(w)` inline would plant three identical window
+    // aggregates in the Window node (Catalyst does not CSE them)
+    val start = col("cum") - col("n_tokens")
     val bin = floor(start / lit(PackBudget)).cast(LongType)
-    docs.select(
-        col("doc_id"), col("source"), n.as("n_tokens"),
+    docs.select(col("doc_id"), col("source"), n.as("n_tokens"))
+      .withColumn("cum", sum("n_tokens").over(w))
+      .select(
+        col("doc_id"), col("source"), col("n_tokens"),
         bin.as("bin"),
         (start - bin * PackBudget).cast(LongType).as("offset"))
       .orderBy("doc_id")
@@ -178,10 +182,15 @@ object CorpusOps {
     * row per corpus doc (0 = clean) so downstream can anti-select. */
   def contamination(docs: DataFrame): DataFrame = {
     val sh = docs.select(col("doc_id"), shingles.as("sh"))
+    // explode_outer, not explode: plain explode makes the optimizer
+    // infer a `size(sh) > 0 AND isnotnull(sh)` pre-filter that
+    // re-evaluates the whole shingle expression extra times in the
+    // scan stage (no CSE across Filter/Project); outer emits a null
+    // shingle instead, which the equi-join/groupBy drop for free
     val evalShingles = sh.filter(col("doc_id") < EvalIdBound)
-      .select(explode(col("sh")).as("g")).distinct()
+      .select(explode_outer(col("sh")).as("g")).distinct()
     val corpus = sh.filter(col("doc_id") >= EvalIdBound)
-    val hits = corpus.select(col("doc_id"), explode(col("sh")).as("g"))
+    val hits = corpus.select(col("doc_id"), explode_outer(col("sh")).as("g"))
       .join(evalShingles, "g")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_shared"))

@@ -82,4 +82,38 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_sum"), "map-side partial aggregation missing")
     assert(p.contains("Filter (isnotnull(l_shipdate"), "date filter not before agg")
   }
+
+  private def hashExchanges(p: String): Int =
+    "Exchange hashpartitioning".r.findAllIn(p).length
+
+  test("c12 pii scrub is a pure narrow map (no keyed shuffle, no UDF)") {
+    val p = plan(operators.PipelineQueries.piiScrub(spark, sf))
+    assert(hashExchanges(p) == 0, s"c12 grew a keyed shuffle:\n$p")
+    assert(!p.contains("UDF"), s"c12 fell back to a UDF:\n$p")
+  }
+
+  test("c15 packing shuffles once (per-shard window) with a single window aggregate") {
+    val p = plan(operators.PipelineQueries.packChunks(spark, sf))
+    assert(hashExchanges(p) == 1, s"c15 must shuffle exactly once, on source:\n$p")
+    // the running sum must be materialized once, not once per derived col
+    assert("windowspecdefinition".r.findAllIn(p).length == 1,
+      s"duplicate window aggregates (Catalyst does not CSE them):\n$p")
+  }
+
+  test("c16 quality gate shuffles once (window min over md5, no groupBy+join)") {
+    val p = plan(operators.PipelineQueries.corpusFilter(spark, sf))
+    assert(hashExchanges(p) == 1, s"c16 must shuffle exactly once, on md5(text):\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      s"c16 planned a join; the canonical-copy rule should be a window:\n$p")
+  }
+
+  test("c17 contamination joins broadcast (corpus side never shuffles for the join)") {
+    val p = plan(operators.PipelineQueries.contamination(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), s"eval side not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus side fell into a shuffle join:\n$p")
+    // the inferred explode pre-filter must not re-evaluate the shingle
+    // transform in the scan stage (explode_outer avoids it)
+    assert(!p.contains("Filter (((isnotnull(doc_id"),
+      s"shingle-recomputing pre-filter is back:\n$p")
+  }
 }
