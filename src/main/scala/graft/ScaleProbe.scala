@@ -63,6 +63,11 @@ object ScaleProbe {
     val (_, tStream) = time(force(
       graft.streaming.StreamDedup.streamingNearDupFromDir(spark, docsDir.toString)))
 
+    // --- corpus-preparation layer (c12/c16/c17) at the same scale ---
+    val (_, tScrub) = time(force(graft.ops.CorpusOps.piiScrub(docsOnDisk)))
+    val (_, tFilter) = time(force(graft.ops.CorpusOps.corpusFilter(docsOnDisk)))
+    val (_, tContam) = time(force(graft.ops.CorpusOps.contamination(docsOnDisk)))
+
     // --- synthetic vectors: clustered gaussians, `dim`-dim (probe
     // high dims with SPARK_GRAFT_PROBE_DIM — the query-quantization
     // LUT path is aimed at reference-scale dims like 1536) ---
@@ -103,7 +108,9 @@ object ScaleProbe {
     println(
       s"""{"probe":"scale","n_docs":$nDocs,"n_vecs":$nVecs,"dim":$dim,"cpus":$cpus,""" +
       s""""c1_exact_s":$tExact,"c2_minhash_s":$tMinhash,"c3_simhash_s":$tSimhash,""" +
-      s""""d6_stream_s":$tStream,"index_build_s":$tBuild,""" +
+      s""""d6_stream_s":$tStream,""" +
+      s""""c12_scrub_s":$tScrub,"c16_filter_s":$tFilter,"c17_contam_s":$tContam,""" +
+      s""""index_build_s":$tBuild,""" +
       s""""search100_s":$tSearch,"search100_highacc_s":$tHighAcc,""" +
       s""""search100_q14_s":$tSearchQ}""")
     spark.stop()
