@@ -56,23 +56,26 @@ object PipelineQueries {
       .orderBy("query_id", "rk")
   }
 
+  // the corpus ops themselves are sort-free (a trailing global orderBy
+  // would be a rangepartitioning exchange the pipeline doesn't need);
+  // the ORDER BY lives here, on the harness surface, for stable output
   def piiScrub(spark: SparkSession, dir: String): DataFrame =
-    CorpusOps.piiScrub(Tables.documents(spark, dir))
+    CorpusOps.piiScrub(Tables.documents(spark, dir)).orderBy("doc_id")
 
   def trainSplit(spark: SparkSession, dir: String): DataFrame =
-    CorpusOps.trainSplit(Tables.documents(spark, dir))
+    CorpusOps.trainSplit(Tables.documents(spark, dir)).orderBy("doc_id")
 
   def stratifiedSample(spark: SparkSession, dir: String): DataFrame =
-    CorpusOps.stratifiedSample(Tables.documents(spark, dir))
+    CorpusOps.stratifiedSample(Tables.documents(spark, dir)).orderBy("doc_id")
 
   def packChunks(spark: SparkSession, dir: String): DataFrame =
-    CorpusOps.packChunks(Tables.documents(spark, dir))
+    CorpusOps.packChunks(Tables.documents(spark, dir)).orderBy("doc_id")
 
   def corpusFilter(spark: SparkSession, dir: String): DataFrame =
-    CorpusOps.corpusFilter(Tables.documents(spark, dir))
+    CorpusOps.corpusFilter(Tables.documents(spark, dir)).orderBy("doc_id")
 
   def contamination(spark: SparkSession, dir: String): DataFrame =
-    CorpusOps.contamination(Tables.documents(spark, dir))
+    CorpusOps.contamination(Tables.documents(spark, dir)).orderBy("doc_id")
 
   def sessionize(spark: SparkSession, dir: String): DataFrame =
     EventOps.sessionize(spark, dir)
@@ -97,15 +100,20 @@ object PipelineQueries {
 
   val oracles: Map[String, String] = Map(
     "c12_pii_scrub" ->
-      s"""SELECT doc_id,
+      // each count runs on the text with earlier patterns redacted,
+      // mirroring CorpusOps.piiScrub exactly
+      s"""WITH s AS (SELECT doc_id, text,
+         |  regexp_replace(text, '${CorpusOps.EmailRe}', '<EMAIL>', 'g') AS after_email
+         | FROM documents),
+         |s2 AS (SELECT doc_id, text, after_email,
+         |  regexp_replace(after_email, '${CorpusOps.Ipv4Re}', '<IP>', 'g') AS after_ip
+         | FROM s)
+         |SELECT doc_id,
          | CAST(len(regexp_extract_all(text, '${CorpusOps.EmailRe}')) AS INT) AS n_emails,
-         | CAST(len(regexp_extract_all(text, '${CorpusOps.Ipv4Re}')) AS INT) AS n_ipv4,
-         | CAST(len(regexp_extract_all(text, '${CorpusOps.PhoneRe}')) AS INT) AS n_phones,
-         | regexp_replace(regexp_replace(regexp_replace(text,
-         |   '${CorpusOps.EmailRe}', '<EMAIL>', 'g'),
-         |   '${CorpusOps.Ipv4Re}', '<IP>', 'g'),
-         |   '${CorpusOps.PhoneRe}', '<PHONE>', 'g') AS scrubbed
-         |FROM documents ORDER BY doc_id""".stripMargin,
+         | CAST(len(regexp_extract_all(after_email, '${CorpusOps.Ipv4Re}')) AS INT) AS n_ipv4,
+         | CAST(len(regexp_extract_all(after_ip, '${CorpusOps.PhoneRe}')) AS INT) AS n_phones,
+         | regexp_replace(after_ip, '${CorpusOps.PhoneRe}', '<PHONE>', 'g') AS scrubbed
+         |FROM s2 ORDER BY doc_id""".stripMargin,
     "c13_train_split" ->
       s"""SELECT doc_id, $hashBucketSql AS bucket,
          | CASE WHEN $hashBucketSql < 'f0' THEN 'train'

@@ -26,23 +26,22 @@ object CorpusOps {
   val Ipv4Re  = """\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"""
   val PhoneRe = """\+?\d[\d .-]{7,}\d"""
 
-  /** c12: PII scrub — per-pattern match counts (on the original text)
-    * plus the redacted text, replacements applied email → IPv4 → phone
-    * so a redacted placeholder is never re-matched by a later, looser
-    * pattern. Narrow map, no shuffle: at 100 TB this is a pure scan. */
+  /** c12: PII scrub — per-pattern match counts plus the redacted text.
+    * Replacements apply email → IPv4 → phone, and each count runs on
+    * the text with the EARLIER patterns already redacted — so the
+    * counts agree with the redactions (an IPv4 is one n_ipv4, never
+    * also an n_phones: the loose phone pattern would match every
+    * dotted digit run on the raw text). Narrow map, no shuffle: at
+    * 100 TB this is a pure scan. */
   def piiScrub(docs: DataFrame): DataFrame = {
-    val scrubbed = regexp_replace(
-      regexp_replace(
-        regexp_replace(col("text"), EmailRe, "<EMAIL>"),
-        Ipv4Re, "<IP>"),
-      PhoneRe, "<PHONE>")
+    val afterEmail = regexp_replace(col("text"), EmailRe, "<EMAIL>")
+    val afterIp = regexp_replace(afterEmail, Ipv4Re, "<IP>")
     docs.select(
-        col("doc_id"),
-        size(regexp_extract_all(col("text"), lit(EmailRe), lit(0))).as("n_emails"),
-        size(regexp_extract_all(col("text"), lit(Ipv4Re), lit(0))).as("n_ipv4"),
-        size(regexp_extract_all(col("text"), lit(PhoneRe), lit(0))).as("n_phones"),
-        scrubbed.as("scrubbed"))
-      .orderBy("doc_id")
+      col("doc_id"),
+      size(regexp_extract_all(col("text"), lit(EmailRe), lit(0))).as("n_emails"),
+      size(regexp_extract_all(afterEmail, lit(Ipv4Re), lit(0))).as("n_ipv4"),
+      size(regexp_extract_all(afterIp, lit(PhoneRe), lit(0))).as("n_phones"),
+      regexp_replace(afterIp, PhoneRe, "<PHONE>").as("scrubbed"))
   }
 
   /** First two hex chars of md5 of the stringified id: a uniform,
@@ -59,12 +58,11 @@ object CorpusOps {
     * across splits (critical for eval integrity). Narrow map. */
   def trainSplit(docs: DataFrame): DataFrame =
     docs.select(
-        col("doc_id"),
-        hashBucket("doc_id").as("bucket"),
-        when(hashBucket("doc_id") < "f0", "train")
-          .when(hashBucket("doc_id") < "f8", "val")
-          .otherwise("test").as("split"))
-      .orderBy("doc_id")
+      col("doc_id"),
+      hashBucket("doc_id").as("bucket"),
+      when(hashBucket("doc_id") < "f0", "train")
+        .when(hashBucket("doc_id") < "f8", "val")
+        .otherwise("test").as("split"))
 
   // ---------------------------------------------------------------- c14
   /** Per-language keep-thresholds on the 256-bucket hash: en keeps all
@@ -90,7 +88,6 @@ object CorpusOps {
     }
     docs.filter(hashBucket("doc_id") < thr)
       .select(col("doc_id"), col("lang"), hashBucket("doc_id").as("bucket"))
-      .orderBy("doc_id")
   }
 
   // ---------------------------------------------------------------- c15
@@ -119,7 +116,6 @@ object CorpusOps {
         col("doc_id"), col("source"), col("n_tokens"),
         bin.as("bin"),
         (start - bin * PackBudget).cast(LongType).as("offset"))
-      .orderBy("doc_id")
   }
 
   // ---------------------------------------------------------------- c16
@@ -152,7 +148,6 @@ object CorpusOps {
         col("doc_id"), col("n_tokens"),
         (col("reason") === "keep").cast(IntegerType).as("kept"),
         col("reason"))
-      .orderBy("doc_id")
   }
 
   // ---------------------------------------------------------------- c17
@@ -200,6 +195,5 @@ object CorpusOps {
         col("doc_id"),
         coalesce(col("n_shared"), lit(0L)).as("n_shared"),
         (coalesce(col("n_shared"), lit(0L)) > 0).cast(IntegerType).as("contaminated"))
-      .orderBy("doc_id")
   }
 }

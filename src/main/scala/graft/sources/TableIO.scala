@@ -25,12 +25,17 @@ import org.apache.spark.sql.types.StructType
   *    type drift; `FAILFAST` surfaces malformed rows instead of
   *    nulling them.
   *
-  * Newline caveat (documented, not hidden): with the default
-  * `multiLine=false` the csv reader splits files on raw newlines, so
-  * embedded newlines in quoted fields break row framing. Pass
-  * `multiLine = true` to read such data — that makes each FILE one
-  * split, the honest trade-off; json has no such limit and is the
-  * recommended text-bearing format. */
+  * Csv caveats (documented, not hidden):
+  *  - with the default `multiLine=false` the reader splits files on
+  *    raw newlines, so embedded newlines in quoted fields break row
+  *    framing. Pass `multiLine = true` to read such data — that makes
+  *    each FILE one split, the honest trade-off.
+  *  - a string whose ENTIRE value is the two-char sentinel `\N` reads
+  *    back as NULL: the reader compares nullValue after unquoting, so
+  *    no quoting strategy can preserve it, and any other sentinel has
+  *    the same hole for its own literal. Inherent to sentinel-null
+  *    csv (pinned by TableIOSpec).
+  * Json has neither limit and is the recommended text-bearing format. */
 object TableIO {
   private val TsFmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
 
@@ -43,9 +48,14 @@ object TableIO {
   def writeCsv(df: DataFrame, path: String): Unit =
     // emptyValue writes "" as a QUOTED empty field, distinct from the
     // \N null marker (write-side option; the reader maps a quoted
-    // empty field back to "" via its own emptyValue default)
+    // empty field back to "" via its own emptyValue default).
+    // ignore*WhiteSpace default to TRUE on the WRITE side only —
+    // leaving them would silently trim edge whitespace from every
+    // string field before it ever reaches the file.
     df.write.mode("overwrite").options(csvOpts)
       .option("emptyValue", "\"\"")
+      .option("ignoreLeadingWhiteSpace", "false")
+      .option("ignoreTrailingWhiteSpace", "false")
       .csv(path)
 
   def readCsv(spark: SparkSession, path: String, schema: StructType,

@@ -22,17 +22,19 @@ class CorpusSpec extends AnyFunSuite {
 
   private def docs(rows: (Long, String)*) = rows.toDF("doc_id", "text")
 
-  test("pii scrub redacts emails, IPs, phones and counts each pattern") {
+  test("pii scrub redacts emails, IPs, phones and counts agree with the redactions") {
     val d = docs(
       1L -> "contact alice.smith+spam@example-mail.co.uk or bob@test.org today",
       2L -> "server at 10.0.255.3 and 192.168.1.1, call +1 555-123-4567 now",
       3L -> "no pii here at all")
-    val out = CorpusOps.piiScrub(d).collect()
+    val out = CorpusOps.piiScrub(d).collect().sortBy(_.getAs[Long]("doc_id"))
     val r1 = out(0)
     assert(r1.getAs[Int]("n_emails") == 2 && r1.getAs[Int]("n_ipv4") == 0)
     assert(r1.getAs[String]("scrubbed") == "contact <EMAIL> or <EMAIL> today")
     val r2 = out(1)
-    assert(r2.getAs[Int]("n_ipv4") == 2 && r2.getAs[Int]("n_phones") >= 1)
+    // counts run on the progressively-redacted text: the two IPs are
+    // n_ipv4 ONLY — the loose phone pattern must not double-count them
+    assert(r2.getAs[Int]("n_ipv4") == 2 && r2.getAs[Int]("n_phones") == 1, r2.toString)
     val s2 = r2.getAs[String]("scrubbed")
     assert(!s2.matches(".*\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}.*"), s2)
     assert(s2.contains("<IP>") && s2.contains("<PHONE>"), s2)

@@ -86,9 +86,11 @@ class PlanSpec extends AnyFunSuite {
   private def hashExchanges(p: String): Int =
     "Exchange hashpartitioning".r.findAllIn(p).length
 
-  test("c12 pii scrub is a pure narrow map (no keyed shuffle, no UDF)") {
-    val p = plan(operators.PipelineQueries.piiScrub(spark, sf))
-    assert(hashExchanges(p) == 0, s"c12 grew a keyed shuffle:\n$p")
+  test("c12 pii scrub is a pure narrow map (no exchange of any kind, no UDF)") {
+    // the library op, not the harness query (which adds a
+    // presentation-only orderBy): at 100 TB this must be a pure scan
+    val p = plan(ops.CorpusOps.piiScrub(Tables.documents(spark, sf)))
+    assert(!p.contains("Exchange"), s"c12 grew a shuffle:\n$p")
     assert(!p.contains("UDF"), s"c12 fell back to a UDF:\n$p")
   }
 
