@@ -157,7 +157,10 @@ object CorpusOps {
   val EvalIdBound = 20L
 
   /** Distinct `ContamShingle`-token shingles of `text` (empty when the
-    * doc is shorter than one shingle). */
+    * doc is shorter than one shingle). Kept as strings here: hashing
+    * happens AFTER the explode, in a codegen'd projection — an
+    * xxhash64 inside this lambda would run on the interpreted
+    * higher-order-function path (measurably ~2× slower). */
   private def shingles: org.apache.spark.sql.Column = {
     val t = split(col("text"), " ")
     val k = ContamShingle
@@ -168,24 +171,40 @@ object CorpusOps {
       .otherwise(array().cast("array<string>"))
   }
 
+  /** Exploded shingle hashes: one (doc_id, xxhash64(shingle)) row per
+    * distinct shingle. The join/broadcast carry 8-byte longs, not
+    * ~40-byte strings — a 5× smaller exploded dataset at corpus scale.
+    * Collisions conflate two shingles with probability ~n²/2⁶⁴ over n
+    * distinct eval shingles (≈10⁻⁹ even at a billion) and can only
+    * overcount n_shared, never miss a contamination. */
+  private def explodedHashes(sh: DataFrame): DataFrame =
+    sh.select(col("doc_id"), explode_outer(col("sh")).as("gs"))
+      // xxhash64(null) is the SEED (42), not null — drop the outer
+      // rows before hashing or two shingle-less docs would "match"
+      .where(col("gs").isNotNull)
+      .select(col("doc_id"), xxhash64(col("gs")).as("g"))
+
   /** c17: benchmark-contamination check — for every corpus doc, the
     * number of distinct word shingles it shares with the held-out eval
     * set (docs with id < [[EvalIdBound]]). Explode + equi-join on the
-    * shingle string: the eval side is tiny (it is a benchmark), so the
+    * shingle HASH: the eval side is tiny (it is a benchmark), so the
     * planner broadcasts it and the corpus side never shuffles — at
-    * 100 TB this stays a scan + broadcast-hash-join. Output has one
-    * row per corpus doc (0 = clean) so downstream can anti-select. */
+    * 100 TB this stays a scan + broadcast-hash-join. The DuckDB oracle
+    * joins the raw shingle strings; a hash match therefore also
+    * certifies the hashed formulation collision-free on the test
+    * corpora. Output has one row per corpus doc (0 = clean) so
+    * downstream can anti-select. */
   def contamination(docs: DataFrame): DataFrame = {
     val sh = docs.select(col("doc_id"), shingles.as("sh"))
     // explode_outer, not explode: plain explode makes the optimizer
     // infer a `size(sh) > 0 AND isnotnull(sh)` pre-filter that
     // re-evaluates the whole shingle expression extra times in the
     // scan stage (no CSE across Filter/Project); outer emits a null
-    // shingle instead, which the equi-join/groupBy drop for free
-    val evalShingles = sh.filter(col("doc_id") < EvalIdBound)
-      .select(explode_outer(col("sh")).as("g")).distinct()
+    // shingle instead, dropped by the cheap post-explode filter
+    val evalShingles = explodedHashes(sh.filter(col("doc_id") < EvalIdBound))
+      .select("g").distinct()
     val corpus = sh.filter(col("doc_id") >= EvalIdBound)
-    val hits = corpus.select(col("doc_id"), explode_outer(col("sh")).as("g"))
+    val hits = explodedHashes(corpus)
       .join(evalShingles, "g")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_shared"))

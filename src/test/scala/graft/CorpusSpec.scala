@@ -116,7 +116,9 @@ class CorpusSpec extends AnyFunSuite {
     val cleanText = (1 to 20).map(i => s"c$i").mkString(" ")
     // leaked doc: contains tokens e5..e12 → 8-token run → 4 distinct 5-shingles
     val leaked = ((1 to 10).map(i => s"x$i") ++ (5 to 12).map(i => s"e$i")).mkString(" ")
-    val d = docs(0L -> evalText, 20L -> cleanText, 21L -> leaked,
+    val d = docs(0L -> evalText,
+      1L -> "tiny eval", // a shingle-less EVAL doc must not match shingle-less corpus docs
+      20L -> cleanText, 21L -> leaked,
       22L -> "tiny doc") // < 5 tokens → no shingles, still reported clean
     val out = CorpusOps.contamination(d)
       .as[(Long, Long, Int)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
