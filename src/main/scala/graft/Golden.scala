@@ -60,6 +60,10 @@ object Golden {
     case f: Float => fmtD(f.toDouble)
     case a: Array[_] => a.map(fmt).mkString("[", ",", "]")
     case s: scala.collection.Seq[_] => s.map(fmt).mkString("[", ",", "]")
+    // Timestamp.toString renders in the JVM default zone — format via
+    // Instant (UTC) so snapshots are machine-stable if a future
+    // rows-only query ever emits a timestamp column
+    case t: java.sql.Timestamp => t.toInstant.toString
     case x => x.toString
   }
 

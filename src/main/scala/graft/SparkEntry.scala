@@ -140,11 +140,13 @@ object SparkEntry {
         |FROM lineitem
         |GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
-    // runs on the ORIGINAL parquet: a match proves the Spark-side
-    // csv and json round-trips reproduced every value bit-exactly
+    // runs on the ORIGINAL parquet: a match proves each Spark-side
+    // round-trip (csv and json separately) reproduced EVERY column of
+    // every row bit-exactly — the whole-row md5 covers all five fields
     "e8_source_roundtrip" ->
-      """SELECT doc_id, md5(text) AS csv_md5, md5(text) AS json_md5,
-        | lang, n_chars
+      """SELECT doc_id,
+        | md5(concat_ws('|', doc_id, text, lang, source, n_chars)) AS csv_md5,
+        | md5(concat_ws('|', doc_id, text, lang, source, n_chars)) AS json_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
   )
 }

@@ -283,12 +283,14 @@ object RaBitQ {
     * nibble-by-nibble from the subset-sum tables — 16 adds + 16 table
     * loads per 64 dims instead of one float add per set bit. Requires
     * `q.qlut != null` (prepareQuery with queryBits > 0). */
-  def estimateDistLut(q: QueryCluster, signBits: Array[Long], x2: Float,
-      facIp: Float): Double = {
-    val ql = q.qlut
-    val lut = ql.lut
-    // Int accumulator: u ≤ 2^16-1 and ≤ 4 dims per lookup, so even
-    // d = 4096 stays far below Int overflow
+  /** Shared nibble-accumulation kernel for the LUT estimate and its
+    * lower bound (one copy: a fix applied to the estimate but not the
+    * pruning bound — or vice versa — would silently desynchronize
+    * them). Returns (sum << 32) | popcount packed in one Long so the
+    * per-candidate hot path stays allocation-free.
+    * Int accumulator: u ≤ 2^16-1 and ≤ 4 dims per lookup, so even
+    * d = 4096 stays far below Int overflow. */
+  private def lutSumPop(lut: Array[Int], signBits: Array[Long]): Long = {
     var sum = 0
     var pop = 0
     var w = 0
@@ -305,6 +307,15 @@ object RaBitQ {
       }
       w += 1
     }
+    (sum.toLong << 32) | pop.toLong
+  }
+
+  def estimateDistLut(q: QueryCluster, signBits: Array[Long], x2: Float,
+      facIp: Float): Double = {
+    val ql = q.qlut
+    val sp = lutSumPop(ql.lut, signBits)
+    val sum = (sp >>> 32).toInt
+    val pop = sp.toInt
     val ip = ql.width.toDouble * sum + ql.vl.toDouble * pop - 0.5 * q.sumRes
     x2 + q.sqrY - ip * facIp
   }
@@ -318,23 +329,9 @@ object RaBitQ {
   def estimateLowerLut(q: QueryCluster, signBits: Array[Long], x2: Float,
       facIp: Float, facErr: Float): Double = {
     val ql = q.qlut
-    val lut = ql.lut
-    var sum = 0
-    var pop = 0
-    var w = 0
-    while (w < signBits.length) {
-      var bits = signBits(w)
-      pop += java.lang.Long.bitCount(bits)
-      var off = w << 8
-      var n = 0
-      while (n < 16) {
-        sum += lut(off + (bits & 15L).toInt)
-        bits >>>= 4
-        off += 16
-        n += 1
-      }
-      w += 1
-    }
+    val sp = lutSumPop(ql.lut, signBits)
+    val sum = (sp >>> 32).toInt
+    val pop = sp.toInt
     val ip = ql.width.toDouble * sum + ql.vl.toDouble * pop - 0.5 * q.sumRes
     x2 + q.sqrY - ip * facIp - facErr * q.y -
       math.abs(facIp) * (0.5 * ql.width) * pop

@@ -131,26 +131,24 @@ object Relational {
 
   /** e8: csv/json source round-trip — documents written to BOTH
     * formats via [[graft.sources.TableIO]], read back with the
-    * explicit parquet schema, and fingerprinted per row. The oracle
-    * runs on the ORIGINAL parquet, so a hash match proves both
-    * round-trips were bit-faithful (any text/number corruption shifts
-    * an md5). Scratch is local and deleted after materializing the
-    * (small) fingerprint result, mirroring d6's harness pattern. */
-  def sourceRoundtrip(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-    val tmp = java.nio.file.Files.createTempDirectory("e8_roundtrip").toString
-    try {
+    * explicit parquet schema, and fingerprinted as a WHOLE-ROW md5
+    * over every column, separately per format. The oracle computes
+    * the same whole-row md5 on the ORIGINAL parquet, so a hash match
+    * proves each round-trip reproduced every column of every row —
+    * a corruption of any field in either format shifts that format's
+    * md5. Scratch is local and deleted after materializing the
+    * (small) fingerprint result ([[graft.Scratch]]). */
+  def sourceRoundtrip(spark: SparkSession, dir: String): DataFrame =
+    graft.Scratch.materialize("e8_roundtrip") { tmp =>
+      val docs = Tables.documents(spark, dir)
+      val rowMd5 = md5(concat_ws("|",
+        col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars")))
       graft.sources.TableIO.writeCsv(docs, s"$tmp/csv")
       graft.sources.TableIO.writeJson(docs, s"$tmp/json")
       val c = graft.sources.TableIO.readCsv(spark, s"$tmp/csv", docs.schema)
       val j = graft.sources.TableIO.readJson(spark, s"$tmp/json", docs.schema)
-      c.select(col("doc_id"), md5(col("text")).as("csv_md5"),
-          col("lang"), col("n_chars"))
-        .join(j.select(col("doc_id"), md5(col("text")).as("json_md5")), "doc_id")
+      c.select(col("doc_id"), rowMd5.as("csv_md5"))
+        .join(j.select(col("doc_id"), rowMd5.as("json_md5")), "doc_id")
         .orderBy("doc_id")
-        .localCheckpoint(true) // eager: free the scratch dir
-    } finally {
-      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
     }
-  }
 }

@@ -128,33 +128,40 @@ object StreamDedup {
     // same batch), so the per-batch aggregate is already the doc's
     // final partner count. Each microbatch therefore lands O(docs in
     // batch) rows — the materialized output is O(docs) total, never
-    // O(docs × bands). A production run passes `sinkDir` on shared
-    // storage and keeps the parquet output; without it the drain uses
-    // local scratch, materializes the (small, per-doc) result, and
-    // deletes the scratch so repeated harness runs don't accumulate
-    // temp files.
-    val scratch = sinkDir.isEmpty
-    val outDir = sinkDir.getOrElse(
-      java.nio.file.Files.createTempDirectory("d6_out").toString)
-    val q = perBand.writeStream
-      .outputMode("append")
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        batch.groupBy("doc_id").agg(sum("n_prior").as("n_prior_candidates"))
-          .write.mode("append").parquet(outDir)
-      }
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    // the rollup re-sums over O(docs) rows purely as a guard (a no-op
-    // while the one-trigger-per-doc invariant holds)
-    val result = spark.read.schema("doc_id LONG, n_prior_candidates LONG").parquet(outDir)
-      .groupBy("doc_id")
-      .agg(sum("n_prior_candidates").as("n_prior_candidates"))
-      .orderBy("doc_id")
-    if (scratch) {
-      val materialized = result.localCheckpoint(true) // eager: free the scratch dir
-      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(outDir))
-      materialized
-    } else result
+    // O(docs × bands).
+    //
+    // A production run passes `sinkDir` on shared storage: the
+    // checkpoint then lives UNDER the sink, so a re-invocation resumes
+    // incrementally (only new input files are processed) instead of
+    // re-ingesting the corpus and appending duplicate rows. Each batch
+    // writes its own batch_id=<n> partition with overwrite, which makes
+    // foreachBatch's at-least-once retries idempotent. Without sinkDir
+    // the drain uses local scratch (fresh temp checkpoint each call),
+    // materializes the (small, per-doc) result, and deletes the
+    // scratch so repeated harness runs don't accumulate temp files.
+    def drainAndRead(outDir: String, durable: Boolean): DataFrame = {
+      val writer = perBand.writeStream
+        .outputMode("append")
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          batch.groupBy("doc_id").agg(sum("n_prior").as("n_prior_candidates"))
+            .write.mode("overwrite").parquet(s"$outDir/data/batch_id=$id")
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      val q = (if (durable) writer.option("checkpointLocation", s"$outDir/_checkpoint")
+               else writer)
+        .start()
+      q.awaitTermination()
+      // the rollup re-sums over O(docs) rows purely as a guard (a no-op
+      // while the one-trigger-per-doc invariant holds: every doc lands
+      // in exactly one batch partition, and retries overwrite it)
+      spark.read.parquet(s"$outDir/data")
+        .groupBy("doc_id")
+        .agg(sum("n_prior_candidates").as("n_prior_candidates"))
+        .orderBy("doc_id")
+    }
+    sinkDir match {
+      case Some(out) => drainAndRead(out, durable = true)
+      case None => graft.Scratch.materialize("d6_out")(drainAndRead(_, durable = false))
+    }
   }
 }

@@ -63,6 +63,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(got(8L) > 0 && got(24L) > got(8L))
   }
 
+  test("d6 durable sink: re-invocation resumes from the checkpoint, no double counts") {
+    val dir = java.nio.file.Files.createTempDirectory("d6_durable_src")
+    val sink = java.nio.file.Files.createTempDirectory("d6_durable_sink").toString
+    val base = "the quick brown fox jumps over the lazy dog again and again today " * 4
+    writeDocsFile(dir, "f1.parquet", 1000000L,
+      Seq(1L -> base, 2L -> base.replace("lazy", "sleepy"), 3L -> ("other text " * 10)))
+    val p = Dedup.MinHashParams()
+    val first = StreamDedup.streamingNearDupFromDir(
+        spark, dir.toString, p, sinkDir = Some(sink))
+      .as[(Long, Long)].collect().toMap
+    // same sink, no new input: nothing reprocessed, counts unchanged
+    val again = StreamDedup.streamingNearDupFromDir(
+        spark, dir.toString, p, sinkDir = Some(sink))
+      .as[(Long, Long)].collect().toMap
+    assert(again == first, s"re-invocation changed counts: $first -> $again")
+    // new input file: processed incrementally, old docs untouched
+    writeDocsFile(dir, "f2.parquet", 2000000L, Seq(4L -> base))
+    val grown = StreamDedup.streamingNearDupFromDir(
+        spark, dir.toString, p, sinkDir = Some(sink))
+      .as[(Long, Long)].collect().toMap
+    assert(grown.filter(_._1 <= 3L) == first, s"old docs changed: $first -> $grown")
+    assert(grown(4L) > 0L, s"new near-dup saw no prior candidates: $grown")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(sink))
+  }
+
   test("d6 watermark eviction: an idle bucket is forgotten after retention") {
     val dir = java.nio.file.Files.createTempDirectory("d6_evict")
     val base = "the quick brown fox jumps over the lazy dog again and again today " * 4
