@@ -86,8 +86,11 @@ object CorpusOps {
     val thr = SampleThresholds.foldRight(lit(DefaultSampleThreshold)) {
       case ((lang, t), other) => when(col("lang") === lang, t).otherwise(other)
     }
-    docs.filter(hashBucket("doc_id") < thr)
-      .select(col("doc_id"), col("lang"), hashBucket("doc_id").as("bucket"))
+    // bucket computed ONCE, then filtered on the derived column —
+    // a filter(hashBucket < thr) before the select would evaluate the
+    // md5 twice (no CSE across Filter/Project boundaries)
+    docs.select(col("doc_id"), col("lang"), hashBucket("doc_id").as("bucket"))
+      .filter(col("bucket") < thr)
   }
 
   // ---------------------------------------------------------------- c15

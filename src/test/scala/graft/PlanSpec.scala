@@ -114,8 +114,10 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), s"eval side not broadcast:\n$p")
     assert(!p.contains("SortMergeJoin"), s"corpus side fell into a shuffle join:\n$p")
     // the inferred explode pre-filter must not re-evaluate the shingle
-    // transform in the scan stage (explode_outer avoids it)
-    assert(!p.contains("Filter (((isnotnull(doc_id"),
+    // transform in the scan stage (explode_outer avoids it): the
+    // array_distinct expression appears once per side (eval + corpus),
+    // never a third time inside a filter
+    assert("array_distinct".r.findAllIn(p).length <= 2,
       s"shingle-recomputing pre-filter is back:\n$p")
   }
 }
