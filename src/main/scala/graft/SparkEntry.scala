@@ -55,6 +55,7 @@ object SparkEntry {
     "c15_pack_chunks" -> (PipelineQueries.packChunks(_, _)),
     "c16_corpus_filter" -> (PipelineQueries.corpusFilter(_, _)),
     "c17_contamination" -> (PipelineQueries.contamination(_, _)),
+    "c18_corpus_stats" -> (PipelineQueries.corpusStats(_, _)),
     "d1_sessionize"  -> (PipelineQueries.sessionize(_, _)),
     "d2_window_agg"  -> (PipelineQueries.windowAgg(_, _)),
     "d3_stream_agg"  -> (PipelineQueries.streamingAgg(_, _)),

@@ -77,6 +77,9 @@ object PipelineQueries {
   def contamination(spark: SparkSession, dir: String): DataFrame =
     CorpusOps.contamination(Tables.documents(spark, dir)).orderBy("doc_id")
 
+  def corpusStats(spark: SparkSession, dir: String): DataFrame =
+    CorpusOps.corpusStats(Tables.documents(spark, dir)).orderBy("source")
+
   def sessionize(spark: SparkSession, dir: String): DataFrame =
     EventOps.sessionize(spark, dir)
 
@@ -137,6 +140,18 @@ object PipelineQueries {
          |   - CAST(floor((cum - n_tokens) / ${CorpusOps.PackBudget}.0) AS BIGINT)
          |     * ${CorpusOps.PackBudget} AS BIGINT) AS offset
          |FROM c ORDER BY doc_id""".stripMargin,
+    "c18_corpus_stats" ->
+      """WITH t AS (SELECT source,
+        |  CAST(len(string_split(text, ' ')) AS INT) AS n_tok,
+        |  CAST(length(text) AS INT) AS n_chars FROM documents)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(min(n_tok) AS INT) AS min_tokens,
+        | CAST(max(n_tok) AS INT) AS max_tokens,
+        | ROUND(avg(n_tok), 6) AS mean_tokens,
+        | quantile_cont(n_tok, 0.5) AS p50_tokens,
+        | quantile_cont(n_tok, 0.9) AS p90_tokens,
+        | CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM t GROUP BY source ORDER BY source""".stripMargin,
     "c16_corpus_filter" ->
       """WITH m AS (SELECT doc_id,
         |  CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,

@@ -153,6 +153,32 @@ object CorpusOps {
         col("reason"))
   }
 
+  // ---------------------------------------------------------------- c18
+  /** c18: corpus statistics — per-source token-count distribution
+    * (count, min/max, mean, exact p50/p90 interpolated percentiles,
+    * total chars): the data-characterization step before training.
+    * One partial-aggregated shuffle on the shard key; the percentile
+    * aggregate is Spark's exact `percentile` (linear interpolation,
+    * matching DuckDB's quantile_cont bit-for-bit on integer inputs).
+    * At 100 TB exact percentiles hold per SHARD (each group's values
+    * gather on one reducer); corpus-wide profiles over unbounded
+    * groups would switch to approx_percentile — a disclosed accuracy
+    * trade, not a plan change. */
+  def corpusStats(docs: DataFrame): DataFrame = {
+    val t = docs.select(
+      col("source"),
+      size(split(col("text"), " ")).as("n_tok"),
+      length(col("text")).as("n_chars"))
+    t.groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        min("n_tok").as("min_tokens"),
+        max("n_tok").as("max_tokens"),
+        round(avg("n_tok"), 6).as("mean_tokens"),
+        percentile(col("n_tok"), lit(0.5)).as("p50_tokens"),
+        percentile(col("n_tok"), lit(0.9)).as("p90_tokens"),
+        sum(col("n_chars").cast(LongType)).as("total_chars"))
+  }
+
   // ---------------------------------------------------------------- c17
   /** Shingle width for contamination checking. */
   val ContamShingle = 5

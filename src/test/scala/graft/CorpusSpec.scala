@@ -111,6 +111,21 @@ class CorpusSpec extends AnyFunSuite {
     assert(out(5L) == ((0, "token_len")), out.toString)
   }
 
+  test("corpus stats: exact interpolated percentiles per source") {
+    // token counts 10/20/30/40 per shard: p50 = 25 (rank 1.5),
+    // p90 = 37 (rank 2.7 → 30 + 0.7·10)
+    val d = (0L until 8L).map { i =>
+        val n = (1 + (i % 4).toInt) * 10
+        (i, (1 to n).map(_ => "w").mkString(" "), s"shard${i / 4}")
+      }.toDF("doc_id", "text", "source")
+    val out = CorpusOps.corpusStats(d).collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Double]("p50_tokens"), r.getAs[Double]("p90_tokens"))))
+      .toMap
+    assert(out("shard0") == ((4L, 25.0, 37.0)), out.toString)
+    assert(out("shard1") == ((4L, 25.0, 37.0)), out.toString)
+  }
+
   test("contamination counts distinct shared shingles against the eval set") {
     val evalText = (1 to 20).map(i => s"e$i").mkString(" ") // ids < 20 are eval
     val cleanText = (1 to 20).map(i => s"c$i").mkString(" ")
