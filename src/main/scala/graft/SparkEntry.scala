@@ -62,6 +62,7 @@ object SparkEntry {
     "d4_stream_user_stats" -> (PipelineQueries.streamingUserStats(_, _)),
     "d5_session_window" -> (PipelineQueries.sessionWindow(_, _)),
     "d6_stream_dedup" -> (PipelineQueries.streamingNearDup(_, _)),
+    "d7_stream_gate" -> (PipelineQueries.streamingCorpusGate(_, _)),
     "e1_q1_agg"      -> (Relational.q1Agg(_, _)),
     "e2_q3_join"     -> (Relational.q3Join(_, _)),
     "e3_q5_multijoin" -> (Relational.q5MultiJoin(_, _)),

@@ -98,8 +98,31 @@ object PipelineQueries {
   def streamingNearDup(spark: SparkSession, dir: String): DataFrame =
     graft.streaming.StreamDedup.streamingNearDup(spark, dir)
 
+  def streamingCorpusGate(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamGate.streamingCorpusGate(spark, dir)
+
   private def enList = TextAnalysis.markerSqlList("en")
   private def hashBucketSql = "substring(md5(CAST(doc_id AS VARCHAR)), 1, 2)"
+
+  /** The corpus-gate oracle, shared by c16 (batch) and d7 (stream). */
+  private val CorpusGateSql =
+    """WITH m AS (SELECT doc_id,
+      |  CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+      |  ROUND(CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
+      |    / length(text), 6) AS punct_ratio,
+      |  ROUND(CAST(list_sum(list_transform(string_split(text, ' '), x -> length(x))) AS DOUBLE)
+      |    / len(string_split(text, ' ')), 6) AS mean_token_len,
+      |  MIN(doc_id) OVER (PARTITION BY md5(text)) AS keep_id
+      | FROM documents),
+      |r AS (SELECT doc_id, n_tokens,
+      |  CASE WHEN doc_id <> keep_id THEN 'duplicate'
+      |       WHEN n_tokens < 15 THEN 'too_short'
+      |       WHEN punct_ratio > 0.10 THEN 'punctuation'
+      |       WHEN mean_token_len < 2.0 OR mean_token_len > 10.0 THEN 'token_len'
+      |       ELSE 'keep' END AS reason
+      | FROM m)
+      |SELECT doc_id, n_tokens, CAST(reason = 'keep' AS INT) AS kept, reason
+      |FROM r ORDER BY doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "c12_pii_scrub" ->
@@ -152,24 +175,11 @@ object PipelineQueries {
         | quantile_cont(n_tok, 0.9) AS p90_tokens,
         | CAST(sum(n_chars) AS BIGINT) AS total_chars
         |FROM t GROUP BY source ORDER BY source""".stripMargin,
-    "c16_corpus_filter" ->
-      """WITH m AS (SELECT doc_id,
-        |  CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
-        |  ROUND(CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
-        |    / length(text), 6) AS punct_ratio,
-        |  ROUND(CAST(list_sum(list_transform(string_split(text, ' '), x -> length(x))) AS DOUBLE)
-        |    / len(string_split(text, ' ')), 6) AS mean_token_len,
-        |  MIN(doc_id) OVER (PARTITION BY md5(text)) AS keep_id
-        | FROM documents),
-        |r AS (SELECT doc_id, n_tokens,
-        |  CASE WHEN doc_id <> keep_id THEN 'duplicate'
-        |       WHEN n_tokens < 15 THEN 'too_short'
-        |       WHEN punct_ratio > 0.10 THEN 'punctuation'
-        |       WHEN mean_token_len < 2.0 OR mean_token_len > 10.0 THEN 'token_len'
-        |       ELSE 'keep' END AS reason
-        | FROM m)
-        |SELECT doc_id, n_tokens, CAST(reason = 'keep' AS INT) AS kept, reason
-        |FROM r ORDER BY doc_id""".stripMargin,
+    "c16_corpus_filter" -> CorpusGateSql,
+    // d7 is the SAME gate as a streaming query (first-seen dedup state
+    // = min doc_id under ordered arrival), so it shares c16's oracle —
+    // the hash check certifies batch/stream equivalence
+    "d7_stream_gate" -> CorpusGateSql,
     "c17_contamination" ->
       // 5-token shingles: keep the [i]..[i+4] chain and the range bound
       // (len - 3 = len - (k-2)) in sync with CorpusOps.ContamShingle

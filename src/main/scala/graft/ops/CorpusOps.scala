@@ -128,21 +128,32 @@ object CorpusOps {
     * canonical-copy rule is a window min over md5(text) (no groupBy +
     * re-join). Rules, in order: duplicate → too_short (<15 tokens) →
     * punctuation (ratio >0.10) → token_len (mean outside [2,10]). */
-  def corpusFilter(docs: DataFrame): DataFrame = {
+  def corpusFilter(docs: DataFrame): DataFrame =
+    gateDecision(gateMetrics(docs)
+      .withColumn("keep_id", min("doc_id").over(Window.partitionBy("h"))))
+
+  /** Per-doc gate inputs: token count, c7's quality ratios, and the
+    * content hash. Shared by the batch gate (c16) and the streaming
+    * gate (d7) so the two paths cannot drift. Narrow map — safe on a
+    * streaming DataFrame. */
+  private[graft] def gateMetrics(docs: DataFrame): DataFrame = {
     val t = split(col("text"), " ")
     val nChars = length(col("text"))
     val nPunct = nChars - length(regexp_replace(col("text"), "\\p{Punct}", ""))
     val tokLenSum = aggregate(transform(t, x => length(x)), lit(0), (a, x) => a + x)
-    val metrics = docs.select(
+    docs.select(
       col("doc_id"),
       size(t).as("n_tokens"),
       round(nPunct.cast("double") / nChars, 6).as("punct_ratio"),
       round(tokLenSum.cast("double") / size(t), 6).as("mean_token_len"),
       md5(col("text")).as("h"))
-    val keepId = min("doc_id").over(Window.partitionBy("h"))
-    metrics
-      .withColumn("reason",
-        when(col("doc_id") =!= keepId, "duplicate")
+  }
+
+  /** The rule chain over gate metrics + a resolved `keep_id` column
+    * (first-failing-rule reason; c16's contract). */
+  private[graft] def gateDecision(m: DataFrame): DataFrame =
+    m.withColumn("reason",
+        when(col("doc_id") =!= col("keep_id"), "duplicate")
           .when(col("n_tokens") < 15, "too_short")
           .when(col("punct_ratio") > 0.10, "punctuation")
           .when(col("mean_token_len") < 2.0 || col("mean_token_len") > 10.0, "token_len")
@@ -151,7 +162,6 @@ object CorpusOps {
         col("doc_id"), col("n_tokens"),
         (col("reason") === "keep").cast(IntegerType).as("kept"),
         col("reason"))
-  }
 
   // ---------------------------------------------------------------- c18
   /** c18: corpus statistics — per-source token-count distribution

@@ -88,6 +88,32 @@ class StreamingSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(sink))
   }
 
+  test("d7 streaming gate: duplicates detected across batches, rules match the batch gate") {
+    val dir = java.nio.file.Files.createTempDirectory("d7_gate")
+    val good = (1 to 30).map(i => s"word$i").mkString(" ")
+    writeDocsFile(dir, "f1.parquet", 1000000L,
+      Seq(1L -> good, 2L -> "too short text"))
+    writeDocsFile(dir, "f2.parquet", 2000000L,
+      Seq(3L -> good, // duplicate of doc 1 — arrives in a LATER batch
+          4L -> (1 to 30).map(_ => "internationalization").mkString(" ")))
+    val got = graft.streaming.StreamGate.streamingCorpusGateFromDir(
+        spark, dir.toString, maxFilesPerTrigger = Some(1))
+      .select("doc_id", "kept", "reason").as[(Long, Int, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) == ((1, "keep")), got.toString)
+    assert(got(2L) == ((0, "too_short")), got.toString)
+    assert(got(3L) == ((0, "duplicate")), got.toString)
+    assert(got(4L) == ((0, "token_len")), got.toString)
+    // and the whole result equals the batch gate on the same docs
+    val batch = graft.ops.CorpusOps.corpusFilter(
+        Seq((1L, good), (2L, "too short text"), (3L, good),
+          (4L, (1 to 30).map(_ => "internationalization").mkString(" ")))
+          .toDF("doc_id", "text"))
+      .select("doc_id", "kept", "reason").as[(Long, Int, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == batch, s"stream=$got batch=$batch")
+  }
+
   test("d6 watermark eviction: an idle bucket is forgotten after retention") {
     val dir = java.nio.file.Files.createTempDirectory("d6_evict")
     val base = "the quick brown fox jumps over the lazy dog again and again today " * 4
