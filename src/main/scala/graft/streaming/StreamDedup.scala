@@ -42,7 +42,7 @@ object StreamDedup {
     * which can never fire in a trigger where the group has data. */
   final case class BucketState(ids: Array[Long], tsMs: Array[Long])
 
-  private val docsSchema = StructType(Seq(
+  private[streaming] val docsSchema = StructType(Seq(
     StructField("doc_id", LongType), StructField("text", StringType),
     StructField("lang", StringType), StructField("source", StringType),
     StructField("n_chars", LongType)))

@@ -2,7 +2,6 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-import org.apache.spark.sql.types._
 
 import graft.ops.CorpusOps
 
@@ -31,11 +30,6 @@ import graft.ops.CorpusOps
   * the job. Text must be non-null (the typed state encoder carries
   * the quality ratios as primitive doubles). */
 object StreamGate {
-  private val docsSchema = StructType(Seq(
-    StructField("doc_id", LongType), StructField("text", StringType),
-    StructField("lang", StringType), StructField("source", StringType),
-    StructField("n_chars", LongType)))
-
   /** d7 entry: stream the documents table of `dir`. */
   def streamingCorpusGate(spark: SparkSession, dir: String): DataFrame =
     streamingCorpusGateFromDir(spark, EventOps.symlinkedDir(dir, "documents.parquet"))
@@ -48,7 +42,7 @@ object StreamGate {
       srcDir: String,
       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     import spark.implicits._
-    val reader = spark.readStream.schema(docsSchema)
+    val reader = spark.readStream.schema(StreamDedup.docsSchema)
     val stream = maxFilesPerTrigger.fold(reader)(n =>
       reader.option("maxFilesPerTrigger", n)).parquet(srcDir)
 
