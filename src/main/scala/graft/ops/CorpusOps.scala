@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{IntegerType, LongType}
@@ -97,28 +97,69 @@ object CorpusOps {
   /** Token budget per packed training chunk. */
   val PackBudget = 256
 
+  /** The ordered input to packing: one range shuffle on
+    * (source, doc_id) — a huge source spans MANY partitions, each a
+    * contiguous slice of its id order — sorted within partitions.
+    * Shared by [[packChunks]]'s two passes (the partial-sum job and
+    * the output job reuse the same shuffle files). */
+  private[graft] def packRuns(
+      docs: DataFrame): org.apache.spark.sql.Dataset[(Long, String, Int)] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast(LongType), col("source"),
+        size(split(col("text"), " ")).as("n_tokens"))
+      .as[(Long, String, Int)]
+      .repartitionByRange(col("source"), col("doc_id"))
+      .sortWithinPartitions("source", "doc_id")
+  }
+
   /** c15: sequence packing — assign docs to fixed-token-budget training
-    * chunks by running token offset, independently WITHIN each source
-    * shard. The per-shard window is the scale story: a single global
-    * cumsum would serialize the corpus through one ordering, while
-    * per-source packing runs one window task per shard (at 100 TB the
-    * shard key is whatever upstream bucketing exists). A doc whose
-    * start offset falls in bin b belongs to chunk (source, b). */
+    * chunks by running token offset in (source, doc_id) order,
+    * independently within each source. A doc whose start offset falls
+    * in bin b belongs to chunk (source, b).
+    *
+    * The cumulative sum is a DISTRIBUTED two-phase prefix-sum, not a
+    * per-source window (`Window.partitionBy(source)` funnels each
+    * source's entire cumsum through ONE task — with a handful of
+    * sources that serializes a 100 TB corpus through a handful of
+    * threads). Phase 1 range-partitions on (source, doc_id) — so a
+    * large source spans many partitions — and computes each task's
+    * per-source token subtotal: the collected table is
+    * O(partitions + sources) rows, a few KB. Phase 2 broadcasts the
+    * per-(partition, source) prefix offsets back and a narrow map emits
+    * the exact running sum. Both passes reuse the one range shuffle
+    * (same RDD lineage → the shuffle files are read twice, written
+    * once). Output is identical to the single-window formulation —
+    * the DuckDB oracle is unchanged. */
   def packChunks(docs: DataFrame): DataFrame = {
-    val n = size(split(col("text"), " "))
-    val w = Window.partitionBy("source").orderBy("doc_id")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    // materialize the running sum ONCE: deriving bin and offset from
-    // `sum(n).over(w)` inline would plant three identical window
-    // aggregates in the Window node (Catalyst does not CSE them)
-    val start = col("cum") - col("n_tokens")
-    val bin = floor(start / lit(PackBudget)).cast(LongType)
-    docs.select(col("doc_id"), col("source"), n.as("n_tokens"))
-      .withColumn("cum", sum("n_tokens").over(w))
-      .select(
-        col("doc_id"), col("source"), col("n_tokens"),
-        bin.as("bin"),
-        (start - bin * PackBudget).cast(LongType).as("offset"))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val runs = packRuns(docs).rdd
+    // phase 1: per-(partition, source) token subtotals (tiny)
+    val partials: Array[Array[(String, Long)]] = runs.mapPartitions { it =>
+      val sums = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+      it.foreach { case (_, s, n) => sums.update(s, sums.getOrElse(s, 0L) + n) }
+      Iterator.single(sums.toArray)
+    }.collect()
+    // prefix offsets: tokens of the same source in EARLIER partitions
+    val offsets: Array[Map[String, Long]] = partials
+      .scanLeft(Map.empty[String, Long]) { (acc, part) =>
+        part.foldLeft(acc) { case (m, (s, n)) => m.updated(s, m.getOrElse(s, 0L) + n) }
+      }.init
+    val bc = spark.sparkContext.broadcast(offsets)
+    // phase 2: narrow map — running sum seeded with the prefix offset
+    runs.mapPartitionsWithIndex { (pi, it) =>
+      val off = bc.value(pi)
+      var cur: String = null
+      var cum = 0L
+      it.map { case (id, s, n) =>
+        if (s != cur) { cur = s; cum = off.getOrElse(s, 0L) }
+        val start = cum
+        cum += n
+        val bin = start / PackBudget // ints ≥ 0: integer division = floor
+        (id, s, n, bin, start - bin * PackBudget)
+      }
+    }.toDF("doc_id", "source", "n_tokens", "bin", "offset")
   }
 
   // ---------------------------------------------------------------- c16
@@ -144,7 +185,12 @@ object CorpusOps {
     docs.select(
       col("doc_id"),
       size(t).as("n_tokens"),
-      round(nPunct.cast("double") / nChars, 6).as("punct_ratio"),
+      // zero guard: an empty document would raise DIVIDE_BY_ZERO under
+      // ANSI mode (and a null would break d7's primitive-Double state
+      // encoder); 0.0 keeps the rule chain sane — split("") is [""] so
+      // n_tokens is 1 and the doc still lands in too_short
+      when(nChars === 0, lit(0.0))
+        .otherwise(round(nPunct.cast("double") / nChars, 6)).as("punct_ratio"),
       round(tokLenSum.cast("double") / size(t), 6).as("mean_token_len"),
       md5(col("text")).as("h"))
   }
@@ -167,26 +213,60 @@ object CorpusOps {
   /** c18: corpus statistics — per-source token-count distribution
     * (count, min/max, mean, exact p50/p90 interpolated percentiles,
     * total chars): the data-characterization step before training.
-    * One partial-aggregated shuffle on the shard key; the percentile
-    * aggregate is Spark's exact `percentile` (linear interpolation,
-    * matching DuckDB's quantile_cont bit-for-bit on integer inputs).
-    * At 100 TB exact percentiles hold per SHARD (each group's values
-    * gather on one reducer); corpus-wide profiles over unbounded
-    * groups would switch to approx_percentile — a disclosed accuracy
-    * trade, not a plan change. */
+    *
+    * The percentiles are EXACT yet no reducer ever buffers a source's
+    * raw values (Spark's `percentile` aggregate would gather every
+    * group value into one aggregation buffer — an OOM, not just a
+    * slowdown, when a source spans terabytes). Token counts are small
+    * bounded ints, so the scan pre-aggregates to a (source, n_tok)
+    * value HISTOGRAM — one partially-aggregated shuffle whose reduce
+    * side is a few thousand rows regardless of corpus size — a tiny
+    * per-source window turns counts into cumulative ranks, and the
+    * percentile is interpolated from the two histogram rows bracketing
+    * rank r = p·(n−1) with the same (⌈r⌉−r)·v_lo + (r−⌊r⌋)·v_hi
+    * formula Spark's `percentile` and DuckDB's `quantile_cont`
+    * evaluate — bit-identical output, scale-safe plan. */
   def corpusStats(docs: DataFrame): DataFrame = {
     val t = docs.select(
       col("source"),
       size(split(col("text"), " ")).as("n_tok"),
       length(col("text")).as("n_chars"))
-    t.groupBy("source").agg(
-        count(lit(1)).as("n_docs"),
-        min("n_tok").as("min_tokens"),
-        max("n_tok").as("max_tokens"),
-        round(avg("n_tok"), 6).as("mean_tokens"),
-        percentile(col("n_tok"), lit(0.5)).as("p50_tokens"),
-        percentile(col("n_tok"), lit(0.9)).as("p90_tokens"),
-        sum(col("n_chars").cast(LongType)).as("total_chars"))
+    // the value histogram is the ONLY pass over raw rows
+    val hist = t.groupBy("source", "n_tok").agg(
+      count(lit(1)).as("cnt"),
+      sum(col("n_chars").cast(LongType)).as("chars"))
+    // cumulative ranks per source over DISTINCT token values: the
+    // window input is the bounded histogram, never the corpus
+    val cum = sum("cnt").over(Window.partitionBy("source").orderBy("n_tok")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    val n = sum("cnt").over(Window.partitionBy("source"))
+    val h = hist.withColumn("cum", cum).withColumn("n", n)
+    // the value at 0-based rank r lives on the unique histogram row
+    // with cum − cnt ≤ r < cum (conditional max finds it)
+    def valueAt(rank: Column): Column =
+      max(when(col("cum") - col("cnt") <= rank && rank < col("cum"), col("n_tok")))
+    def rank(p: Double): Column = lit(p) * (col("n") - 1).cast("double")
+    val agg = h.groupBy("source").agg(
+      sum("cnt").as("n_docs"),
+      min("n_tok").as("min_tokens"),
+      max("n_tok").as("max_tokens"),
+      // sum(v·cnt)/n over exact integer sums ≡ avg over raw rows (all
+      // partial double sums are exact integers far below 2^53)
+      round(sum(col("n_tok").cast(LongType) * col("cnt")) / sum("cnt"), 6)
+        .as("mean_tokens"),
+      valueAt(floor(rank(0.5))).as("p50_lo"), valueAt(ceil(rank(0.5))).as("p50_hi"),
+      valueAt(floor(rank(0.9))).as("p90_lo"), valueAt(ceil(rank(0.9))).as("p90_hi"),
+      sum("chars").as("total_chars"))
+    def interp(p: Double, lo: Column, hi: Column): Column = {
+      val r = lit(p) * (col("n_docs") - 1).cast("double")
+      when(floor(r) === ceil(r), lo.cast("double"))
+        .otherwise((ceil(r) - r) * lo + (r - floor(r)) * hi)
+    }
+    agg.select(col("source"), col("n_docs"), col("min_tokens"),
+      col("max_tokens"), col("mean_tokens"),
+      interp(0.5, col("p50_lo"), col("p50_hi")).as("p50_tokens"),
+      interp(0.9, col("p90_lo"), col("p90_hi")).as("p90_tokens"),
+      col("total_chars"))
   }
 
   // ---------------------------------------------------------------- c17

@@ -93,6 +93,32 @@ class CorpusSpec extends AnyFunSuite {
     assert(out.count(r => r._4 == 0L && r._5 == 0L) >= 2)
   }
 
+  test("pack chunks: one source spreads across multiple tasks with an exact global cumsum") {
+    val words20 = (1 to 20).map(i => s"w$i").mkString(" ")
+    val d = (0L until 1000L).map(i => (i, words20, "one_source"))
+      .toDF("doc_id", "text", "source")
+    // the scale property: a single source's rows land on >1 task (the
+    // old per-source window serialized them through exactly one). AQE
+    // coalesces this kilobyte-sized test shuffle to one partition —
+    // disable coalescing here to observe the multi-task path (at real
+    // scale partitions exceed the coalesce target and stay separate).
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    val (nonEmpty, out) = try {
+      val ne = CorpusOps.packRuns(d).rdd
+        .mapPartitions(it => Iterator.single(if (it.hasNext) 1 else 0)).collect().sum
+      // and the distributed prefix-sum is still the exact global cumsum
+      (ne, CorpusOps.packChunks(d).select("doc_id", "bin", "offset")
+        .as[(Long, Long, Long)].collect().sortBy(_._1))
+    } finally spark.conf.unset("spark.sql.adaptive.coalescePartitions.enabled")
+    assert(nonEmpty > 1, s"single source fell into one task ($nonEmpty non-empty partitions)")
+    assert(out.length == 1000)
+    for ((r, i) <- out.zipWithIndex) {
+      val start = 20L * i
+      assert(r._2 == start / CorpusOps.PackBudget, s"bin mismatch at doc $i: $r")
+      assert(r._3 == start % CorpusOps.PackBudget, s"offset mismatch at doc $i: $r")
+    }
+  }
+
   test("corpus filter applies rules in order with first-failing reason") {
     val good = (1 to 30).map(i => s"word$i").mkString(" ")
     val d = docs(
@@ -109,6 +135,14 @@ class CorpusSpec extends AnyFunSuite {
     assert(out(3L) == ((0, "too_short")), out.toString)
     assert(out(4L) == ((0, "punctuation")), out.toString)
     assert(out(5L) == ((0, "token_len")), out.toString)
+  }
+
+  test("corpus filter survives an empty document (ANSI divide-by-zero guard)") {
+    val out = CorpusOps.corpusFilter(docs(1L -> "", 2L -> "some short text"))
+      .select("doc_id", "kept", "reason").as[(Long, Int, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L) == ((0, "too_short")), out.toString)
+    assert(out(2L) == ((0, "too_short")), out.toString)
   }
 
   test("corpus stats: exact interpolated percentiles per source") {

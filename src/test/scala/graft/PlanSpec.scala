@@ -94,12 +94,13 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("UDF"), s"c12 fell back to a UDF:\n$p")
   }
 
-  test("c15 packing shuffles once (per-shard window) with a single window aggregate") {
+  test("c15 packing is a distributed prefix-sum (no per-source window, no hash shuffle)") {
     val p = plan(operators.PipelineQueries.packChunks(spark, sf))
-    assert(hashExchanges(p) == 1, s"c15 must shuffle exactly once, on source:\n$p")
-    // the running sum must be materialized once, not once per derived col
-    assert("windowspecdefinition".r.findAllIn(p).length == 1,
-      s"duplicate window aggregates (Catalyst does not CSE them):\n$p")
+    // the per-source window (one task per source value — a serializer
+    // at 100 TB) must never come back; the cumsum now rides one range
+    // shuffle + a narrow map (CorpusSpec pins >1 task per source)
+    assert(!p.contains("windowspecdefinition"), s"per-source window is back:\n$p")
+    assert(hashExchanges(p) == 0, s"c15 must not hash-shuffle:\n$p")
   }
 
   test("c16 quality gate shuffles once (window min over md5, no groupBy+join)") {
@@ -107,6 +108,16 @@ class PlanSpec extends AnyFunSuite {
     assert(hashExchanges(p) == 1, s"c16 must shuffle exactly once, on md5(text):\n$p")
     assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
       s"c16 planned a join; the canonical-copy rule should be a window:\n$p")
+  }
+
+  test("c18 stats pre-aggregate to a value histogram (no raw-value percentile buffer)") {
+    val p = plan(operators.PipelineQueries.corpusStats(spark, sf))
+    // the direct `percentile` aggregate (which buffers every group
+    // value on one reducer) must never come back
+    assert(!p.toLowerCase.contains("percentile"), s"raw percentile aggregate is back:\n$p")
+    // raw rows are partially aggregated map-side before the only
+    // corpus-wide shuffle (the histogram on (source, n_tok))
+    assert(p.contains("partial_count"), s"histogram partial aggregation missing:\n$p")
   }
 
   test("c17 contamination joins broadcast (corpus side never shuffles for the join)") {
