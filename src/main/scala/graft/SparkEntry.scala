@@ -144,11 +144,15 @@ object SparkEntry {
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
     // runs on the ORIGINAL parquet: a match proves each Spark-side
     // round-trip (csv and json separately) reproduced EVERY column of
-    // every row bit-exactly — the whole-row md5 covers all five fields
+    // every row bit-exactly. Injective construction: md5 per column
+    // (fixed-width hex blocks) under the outer md5, so values cannot
+    // migrate across column boundaries unnoticed.
     "e8_source_roundtrip" ->
       """SELECT doc_id,
-        | md5(concat_ws('|', doc_id, text, lang, source, n_chars)) AS csv_md5,
-        | md5(concat_ws('|', doc_id, text, lang, source, n_chars)) AS json_md5
+        | md5(md5(CAST(doc_id AS VARCHAR)) || md5(text) || md5(lang)
+        |   || md5(source) || md5(CAST(n_chars AS VARCHAR))) AS csv_md5,
+        | md5(md5(CAST(doc_id AS VARCHAR)) || md5(text) || md5(lang)
+        |   || md5(source) || md5(CAST(n_chars AS VARCHAR))) AS json_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
   )
 }

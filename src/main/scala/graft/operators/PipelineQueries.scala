@@ -108,8 +108,9 @@ object PipelineQueries {
   private val CorpusGateSql =
     """WITH m AS (SELECT doc_id,
       |  CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
-      |  ROUND(CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
-      |    / length(text), 6) AS punct_ratio,
+      |  CASE WHEN length(text) = 0 THEN 0.0
+      |   ELSE ROUND(CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
+      |    / length(text), 6) END AS punct_ratio,
       |  ROUND(CAST(list_sum(list_transform(string_split(text, ' '), x -> length(x))) AS DOUBLE)
       |    / len(string_split(text, ' ')), 6) AS mean_token_len,
       |  MIN(doc_id) OVER (PARTITION BY md5(text)) AS keep_id

@@ -136,13 +136,20 @@ object Relational {
     * the same whole-row md5 on the ORIGINAL parquet, so a hash match
     * proves each round-trip reproduced every column of every row —
     * a corruption of any field in either format shifts that format's
-    * md5. Scratch is local and deleted after materializing the
-    * (small) fingerprint result ([[graft.Scratch]]). */
+    * md5. The fingerprint is INJECTIVE: each column is md5'd on its
+    * own (fixed 32-hex-char blocks) before the outer md5, so no value
+    * can migrate across a column boundary unnoticed — a `concat_ws`
+    * over raw values would hash identically when a separator-bearing
+    * field shifts content into its neighbor. Scratch is local and
+    * deleted after materializing the (small) fingerprint result
+    * ([[graft.Scratch]]). */
   def sourceRoundtrip(spark: SparkSession, dir: String): DataFrame =
     graft.Scratch.materialize("e8_roundtrip") { tmp =>
       val docs = Tables.documents(spark, dir)
-      val rowMd5 = md5(concat_ws("|",
-        col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars")))
+      val rowMd5 = md5(concat(
+        md5(col("doc_id").cast("string")), md5(col("text")),
+        md5(col("lang")), md5(col("source")),
+        md5(col("n_chars").cast("string"))))
       graft.sources.TableIO.writeCsv(docs, s"$tmp/csv")
       graft.sources.TableIO.writeJson(docs, s"$tmp/json")
       val c = graft.sources.TableIO.readCsv(spark, s"$tmp/csv", docs.schema)

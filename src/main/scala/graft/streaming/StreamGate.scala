@@ -56,8 +56,15 @@ object StreamGate {
           // min within the batch keeps a single-batch drain exactly
           // equal to the batch gate even if shuffle order varies
           val batch = rows.toArray.sortBy(_._1)
-          val keepId = state.getOption.getOrElse(batch.head._1)
-          if (!state.exists) state.update(keepId)
+          // out-of-order hardening: if a LATER batch carries a smaller
+          // id than the stored canonical, adopt it — this batch and
+          // every future one then decide with the batch gate's true
+          // min-id canonical. (Rows already emitted in earlier batches
+          // cannot be retracted in Append mode — under doc_id-ordered
+          // arrival, d7's stated precondition for exact c16
+          // equivalence, the case never arises.)
+          val keepId = state.getOption.fold(batch.head._1)(math.min(_, batch.head._1))
+          state.update(keepId)
           batch.iterator.map { case (id, nTok, pr, mtl, _) =>
             (id, nTok, pr, mtl, keepId)
           }

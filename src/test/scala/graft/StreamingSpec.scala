@@ -114,6 +114,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == batch, s"stream=$got batch=$batch")
   }
 
+  test("d7 out-of-order arrival: a later smaller id becomes the canonical going forward") {
+    val dir = java.nio.file.Files.createTempDirectory("d7_ooo")
+    val good = (1 to 30).map(i => s"word$i").mkString(" ")
+    // id 5 arrives FIRST, then its duplicate with the SMALLER id 1,
+    // then a third copy — plus an empty doc (the ANSI divide guard)
+    writeDocsFile(dir, "f1.parquet", 1000000L, Seq(5L -> good))
+    writeDocsFile(dir, "f2.parquet", 2000000L, Seq(1L -> good, 2L -> ""))
+    writeDocsFile(dir, "f3.parquet", 3000000L, Seq(7L -> good))
+    val got = graft.streaming.StreamGate.streamingCorpusGateFromDir(
+        spark, dir.toString, maxFilesPerTrigger = Some(1))
+      .select("doc_id", "kept", "reason").as[(Long, Int, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // the smaller id supersedes the stored canonical on arrival, so it
+    // and every LATER copy decide exactly like the batch gate...
+    assert(got(1L) == ((1, "keep")), got.toString)
+    assert(got(7L) == ((0, "duplicate")), got.toString)
+    // ...while the already-emitted first-seen row is the documented
+    // Append-mode residue (the batch gate would call id 5 a duplicate)
+    assert(got(5L) == ((1, "keep")), got.toString)
+    // empty doc survives ANSI division and the typed state encoder
+    assert(got(2L) == ((0, "too_short")), got.toString)
+  }
+
   test("d6 watermark eviction: an idle bucket is forgotten after retention") {
     val dir = java.nio.file.Files.createTempDirectory("d6_evict")
     val base = "the quick brown fox jumps over the lazy dog again and again today " * 4
