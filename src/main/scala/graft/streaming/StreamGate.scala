@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 import graft.ops.CorpusOps
@@ -19,53 +20,92 @@ import graft.ops.CorpusOps
   * one AvailableNow batch; multi-file ingest processes oldest first),
   * first-seen equals the batch gate's min-doc_id canonical — so d7's
   * oracle is LITERALLY c16's SQL, and the DuckDB hash check certifies
-  * batch/stream equivalence end-to-end.
+  * batch/stream equivalence end-to-end. Ordered arrival is the stated
+  * precondition for exact equivalence; with out-of-order ingest a
+  * later smaller id supersedes the stored canonical on arrival (its
+  * batch and all future batches then decide with the true min-id
+  * canonical), but rows already emitted in earlier batches cannot be
+  * retracted in Append mode.
   *
   * At 100 TB/day the same plan runs against a landing directory:
-  * narrow map + one keyed shuffle per batch; state is one (hash →
-  * doc_id) entry per distinct document. Unlike d6's candidate buckets
-  * there is no retention window to age by — the canonical id for a
-  * content hash never expires while the gate runs; bound state by
-  * periodically compacting into the batch gate if the corpus outlives
-  * the job. Text must be non-null (the typed state encoder carries
-  * the quality ratios as primitive doubles). */
+  * narrow map + one keyed shuffle per batch. Without compaction the
+  * state is one (hash → doc_id) entry per distinct document — unlike
+  * d6's candidate buckets there is no retention window to age by.
+  * [[compactGateState]] bounds it: snapshot the already-processed
+  * corpus's canonical table (hash → min doc_id, the batch gate's own
+  * dedup rule) into a parquet LEDGER, then start the gate with
+  * `ledgerDir` set — ledger-resolved hashes are answered by a
+  * stream-static join and never touch the state store, so state holds
+  * only hashes first seen AFTER the snapshot. Re-compact periodically
+  * and restart to keep it flat. Text must be non-null (the typed
+  * state encoder carries the quality ratios as primitive doubles). */
 object StreamGate {
   /** d7 entry: stream the documents table of `dir`. */
   def streamingCorpusGate(spark: SparkSession, dir: String): DataFrame =
     streamingCorpusGateFromDir(spark, EventOps.symlinkedDir(dir, "documents.parquet"))
 
+  /** Compact the gate's duplicate-rule state into a durable ledger:
+    * one (h, keep_id) row per distinct content hash of `docs` — the
+    * batch gate's canonical table (window-min is unnecessary here; a
+    * hash-groupBy min is the same one shuffle with a smaller result).
+    * Run it over everything the gate has already processed, then
+    * restart the gate with `ledgerDir` to shed that state. */
+  def compactGateState(docs: DataFrame, ledgerDir: String): Unit =
+    docs.select(md5(col("text")).as("h"), col("doc_id"))
+      .groupBy("h").agg(min("doc_id").as("keep_id"))
+      .write.mode("overwrite").parquet(ledgerDir)
+
   /** Lower-level entry over any directory of documents-schema parquet
     * files (specs use `maxFilesPerTrigger = 1` to prove the
-    * cross-batch duplicate rule). */
+    * cross-batch duplicate rule). With `ledgerDir` set, hashes the
+    * ledger resolves bypass the state store (see object scaladoc). */
   def streamingCorpusGateFromDir(
       spark: SparkSession,
       srcDir: String,
-      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+      maxFilesPerTrigger: Option[Int] = None,
+      ledgerDir: Option[String] = None): DataFrame = {
     import spark.implicits._
     val reader = spark.readStream.schema(StreamDedup.docsSchema)
     val stream = maxFilesPerTrigger.fold(reader)(n =>
       reader.option("maxFilesPerTrigger", n)).parquet(srcDir)
 
-    val withKeep = CorpusOps.gateMetrics(stream)
-      .as[(Long, Int, Double, Double, String)]
+    // stream-static left join against the compacted canonical table:
+    // per micro-batch, ledger-known hashes arrive pre-resolved
+    val metrics = CorpusOps.gateMetrics(stream)
+    val withLedger = ledgerDir match {
+      case Some(dir) =>
+        val ledger = spark.read.parquet(dir)
+          .select(col("h"), col("keep_id").as("ledger_keep"))
+        metrics.join(ledger, Seq("h"), "left")
+          .select(col("doc_id"), col("n_tokens"), col("punct_ratio"),
+            col("mean_token_len"), col("h"), col("ledger_keep"))
+      case None =>
+        metrics.withColumn("ledger_keep", lit(null).cast("long"))
+    }
+
+    val withKeep = withLedger
+      .as[(Long, Int, Double, Double, String, Option[Long])]
       .groupByKey(_._5)
       .flatMapGroupsWithState(
         OutputMode.Append, GroupStateTimeout.NoTimeout)(
-        (_: String, rows: Iterator[(Long, Int, Double, Double, String)],
+        (_: String, rows: Iterator[(Long, Int, Double, Double, String, Option[Long])],
             state: GroupState[Long]) => {
           // min within the batch keeps a single-batch drain exactly
           // equal to the batch gate even if shuffle order varies
           val batch = rows.toArray.sortBy(_._1)
+          val ledger = batch.head._6
           // out-of-order hardening: if a LATER batch carries a smaller
-          // id than the stored canonical, adopt it — this batch and
-          // every future one then decide with the batch gate's true
-          // min-id canonical. (Rows already emitted in earlier batches
-          // cannot be retracted in Append mode — under doc_id-ordered
-          // arrival, d7's stated precondition for exact c16
-          // equivalence, the case never arises.)
-          val keepId = state.getOption.fold(batch.head._1)(math.min(_, batch.head._1))
-          state.update(keepId)
-          batch.iterator.map { case (id, nTok, pr, mtl, _) =>
+          // id than the stored/compacted canonical, adopt it — this
+          // batch and every future one then decide with the batch
+          // gate's true min-id canonical. (Rows already emitted cannot
+          // be retracted in Append mode — under doc_id-ordered
+          // arrival, d7's stated precondition, the case never arises.)
+          val keepId =
+            (state.getOption.toList ++ ledger.toList :+ batch.head._1).min
+          // bounded state: a hash the ledger already answers with the
+          // same canonical never occupies the state store
+          if (!ledger.contains(keepId)) state.update(keepId)
+          batch.iterator.map { case (id, nTok, pr, mtl, _, _) =>
             (id, nTok, pr, mtl, keepId)
           }
         })

@@ -137,6 +137,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(got(2L) == ((0, "too_short")), got.toString)
   }
 
+  test("d7 compacted state: a restarted gate with a ledger decides like the batch gate") {
+    val good = (1 to 30).map(i => s"word$i").mkString(" ")
+    val good2 = (1 to 30).map(i => s"other$i").mkString(" ")
+    val history = Seq(1L -> good, 2L -> "too short text")
+    val arriving = Seq(3L -> good, // duplicate of the COMPACTED doc 1
+      4L -> good2, 5L -> good2)    // new family, deduped via live state
+    // compact the already-processed corpus into the ledger...
+    val ledgerDir = java.nio.file.Files.createTempDirectory("d7_ledger").toString + "/l"
+    graft.streaming.StreamGate.compactGateState(
+      history.map { case (id, t) => (id, t) }.toDF("doc_id", "text"), ledgerDir)
+    // ...then a FRESH gate (new source dir, new checkpoint — the old
+    // state store is gone) sees only the newly-arriving files
+    val dir = java.nio.file.Files.createTempDirectory("d7_compacted")
+    writeDocsFile(dir, "f3.parquet", 3000000L, arriving)
+    val got = graft.streaming.StreamGate.streamingCorpusGateFromDir(
+        spark, dir.toString, ledgerDir = Some(ledgerDir))
+      .select("doc_id", "kept", "reason").as[(Long, Int, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // decisions equal the batch gate over history ∪ arriving,
+    // restricted to the arriving docs (history was already emitted
+    // before the compaction — the gate must not re-emit it)
+    val batch = graft.ops.CorpusOps.corpusFilter(
+        (history ++ arriving).toDF("doc_id", "text"))
+      .select("doc_id", "kept", "reason").as[(Long, Int, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got.keySet == arriving.map(_._1).toSet, got.toString)
+    assert(got.forall { case (id, v) => batch(id) == v }, s"stream=$got batch=$batch")
+    assert(got(3L) == ((0, "duplicate")), got.toString)
+    assert(got(4L) == ((1, "keep")) && got(5L) == ((0, "duplicate")), got.toString)
+  }
+
   test("d6 watermark eviction: an idle bucket is forgotten after retention") {
     val dir = java.nio.file.Files.createTempDirectory("d6_evict")
     val base = "the quick brown fox jumps over the lazy dog again and again today " * 4
