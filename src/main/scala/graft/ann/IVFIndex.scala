@@ -191,15 +191,23 @@ object IVFIndex {
     * when drift warrants it. Blocks until all currently-available
     * input is processed (AvailableNow).
     *
-    * The sink is a foreachBatch plain-parquet append, NOT the
+    * The sink is a foreachBatch plain-parquet write, NOT the
     * FileStreamSink: the stream sink's `_spark_metadata` log would
     * shadow any batch-written entries on load (Spark's batch reader
     * trusts the log exclusively), and its batch-id dedup keyed to a
     * per-call checkpoint would silently drop later calls' data. The
     * source checkpoint lives under `indexPath`, so repeated calls
-    * ingest only files that arrived since the last call. Delivery is
-    * at-least-once across crashes mid-batch (standard foreachBatch
-    * semantics) — rebuild or dedup by id if an ingest job died. */
+    * ingest only files that arrived since the last call.
+    *
+    * Delivery is effectively EXACTLY-ONCE across crashes: foreachBatch
+    * itself is at-least-once, so each micro-batch commits through its
+    * own directory (`entries_batches/batch-N`, idempotently
+    * overwritten) plus a marker in `_ingest_log` written only after
+    * the data is complete. A re-delivered batch finds its marker and
+    * skips; a batch whose crash left partial files has no marker —
+    * readers never see it — and the re-delivery overwrites it.
+    * IVFModel.load unions `entries` with the marked batch dirs;
+    * IVFModel.compact folds them into the main layout. */
   def appendStream(
       spark: SparkSession,
       model: IVFModel,
@@ -209,9 +217,10 @@ object IVFIndex {
       vecCol: String = "embedding"): Unit = {
     import spark.implicits._
     import org.apache.spark.sql.types._
-    // finish any interrupted compact swap first: appending would
-    // otherwise CREATE a fresh entries/ dir that shadows the recovery
-    // copies and turns the next load's self-heal destructive
+    // finish any interrupted compact swap BEFORE committing new
+    // batches: a pending finish-swap deletes the batch dirs its
+    // compacted copy folded in — batches committed below must never be
+    // in that delete set (they postdate the copy)
     IVFModel.recoverCompact(spark, indexPath)
     val dim = model.rotator.dim
     val exBits = model.params.exBits
@@ -227,9 +236,16 @@ object IVFIndex {
         iter.map { case (id, vec) => quantizeRow(rot, cents, rotCents, exBits, dim, id, vec) }
       }
     val q = entries.toDF().writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.write.mode("append").partitionBy("cluster_id")
-          .parquet(s"$indexPath/entries")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import org.apache.hadoop.fs.Path
+        val fs = new Path(indexPath)
+          .getFileSystem(batch.sparkSession.sessionState.newHadoopConf())
+        val marker = new Path(s"$indexPath/_ingest_log/batch-$batchId")
+        if (!fs.exists(marker)) {
+          batch.write.mode("overwrite").partitionBy("cluster_id")
+            .parquet(s"$indexPath/entries_batches/batch-$batchId")
+          fs.create(marker, true).close()
+        }
       }
       .option("checkpointLocation", s"$indexPath/_ingest_checkpoint")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -272,20 +288,74 @@ object IVFModel {
     // Renames tolerate a concurrent recoverer: losing the race is fine
     // as long as someone installed the entries dir.
     if (!fs.exists(entries)) {
-      if (fs.exists(neu)) {
-        // the compacted copy is complete (it is written before the old
-        // entries are staged aside) — finish the swap
+      if (fs.exists(neu) && fs.exists(new Path(neu, "_SUCCESS"))) {
+        // the compacted copy is complete (_SUCCESS is the write's own
+        // commit marker; for an index with a real entries dir, staging
+        // it aside also only happens after the copy completed) — finish
+        // the swap. The copy folded in every committed streaming batch,
+        // so those dirs + markers go too (keeping them would double the
+        // folded rows).
         if (!fs.rename(neu, entries))
           require(fs.exists(entries), s"compact recovery: rename failed under $path")
+        deleteFoldedBatches(fs, path)
         fs.delete(old, true)
+      } else if (fs.exists(neu)) {
+        // a PARTIAL compacted write on an index whose entries dir never
+        // existed (meta-only + streaming batches — with a real entries
+        // dir the staging happens only after the copy completed, so
+        // entries would still be present). Discard the partial copy;
+        // the committed batch dirs are still the source of truth.
+        fs.delete(neu, true)
+        if (fs.exists(old) && !fs.rename(old, entries))
+          require(fs.exists(entries), s"compact recovery: restore failed under $path")
       } else if (fs.exists(old)) {
+        // no complete compacted copy — restore; streaming batch dirs
+        // were NOT folded, so they stay
         if (!fs.rename(old, entries))
           require(fs.exists(entries), s"compact recovery: restore failed under $path")
       }
     } else if (fs.exists(old)) {
-      // swap finished, the old staged copy wasn't removed
+      // swap finished, cleanup didn't: entries_old is the commit
+      // evidence, so the folded batch dirs are deleted first — if THIS
+      // cleanup crashes too, the evidence is still there next time
+      deleteFoldedBatches(fs, path)
       fs.delete(old, true)
     }
+  }
+
+  private def deleteFoldedBatches(
+      fs: org.apache.hadoop.fs.FileSystem, path: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    fs.delete(new Path(s"$path/entries_batches"), true)
+    fs.delete(new Path(s"$path/_ingest_log"), true)
+  }
+
+  /** True iff `p` exists and holds at least one data file (ignores
+    * `_SUCCESS`/hidden files — an empty write still creates the dir). */
+  private def hasDataFiles(
+      fs: org.apache.hadoop.fs.FileSystem, p: org.apache.hadoop.fs.Path): Boolean =
+    fs.exists(p) && {
+      val it = fs.listFiles(p, true)
+      var found = false
+      while (!found && it.hasNext) {
+        val n = it.next().getPath.getName
+        found = !n.startsWith("_") && !n.startsWith(".")
+      }
+      found
+    }
+
+  /** Streaming-ingest batch directories whose commit marker exists —
+    * the only ones a reader may see. A dir without a marker is a
+    * crashed partial write: invisible here, overwritten in place when
+    * the stream re-delivers that batch (IVFIndex.appendStream). */
+  private def committedBatchDirs(
+      fs: org.apache.hadoop.fs.FileSystem, path: String): Seq[org.apache.hadoop.fs.Path] = {
+    import org.apache.hadoop.fs.Path
+    val log = new Path(s"$path/_ingest_log")
+    if (!fs.exists(log)) Nil
+    else fs.listStatus(log).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("batch-")).sorted
+      .map(n => new Path(s"$path/entries_batches/$n"))
   }
 
   /** The persisted entries with tombstones subtracted (broadcast
@@ -298,22 +368,21 @@ object IVFModel {
     recoverCompact(spark, path)
     val entriesPath = new Path(s"$path/entries")
     val fs = entriesPath.getFileSystem(spark.sessionState.newHadoopConf())
-    val hasData = fs.exists(entriesPath) && {
-      val it = fs.listFiles(entriesPath, true)
-      var found = false
-      while (!found && it.hasNext) {
-        val n = it.next().getPath.getName
-        found = !n.startsWith("_") && !n.startsWith(".")
-      }
-      found
-    }
-    if (!hasData)
+    // main entries + committed streaming-ingest batches (each its own
+    // parquet root, all cluster_id-partitioned). Read per root and
+    // union: a single multi-path read would need a shared basePath,
+    // which these roots don't have.
+    val roots = (entriesPath +: committedBatchDirs(fs, path))
+      .filter(hasDataFiles(fs, _))
+    if (roots.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.Encoders.product[IVFIndex.Entry].schema)
-    val raw = spark.read.parquet(entriesPath.toString)
-      .select("id", "cluster_id", "sign_bits", "ex_code", "x2", "fac_ip",
-        "sum_xb", "fac_err", "xipnorm")
+    val raw = roots.map { r =>
+      spark.read.parquet(r.toString)
+        .select("id", "cluster_id", "sign_bits", "ex_code", "x2", "fac_ip",
+          "sum_xb", "fac_err", "xipnorm")
+    }.reduce(_.unionByName(_))
     val deletesPath = new Path(s"$path/deletes")
     if (fs.exists(deletesPath))
       // no broadcast hint: a forced broadcast of an unbounded tombstone
@@ -395,11 +464,18 @@ object IVFModel {
     val entries = new Path(s"$path/entries")
     val entriesOld = new Path(s"$path/entries_old")
     fs.delete(entriesOld, true)
-    // a meta-only index (saveMeta before any entries landed) has
-    // nothing to stage aside — install the (empty) compacted dir
+    // a meta-only index (saveMeta before any batch-written entries) has
+    // nothing to stage aside; an empty entries_old still gets created —
+    // it is the commit evidence recoverCompact keys the post-swap
+    // cleanup on (without it, a crash below would leave the folded
+    // streaming batch dirs visible next to their compacted copies)
     if (fs.exists(entries))
       require(fs.rename(entries, entriesOld), s"compact: could not stage $entries aside")
+    else fs.mkdirs(entriesOld)
     require(fs.rename(entriesNew, entries), s"compact: rename failed under $path")
+    // cleanup order mirrors recoverCompact: folded batch dirs + markers
+    // first, the entries_old commit evidence last
+    deleteFoldedBatches(fs, path)
     fs.delete(entriesOld, true)
     fs.delete(new Path(s"$path/deletes"), true)
   }

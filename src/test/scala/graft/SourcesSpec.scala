@@ -208,6 +208,66 @@ class SourcesSpec extends AnyFunSuite {
     assert(after.index.select("id").distinct().count() == nBatch + 15)
   }
 
+  test("streaming ingest is exactly-once across crash re-delivery (b13)") {
+    import java.nio.file.{Files, Paths}
+    val sf = "/root/testdata/sf0.001"
+    val m = operators.AnnQueries.model(spark, sf)
+    val idxDir = java.nio.file.Files.createTempDirectory("b13_redeliver").toString
+    m.saveMeta(idxDir)
+    val srcDir = java.nio.file.Files.createTempDirectory("b13_redeliver_src")
+    writeVecsFile(srcDir, "f1.parquet", (200000L until 200020L), seed = 3)
+    IVFIndex.appendStream(spark, m, srcDir.toString, idxDir)
+    def clusterCounts(): Map[Int, Long] =
+      IVFModel.load(spark, idxDir).index.toDF()
+        .groupBy("cluster_id").count()
+        .as[(Int, Long)].collect().toMap
+    val counts = clusterCounts()
+    assert(counts.values.sum == 20)
+
+    // Spark re-delivers a batch when the checkpoint commit is missing —
+    // the crash window AFTER the sink wrote everything. Erase the
+    // commit record and restart: the batch marker must short-circuit
+    // the second delivery, leaving per-cluster counts unchanged.
+    // (the .crc shadow must go too — a stale checksum makes the local
+    // Hadoop FS treat the re-created commit file as already existing)
+    val commits = Paths.get(idxDir, "_ingest_checkpoint", "commits")
+    def eraseCommit(): Unit = {
+      Files.delete(commits.resolve("0"))
+      Files.deleteIfExists(commits.resolve(".0.crc"))
+    }
+    eraseCommit()
+    IVFIndex.appendStream(spark, m, srcDir.toString, idxDir)
+    assert(clusterCounts() == counts,
+      "a re-delivered (already-committed) batch must not double-count")
+
+    // The other crash window: the sink died MID-batch — data files
+    // present but no marker. Readers must not see the partial dir, and
+    // the re-delivered batch must overwrite it in place (not append).
+    Files.delete(Paths.get(idxDir, "_ingest_log", "batch-0"))
+    assert(clusterCounts().isEmpty,
+      "an unmarked (crashed partial) batch dir must be invisible to load")
+    // plant a stray extra data file: append-instead-of-overwrite or
+    // reading unmarked dirs would surface it as a double count
+    val batchDir = Paths.get(idxDir, "entries_batches", "batch-0")
+    val part = Files.walk(batchDir).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.head
+    Files.copy(part, part.getParent.resolve("part-stray-copy.parquet"))
+    eraseCommit()
+    IVFIndex.appendStream(spark, m, srcDir.toString, idxDir)
+    assert(clusterCounts() == counts,
+      "a re-delivered partial batch must be overwritten, not appended")
+
+    // compact folds committed batch dirs into the main entries layout
+    IVFModel.compact(spark, idxDir)
+    assert(!Files.exists(Paths.get(idxDir, "entries_batches")))
+    assert(!Files.exists(Paths.get(idxDir, "_ingest_log")))
+    assert(clusterCounts() == counts, "compact must preserve folded batches")
+    // and the compacted index still accepts further streaming appends
+    writeVecsFile(srcDir, "f2.parquet", (200020L until 200025L), seed = 4)
+    IVFIndex.appendStream(spark, m, srcDir.toString, idxDir)
+    assert(clusterCounts().values.sum == 25)
+  }
+
   test("index lifecycle: tombstone delete filters loads; compact folds them in") {
     val sf = "/root/testdata/sf0.001"
     val m = operators.AnnQueries.model(spark, sf)
