@@ -556,6 +556,47 @@ final class IVFModel(
     searchOn(spark, filtered, queries, k, nprobe)
   }
 
+  /** [[search]] over an arbitrarily large query set. `search` holds the
+    * whole query batch on the driver and broadcasts it, which is fine
+    * to ~100k queries; past that, THIS is the path: queries arrive as a
+    * DataFrame and stream through the driver `chunk` rows at a time
+    * (toLocalIterator — one partition resident, never the full set),
+    * each chunk running the normal broadcast search. Per-chunk results
+    * (Q_chunk × k rows) are materialized eagerly so a chunk's broadcast
+    * is unreferenced before the next chunk runs, bounding live query
+    * state at O(chunk · dim) on driver and executors alike. Results are
+    * identical to one unchunked call: per-query results are independent
+    * and the estimate/prune trajectory is per-query (AnnSpec pins the
+    * equality). */
+  def searchAll(
+      spark: SparkSession,
+      queries: DataFrame,
+      k: Int,
+      nprobe: Int,
+      chunk: Int = 65536,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    require(chunk > 0, s"chunk must be positive, got $chunk")
+    val it = queries
+      .select(col(idCol).cast(LongType).as("qid"), col(vecCol).as("qvec"))
+      .as[(Long, Array[Float])]
+      .toLocalIterator().asScala
+    val parts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    val buf = new scala.collection.mutable.ArrayBuffer[(Long, Array[Float])](
+      math.min(chunk, 1 << 16))
+    def flush(): Unit = if (buf.nonEmpty) {
+      parts += search(spark, buf.toArray, k, nprobe).localCheckpoint(true)
+      buf.clear()
+    }
+    it.foreach { q => buf += q; if (buf.length == chunk) flush() }
+    flush()
+    if (parts.isEmpty)
+      spark.emptyDataset[(Long, Long, Int)].toDF("query_id", "neighbor_id", "rk")
+    else parts.reduce(_.unionByName(_))
+  }
+
   private def searchOn(
       spark: SparkSession,
       idx: Dataset[Entry],

@@ -25,6 +25,11 @@ object PipelineQueries {
     Dedup.embeddingNearDup(Tables.embeddings(spark, dir), 0.3)
       .orderBy("id_a", "id_b")
 
+  def verifiedNearDup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.verifiedNearDups(spark, Tables.documents(spark, dir),
+        Tables.embeddings(spark, dir))
+      .orderBy("id_a", "id_b")
+
   def langId(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.langId(Tables.documents(spark, dir))
 
@@ -221,6 +226,30 @@ object PipelineQueries {
         |    CAST(b.embedding AS DOUBLE[])), 6) AS cos
         | FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id) t
         |WHERE cos >= 0.3 ORDER BY id_a, id_b""".stripMargin,
+    // the all-pairs formulation IS the oracle for the LSH-routed
+    // pipeline: LSH recall at jaccard >= 0.8 with the 128/32 signature
+    // is 1 - ~5e-8 per pair (see Dedup.verifiedNearDups), so both
+    // engines keep exactly the pairs whose exact jaccard clears the
+    // threshold, with c5's exact cosine attached
+    "c19_verified_neardup" ->
+      """WITH s AS (SELECT doc_id,
+        |  list_distinct(list_transform(range(1, len(string_split(text,' ')) - 1),
+        |    i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
+        |         || ' ' || string_split(text,' ')[i+2])) AS sh
+        | FROM documents)
+        |SELECT t.id_a, t.id_b, t.jaccard,
+        | ROUND(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+        |   CAST(eb.embedding AS DOUBLE[])), 6) AS cos
+        |FROM (
+        | SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |   / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
+        | FROM s a JOIN s b ON a.doc_id < b.doc_id
+        | WHERE len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) > 0) t
+        |JOIN embeddings ea ON ea.vec_id = t.id_a
+        |JOIN embeddings eb ON eb.vec_id = t.id_b
+        |WHERE t.jaccard >= 0.8
+        |ORDER BY id_a, id_b""".stripMargin,
     "c6_lang_id" ->
       s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w, text FROM documents),
          |c AS (SELECT doc_id,

@@ -316,6 +316,72 @@ object Dedup {
           .otherwise(floor(inter / uni * 1e6 + 0.5) / 1e6).as("jaccard"))
   }
 
+  // ---------- LSH-verified near-dups (c19 = c2's candidates → exact) ----------
+  /** The composition a real 100 TB dedup runs: MinHash-LSH candidate
+    * generation (c2) feeds EXACT verification computed on the candidate
+    * pairs ONLY — never on all N² pairs. Verification is c4's exact
+    * 3-gram jaccard (the keep/drop decision) plus c5's exact embedding
+    * cosine attached to each surviving pair (the re-rank signal a
+    * downstream canonical-selection step uses).
+    *
+    * Scale: signatures and banding are narrow maps + one groupBy on
+    * band keys (bucket-capped, so no quadratic task); the verification
+    * joins move only candidate rows against the corpus — candidate
+    * volume is O(N·bands), not O(N²).
+    *
+    * Oracle: the output equals "all pairs with exact jaccard ≥
+    * minJaccard" (SQL-expressible) as long as LSH recall at the
+    * threshold is 1. The default signature here is WIDER than c2's
+    * (128 hashes / 32 bands vs 64/16) precisely to buy that: a pair at
+    * jaccard 0.8 collides with probability 1-(1-0.8⁴)³² ≈ 1-5e-8, and
+    * the driver corpora's qualifying pairs sit at ≥0.8 (most ≥0.95)
+    * where a miss is ~1e-15 — DedupSpec pins the equality on planted
+    * near-dups and the sf corpora.
+    */
+  def verifiedNearDups(
+      spark: SparkSession,
+      docs: DataFrame,
+      embeddings: DataFrame,
+      minJaccard: Double = 0.8,
+      p: MinHashParams = MinHashParams(numHashes = 128, bands = 32),
+      shingleK: Int = 3): DataFrame = {
+    import spark.implicits._
+    import graft.functions.VectorFunctions.dot
+    val sigs = minHashSignatures(spark, docs, p).persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val cand = lshCandidatePairs(spark, sigs, p).select("id_a", "id_b")
+      // exact shingle-set verification, computed only for candidates
+      val sets = docs.select(col("doc_id").cast(LongType), col("text"))
+        .as[(Long, String)]
+        .map { case (id, t) => (id, shingleSetOf(t, shingleK)) }
+      val inter = size(array_intersect(col("sa"), col("sb"))).cast("double")
+      val uni = size(col("sa")) + size(col("sb")) - inter
+      val jac = when(uni === 0d, lit(null).cast("double"))
+        .otherwise(floor(inter / uni * 1e6 + 0.5) / 1e6)
+      val verified = cand
+        .join(sets.toDF("id_a", "sa"), "id_a")
+        .join(sets.toDF("id_b", "sb"), "id_b")
+        .withColumn("jaccard", jac)
+        .filter(col("jaccard") >= minJaccard)
+        .select("id_a", "id_b", "jaccard")
+      // c5's exact cosine on the surviving pairs (typed kernel, same
+      // HALF_UP rounding as embeddingNearDup)
+      val e = embeddings.select(col("vec_id").cast(LongType), col("embedding"))
+      verified
+        .join(e.toDF("id_a", "va"), "id_a")
+        .join(e.toDF("id_b", "vb"), "id_b")
+        .select(col("id_a"), col("id_b"), col("jaccard"), col("va"), col("vb"))
+        .as[(Long, Long, Double, Array[Float], Array[Float])]
+        .map { case (a, b, j, va, vb) =>
+          val c = dot(va, vb) / (math.sqrt(dot(va, va)) * math.sqrt(dot(vb, vb)))
+          (a, b, j, math.floor(c * 1e6 + 0.5) / 1e6)
+        }
+        .toDF("id_a", "id_b", "jaccard", "cos")
+        // eager materialization while sigs are cached (see minHashSummary)
+        .localCheckpoint(true)
+    } finally sigs.unpersist(blocking = false)
+  }
+
   // ---------- embedding cosine near-dup (c5) ----------
   /** Brute-force all-pairs cosine ≥ threshold, as a distributed block
     * nested-loop: rows are hashed into `numBlocks` blocks and the

@@ -105,6 +105,32 @@ class AnnSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"recall@10 = $recall")
   }
 
+  test("searchAll: chunked query-set search equals the one-shot broadcast") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val m = operators.AnnQueries.model(spark, sf)
+    // the whole embeddings table as the query set — 500 queries, far
+    // past the chunk bound below, so the union spans many chunks
+    val queriesDF = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+    val qArr = queriesDF.as[(Long, Array[Float])].collect().sortBy(_._1)
+    val oneShot = m.search(spark, qArr, 10, 12)
+      .as[(Long, Long, Int)].collect().sortBy(r => (r._1, r._3))
+    val chunked = m.searchAll(spark, queriesDF, 10, 12, chunk = 64)
+      .as[(Long, Long, Int)].collect().sortBy(r => (r._1, r._3))
+    assert(chunked.length == qArr.length * 10)
+    assert(chunked.toSeq == oneShot.toSeq,
+      "chunked search must be result-identical to the single broadcast")
+    // chunk larger than the set: one flush, same answer
+    val single = m.searchAll(spark, queriesDF, 10, 12, chunk = 100000)
+      .as[(Long, Long, Int)].collect().sortBy(r => (r._1, r._3))
+    assert(single.toSeq == oneShot.toSeq)
+    // empty query set: empty result with the search schema
+    val empty = m.searchAll(spark, queriesDF.filter(col("vec_id") < 0), 10, 12)
+    assert(empty.columns.toSeq == Seq("query_id", "neighbor_id", "rk"))
+    assert(empty.count() == 0)
+  }
+
   test("8-bit config: end-to-end build + search reaches near-exact recall") {
     import spark.implicits._
     val e = Tables.embeddings(spark, sf)

@@ -93,6 +93,58 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("verified near-dups: LSH routing + exact verification equals all-pairs truth") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today " * 4
+    val nearDup = base.replace("lazy", "sleepy")
+    val unrelated = "completely different content about spark catalyst optimizer internals " * 4
+    val d = docs(1L -> base, 2L -> nearDup, 3L -> unrelated,
+      4L -> (base + "trailing bit"), 5L -> unrelated)
+    val rnd = new scala.util.Random(11)
+    val e = (1L to 5L).map(i => (i, Array.fill(16)(rnd.nextFloat())))
+      .toDF("vec_id", "embedding")
+    val got = Dedup.verifiedNearDups(spark, d, e, minJaccard = 0.8)
+      .select("id_a", "id_b", "jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    // independent all-pairs truth from the exact shingle sets
+    val sets = d.as[(Long, String)].collect()
+      .map { case (id, t) => id -> Dedup.shingleSetOf(t, 3).toSet }.toMap
+    val want = (for {
+      a <- sets.keys; b <- sets.keys if a < b
+      inter = (sets(a) & sets(b)).size.toDouble
+      uni = (sets(a) | sets(b)).size
+      if uni > 0
+      j = math.floor(inter / uni * 1e6 + 0.5) / 1e6
+      if j >= 0.8
+    } yield (a, b, j)).toSet
+    assert(want.nonEmpty, "fixture must contain qualifying pairs")
+    assert(got == want, s"got $got, want $want")
+    // the exact duplicate pair (3,5) must be present at jaccard 1.0
+    assert(got.contains((3L, 5L, 1.0)))
+  }
+
+  test("verified near-dups equal the all-pairs oracle on the sf0.001 corpus") {
+    val sf = "/root/testdata/sf0.001"
+    val got = Dedup.verifiedNearDups(spark,
+        Tables.documents(spark, sf), Tables.embeddings(spark, sf))
+      .select("id_a", "id_b", "jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    // local brute force over all pairs — the property the c19 DuckDB
+    // oracle relies on: LSH recall is 1 at the threshold on this corpus
+    val sets = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+      .map { case (id, t) => id -> Dedup.shingleSetOf(t, 3).toSet }
+    val want = (for {
+      (a, sa) <- sets.iterator; (b, sb) <- sets.iterator if a < b
+      uni = (sa | sb).size if uni > 0
+      j = math.floor((sa & sb).size.toDouble / uni * 1e6 + 0.5) / 1e6
+      if j >= 0.8
+    } yield (a, b, j)).toSet
+    assert(got == want,
+      s"LSH-routed pipeline diverged from all-pairs truth: " +
+        s"missing=${want -- got}, extra=${got -- want}")
+    assert(want.nonEmpty, "corpus must contain planted near-dups")
+  }
+
   test("embedding near-dup block plan matches a local all-pairs check") {
     import graft.functions.VectorFunctions.dot
     val rnd = new scala.util.Random(7)
