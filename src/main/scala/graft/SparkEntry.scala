@@ -146,14 +146,23 @@ object SparkEntry {
     // runs on the ORIGINAL parquet: a match proves each Spark-side
     // round-trip (csv and json separately) reproduced EVERY column of
     // every row bit-exactly. Injective construction: md5 per column
-    // (fixed-width hex blocks) under the outer md5, so values cannot
-    // migrate across column boundaries unnoticed.
+    // (fixed-width blocks) under the outer md5, so values cannot
+    // migrate across column boundaries unnoticed; total under NULLs
+    // (per-column COALESCE to a non-hex sentinel, mirroring the Spark
+    // side — a propagated NULL row hash would mask corruption in the
+    // row's other columns).
     "e8_source_roundtrip" ->
       """SELECT doc_id,
-        | md5(md5(CAST(doc_id AS VARCHAR)) || md5(text) || md5(lang)
-        |   || md5(source) || md5(CAST(n_chars AS VARCHAR))) AS csv_md5,
-        | md5(md5(CAST(doc_id AS VARCHAR)) || md5(text) || md5(lang)
-        |   || md5(source) || md5(CAST(n_chars AS VARCHAR))) AS json_md5
+        | md5(COALESCE(md5(CAST(doc_id AS VARCHAR)), '0000000000000000000000000000NULL')
+        |   || COALESCE(md5(text), '0000000000000000000000000000NULL')
+        |   || COALESCE(md5(lang), '0000000000000000000000000000NULL')
+        |   || COALESCE(md5(source), '0000000000000000000000000000NULL')
+        |   || COALESCE(md5(CAST(n_chars AS VARCHAR)), '0000000000000000000000000000NULL')) AS csv_md5,
+        | md5(COALESCE(md5(CAST(doc_id AS VARCHAR)), '0000000000000000000000000000NULL')
+        |   || COALESCE(md5(text), '0000000000000000000000000000NULL')
+        |   || COALESCE(md5(lang), '0000000000000000000000000000NULL')
+        |   || COALESCE(md5(source), '0000000000000000000000000000NULL')
+        |   || COALESCE(md5(CAST(n_chars AS VARCHAR)), '0000000000000000000000000000NULL')) AS json_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
   )
 }

@@ -1,0 +1,218 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.ann.{IVFIndex, KnnExact}
+
+/** Reference-shape sweep artifact: the nprobe/QPS/recall/ratio curve at
+  * the reference's published dimensionality and corpus shape
+  * (results/exrabitq/openai1536_exhaf4.csv: d=1536, ~1M base vectors,
+  * B=4, TOPK=100), emitted with the exact same CSV columns so the two
+  * engines' headline curves are comparable file-to-file.
+  *
+  * Mirrors src/test_search.cpp end-to-end:
+  *  - the nprobe ladder is test_search.cpp:61-78 (5, 10..190 by 10,
+  *    200..360 by 40, 400..1500 by 100, 2000..4000 by 500, capped at K),
+  *    truncated by the get_nprobes rule (test_search.cpp:155-197): stop
+  *    once recall@TOPK exceeds 0.997 or improves by < 1e-5;
+  *  - recall = |ann ∩ gt| / (NQ·TOPK) against exact ground truth;
+  *  - ratio  = get_ratio (tools.hpp:16-46): √(d²_ann(j)/d²_gt(j)) over
+  *    ranks with non-degenerate gt distance, averaged per query, with
+  *    both lists sorted by TRUE distance;
+  *  - QPS    = NQ / wall over the batch of queries at each nprobe.
+  *
+  * The corpus is synthetic (zero-egress sandbox: the OpenAI-embedding
+  * download of python/download_dataset.py is not reproducible here):
+  * a seeded mixture of `topics` Gaussian centers, L2-normalized like
+  * real text embeddings. K=4096 engages the routed centroid ranking
+  * (IVFModel.RoutedRankingThreshold) — the same regime the reference's
+  * HNSW-initialized config runs in.
+  *
+  * Usage: runMain graft.SweepRef [outCsv]   (defaults below; sized by
+  * SPARK_GRAFT_SWEEP_{VECS,DIM,K,NQ,TOPK,TRAIN} for smoke runs.)
+  */
+object SweepRef {
+  private def env(name: String, dflt: Int): Int =
+    sys.env.get(name).map(_.toInt).getOrElse(dflt)
+
+  def main(args: Array[String]): Unit = {
+    val out = if (args.nonEmpty) args(0) else "results/sweep_d1536.csv"
+    val dim = env("SPARK_GRAFT_SWEEP_DIM", 1536)
+    val nVecs = env("SPARK_GRAFT_SWEEP_VECS", 1000000)
+    val kClusters = env("SPARK_GRAFT_SWEEP_K", 4096)
+    val nq = env("SPARK_GRAFT_SWEEP_NQ", 100)
+    val topk = env("SPARK_GRAFT_SWEEP_TOPK", 100)
+    val trainRows = env("SPARK_GRAFT_SWEEP_TRAIN", 131072)
+    val topics = env("SPARK_GRAFT_SWEEP_TOPICS", 2048)
+    // per-dim noise vs the ~N(0,1) center entries. 1.3 makes the
+    // mixture overlap enough that neighbors spread across IVF cells
+    // and the recall curve has the reference's shape (openai1536
+    // starts at recall 0.65 @ nprobe=5); small values give a
+    // trivially-clustered corpus where nprobe=5 is already 0.99.
+    val noise = sys.env.get("SPARK_GRAFT_SWEEP_NOISE").map(_.toFloat).getOrElse(8f)
+    // "highacc" (default) mirrors the reference artifact's config: the
+    // exhaf4 CSV is produced by the HIGH_ACC_FAST_SCAN searcher —
+    // test_search.cpp:110 passes the RAW data into ivf.search, so
+    // candidates re-rank by EXACT distance (HASearcher.hpp). That is
+    // exactly IVFModel.searchHighAcc. "plain" sweeps the pure
+    // quantized path instead.
+    val highAcc = sys.env.getOrElse("SPARK_GRAFT_SWEEP_MODE", "highacc") == "highacc"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-sweep-ref")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    try {
+      // --- synthetic corpus: seeded Gaussian-mixture embeddings ---
+      // centers are computed once on the driver and broadcast (a few MB)
+      val centers: Array[Array[Float]] = {
+        val rnd = new scala.util.Random(7L)
+        Array.fill(topics)(Array.fill(dim)(rnd.nextGaussian().toFloat))
+      }
+      val bcCenters = spark.sparkContext.broadcast(centers)
+      def synth(ids: org.apache.spark.sql.Dataset[java.lang.Long], seedBase: Long) =
+        ids.mapPartitions { iter =>
+          val cs = bcCenters.value
+          iter.map { boxedId =>
+            val id = boxedId.longValue()
+            val rnd = new scala.util.Random(id ^ seedBase)
+            val topic = rnd.nextInt(cs.length)
+            val c = cs(topic)
+            val v = Array.tabulate(c.length)(d =>
+              c(d) + noise * rnd.nextGaussian().toFloat)
+            var n2 = 0.0
+            var i = 0
+            while (i < v.length) { n2 += v(i).toDouble * v(i); i += 1 }
+            val inv = (1.0 / math.sqrt(n2)).toFloat
+            i = 0
+            while (i < v.length) { v(i) *= inv; i += 1 }
+            (id, v)
+          }
+        }.toDF("vec_id", "embedding")
+      val baseDir = Files.createTempDirectory("sweep_base").toString
+      val t0 = System.nanoTime()
+      synth(spark.range(nVecs).as[java.lang.Long]
+        .repartition(cpus.toInt * 2), seedBase = 0x5DEECE66DL)
+        .write.mode("overwrite").parquet(baseDir)
+      val base = spark.read.parquet(baseDir)
+      val tSynth = (System.nanoTime() - t0) / 1e9
+      println(f"synthesized $nVecs%d x $dim%d base vectors in $tSynth%.1f s")
+
+      // queries: held out of the base (different seed stream)
+      val queries: Array[(Long, Array[Float])] =
+        synth(spark.range(nq).as[java.lang.Long], seedBase = 0x2545F4914F6CDD1DL)
+          .as[(Long, Array[Float])].collect().sortBy(_._1)
+
+      // --- index build (B=4, K engages the routed centroid ranking) ---
+      val t1 = System.nanoTime()
+      val model = IVFIndex.build(spark, base,
+        IVFIndex.Params(k = kClusters, totalBits = 4, maxTrainRows = trainRows.toLong))
+      model.index.count() // materialize the cached index outside timing
+      val tBuild = (System.nanoTime() - t1) / 1e9
+      println(f"index built (K=$kClusters%d, B=4) in $tBuild%.1f s")
+
+      // --- exact ground truth with distances (ratio denominator) ---
+      val t2 = System.nanoTime()
+      val gtRows = KnnExact.topKDist(spark, base, queries, topk)
+        .as[(Long, Long, Int, Double)].collect()
+      val tGt = (System.nanoTime() - t2) / 1e9
+      println(f"exact GT (top-$topk%d) in $tGt%.1f s")
+      val gtSets: Map[Long, Set[Long]] =
+        gtRows.groupBy(_._1).map { case (q, xs) => q -> xs.map(_._2).toSet }
+      val gtDist: Map[(Long, Int), Double] =
+        gtRows.map { case (q, _, rk, d) => (q, rk) -> d }.toMap
+
+      // --- the reference's nprobe ladder, truncated by get_nprobes ---
+      val ladder = (Seq(5) ++ (10 until 200 by 10) ++ (200 until 400 by 40) ++
+        (400 to 1500 by 100) ++ (2000 to 4000 by 500) ++ Seq(6000, 10000, 15000))
+        .filter(_ <= kClusters)
+      def searchAt(np: Int) =
+        if (highAcc) model.searchHighAcc(spark, base, queries, topk, np)
+        else model.search(spark, queries, topk, np)
+      // one untimed warm search: JIT + codegen compile, not the kernel,
+      // would otherwise dominate the first (smallest-nprobe) row
+      searchAt(ladder.head).count()
+
+      var oldRecall = 0.0
+      val rows = scala.collection.mutable.ArrayBuffer
+        .empty[(Int, Double, Array[(Long, Long)], Double)]
+      val it = ladder.iterator
+      var stop = false
+      while (it.hasNext && !stop) {
+        val np = it.next()
+        val w0 = System.nanoTime()
+        val ids = searchAt(np)
+          .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+        val wall = (System.nanoTime() - w0) / 1e9
+        val recall = ids.count { case (q, n) => gtSets(q).contains(n) }
+          .toDouble / (nq.toLong * topk)
+        rows += ((np, wall, ids, recall))
+        println(f"nprobe=$np%-5d recall=$recall%.5f wall=$wall%.2f s")
+        // get_nprobes stop rule (the breaking nprobe stays in the list)
+        if (recall > 0.997 || recall - oldRecall < 1e-5) stop = true
+        oldRecall = recall
+      }
+
+      // --- ONE batched exact-distance job for every kept result id ---
+      // (queries + the id->queries map are broadcast; the corpus scans
+      // once and only matching rows compute a distance)
+      val qIndex: Map[Long, Int] = queries.zipWithIndex
+        .map { case ((qid, _), i) => qid -> i }.toMap
+      val needed: Map[Long, Array[Int]] = rows.flatMap(_._3)
+        .groupBy(_._2)
+        .map { case (nid, xs) =>
+          nid -> xs.map(x => qIndex(x._1)).distinct.toArray
+        }.toMap
+      val bcNeeded = spark.sparkContext.broadcast(needed)
+      val bcQ = spark.sparkContext.broadcast(queries)
+      val annDist: Map[(Int, Long), Double] = base
+        .select(col("vec_id").cast("long"), col("embedding"))
+        .as[(Long, Array[Float])]
+        .mapPartitions { iter =>
+          val need = bcNeeded.value
+          val qs = bcQ.value
+          iter.flatMap { case (id, vec) =>
+            need.get(id) match {
+              case Some(qis) => qis.iterator.map(qi =>
+                (qi, id, graft.functions.VectorFunctions.l2sq(qs(qi)._2, vec)))
+              case None => Iterator.empty
+            }
+          }
+        }.collect().map { case (qi, id, d) => (qi, id) -> d }.toMap
+
+      val csvRows = rows.map { case (np, wall, ids, recall) =>
+        val byQuery = ids.groupBy(_._1)
+        val ratio = queries.map { case (qid, _) =>
+          // rank this nprobe's result list by TRUE distance, then pair
+          // rank-for-rank with the gt list (get_ratio semantics)
+          val annSorted = byQuery.getOrElse(qid, Array.empty[(Long, Long)])
+            .map { case (_, n) => (annDist((qIndex(qid), n)), n) }.sorted
+          val rs = annSorted.iterator.zipWithIndex.flatMap { case ((a, _), j) =>
+            gtDist.get((qid, j + 1)) match {
+              case Some(g) if g > 1e-5 => Some(math.sqrt(a / g))
+              case _ => None
+            }
+          }.toSeq
+          if (rs.isEmpty) 1.0 else rs.sum / rs.length
+        }.sum / nq
+        val qps = nq / wall
+        f"$np%d,$qps%.2f,$recall%.5f,$ratio%.5f"
+      }
+      val csv = ("nprobe,QPS,recall,ratio" +: csvRows).mkString("", "\n", "\n")
+      val path = Paths.get(out)
+      if (path.getParent != null) Files.createDirectories(path.getParent)
+      Files.write(path, csv.getBytes(StandardCharsets.UTF_8))
+      println(s"wrote ${csvRows.length} sweep rows to $out")
+      println(f"""{"sweep":"d$dim","n_vecs":$nVecs%d,"k":$kClusters%d,"build_s":$tBuild%.1f,"gt_s":$tGt%.1f}""")
+    } finally spark.stop()
+  }
+}

@@ -293,8 +293,8 @@ object IVFModel {
         // commit marker; for an index with a real entries dir, staging
         // it aside also only happens after the copy completed) — finish
         // the swap. The copy folded in every committed streaming batch,
-        // so those dirs + markers go too (keeping them would double the
-        // folded rows).
+        // so those data dirs go too (keeping them would double the
+        // folded rows); the markers stay — see deleteFoldedBatches.
         if (!fs.rename(neu, entries))
           require(fs.exists(entries), s"compact recovery: rename failed under $path")
         deleteFoldedBatches(fs, path)
@@ -323,11 +323,19 @@ object IVFModel {
     }
   }
 
+  /** Remove batch DATA dirs a compact folded into entries. The
+    * `_ingest_log` markers stay: they are the permanent record that a
+    * batch landed (a marker whose dir is gone reads as zero rows), and
+    * deleting them would re-open the exactly-once window — a batch
+    * whose data was folded but whose stream-checkpoint commit was lost
+    * would be re-delivered, find no marker, and land a second copy
+    * next to its compacted rows. The markers are empty files keyed to
+    * the checkpoint's batch ids; they live and die with
+    * `_ingest_checkpoint` (reset both together or neither). */
   private def deleteFoldedBatches(
       fs: org.apache.hadoop.fs.FileSystem, path: String): Unit = {
     import org.apache.hadoop.fs.Path
     fs.delete(new Path(s"$path/entries_batches"), true)
-    fs.delete(new Path(s"$path/_ingest_log"), true)
   }
 
   /** True iff `p` exists and holds at least one data file (ignores
@@ -473,8 +481,9 @@ object IVFModel {
       require(fs.rename(entries, entriesOld), s"compact: could not stage $entries aside")
     else fs.mkdirs(entriesOld)
     require(fs.rename(entriesNew, entries), s"compact: rename failed under $path")
-    // cleanup order mirrors recoverCompact: folded batch dirs + markers
-    // first, the entries_old commit evidence last
+    // cleanup order mirrors recoverCompact: folded batch data dirs
+    // first (markers stay — deleteFoldedBatches), the entries_old
+    // commit evidence last
     deleteFoldedBatches(fs, path)
     fs.delete(entriesOld, true)
     fs.delete(new Path(s"$path/deletes"), true)
@@ -504,8 +513,23 @@ final class IVFModel(
     * cluster_id means a search with nprobe probes reads only those
     * directories (real partition pruning at 100 TB). The rotator is
     * NOT persisted — it is deterministic from (dim, seed) in the
-    * metadata, unlike the reference which must serialize its matrix. */
+    * metadata, unlike the reference which must serialize its matrix.
+    *
+    * save is a FULL REPLACE of whatever index lived at `path`: besides
+    * overwriting entries, it clears tombstones, streaming-ingest batch
+    * dirs + markers, and the ingest checkpoint — all of them describe
+    * the OLD index (stale batch dirs would resurrect vectors quantized
+    * with the old centroids on the next load; stale tombstones would
+    * delete ids the rebuild legitimately contains). After a
+    * rebuild-in-place, point appendStream at a fresh landing directory:
+    * with the checkpoint gone it re-ingests everything it sees. */
   def save(path: String): Unit = {
+    val spark = index.sparkSession
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
+    Seq("deletes", "entries_batches", "_ingest_log", "_ingest_checkpoint",
+      "entries_old", "entries_compacting")
+      .foreach(d => fs.delete(new Path(s"$path/$d"), true))
     index.write.mode("overwrite").partitionBy("cluster_id").parquet(s"$path/entries")
     saveMeta(path)
   }
@@ -567,7 +591,15 @@ final class IVFModel(
     * state at O(chunk · dim) on driver and executors alike. Results are
     * identical to one unchunked call: per-query results are independent
     * and the estimate/prune trajectory is per-query (AnnSpec pins the
-    * equality). */
+    * equality).
+    *
+    * Caveat (same contract as Dedup.minHashSummary): the per-chunk
+    * materialization is `localCheckpoint` — node-local blocks with
+    * truncated lineage. On a cluster, losing an executor that holds
+    * early chunks fails the whole run at the final union; for a
+    * many-hour search over millions of queries, write each chunk to
+    * durable storage instead (the loop body is the obvious place) and
+    * read the union back. */
   def searchAll(
       spark: SparkSession,
       queries: DataFrame,

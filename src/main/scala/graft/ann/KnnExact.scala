@@ -64,10 +64,12 @@ object KnnExact {
       .toDF("query_id", "neighbor_id", "rk")
   }
 
-  /** Top-k neighbors of each query among `base` rows by squared L2.
-    * Output: (query_id, neighbor_id, rk) with rk 1-based, ties broken
-    * by neighbor id. */
-  def topK(
+  /** The shared exact-top-k kernel, keeping the squared distance:
+    * (query_id, neighbor_id, rk, d2). [[topK]] is this minus `d2`; the
+    * sweep harness (graft.SweepRef) uses the distances as the ratio
+    * denominator (reference get_ratio, tools.hpp:16-46). Shuffle is
+    * only numPartitions × nQueries × k candidate rows. */
+  def topKDist(
       spark: SparkSession,
       base: DataFrame,
       queries: Array[(Long, Array[Float])],
@@ -77,17 +79,34 @@ object KnnExact {
     import spark.implicits._
     val qb = spark.sparkContext.broadcast(queries)
     val ds = base.select(col(idCol).cast(LongType), col(vecCol)).as[(Long, Array[Float])]
-    val partial = ds.mapPartitions { iter =>
-      val qs = qb.value
-      val heaps = Array.fill(qs.length)(new BoundedTopK(k))
-      iter.foreach { case (id, vec) =>
-        var qi = 0
-        while (qi < qs.length) { heaps(qi).insert(l2sq(qs(qi)._2, vec), id); qi += 1 }
+    ds.mapPartitions { iter =>
+        val qs = qb.value
+        val heaps = Array.fill(qs.length)(new BoundedTopK(k))
+        iter.foreach { case (id, vec) =>
+          var qi = 0
+          while (qi < qs.length) { heaps(qi).insert(l2sq(qs(qi)._2, vec), id); qi += 1 }
+        }
+        heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
+          h.drain().map { case (d, id) => (qs(qi)._1, id, d) }
+        }
       }
-      heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
-        h.drain().map { case (d, id) => (qs(qi)._1, id, d) }
+      .groupByKey(_._1)
+      .flatMapGroups { (q, it) =>
+        it.toArray.sortBy(t => (t._3, t._2)).take(k).iterator.zipWithIndex
+          .map { case ((_, id, d), i) => (q, id, i + 1, d) }
       }
-    }
-    mergeTopK(spark, partial, k)
+      .toDF("query_id", "neighbor_id", "rk", "d2")
   }
+
+  /** Top-k neighbors of each query among `base` rows by squared L2.
+    * Output: (query_id, neighbor_id, rk) with rk 1-based, ties broken
+    * by neighbor id. */
+  def topK(
+      spark: SparkSession,
+      base: DataFrame,
+      queries: Array[(Long, Array[Float])],
+      k: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame =
+    topKDist(spark, base, queries, k, idCol, vecCol).drop("d2")
 }

@@ -137,19 +137,28 @@ object Relational {
     * proves each round-trip reproduced every column of every row —
     * a corruption of any field in either format shifts that format's
     * md5. The fingerprint is INJECTIVE: each column is md5'd on its
-    * own (fixed 32-hex-char blocks) before the outer md5, so no value
+    * own (fixed 32-char blocks) before the outer md5, so no value
     * can migrate across a column boundary unnoticed — a `concat_ws`
     * over raw values would hash identically when a separator-bearing
-    * field shifts content into its neighbor. Scratch is local and
+    * field shifts content into its neighbor. It is also TOTAL: a NULL
+    * column md5s to a fixed 32-char sentinel instead of propagating
+    * (md5(NULL) = NULL would null the whole row hash, and corruption
+    * in the row's OTHER columns would then pass as NULL == NULL).
+    * Scratch is local and
     * deleted after materializing the (small) fingerprint result
     * ([[graft.Scratch]]). */
   def sourceRoundtrip(spark: SparkSession, dir: String): DataFrame =
     graft.Scratch.materialize("e8_roundtrip") { tmp =>
       val docs = Tables.documents(spark, dir)
+      // 32 chars like a real digest, but contains non-hex letters so it
+      // can never collide with one; mirrored verbatim in the oracle
+      val nullBlock = "0000000000000000000000000000NULL"
+      def colMd5(c: org.apache.spark.sql.Column) =
+        coalesce(md5(c.cast("string")), lit(nullBlock))
       val rowMd5 = md5(concat(
-        md5(col("doc_id").cast("string")), md5(col("text")),
-        md5(col("lang")), md5(col("source")),
-        md5(col("n_chars").cast("string"))))
+        colMd5(col("doc_id")), colMd5(col("text")),
+        colMd5(col("lang")), colMd5(col("source")),
+        colMd5(col("n_chars"))))
       graft.sources.TableIO.writeCsv(docs, s"$tmp/csv")
       graft.sources.TableIO.writeJson(docs, s"$tmp/json")
       val c = graft.sources.TableIO.readCsv(spark, s"$tmp/csv", docs.schema)

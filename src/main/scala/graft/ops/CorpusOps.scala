@@ -130,7 +130,16 @@ object CorpusOps {
     * the exact running sum. Both passes reuse the one range shuffle
     * (same RDD lineage → the shuffle files are read twice, written
     * once). Output is identical to the single-window formulation —
-    * the DuckDB oracle is unchanged. */
+    * the DuckDB oracle is unchanged.
+    *
+    * Note: CONSTRUCTING this DataFrame runs phase 1 eagerly (the range
+    * sampling pass + the subtotal collect are inputs to the returned
+    * plan) — unlike the other operators, the plan is not free to build.
+    * Callers that only want to inspect the plan pay one pass over
+    * (doc_id, source, n_tokens); the alternative (a window over a
+    * (partition, source) subtotal table joined back) stays lazy but
+    * adds a second full-data shuffle, the wrong trade for the run-it
+    * path this operator serves. */
   def packChunks(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._

@@ -324,10 +324,22 @@ object Dedup {
     * cosine attached to each surviving pair (the re-rank signal a
     * downstream canonical-selection step uses).
     *
-    * Scale: signatures and banding are narrow maps + one groupBy on
-    * band keys (bucket-capped, so no quadratic task); the verification
-    * joins move only candidate rows against the corpus — candidate
-    * volume is O(N·bands), not O(N²).
+    * Byte-identical texts are collapsed FIRST (c1's hash-groupBy rule)
+    * and LSH runs over one representative per distinct text; verified
+    * pairs then expand back over the duplicate classes (within-class
+    * pairs are jaccard 1.0 by construction). This is what makes the
+    * bucket cap honest at scale: a boilerplate family of a million
+    * exact copies is ONE signature, not a bucket overflow that would
+    * silently drop its pairs. `p.maxBucket` then only caps families of
+    * more than maxBucket DISTINCT texts that are mutually near-dup —
+    * raise it (or dedup harder upstream) if a corpus genuinely has
+    * such families; the pair-output contract is inherently quadratic
+    * in family size either way (a cluster output is the right contract
+    * past that point).
+    *
+    * Scale: the collapse is one shuffle on 16-byte text hashes;
+    * signatures and banding are narrow maps + one groupBy on band
+    * keys; the verification joins move only candidate rows.
     *
     * Oracle: the output equals "all pairs with exact jaccard ≥
     * minJaccard" (SQL-expressible) as long as LSH recall at the
@@ -335,7 +347,7 @@ object Dedup {
     * (128 hashes / 32 bands vs 64/16) precisely to buy that: a pair at
     * jaccard 0.8 collides with probability 1-(1-0.8⁴)³² ≈ 1-5e-8, and
     * the driver corpora's qualifying pairs sit at ≥0.8 (most ≥0.95)
-    * where a miss is ~1e-15 — DedupSpec pins the equality on planted
+    * where a miss is ~1e-15 — OpsSpec pins the equality on planted
     * near-dups and the sf corpora.
     */
   def verifiedNearDups(
@@ -347,27 +359,51 @@ object Dedup {
       shingleK: Int = 3): DataFrame = {
     import spark.implicits._
     import graft.functions.VectorFunctions.dot
-    val sigs = minHashSignatures(spark, docs, p).persist(StorageLevel.MEMORY_AND_DISK)
+    // --- collapse identical texts: (doc_id → class representative) ---
+    val members = docs.select(col("doc_id").cast(LongType).as("doc_id"),
+      md5(col("text").cast(BinaryType)).as("h"))
+    val reps = members.groupBy("h").agg(min("doc_id").as("rep"))
+    val memberRep = members.join(reps, "h").select(col("doc_id"), col("rep"))
+    val repDocs = docs.select(col("doc_id").cast(LongType).as("doc_id"), col("text"))
+      .join(reps.select(col("rep").as("doc_id")), "doc_id")
+    val sigs = minHashSignatures(spark, repDocs, p).persist(StorageLevel.MEMORY_AND_DISK)
     try {
+      // --- candidates among representatives → exact jaccard ---
       val cand = lshCandidatePairs(spark, sigs, p).select("id_a", "id_b")
-      // exact shingle-set verification, computed only for candidates
-      val sets = docs.select(col("doc_id").cast(LongType), col("text"))
+      val sets = repDocs.select(col("doc_id"), col("text"))
         .as[(Long, String)]
         .map { case (id, t) => (id, shingleSetOf(t, shingleK)) }
       val inter = size(array_intersect(col("sa"), col("sb"))).cast("double")
       val uni = size(col("sa")) + size(col("sb")) - inter
       val jac = when(uni === 0d, lit(null).cast("double"))
         .otherwise(floor(inter / uni * 1e6 + 0.5) / 1e6)
-      val verified = cand
+      val verifiedReps = cand
         .join(sets.toDF("id_a", "sa"), "id_a")
         .join(sets.toDF("id_b", "sb"), "id_b")
         .withColumn("jaccard", jac)
         .filter(col("jaccard") >= minJaccard)
-        .select("id_a", "id_b", "jaccard")
-      // c5's exact cosine on the surviving pairs (typed kernel, same
-      // HALF_UP rounding as embeddingNearDup)
+        .select(col("id_a").as("rep_a"), col("id_b").as("rep_b"), col("jaccard"))
+      // --- expand back over duplicate classes ---
+      // cross-class: every member of a's class × every member of b's,
+      // re-oriented by id (identical texts ⇒ identical jaccard)
+      val cross = verifiedReps
+        .join(memberRep.select(col("doc_id").as("m_a"), col("rep").as("rep_a")), "rep_a")
+        .join(memberRep.select(col("doc_id").as("m_b"), col("rep").as("rep_b")), "rep_b")
+        .select(least(col("m_a"), col("m_b")).as("id_a"),
+          greatest(col("m_a"), col("m_b")).as("id_b"), col("jaccard"))
+      // within-class: jaccard is exactly 1.0 — unless the text is too
+      // short to have any shingle (c4 defines that jaccard as NULL, and
+      // the oracle's uni > 0 guard excludes it)
+      val nonEmptyReps = sets.filter(_._2.nonEmpty).map(_._1).toDF("rep")
+      val within = memberRep.join(nonEmptyReps, "rep").alias("x")
+        .join(memberRep.alias("y"), col("x.rep") === col("y.rep") &&
+          col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
+          lit(1.0).as("jaccard"))
+      // --- c5's exact cosine on the surviving pairs (typed kernel,
+      // same HALF_UP rounding as embeddingNearDup) ---
       val e = embeddings.select(col("vec_id").cast(LongType), col("embedding"))
-      verified
+      cross.unionByName(within)
         .join(e.toDF("id_a", "va"), "id_a")
         .join(e.toDF("id_b", "vb"), "id_b")
         .select(col("id_a"), col("id_b"), col("jaccard"), col("va"), col("vb"))

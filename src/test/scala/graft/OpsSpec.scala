@@ -122,6 +122,26 @@ class OpsSpec extends AnyFunSuite {
     assert(got.contains((3L, 5L, 1.0)))
   }
 
+  test("verified near-dups: an exact-copy mega-family bypasses the LSH bucket cap") {
+    // 60 identical copies with maxBucket = 10: without the collapse,
+    // every band bucket for this family would overflow the cap and ALL
+    // its pairs would silently vanish; collapsed, the family is ONE
+    // signature and the pairs come back via within-class expansion
+    val family = (1L to 60L).map(i =>
+      (i, "same boilerplate text repeated for the dedup family test " * 3))
+    val lone = Seq((100L, "completely unrelated content that stands alone " * 3))
+    val d = (family ++ lone).toDF("doc_id", "text")
+    val rnd = new scala.util.Random(5)
+    val e = (1L to 100L).map(i => (i, Array.fill(8)(rnd.nextFloat())))
+      .toDF("vec_id", "embedding")
+    val p = Dedup.MinHashParams(numHashes = 128, bands = 32, maxBucket = 10)
+    val got = Dedup.verifiedNearDups(spark, d, e, 0.8, p)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect()
+    assert(got.length == 60 * 59 / 2, s"expected all family pairs, got ${got.length}")
+    assert(got.forall(_._3 == 1.0))
+    assert(!got.exists(r => r._1 == 100L || r._2 == 100L))
+  }
+
   test("verified near-dups equal the all-pairs oracle on the sf0.001 corpus") {
     val sf = "/root/testdata/sf0.001"
     val got = Dedup.verifiedNearDups(spark,

@@ -257,15 +257,46 @@ class SourcesSpec extends AnyFunSuite {
     assert(clusterCounts() == counts,
       "a re-delivered partial batch must be overwritten, not appended")
 
-    // compact folds committed batch dirs into the main entries layout
+    // The COMPOUND window: sink committed, checkpoint commit lost, AND
+    // a compact folded the batch before the restart. The marker must
+    // survive compaction — it is the only re-delivery guard once the
+    // batch dir is folded into entries.
+    eraseCommit()
     IVFModel.compact(spark, idxDir)
-    assert(!Files.exists(Paths.get(idxDir, "entries_batches")))
-    assert(!Files.exists(Paths.get(idxDir, "_ingest_log")))
+    assert(!Files.exists(Paths.get(idxDir, "entries_batches")),
+      "compact must fold batch data dirs into entries")
+    assert(Files.exists(Paths.get(idxDir, "_ingest_log", "batch-0")),
+      "markers must survive compaction (they guard re-delivery of folded batches)")
     assert(clusterCounts() == counts, "compact must preserve folded batches")
+    IVFIndex.appendStream(spark, m, srcDir.toString, idxDir) // re-delivers batch 0
+    assert(clusterCounts() == counts,
+      "a batch re-delivered AFTER compaction folded it must not double-count")
     // and the compacted index still accepts further streaming appends
     writeVecsFile(srcDir, "f2.parquet", (200020L until 200025L), seed = 4)
     IVFIndex.appendStream(spark, m, srcDir.toString, idxDir)
     assert(clusterCounts().values.sum == 25)
+  }
+
+  test("save() is a full replace: stale ingest state cannot leak into the new index") {
+    import java.nio.file.{Files, Paths}
+    val sf = "/root/testdata/sf0.001"
+    val m = operators.AnnQueries.model(spark, sf)
+    val idxDir = java.nio.file.Files.createTempDirectory("b13_replace").toString
+    m.saveMeta(idxDir)
+    val srcDir = java.nio.file.Files.createTempDirectory("b13_replace_src")
+    writeVecsFile(srcDir, "f1.parquet", (300000L until 300010L), seed = 7)
+    IVFIndex.appendStream(spark, m, srcDir.toString, idxDir)
+    IVFModel.deleteIds(idxDir, Seq(0L, 2L).toDF("id"))
+    assert(IVFModel.load(spark, idxDir).index.count() == 10)
+    // rebuild-in-place: the saved model must be EXACTLY what loads back
+    // — no resurrected batch rows (quantized with old centroids), no
+    // stale tombstones deleting ids the rebuild legitimately contains
+    m.save(idxDir)
+    val loaded = IVFModel.load(spark, idxDir)
+    assert(loaded.index.count() == m.index.count(),
+      "stale batch dirs or tombstones leaked into the rebuilt index")
+    for (d <- Seq("entries_batches", "_ingest_log", "deletes", "_ingest_checkpoint"))
+      assert(!Files.exists(Paths.get(idxDir, d)), s"save must clear $d")
   }
 
   test("index lifecycle: tombstone delete filters loads; compact folds them in") {
