@@ -63,10 +63,16 @@ object ScaleProbe {
     val (_, tStream) = time(force(
       graft.streaming.StreamDedup.streamingNearDupFromDir(spark, docsDir.toString)))
 
-    // --- corpus-preparation layer (c12/c16/c17) at the same scale ---
+    // --- corpus-preparation layer (c12/c15/c16/c17/c18) at the same
+    // scale. The probe docs all share ONE source value — the
+    // adversarial shape for c15/c18: the old per-source-window /
+    // raw-percentile plans would funnel the whole corpus through one
+    // task here; the prefix-sum and histogram plans must stay flat. ---
     val (_, tScrub) = time(force(graft.ops.CorpusOps.piiScrub(docsOnDisk)))
+    val (_, tPack) = time(force(graft.ops.CorpusOps.packChunks(docsOnDisk)))
     val (_, tFilter) = time(force(graft.ops.CorpusOps.corpusFilter(docsOnDisk)))
     val (_, tContam) = time(force(graft.ops.CorpusOps.contamination(docsOnDisk)))
+    val (_, tStats) = time(force(graft.ops.CorpusOps.corpusStats(docsOnDisk)))
 
     // --- synthetic vectors: clustered gaussians, `dim`-dim (probe
     // high dims with SPARK_GRAFT_PROBE_DIM — the query-quantization
@@ -109,7 +115,8 @@ object ScaleProbe {
       s"""{"probe":"scale","n_docs":$nDocs,"n_vecs":$nVecs,"dim":$dim,"cpus":$cpus,""" +
       s""""c1_exact_s":$tExact,"c2_minhash_s":$tMinhash,"c3_simhash_s":$tSimhash,""" +
       s""""d6_stream_s":$tStream,""" +
-      s""""c12_scrub_s":$tScrub,"c16_filter_s":$tFilter,"c17_contam_s":$tContam,""" +
+      s""""c12_scrub_s":$tScrub,"c15_pack_s":$tPack,"c16_filter_s":$tFilter,""" +
+      s""""c17_contam_s":$tContam,"c18_stats_s":$tStats,""" +
       s""""index_build_s":$tBuild,""" +
       s""""search100_s":$tSearch,"search100_highacc_s":$tHighAcc,""" +
       s""""search100_q14_s":$tSearchQ}""")
