@@ -47,13 +47,25 @@ object SweepRef {
     val nq = env("SPARK_GRAFT_SWEEP_NQ", 100)
     val topk = env("SPARK_GRAFT_SWEEP_TOPK", 100)
     val trainRows = env("SPARK_GRAFT_SWEEP_TRAIN", 131072)
-    val topics = env("SPARK_GRAFT_SWEEP_TOPICS", 2048)
-    // per-dim noise vs the ~N(0,1) center entries. 1.3 makes the
-    // mixture overlap enough that neighbors spread across IVF cells
-    // and the recall curve has the reference's shape (openai1536
-    // starts at recall 0.65 @ nprobe=5); small values give a
-    // trivially-clustered corpus where nprobe=5 is already 0.99.
-    val noise = sys.env.get("SPARK_GRAFT_SWEEP_NOISE").map(_.toFloat).getOrElse(8f)
+    // Corpus geometry: MICRO-TOPICS, topic size (nVecs/topics ≈ 20)
+    // deliberately smaller than TOPK. Real embedding corpora sit
+    // between two synthetic extremes, both of which break the sweep:
+    // big topic clusters make nprobe=5 trivially ~1.0 (a query's whole
+    // neighbor list lives in its topic's cell — measured), while pure
+    // uniform noise gives k-means nothing to fit — with a bounded
+    // training sample at K=4096 the centroids collapse toward the
+    // origin and a few catch-all cells hold most of the corpus
+    // (recall@5 ≈ 0.98 at 30× the scan cost — measured). Micro-topics
+    // give both properties at once: every top-100 list must span ~5+
+    // topics scattered across cells (the reference's rising curve —
+    // 0.77 @ nprobe=5 → 1.0 at calibration, vs openai1536's 0.65), and
+    // the micro-clusters keep k-means balanced under the bounded
+    // sample. `blend` (v = (1−w)·c_a + w·c_b + noise·g, w ∈ [0,blend])
+    // optionally smears points between topic pairs; the published run
+    // uses 0.
+    val topics = env("SPARK_GRAFT_SWEEP_TOPICS", math.max(64, nVecs / 20))
+    val noise = sys.env.get("SPARK_GRAFT_SWEEP_NOISE").map(_.toFloat).getOrElse(0.35f)
+    val blend = sys.env.get("SPARK_GRAFT_SWEEP_BLEND").map(_.toFloat).getOrElse(0f)
     // "highacc" (default) mirrors the reference artifact's config: the
     // exhaf4 CSV is produced by the HIGH_ACC_FAST_SCAN searcher —
     // test_search.cpp:110 passes the RAW data into ivf.search, so
@@ -85,10 +97,12 @@ object SweepRef {
           iter.map { boxedId =>
             val id = boxedId.longValue()
             val rnd = new scala.util.Random(id ^ seedBase)
-            val topic = rnd.nextInt(cs.length)
-            val c = cs(topic)
-            val v = Array.tabulate(c.length)(d =>
-              c(d) + noise * rnd.nextGaussian().toFloat)
+            val a = rnd.nextInt(cs.length)
+            val b = (a + 1 + rnd.nextInt(cs.length - 1)) % cs.length
+            val w = rnd.nextDouble().toFloat * blend
+            val ca = cs(a); val cb = cs(b)
+            val v = Array.tabulate(ca.length)(d =>
+              (1 - w) * ca(d) + w * cb(d) + noise * rnd.nextGaussian().toFloat)
             var n2 = 0.0
             var i = 0
             while (i < v.length) { n2 += v(i).toDouble * v(i); i += 1 }
