@@ -33,7 +33,10 @@ object GraftFunctions {
     ("vec_norm", arity(1, "vec_norm")(es => VectorFunctions.normExpr(es(0))),
       "L2 norm of a vector"),
     ("vec_cosine", arity(2, "vec_cosine")(es => VectorFunctions.cosineExpr(es(0), es(1))),
-      "cosine similarity of two vectors (null for zero-norm inputs)"))
+      "cosine similarity of two vectors (null for zero-norm inputs)"),
+    ("vec_normalize", arity(1, "vec_normalize")(es =>
+      VectorFunctions.normalizeExpr(es(0))),
+      "L2-normalize a vector to unit length (zero vectors unchanged)"))
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

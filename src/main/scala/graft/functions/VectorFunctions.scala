@@ -183,6 +183,21 @@ object VectorFunctions {
       Divide(VecDot(a, b), denom))
   }
 
+  /** L2-normalization as a raw expression — shared by the Column API
+    * and the SQL registration (like [[cosineExpr]]). Zero vectors pass
+    * through unchanged (no ANSI 0/0, no NaNs). The per-element lambda
+    * evaluates interpreted, which is fine for the one-time corpus-prep
+    * pass this serves (reference python/utils/preprocess.py:1-5) — the
+    * hot paths (quantize/search) normalize inside typed kernels. */
+  private[functions] def normalizeExpr(a: Expression): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.{
+      ArrayTransform, Cast, LambdaFunction, UnresolvedNamedLambdaVariable}
+    val x = UnresolvedNamedLambdaVariable(Seq("x"))
+    val unit = ArrayTransform(a,
+      LambdaFunction(Cast(Divide(Cast(x, DoubleType), normExpr(a)), FloatType), Seq(x)))
+    If(EqualTo(normExpr(a), Literal(0.0)), a, unit)
+  }
+
   /** Element sum (codegen; replaces the interpreted aggregate() HOF). */
   def vec_sum(a: Column): Column = col(VecSum(ex(a)))
 
@@ -196,6 +211,8 @@ object VectorFunctions {
   def vec_norm(a: Column): Column = col(normExpr(ex(a)))
   /** Cosine similarity (null for zero-norm inputs, see [[cosineExpr]]). */
   def vec_cosine(a: Column, b: Column): Column = col(cosineExpr(ex(a), ex(b)))
+  /** L2-normalize a float vector to unit length (see [[normalizeExpr]]). */
+  def vec_normalize(a: Column): Column = col(normalizeExpr(ex(a)))
   /** Zero-pad a float vector so its length is a multiple of `m`
     * (reference pads to a multiple of 64, IVF.hpp:96). */
   def vec_pad(a: Column, m: Int): Column = {

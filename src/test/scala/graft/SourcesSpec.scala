@@ -174,6 +174,28 @@ class SourcesSpec extends AnyFunSuite {
     }
   }
 
+  test("vec_normalize: unit norm, zero vectors unchanged, SQL-registered") {
+    import graft.functions.VectorFunctions.{vec_norm, vec_normalize}
+    val rnd = new scala.util.Random(3)
+    val df = ((1L to 20L).map(i => (i, Array.fill(64)(rnd.nextGaussian().toFloat)))
+      :+ (99L, Array.fill(64)(0f))).toDF("vec_id", "embedding")
+    val norms = df.select($"vec_id", vec_norm(vec_normalize($"embedding")).as("n"))
+      .as[(Long, Double)].collect().toMap
+    assert(norms.filterKeys(_ != 99L).values.forall(n => math.abs(n - 1.0) < 1e-5),
+      s"normalized vectors must be unit length: $norms")
+    assert(norms(99L) == 0.0, "zero vector must pass through unchanged, not NaN")
+    val zero = df.filter($"vec_id" === 99L)
+      .select(vec_normalize($"embedding")).as[Array[Float]].head()
+    assert(zero.forall(_ == 0f))
+    // SQL surface
+    GraftFunctions.register(spark)
+    df.createOrReplaceTempView("vn_docs")
+    val viaSql = spark.sql(
+      "SELECT vec_norm(vec_normalize(embedding)) FROM vn_docs WHERE vec_id = 1")
+      .as[Double].head()
+    assert(math.abs(viaSql - 1.0) < 1e-5)
+  }
+
   test("streaming ingest builds an index that searches identically to batch") {
     val sf = "/root/testdata/sf0.001"
     val m = operators.AnnQueries.model(spark, sf)
