@@ -66,6 +66,11 @@ object SweepRef {
     val topics = env("SPARK_GRAFT_SWEEP_TOPICS", math.max(64, nVecs / 20))
     val noise = sys.env.get("SPARK_GRAFT_SWEEP_NOISE").map(_.toFloat).getOrElse(0.35f)
     val blend = sys.env.get("SPARK_GRAFT_SWEEP_BLEND").map(_.toFloat).getOrElse(0f)
+    // fail smoke-run misconfiguration in milliseconds, not after the
+    // expensive synth+build+GT phases
+    require(kClusters >= 5, s"K=$kClusters leaves the nprobe ladder empty (min 5)")
+    require(topics >= 2, s"topics=$topics: the second-topic draw needs at least 2")
+    require(nq > 0 && topk > 0 && nVecs > 0, "VECS/NQ/TOPK must be positive")
     // "highacc" (default) mirrors the reference artifact's config: the
     // exhaf4 CSV is produced by the HIGH_ACC_FAST_SCAN searcher —
     // test_search.cpp:110 passes the RAW data into ivf.search, so

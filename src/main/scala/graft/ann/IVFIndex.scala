@@ -222,6 +222,32 @@ object IVFIndex {
     // compacted copy folded in — batches committed below must never be
     // in that delete set (they postdate the copy)
     IVFModel.recoverCompact(spark, indexPath)
+    // --- marker-log ↔ checkpoint identity guard ---
+    // Markers are keyed to the checkpoint's batch-id sequence. If the
+    // checkpoint was reset (deleted to re-ingest, or lost), batch ids
+    // restart at 0 and a RETAINED marker would silently swallow a
+    // re-numbered batch that carries files the old batch never had —
+    // unreported data loss. The checkpoint's stable query id
+    // (checkpoint/metadata) is recorded next to the markers; on
+    // mismatch — or markers surviving a now-absent checkpoint — the
+    // marker log and any unfolded batch dirs are cleared, and the
+    // fresh checkpoint re-ingests everything still in the source dir.
+    locally {
+      import org.apache.hadoop.fs.Path
+      val fs = new Path(indexPath).getFileSystem(spark.sessionState.newHadoopConf())
+      val idFile = new Path(s"$indexPath/_ingest_log/_checkpoint_id")
+      val stored = IVFModel.readSmallFile(fs, idFile).map(_.trim)
+      val current = IVFModel.checkpointQueryId(fs, indexPath)
+      val reset = (stored, current) match {
+        case (Some(s), Some(c)) => s != c
+        case (Some(_), None) => true // markers outlived their checkpoint
+        case _ => false
+      }
+      if (reset) {
+        fs.delete(new Path(s"$indexPath/_ingest_log"), true)
+        fs.delete(new Path(s"$indexPath/entries_batches"), true)
+      }
+    }
     val dim = model.rotator.dim
     val exBits = model.params.exBits
     val bc = spark.sparkContext.broadcast(
@@ -235,6 +261,8 @@ object IVFIndex {
         val (rot, cents, rotCents) = bc.value
         iter.map { case (id, vec) => quantizeRow(rot, cents, rotCents, exBits, dim, id, vec) }
       }
+    val fsPost = new org.apache.hadoop.fs.Path(indexPath)
+      .getFileSystem(spark.sessionState.newHadoopConf())
     val q = entries.toDF().writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         import org.apache.hadoop.fs.Path
@@ -251,6 +279,13 @@ object IVFIndex {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    // bind the (possibly new) checkpoint's identity to the marker log
+    IVFModel.checkpointQueryId(fsPost, indexPath).foreach { id =>
+      val out = fsPost.create(
+        new org.apache.hadoop.fs.Path(s"$indexPath/_ingest_log/_checkpoint_id"), true)
+      try out.write(id.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
   }
 }
 
@@ -336,6 +371,26 @@ object IVFModel {
       fs: org.apache.hadoop.fs.FileSystem, path: String): Unit = {
     import org.apache.hadoop.fs.Path
     fs.delete(new Path(s"$path/entries_batches"), true)
+  }
+
+  /** Read a small text file fully, None if absent. */
+  private[ann] def readSmallFile(
+      fs: org.apache.hadoop.fs.FileSystem, p: org.apache.hadoop.fs.Path): Option[String] =
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString)
+      finally in.close()
+    }
+
+  /** The ingest checkpoint's stable query id (`metadata` is written at
+    * the checkpoint's creation and survives restarts; a RESET
+    * checkpoint gets a fresh id). None before any stream ever ran. */
+  private[ann] def checkpointQueryId(
+      fs: org.apache.hadoop.fs.FileSystem, path: String): Option[String] = {
+    import org.apache.hadoop.fs.Path
+    readSmallFile(fs, new Path(s"$path/_ingest_checkpoint/metadata"))
+      .flatMap("\"id\"\\s*:\\s*\"([^\"]+)\"".r.findFirstMatchIn(_).map(_.group(1)))
   }
 
   /** True iff `p` exists and holds at least one data file (ignores
@@ -520,18 +575,25 @@ final class IVFModel(
     * dirs + markers, and the ingest checkpoint — all of them describe
     * the OLD index (stale batch dirs would resurrect vectors quantized
     * with the old centroids on the next load; stale tombstones would
-    * delete ids the rebuild legitimately contains). After a
+    * delete ids the rebuild legitimately contains). The stale state is
+    * cleared only AFTER the new entries landed: a failed or crashed
+    * write must not have destroyed tombstones/batches it never
+    * replaced (the old index stays load-consistent). After a
     * rebuild-in-place, point appendStream at a fresh landing directory:
-    * with the checkpoint gone it re-ingests everything it sees. */
+    * with the checkpoint gone it re-ingests everything it sees. Note
+    * that overwriting `entries` itself is NOT crash-atomic (Spark's
+    * static overwrite clears the dir before writing) — save to a fresh
+    * path, or use [[IVFModel.compact]] for the crash-safe in-place
+    * rewrite. */
   def save(path: String): Unit = {
     val spark = index.sparkSession
     import org.apache.hadoop.fs.Path
     val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
+    index.write.mode("overwrite").partitionBy("cluster_id").parquet(s"$path/entries")
+    saveMeta(path)
     Seq("deletes", "entries_batches", "_ingest_log", "_ingest_checkpoint",
       "entries_old", "entries_compacting")
       .foreach(d => fs.delete(new Path(s"$path/$d"), true))
-    index.write.mode("overwrite").partitionBy("cluster_id").parquet(s"$path/entries")
-    saveMeta(path)
   }
 
   /** Persist only the model metadata (centroids, rotation, params) —

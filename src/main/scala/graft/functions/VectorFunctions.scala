@@ -111,6 +111,93 @@ case class VecDot(left: Expression, right: Expression) extends VecBinaryExpressi
     copy(left = l, right = r)
 }
 
+/** L2-normalize a vector to unit length. Zero vectors pass through
+  * unchanged (no 0/0, no NaNs); a null element nulls the result. The
+  * norm is computed ONCE per row — an ArrayTransform-lambda
+  * formulation re-evaluates the norm expression per element, turning
+  * the corpus-prep pass O(d²) per row. Output element type matches
+  * the input (float stays float, double stays double), so both If
+  * branches and SQL double-array literals type-check. Reference role:
+  * python/utils/preprocess.py:1-5. */
+case class VecNormalize(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+
+  override def prettyName: String = "vec_normalize"
+  override def dataType: DataType = child.dataType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an array<float|double> argument, got ${t.catalogString}")
+  }
+  private lazy val elemIsFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    var s = 0.0; var i = 0
+    while (i < n) {
+      if (x.isNullAt(i)) return null
+      val v = if (elemIsFloat) x.getFloat(i).toDouble else x.getDouble(i)
+      s += v * v
+      i += 1
+    }
+    if (s == 0.0) return x
+    val inv = 1.0 / math.sqrt(s)
+    if (elemIsFloat) {
+      val out = new Array[Float](n)
+      i = 0
+      while (i < n) { out(i) = (x.getFloat(i) * inv).toFloat; i += 1 }
+      UnsafeArrayData.fromPrimitiveArray(out)
+    } else {
+      val out = new Array[Double](n)
+      i = 0
+      while (i < n) { out(i) = x.getDouble(i) * inv; i += 1 }
+      UnsafeArrayData.fromPrimitiveArray(out)
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x => {
+      val n = ctx.freshName("n"); val s = ctx.freshName("s")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val v = ctx.freshName("v"); val inv = ctx.freshName("inv")
+      val out = ctx.freshName("out")
+      val jt = if (elemIsFloat) "float" else "double"
+      def get(idx: String) =
+        if (elemIsFloat) s"(double) $x.getFloat($idx)" else s"$x.getDouble($idx)"
+      val cast = if (elemIsFloat) "(float)" else ""
+      s"""
+         |int $n = $x.numElements();
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($x.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |  double $v = ${get(i)};
+         |  $s += $v * $v;
+         |}
+         |if (!${ev.isNull}) {
+         |  if ($s == 0.0) {
+         |    ${ev.value} = $x;
+         |  } else {
+         |    double $inv = 1.0 / Math.sqrt($s);
+         |    $jt[] $out = new $jt[$n];
+         |    for (int $j = 0; $j < $n; $j++) {
+         |      $out[$j] = $cast(${get(j)} * $inv);
+         |    }
+         |    ${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+         |      .fromPrimitiveArray($out);
+         |  }
+         |}
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Sum of a vector's elements (sequential double accumulation, the
   * codegen replacement for the interpreted `aggregate()` HOF). */
 case class VecSum(child: Expression)
@@ -184,19 +271,8 @@ object VectorFunctions {
   }
 
   /** L2-normalization as a raw expression — shared by the Column API
-    * and the SQL registration (like [[cosineExpr]]). Zero vectors pass
-    * through unchanged (no ANSI 0/0, no NaNs). The per-element lambda
-    * evaluates interpreted, which is fine for the one-time corpus-prep
-    * pass this serves (reference python/utils/preprocess.py:1-5) — the
-    * hot paths (quantize/search) normalize inside typed kernels. */
-  private[functions] def normalizeExpr(a: Expression): Expression = {
-    import org.apache.spark.sql.catalyst.expressions.{
-      ArrayTransform, Cast, LambdaFunction, UnresolvedNamedLambdaVariable}
-    val x = UnresolvedNamedLambdaVariable(Seq("x"))
-    val unit = ArrayTransform(a,
-      LambdaFunction(Cast(Divide(Cast(x, DoubleType), normExpr(a)), FloatType), Seq(x)))
-    If(EqualTo(normExpr(a), Literal(0.0)), a, unit)
-  }
+    * and the SQL registration (see [[VecNormalize]]). */
+  private[functions] def normalizeExpr(a: Expression): Expression = VecNormalize(a)
 
   /** Element sum (codegen; replaces the interpreted aggregate() HOF). */
   def vec_sum(a: Column): Column = col(VecSum(ex(a)))

@@ -194,6 +194,19 @@ class SourcesSpec extends AnyFunSuite {
       "SELECT vec_norm(vec_normalize(embedding)) FROM vn_docs WHERE vec_id = 1")
       .as[Double].head()
     assert(math.abs(viaSql - 1.0) < 1e-5)
+    // array<double> input keeps its element type (SQL array literals
+    // are double) — and the values are exact on a 3-4-5 triangle
+    val dbl = spark.sql("SELECT vec_normalize(array(0.6d, 0.8d)) AS u").head()
+      .getSeq[Double](0)
+    assert(dbl == Seq(0.6, 0.8))
+    // interpreted path (no codegen) must agree with the codegen path
+    val expr = graft.functions.VecNormalize(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Array(3.0f, 4.0f), org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType, containsNull = false)))
+    val interp = expr.eval(null)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toFloatArray()
+    assert(interp.toSeq == Seq(0.6f, 0.8f))
   }
 
   test("streaming ingest builds an index that searches identically to batch") {
@@ -297,6 +310,29 @@ class SourcesSpec extends AnyFunSuite {
     writeVecsFile(srcDir, "f2.parquet", (200020L until 200025L), seed = 4)
     IVFIndex.appendStream(spark, m, srcDir.toString, idxDir)
     assert(clusterCounts().values.sum == 25)
+  }
+
+  test("a reset ingest checkpoint cannot silently swallow re-numbered batches") {
+    val sf = "/root/testdata/sf0.001"
+    val m = operators.AnnQueries.model(spark, sf)
+    val idxDir = java.nio.file.Files.createTempDirectory("b13_reset").toString
+    m.saveMeta(idxDir)
+    val srcDir = java.nio.file.Files.createTempDirectory("b13_reset_src")
+    writeVecsFile(srcDir, "f1.parquet", (400000L until 400010L), seed = 8)
+    IVFIndex.appendStream(spark, m, srcDir.toString, idxDir)
+    assert(IVFModel.load(spark, idxDir).index.count() == 10)
+    // the operator resets the stream: checkpoint deleted, ids restart
+    // at 0 — the NEW batch 0 is {f1, f2}, which the RETAINED marker
+    // batch-0 (from the old sequence) must not swallow
+    val fs = new org.apache.hadoop.fs.Path(idxDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(s"$idxDir/_ingest_checkpoint"), true)
+    writeVecsFile(srcDir, "f2.parquet", (400010L until 400015L), seed = 9)
+    IVFIndex.appendStream(spark, m, srcDir.toString, idxDir)
+    val loaded = IVFModel.load(spark, idxDir)
+    assert(loaded.index.count() == 15,
+      "a stale marker swallowed the re-numbered batch (f2's vectors lost)")
+    assert(loaded.index.toDF().select("id").distinct().count() == 15)
   }
 
   test("save() is a full replace: stale ingest state cannot leak into the new index") {
