@@ -57,6 +57,7 @@ object SparkEntry {
     "c17_contamination" -> (PipelineQueries.contamination(_, _)),
     "c18_corpus_stats" -> (PipelineQueries.corpusStats(_, _)),
     "c19_verified_neardup" -> (PipelineQueries.verifiedNearDup(_, _)),
+    "c20_dedup_canonical" -> (PipelineQueries.dedupCanonical(_, _)),
     "d1_sessionize"  -> (PipelineQueries.sessionize(_, _)),
     "d2_window_agg"  -> (PipelineQueries.windowAgg(_, _)),
     "d3_stream_agg"  -> (PipelineQueries.streamingAgg(_, _)),

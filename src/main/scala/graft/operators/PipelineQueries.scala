@@ -30,6 +30,14 @@ object PipelineQueries {
         Tables.embeddings(spark, dir))
       .orderBy("id_a", "id_b")
 
+  /** c20: per-doc keep/drop decision — transitive closure over c19's
+    * verified pairs, min doc id per family elected canonical. */
+  def dedupCanonical(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val pairs = Dedup.verifiedNearDups(spark, docs, Tables.embeddings(spark, dir))
+    Dedup.canonicalize(docs, pairs).orderBy("doc_id")
+  }
+
   def langId(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.langId(Tables.documents(spark, dir))
 
@@ -129,6 +137,28 @@ object PipelineQueries {
       | FROM m)
       |SELECT doc_id, n_tokens, CAST(reason = 'keep' AS INT) AS kept, reason
       |FROM r ORDER BY doc_id""".stripMargin
+
+  /** c19's verified near-dup pairs as a CTE body (named `vp`), shared
+    * verbatim by the c19 and c20 oracles so the closure is certified
+    * over exactly the pair set the pair query emits. */
+  private val VerifiedPairsCte =
+    """s AS (SELECT doc_id,
+      |  list_distinct(list_transform(range(1, len(string_split(text,' ')) - 1),
+      |    i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
+      |         || ' ' || string_split(text,' ')[i+2])) AS sh
+      | FROM documents),
+      |vp AS (SELECT t.id_a, t.id_b, t.jaccard,
+      |  ROUND(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+      |    CAST(eb.embedding AS DOUBLE[])), 6) AS cos
+      | FROM (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |   ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
+      |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+      |  WHERE len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) > 0) t
+      | JOIN embeddings ea ON ea.vec_id = t.id_a
+      | JOIN embeddings eb ON eb.vec_id = t.id_b
+      | WHERE t.jaccard >= 0.8)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "c12_pii_scrub" ->
@@ -231,25 +261,28 @@ object PipelineQueries {
     // is 1 - ~5e-8 per pair (see Dedup.verifiedNearDups), so both
     // engines keep exactly the pairs whose exact jaccard clears the
     // threshold, with c5's exact cosine attached
+    // plain concatenation, NOT an outer stripMargin: the CTE body
+    // contains SQL's || operator, whose first | stripMargin would eat
     "c19_verified_neardup" ->
-      """WITH s AS (SELECT doc_id,
-        |  list_distinct(list_transform(range(1, len(string_split(text,' ')) - 1),
-        |    i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
-        |         || ' ' || string_split(text,' ')[i+2])) AS sh
-        | FROM documents)
-        |SELECT t.id_a, t.id_b, t.jaccard,
-        | ROUND(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
-        |   CAST(eb.embedding AS DOUBLE[])), 6) AS cos
-        |FROM (
-        | SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |  ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-        |   / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
-        | FROM s a JOIN s b ON a.doc_id < b.doc_id
-        | WHERE len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) > 0) t
-        |JOIN embeddings ea ON ea.vec_id = t.id_a
-        |JOIN embeddings eb ON eb.vec_id = t.id_b
-        |WHERE t.jaccard >= 0.8
-        |ORDER BY id_a, id_b""".stripMargin,
+      ("WITH " + VerifiedPairsCte +
+        "\nSELECT id_a, id_b, jaccard, cos FROM vp" +
+        "\nORDER BY id_a, id_b"),
+    // transitive closure over the SAME verified pairs: reach(id, lab)
+    // saturates to every (doc, member-of-its-family) pair, so min(lab)
+    // is the family minimum — DuckDB's recursive UNION dedups, so the
+    // fixpoint terminates
+    "c20_dedup_canonical" ->
+      ("WITH RECURSIVE " + VerifiedPairsCte + "," +
+        """
+          |e AS (SELECT id_a AS src, id_b AS dst FROM vp
+          |      UNION ALL SELECT id_b AS src, id_a AS dst FROM vp),
+          |reach(id, lab) AS (
+          |  SELECT CAST(doc_id AS BIGINT), CAST(doc_id AS BIGINT) FROM documents
+          |  UNION
+          |  SELECT e.src, r.lab FROM e JOIN reach r ON e.dst = r.id)
+          |SELECT id AS doc_id, CAST(min(lab) AS BIGINT) AS canonical_id,
+          | CAST(min(lab) = id AS INT) AS keep
+          |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin),
     "c6_lang_id" ->
       s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w, text FROM documents),
          |c AS (SELECT doc_id,

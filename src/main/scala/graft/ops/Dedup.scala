@@ -418,6 +418,73 @@ object Dedup {
     } finally sigs.unpersist(blocking = false)
   }
 
+  // ---------- near-dup canonicalization (c20 = closure over c19) ----------
+  /** Per-doc keep/drop decision over a set of verified near-dup PAIRS —
+    * the step a 100 TB dedup actually ships. Pairs are grouped into
+    * families (connected components of the pair graph: A~B and B~C put
+    * A and C in one family even when A!~C directly) and each family
+    * elects the minimum doc id as canonical.
+    *
+    * Algorithm: distributed iterative min-label propagation with
+    * pointer jumping — every round each node adopts the minimum label
+    * in its neighborhood, then labels are re-resolved through one more
+    * self-join (label := label(label)), which halves chain lengths, so
+    * convergence is O(log family-diameter) rounds. Each round is a
+    * constant number of keyed shuffles over (nodes + 2·pairs) rows;
+    * nothing corpus-sized ever reaches the driver (the loop condition
+    * is a count of changed labels). Labels are localCheckpoint'ed each
+    * round so the iterated plan/lineage stays constant-size.
+    *
+    * Near-dup families are short-diameter in practice (members overlap
+    * a shared core), so the loop typically converges in 2–3 rounds;
+    * `maxRounds` only bounds a pathological million-hop chain, and
+    * hitting it is an error rather than a silently partial closure.
+    *
+    * Output: one row per input doc — (doc_id, canonical_id, keep)
+    * with keep = 1 iff the doc IS its family's canonical (docs in no
+    * pair are their own singleton family and are always kept).
+    */
+  def canonicalize(
+      docs: DataFrame,
+      pairs: DataFrame,
+      idCol: String = "doc_id",
+      maxRounds: Int = 50): DataFrame = {
+    val nodes = docs.select(col(idCol).cast(LongType).as("id"))
+    // undirected: each pair contributes both orientations; checkpointed
+    // once up front — it is rescanned every round
+    val edges = pairs
+      .select(col("id_a").cast(LongType).as("src"), col("id_b").cast(LongType).as("dst"))
+      .union(pairs.select(col("id_b").cast(LongType).as("src"), col("id_a").cast(LongType).as("dst")))
+      .localCheckpoint(true)
+    var labels = nodes.select(col("id"), col("id").as("lab")).localCheckpoint(true)
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      val nbrMin = edges.join(labels, edges("dst") === labels("id"))
+        .groupBy(col("src")).agg(min("lab").as("nbr_lab"))
+      val propagated = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
+        .select(col("id"), least(col("lab"), coalesce(col("nbr_lab"), col("lab"))).as("lab"))
+      // pointer jump: labels are themselves node ids (the propagation
+      // only ever adopts ids seen as labels), so label(label) is total
+      // and ≤ label within the same component
+      val next = propagated.alias("x")
+        .join(propagated.select(col("id").as("jid"), col("lab").as("jlab")).alias("y"),
+          col("x.lab") === col("y.jid"))
+        .select(col("x.id").as("id"), col("y.jlab").as("lab"))
+        .localCheckpoint(true)
+      converged = next.alias("n")
+        .join(labels.select(col("id"), col("lab").as("old_lab")).alias("o"), "id")
+        .filter(col("lab") =!= col("old_lab"))
+        .isEmpty
+      labels = next
+      round += 1
+    }
+    require(converged, s"canonicalize did not converge in $maxRounds rounds — " +
+      "a family chain this deep means the pair input is not near-dup-shaped")
+    labels.select(col("id").as(idCol), col("lab").as("canonical_id"),
+      (col("lab") === col("id")).cast(IntegerType).as("keep"))
+  }
+
   // ---------- embedding cosine near-dup (c5) ----------
   /** Brute-force all-pairs cosine ≥ threshold, as a distributed block
     * nested-loop: rows are hashed into `numBlocks` blocks and the

