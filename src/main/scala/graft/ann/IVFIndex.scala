@@ -214,9 +214,12 @@ object IVFIndex {
       srcDir: String,
       indexPath: String,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"): Unit = {
+      vecCol: String = "embedding",
+      onCheckpointReset: String = "fail"): Unit = {
     import spark.implicits._
     import org.apache.spark.sql.types._
+    require(Seq("fail", "reingest").contains(onCheckpointReset),
+      s"onCheckpointReset must be 'fail' or 'reingest', got '$onCheckpointReset'")
     // finish any interrupted compact swap BEFORE committing new
     // batches: a pending finish-swap deletes the batch dirs its
     // compacted copy folded in — batches committed below must never be
@@ -228,24 +231,46 @@ object IVFIndex {
     // restart at 0 and a RETAINED marker would silently swallow a
     // re-numbered batch that carries files the old batch never had —
     // unreported data loss. The checkpoint's stable query id
-    // (checkpoint/metadata) is recorded next to the markers; on
-    // mismatch — or markers surviving a now-absent checkpoint — the
-    // marker log and any unfolded batch dirs are cleared, and the
-    // fresh checkpoint re-ingests everything still in the source dir.
+    // (checkpoint/metadata) is recorded next to the markers AT QUERY
+    // START (below), so even a crashed run leaves the binding; markers
+    // with no stored id and no live checkpoint are treated as reset
+    // too (legacy indexes whose crashed run predates the start-time
+    // write). A reset never silently deletes committed batch data:
+    // batches already folded by compact are safe in `entries`, but
+    // unfolded ones exist ONLY under entries_batches, and the fresh
+    // checkpoint can re-create them only if the source dir still holds
+    // every ingested file — which this code cannot verify. Default
+    // ('fail') stops with the recovery options; 'reingest' is the
+    // operator's explicit assertion that the source dir is complete,
+    // and clears the marker log + batch dirs for full re-ingest.
     locally {
       import org.apache.hadoop.fs.Path
       val fs = new Path(indexPath).getFileSystem(spark.sessionState.newHadoopConf())
       val idFile = new Path(s"$indexPath/_ingest_log/_checkpoint_id")
       val stored = IVFModel.readSmallFile(fs, idFile).map(_.trim)
       val current = IVFModel.checkpointQueryId(fs, indexPath)
+      val hasMarkers = fs.exists(new Path(s"$indexPath/_ingest_log")) &&
+        fs.listStatus(new Path(s"$indexPath/_ingest_log"))
+          .exists(_.getPath.getName.startsWith("batch-"))
       val reset = (stored, current) match {
         case (Some(s), Some(c)) => s != c
         case (Some(_), None) => true // markers outlived their checkpoint
-        case _ => false
+        case (None, None) => hasMarkers // crashed legacy run, checkpoint since lost
+        case (None, Some(_)) => false // legacy index, binding continues below
       }
       if (reset) {
+        val batches = new Path(s"$indexPath/entries_batches")
+        if (onCheckpointReset == "fail" && fs.exists(batches))
+          throw new IllegalStateException(
+            s"ingest checkpoint reset detected at $indexPath with committed-but-unfolded " +
+              "batch data under entries_batches. Deleting it is only lossless if the source " +
+              "dir still holds every ingested file. Either re-run with " +
+              "onCheckpointReset=\"reingest\" (asserts the source dir is complete; clears " +
+              "markers + batches and re-ingests everything), or run IVFModel.compact first " +
+              "to fold the batches into entries (then retire already-ingested source files " +
+              "yourself before re-running, or re-ingest will duplicate them).")
         fs.delete(new Path(s"$indexPath/_ingest_log"), true)
-        fs.delete(new Path(s"$indexPath/entries_batches"), true)
+        fs.delete(batches, true)
       }
     }
     val dim = model.rotator.dim
@@ -278,14 +303,19 @@ object IVFIndex {
       .option("checkpointLocation", s"$indexPath/_ingest_checkpoint")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    q.awaitTermination()
     // bind the (possibly new) checkpoint's identity to the marker log
-    IVFModel.checkpointQueryId(fsPost, indexPath).foreach { id =>
+    // BEFORE any batch commits: q.id IS the stable id persisted in the
+    // checkpoint's metadata file, so a run that crashes mid-stream
+    // still leaves markers and binding together (writing only after
+    // awaitTermination left crashed runs with markers but no id — the
+    // exact blind spot the (None, None) reset arm now also covers)
+    locally {
       val out = fsPost.create(
         new org.apache.hadoop.fs.Path(s"$indexPath/_ingest_log/_checkpoint_id"), true)
-      try out.write(id.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      try out.write(q.id.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
     }
+    q.awaitTermination()
   }
 }
 

@@ -328,11 +328,49 @@ class SourcesSpec extends AnyFunSuite {
       .getFileSystem(spark.sessionState.newHadoopConf())
     fs.delete(new org.apache.hadoop.fs.Path(s"$idxDir/_ingest_checkpoint"), true)
     writeVecsFile(srcDir, "f2.parquet", (400010L until 400015L), seed = 9)
-    IVFIndex.appendStream(spark, m, srcDir.toString, idxDir)
+    // default refuses: the reset would destroy committed batch data
+    // whose source files this code cannot prove are still present
+    val ex = intercept[IllegalStateException] {
+      IVFIndex.appendStream(spark, m, srcDir.toString, idxDir)
+    }
+    assert(ex.getMessage.contains("reingest"), s"unhelpful message: ${ex.getMessage}")
+    assert(IVFModel.load(spark, idxDir).index.count() == 10,
+      "a refused reset must leave the index untouched")
+    // explicit opt-in asserts the source dir is complete → full re-ingest
+    IVFIndex.appendStream(spark, m, srcDir.toString, idxDir,
+      onCheckpointReset = "reingest")
     val loaded = IVFModel.load(spark, idxDir)
     assert(loaded.index.count() == 15,
       "a stale marker swallowed the re-numbered batch (f2's vectors lost)")
     assert(loaded.index.toDF().select("id").distinct().count() == 15)
+  }
+
+  test("markers with no checkpoint binding and no checkpoint are treated as reset") {
+    // the legacy blind spot: a run crashed before the id binding
+    // existed (old code wrote it only after awaitTermination), then the
+    // checkpoint was lost — (stored=None, current=None) with markers
+    // present must NOT pass as a clean slate, or the stale batch-0
+    // marker swallows the fresh checkpoint's re-numbered batch 0
+    val sf = "/root/testdata/sf0.001"
+    val m = operators.AnnQueries.model(spark, sf)
+    val idxDir = java.nio.file.Files.createTempDirectory("b13_legacy_reset").toString
+    m.saveMeta(idxDir)
+    val srcDir = java.nio.file.Files.createTempDirectory("b13_legacy_src")
+    writeVecsFile(srcDir, "f1.parquet", (410000L until 410010L), seed = 12)
+    IVFIndex.appendStream(spark, m, srcDir.toString, idxDir)
+    val fs = new org.apache.hadoop.fs.Path(idxDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    // simulate the legacy crashed-run shape: binding absent, checkpoint lost
+    fs.delete(new org.apache.hadoop.fs.Path(s"$idxDir/_ingest_log/_checkpoint_id"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$idxDir/_ingest_checkpoint"), true)
+    writeVecsFile(srcDir, "f2.parquet", (410010L until 410015L), seed = 13)
+    intercept[IllegalStateException] {
+      IVFIndex.appendStream(spark, m, srcDir.toString, idxDir)
+    }
+    IVFIndex.appendStream(spark, m, srcDir.toString, idxDir,
+      onCheckpointReset = "reingest")
+    assert(IVFModel.load(spark, idxDir).index.count() == 15,
+      "the legacy marker shape swallowed the re-numbered batch")
   }
 
   test("save() is a full replace: stale ingest state cannot leak into the new index") {
