@@ -685,13 +685,17 @@ final class IVFModel(
     * and the estimate/prune trajectory is per-query (AnnSpec pins the
     * equality).
     *
-    * Caveat (same contract as Dedup.minHashSummary): the per-chunk
-    * materialization is `localCheckpoint` — node-local blocks with
-    * truncated lineage. On a cluster, losing an executor that holds
-    * early chunks fails the whole run at the final union; for a
-    * many-hour search over millions of queries, write each chunk to
-    * durable storage instead (the loop body is the obvious place) and
-    * read the union back. */
+    * Default materialization is `localCheckpoint` — node-local blocks
+    * with truncated lineage. On a cluster, losing an executor that
+    * holds early chunks fails the whole run at the final union; for a
+    * many-hour search over millions of queries pass `outputDir`: each
+    * chunk is then written to durable storage (`outputDir/chunk-N`,
+    * idempotently overwritten) as it completes and the returned frame
+    * is the read-back union of exactly this call's chunk dirs —
+    * executor churn can at worst fail the chunk in flight, never a
+    * finished one. Stale dirs from an earlier aborted run in the same
+    * outputDir are not read (only paths written by THIS call are),
+    * but they are not cleaned either — point each run at its own dir. */
   def searchAll(
       spark: SparkSession,
       queries: DataFrame,
@@ -699,7 +703,8 @@ final class IVFModel(
       nprobe: Int,
       chunk: Int = 65536,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
+      vecCol: String = "embedding",
+      outputDir: Option[String] = None): DataFrame = {
     import spark.implicits._
     import scala.jdk.CollectionConverters._
     require(chunk > 0, s"chunk must be positive, got $chunk")
@@ -711,7 +716,14 @@ final class IVFModel(
     val buf = new scala.collection.mutable.ArrayBuffer[(Long, Array[Float])](
       math.min(chunk, 1 << 16))
     def flush(): Unit = if (buf.nonEmpty) {
-      parts += search(spark, buf.toArray, k, nprobe).localCheckpoint(true)
+      val res = search(spark, buf.toArray, k, nprobe)
+      parts += (outputDir match {
+        case Some(dir) =>
+          val path = s"$dir/chunk-${parts.length}"
+          res.write.mode("overwrite").parquet(path)
+          spark.read.parquet(path)
+        case None => res.localCheckpoint(true)
+      })
       buf.clear()
     }
     it.foreach { q => buf += q; if (buf.length == chunk) flush() }
