@@ -6,7 +6,7 @@ import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-import graft.ann.{IVFIndex, KnnExact}
+import graft.ann.{IVFIndex, KnnExact, SweepEval}
 
 /** Reference-shape sweep artifact: the nprobe/QPS/recall/ratio curve at
   * the reference's published dimensionality and corpus shape
@@ -22,8 +22,16 @@ import graft.ann.{IVFIndex, KnnExact}
   *  - recall = |ann ∩ gt| / (NQ·TOPK) against exact ground truth;
   *  - ratio  = get_ratio (tools.hpp:16-46): √(d²_ann(j)/d²_gt(j)) over
   *    ranks with non-degenerate gt distance, averaged per query, with
-  *    both lists sorted by TRUE distance;
-  *  - QPS    = NQ / wall over the batch of queries at each nprobe.
+  *    both lists sorted by TRUE distance (recall/ratio delegate to
+  *    graft.ann.SweepEval — the same kernel behind b11);
+  *  - QPS    = NQ / wall at each nprobe, where the wall covers the
+  *    search pipeline (count() on the persisted result) but NOT the
+  *    result-row transfer to the driver — the reference times only its
+  *    search kernel. Spark job-submission cost remains inside; at
+  *    NQ=100 that fixed cost dominates, so an extra
+  *    `QPS_plain_nq{BATCHNQ}` column (default 10000, rungs
+  *    SPARK_GRAFT_SWEEP_BATCH_RUNGS) reports amortized throughput via
+  *    IVFModel.searchAll on the plain quantized path.
   *
   * The corpus is synthetic (zero-egress sandbox: the OpenAI-embedding
   * download of python/download_dataset.py is not reproducible here):
@@ -151,8 +159,9 @@ object SweepRef {
         gtRows.map { case (q, _, rk, d) => (q, rk) -> d }.toMap
 
       // --- the reference's nprobe ladder, truncated by get_nprobes ---
+      // (exactly test_search.cpp:61-78 — no rungs beyond its 4000 cap)
       val ladder = (Seq(5) ++ (10 until 200 by 10) ++ (200 until 400 by 40) ++
-        (400 to 1500 by 100) ++ (2000 to 4000 by 500) ++ Seq(6000, 10000, 15000))
+        (400 to 1500 by 100) ++ (2000 to 4000 by 500))
         .filter(_ <= kClusters)
       def searchAt(np: Int) =
         if (highAcc) model.searchHighAcc(spark, base, queries, topk, np)
@@ -161,6 +170,7 @@ object SweepRef {
       // would otherwise dominate the first (smallest-nprobe) row
       searchAt(ladder.head).count()
 
+      val qids = queries.map(_._1)
       var oldRecall = 0.0
       val rows = scala.collection.mutable.ArrayBuffer
         .empty[(Int, Double, Array[(Long, Long)], Double)]
@@ -168,12 +178,25 @@ object SweepRef {
       var stop = false
       while (it.hasNext && !stop) {
         val np = it.next()
+        // the wall times the search pipeline itself (count() on the
+        // persisted result forces full evaluation); the NQ×TOPK-row
+        // transfer to the driver happens OUTSIDE the wall — the
+        // reference's QPS times only its search kernel, and shipping
+        // result rows to the driver is not part of ours either. Spark
+        // job-submission overhead remains inside (inherent to a
+        // job-based engine at NQ=100; see the batch rows below for the
+        // amortized number).
+        val res = searchAt(np).select("query_id", "neighbor_id")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val w0 = System.nanoTime()
-        val ids = searchAt(np)
-          .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+        res.count()
         val wall = (System.nanoTime() - w0) / 1e9
-        val recall = ids.count { case (q, n) => gtSets(q).contains(n) }
-          .toDouble / (nq.toLong * topk)
+        val ids = res.as[(Long, Long)].collect()
+        res.unpersist(blocking = false)
+        val byQuery = ids.groupBy(_._1)
+        val recall = SweepEval.recall(qids,
+          q => byQuery.getOrElse(q, Array.empty[(Long, Long)]).map(_._2),
+          gtSets, topk)
         rows += ((np, wall, ids, recall))
         println(f"nprobe=$np%-5d recall=$recall%.5f wall=$wall%.2f s")
         // get_nprobes stop rule (the breaking nprobe stays in the list)
@@ -208,25 +231,53 @@ object SweepRef {
           }
         }.collect().map { case (qi, id, d) => (qi, id) -> d }.toMap
 
+      // --- amortized-throughput rows: the NQ=100 ladder above measures
+      // per-batch LATENCY (dominated by Spark per-job fixed cost at
+      // that batch size — not comparable to the reference's in-memory
+      // loop, see SURVEY §6); these rows measure the engine's actual
+      // batch THROUGHPUT at NQ≥10k, where the fixed cost amortizes.
+      // searchAll is the documented large-query-set path (plain
+      // quantized search, chunked through the driver); the wall covers
+      // every chunk's full pipeline including materialization.
+      val batchNq = env("SPARK_GRAFT_SWEEP_BATCHNQ", 10000)
+      // only rungs the truncated ladder actually kept (they carry the
+      // CSV rows); a held-out query stream, like the ladder's
+      val batchRungs =
+        if (batchNq <= 0) Seq.empty[Int]
+        else sys.env.getOrElse("SPARK_GRAFT_SWEEP_BATCH_RUNGS", "5,100")
+          .split(",").map(_.trim).filter(_.nonEmpty).map(_.toInt).toSeq
+          .filter(np => rows.exists(_._1 == np))
+      val batchQdf = synth(spark.range(batchNq.toLong.max(1L)).as[java.lang.Long]
+        .repartition(cpus.toInt), seedBase = 0x9E3779B97F4A7C15L)
+      val batchQps: Map[Int, Double] = batchRungs.map { np =>
+        val qdf = batchQdf
+        val w0 = System.nanoTime()
+        val n = model.searchAll(spark, qdf, topk, np, chunk = 2048).count()
+        val wall = (System.nanoTime() - w0) / 1e9
+        require(n == batchNq.toLong * topk, s"batch search returned $n rows")
+        println(f"batch nprobe=$np%-5d NQ=$batchNq%d wall=$wall%.1f s qps=${batchNq / wall}%.2f")
+        np -> batchNq / wall
+      }.toMap
+
       val csvRows = rows.map { case (np, wall, ids, recall) =>
         val byQuery = ids.groupBy(_._1)
-        val ratio = queries.map { case (qid, _) =>
-          // rank this nprobe's result list by TRUE distance, then pair
-          // rank-for-rank with the gt list (get_ratio semantics)
-          val annSorted = byQuery.getOrElse(qid, Array.empty[(Long, Long)])
+        // rank this nprobe's result list by TRUE distance, then pair
+        // rank-for-rank with the gt list — SweepEval.avgRatio is the
+        // single get_ratio implementation (shared with b11)
+        val ratio = SweepEval.avgRatio(qids,
+          qid => byQuery.getOrElse(qid, Array.empty[(Long, Long)])
             .map { case (_, n) => (annDist((qIndex(qid), n)), n) }.sorted
-          val rs = annSorted.iterator.zipWithIndex.flatMap { case ((a, _), j) =>
-            gtDist.get((qid, j + 1)) match {
-              case Some(g) if g > 1e-5 => Some(math.sqrt(a / g))
-              case _ => None
-            }
-          }.toSeq
-          if (rs.isEmpty) 1.0 else rs.sum / rs.length
-        }.sum / nq
+            .map(_._1),
+          (qid, rk) => gtDist.get((qid, rk)))
         val qps = nq / wall
-        f"$np%d,$qps%.2f,$recall%.5f,$ratio%.5f"
+        val batchCol =
+          if (batchQps.isEmpty) ""
+          else batchQps.get(np).map(v => f",$v%.2f").getOrElse(",")
+        f"$np%d,$qps%.2f,$recall%.5f,$ratio%.5f" + batchCol
       }
-      val csv = ("nprobe,QPS,recall,ratio" +: csvRows).mkString("", "\n", "\n")
+      val header = "nprobe,QPS,recall,ratio" +
+        (if (batchQps.isEmpty) "" else s",QPS_plain_nq$batchNq")
+      val csv = (header +: csvRows).mkString("", "\n", "\n")
       val path = Paths.get(out)
       if (path.getParent != null) Files.createDirectories(path.getParent)
       Files.write(path, csv.getBytes(StandardCharsets.UTF_8))

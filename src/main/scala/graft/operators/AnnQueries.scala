@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
 import graft.Tables
-import graft.ann.{IVFIndex, IVFModel, RaBitQ}
+import graft.ann.{IVFIndex, IVFModel, RaBitQ, SweepEval}
 
 /** ANN index-pipeline queries (SURVEY.md §2 B2–B9). These are
   * rows-only-checked by the driver (k-means/rotation are not
@@ -268,24 +268,20 @@ object AnnQueries {
       withExactDist(spark, dir, tagged, extraKeys = Seq("nprobe"))
         .as[(Int, Long, Int, Double)].collect()
         .map { case (np, q, rk, d) => (np, q, rk) -> d }.toMap
+    // recall / get_ratio semantics live in the shared SweepEval kernel
+    // (also behind graft.SweepRef's published artifact — one
+    // implementation, two delegating callers)
+    val qids = qs.map(_._1)
     val rows = perNp.map { case (np, ids, wall) =>
       val byQuery = ids.groupBy(_._1)
-      val recall = qs.map { case (qid, _) =>
-        byQuery.getOrElse(qid, Array.empty[(Long, Long)])
-          .count { case (_, n) => gtSets(qid).contains(n) }.toDouble / k
-      }.sum / qs.length
-      // reference get_ratio: √(d²_ann/d²_gt) over ranks with
-      // non-degenerate gt distance, averaged per query; 1.0 when all
-      // gt distances are degenerate
-      val ratio = qs.map { case (qid, _) =>
-        val rs = (1 to k).flatMap { rk =>
-          (annDist.get((np, qid, rk)), gtDist.get((qid, rk))) match {
-            case (Some(a), Some(g)) if g > 1e-5 => Some(math.sqrt(a / g))
-            case _ => None
-          }
-        }
-        if (rs.isEmpty) 1.0 else rs.sum / rs.length
-      }.sum / qs.length
+      val recall = SweepEval.recall(qids,
+        q => byQuery.getOrElse(q, Array.empty[(Long, Long)]).map(_._2),
+        gtSets, k)
+      // window ranks are dense from 1, so the compacted per-query
+      // distance array pairs positionally with gt ranks
+      val ratio = SweepEval.avgRatio(qids,
+        q => (1 to k).flatMap(rk => annDist.get((np, q, rk))).toArray,
+        (q, rk) => gtDist.get((q, rk)))
       (np, math.rint(recall * 1e4) / 1e4, math.rint(ratio * 1e4) / 1e4, wall,
         math.rint(qs.length / wall * 1e2) / 1e2)
     }
