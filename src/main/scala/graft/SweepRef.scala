@@ -159,9 +159,11 @@ object SweepRef {
         gtRows.map { case (q, _, rk, d) => (q, rk) -> d }.toMap
 
       // --- the reference's nprobe ladder, truncated by get_nprobes ---
-      // (exactly test_search.cpp:61-78 — no rungs beyond its 4000 cap)
+      // (exactly test_search.cpp:61-79 including its 6000/10000/15000
+      // tail — get_nprobes drops rungs only via nprobe > ivf.k() and
+      // the recall stop rule, which the filter + stop below reproduce)
       val ladder = (Seq(5) ++ (10 until 200 by 10) ++ (200 until 400 by 40) ++
-        (400 to 1500 by 100) ++ (2000 to 4000 by 500))
+        (400 to 1500 by 100) ++ (2000 to 4000 by 500) ++ Seq(6000, 10000, 15000))
         .filter(_ <= kClusters)
       def searchAt(np: Int) =
         if (highAcc) model.searchHighAcc(spark, base, queries, topk, np)
@@ -231,6 +233,38 @@ object SweepRef {
           }
         }.collect().map { case (qi, id, d) => (qi, id) -> d }.toMap
 
+      // per-rung ratio, computed once (SweepEval.avgRatio is the single
+      // get_ratio implementation — shared with b11): rank this nprobe's
+      // result list by TRUE distance, then pair rank-for-rank with gt
+      val ratioByNp: Map[Int, Double] = rows.map { case (np, _, ids, _) =>
+        val byQuery = ids.groupBy(_._1)
+        np -> SweepEval.avgRatio(qids,
+          qid => byQuery.getOrElse(qid, Array.empty[(Long, Long)])
+            .map { case (_, n) => (annDist((qIndex(qid), n)), n) }.sorted
+            .map(_._1),
+          (qid, rk) => gtDist.get((qid, rk)))
+      }.toMap
+      val batchNq = env("SPARK_GRAFT_SWEEP_BATCHNQ", 10000)
+      def writeCsv(batchQps: Map[Int, Double]): Unit = {
+        val csvRows = rows.map { case (np, wall, _, recall) =>
+          val qps = nq / wall
+          val batchCol =
+            if (batchQps.isEmpty) ""
+            else batchQps.get(np).map(v => f",$v%.2f").getOrElse(",")
+          f"$np%d,$qps%.2f,$recall%.5f,${ratioByNp(np)}%.5f" + batchCol
+        }
+        val header = "nprobe,QPS,recall,ratio" +
+          (if (batchQps.isEmpty) "" else s",QPS_plain_nq$batchNq")
+        val csv = (header +: csvRows).mkString("", "\n", "\n")
+        val path = Paths.get(out)
+        if (path.getParent != null) Files.createDirectories(path.getParent)
+        Files.write(path, csv.getBytes(StandardCharsets.UTF_8))
+        println(s"wrote ${csvRows.length} sweep rows to $out")
+      }
+      // write the ladder-only CSV now: a failure in the batch phase
+      // below must never destroy the already-measured ladder
+      writeCsv(Map.empty)
+
       // --- amortized-throughput rows: the NQ=100 ladder above measures
       // per-batch LATENCY (dominated by Spark per-job fixed cost at
       // that batch size — not comparable to the reference's in-memory
@@ -239,7 +273,6 @@ object SweepRef {
       // searchAll is the documented large-query-set path (plain
       // quantized search, chunked through the driver); the wall covers
       // every chunk's full pipeline including materialization.
-      val batchNq = env("SPARK_GRAFT_SWEEP_BATCHNQ", 10000)
       // only rungs the truncated ladder actually kept (they carry the
       // CSV rows); a held-out query stream, like the ladder's
       val batchRungs =
@@ -249,39 +282,30 @@ object SweepRef {
           .filter(np => rows.exists(_._1 == np))
       val batchQdf = synth(spark.range(batchNq.toLong.max(1L)).as[java.lang.Long]
         .repartition(cpus.toInt), seedBase = 0x9E3779B97F4A7C15L)
-      val batchQps: Map[Int, Double] = batchRungs.map { np =>
+      val batchQps: Map[Int, Double] = batchRungs.flatMap { np =>
         val qdf = batchQdf
         val w0 = System.nanoTime()
         val n = model.searchAll(spark, qdf, topk, np, chunk = 2048).count()
         val wall = (System.nanoTime() - w0) / 1e9
-        require(n == batchNq.toLong * topk, s"batch search returned $n rows")
-        println(f"batch nprobe=$np%-5d NQ=$batchNq%d wall=$wall%.1f s qps=${batchNq / wall}%.2f")
-        np -> batchNq / wall
+        if (n != batchNq.toLong * topk) {
+          // short count (e.g. a skewed corpus whose nprobe-probe set
+          // holds < topk candidates): drop this rung's batch column,
+          // keep the ladder — never discard the measured sweep
+          println(s"WARN batch nprobe=$np returned $n rows " +
+            s"(expected ${batchNq.toLong * topk}); omitting batch column")
+          None
+        } else {
+          println(f"batch nprobe=$np%-5d NQ=$batchNq%d wall=$wall%.1f s qps=${batchNq / wall}%.2f")
+          Some(np -> batchNq / wall)
+        }
       }.toMap
+      if (batchQps.nonEmpty) writeCsv(batchQps)
 
-      val csvRows = rows.map { case (np, wall, ids, recall) =>
-        val byQuery = ids.groupBy(_._1)
-        // rank this nprobe's result list by TRUE distance, then pair
-        // rank-for-rank with the gt list — SweepEval.avgRatio is the
-        // single get_ratio implementation (shared with b11)
-        val ratio = SweepEval.avgRatio(qids,
-          qid => byQuery.getOrElse(qid, Array.empty[(Long, Long)])
-            .map { case (_, n) => (annDist((qIndex(qid), n)), n) }.sorted
-            .map(_._1),
-          (qid, rk) => gtDist.get((qid, rk)))
-        val qps = nq / wall
-        val batchCol =
-          if (batchQps.isEmpty) ""
-          else batchQps.get(np).map(v => f",$v%.2f").getOrElse(",")
-        f"$np%d,$qps%.2f,$recall%.5f,$ratio%.5f" + batchCol
-      }
-      val header = "nprobe,QPS,recall,ratio" +
-        (if (batchQps.isEmpty) "" else s",QPS_plain_nq$batchNq")
-      val csv = (header +: csvRows).mkString("", "\n", "\n")
-      val path = Paths.get(out)
-      if (path.getParent != null) Files.createDirectories(path.getParent)
-      Files.write(path, csv.getBytes(StandardCharsets.UTF_8))
-      println(s"wrote ${csvRows.length} sweep rows to $out")
+      // sibling meta file: the artifact's provenance (producing commit
+      // via SPARK_GRAFT_SWEEP_COMMIT, set by the launch script) + config
+      val meta =
+        f"""{"commit":"${sys.env.getOrElse("SPARK_GRAFT_SWEEP_COMMIT", "unknown")}","dim":$dim%d,"n_vecs":$nVecs%d,"k":$kClusters%d,"nq":$nq%d,"topk":$topk%d,"mode":"${if (highAcc) "highacc" else "plain"}","batch_nq":$batchNq%d,"build_s":$tBuild%.1f,"gt_s":$tGt%.1f}""" + "\n"
+      Files.write(Paths.get(out + ".meta.json"), meta.getBytes(StandardCharsets.UTF_8))
       println(f"""{"sweep":"d$dim","n_vecs":$nVecs%d,"k":$kClusters%d,"build_s":$tBuild%.1f,"gt_s":$tGt%.1f}""")
     } finally spark.stop()
   }
