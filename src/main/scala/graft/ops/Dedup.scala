@@ -449,6 +449,8 @@ object Dedup {
       pairs: DataFrame,
       idCol: String = "doc_id",
       maxRounds: Int = 50): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
     val nodes = docs.select(col(idCol).cast(LongType).as("id"))
     // undirected: each pair contributes both orientations; checkpointed
     // once up front — it is rescanned every round
@@ -462,25 +464,42 @@ object Dedup {
     while (!converged && round < maxRounds) {
       val nbrMin = edges.join(labels, edges("dst") === labels("id"))
         .groupBy(col("src")).agg(min("lab").as("nbr_lab"))
+      // carry the round's starting label through, so convergence can be
+      // decided inside the pointer-jump job itself (accumulator below)
+      // instead of a separate per-round comparison join
       val propagated = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
-        .select(col("id"), least(col("lab"), coalesce(col("nbr_lab"), col("lab"))).as("lab"))
+        .select(col("id"), col("lab").as("old_lab"),
+          least(col("lab"), coalesce(col("nbr_lab"), col("lab"))).as("lab"))
       // pointer jump: labels are themselves node ids (the propagation
       // only ever adopts ids seen as labels), so label(label) is total
       // and ≤ label within the same component
+      val changed = spark.sparkContext.longAccumulator("canonicalize-changed")
       val next = propagated.alias("x")
         .join(propagated.select(col("id").as("jid"), col("lab").as("jlab")).alias("y"),
           col("x.lab") === col("y.jid"))
-        .select(col("x.id").as("id"), col("y.jlab").as("lab"))
-        .localCheckpoint(true)
-      converged = next.alias("n")
-        .join(labels.select(col("id"), col("lab").as("old_lab")).alias("o"), "id")
-        .filter(col("lab") =!= col("old_lab"))
-        .isEmpty
+        .select(col("x.id").as("id"), col("x.old_lab").as("old_lab"), col("y.jlab").as("lab"))
+        .as[(Long, Long, Long)]
+        .mapPartitions(_.map { case (id, oldLab, lab) =>
+          if (oldLab != lab) changed.add(1L)
+          (id, lab)
+        })
+        .toDF("id", "lab")
+        .localCheckpoint(true) // eager: the checkpoint job fills `changed`
+      // task retries can only OVER-count (never turn a genuinely
+      // changeless round nonzero), so the worst case is one extra
+      // round — convergence is never declared early
+      converged = changed.value == 0L
+      labels.unpersist(blocking = false) // superseded round's blocks
       labels = next
       round += 1
     }
     require(converged, s"canonicalize did not converge in $maxRounds rounds — " +
       "a family chain this deep means the pair input is not near-dup-shaped")
+    edges.unpersist(blocking = false)
+    // the final labels frame stays cached: the returned plan reads it,
+    // and a truncated-lineage checkpoint cannot be recomputed if
+    // released early. One slim (id, lab) frame per call, freed when the
+    // caller's result goes out of scope or the session ends.
     labels.select(col("id").as(idCol), col("lab").as("canonical_id"),
       (col("lab") === col("id")).cast(IntegerType).as("keep"))
   }

@@ -1,0 +1,98 @@
+#!/usr/bin/env python3
+"""Produce the numeric wall-time baseline the bar's "within 2x of
+BASELINE.md" clause is judged against: DuckDB wall times for every
+SparkEntry.oracleSql query, on the same parquet tables and the same
+machine the Spark bench runs on.
+
+Protocol (mirrors graft.Bench): a warmup pass opens every table once,
+then each query runs N times (default 3) with full materialization
+(fetch_arrow_table) and reports the per-query MIN.
+
+Usage: python3 tools/make_baseline.py <sfDir> <oracle_sql.json> [runs]
+Writes: BASELINE.md (human) + results/baseline_duckdb.tsv (read by
+graft.Bench to emit spark-total / duckdb-total in the bench JSON).
+"""
+import sys, json, glob, os, time, platform
+import duckdb
+
+sfdir = sys.argv[1]
+oracle_path = sys.argv[2]
+runs = int(sys.argv[3]) if len(sys.argv) > 3 else 3
+
+con = duckdb.connect()
+threads = con.execute("SELECT current_setting('threads')").fetchone()[0]
+for f in glob.glob(f"{sfdir}/*.parquet"):
+    name = os.path.basename(f).replace(".parquet", "")
+    con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{f}'")
+
+# warmup: read every table once (page cache + footer/codec init),
+# parity with graft.Bench's table-count warmup pass
+for f in glob.glob(f"{sfdir}/*.parquet"):
+    name = os.path.basename(f).replace(".parquet", "")
+    con.execute(f"SELECT count(*) FROM {name}").fetchone()
+
+oracle = json.load(open(oracle_path))
+results = {}
+for key, sql in sorted(oracle.items()):
+    secs = []
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        con.execute(sql).fetch_arrow_table()
+        secs.append(time.perf_counter() - t0)
+    results[key] = min(secs)
+    print(f"{key}\t{min(secs):.4f}")
+
+total = sum(results.values())
+sf = os.path.basename(sfdir.rstrip("/"))
+
+os.makedirs("results", exist_ok=True)
+with open("results/baseline_duckdb.tsv", "w") as f:
+    f.write(f"# duckdb={duckdb.__version__} threads={threads} sf={sf} runs={runs}\n")
+    for k, v in sorted(results.items()):
+        f.write(f"{k}\t{v:.4f}\n")
+
+with open("BASELINE.md", "w") as f:
+    f.write(f"""# BASELINE — single-node DuckDB wall times
+
+The numeric baseline for the bar's "BENCH within 2x of BASELINE at the
+same scale factor" clause. The reference repo's own published numbers
+(results/exrabitq/*.csv) are QPS curves for d=1536 OpenAI embeddings,
+which the zero-egress sandbox cannot reproduce (see SURVEY SS6 for that
+comparison via `results/sweep_d1536.csv`); for the relational/pipeline
+surface, the honest same-machine, same-data baseline is DuckDB -- a
+state-of-the-art single-node OLAP engine -- running the exact oracle SQL
+of every hash-verified query.
+
+**Protocol** (mirrors `graft.Bench`): DuckDB {duckdb.__version__}, {threads} threads,
+{sf} parquet tables (identical files the Spark bench reads), one warmup
+pass over every table, then min of {runs} runs per query with full
+result materialization. Produced by `tools/make_baseline.py`; the
+machine-readable copy is `results/baseline_duckdb.tsv`, which
+`graft.Bench` reads to report `spark_oracle_total_sec` /
+`duckdb_total_sec` / `vs_baseline` in the bench JSON line.
+
+Queries without a SQL oracle (k-means / rotation / LSH / ANN search /
+streaming state -- the rows-only set) have no DuckDB equivalent and are
+excluded; their regression tracking is round-over-round BENCH_r{{N}}.json
+plus the golden snapshots.
+
+| query | duckdb min-of-{runs} (s) |
+|---|---|
+""")
+    for k, v in sorted(results.items()):
+        f.write(f"| {k} | {v:.4f} |\n")
+    f.write(f"| **total ({len(results)} queries)** | **{total:.4f}** |\n")
+    f.write(f"""
+Machine: {platform.platform()}, {os.cpu_count()} CPUs.
+
+Interpretation: DuckDB is an in-process columnar engine with zero
+per-query scheduling overhead; Spark pays JVM job scheduling, codegen,
+and shuffle machinery per query. At sf0.1 (~100 MB) that fixed cost
+dominates most queries, so spark/duckdb ratios here are an upper bound
+that shrinks as data grows -- the Spark plans' asymptotics (scan-bounded,
+broadcast joins, partial aggregation) are audited per-operator in
+SURVEY SS6. The 2x bar is evaluated on the totals ratio reported by
+`graft.Bench`.
+""")
+
+print(f"\ntotal {total:.4f} s over {len(results)} queries -> BASELINE.md + results/baseline_duckdb.tsv")
