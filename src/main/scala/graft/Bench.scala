@@ -60,7 +60,41 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + esc(k) + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries":$qs,"sf":"${esc(sfDir)}"}""")
+
+    // vs-baseline: results/baseline_duckdb.tsv (tools/make_baseline.py)
+    // holds DuckDB min-of-N wall times for every oracle query. Totals
+    // compare over the intersection of queries BOTH engines timed
+    // successfully (failures are -1 sentinels on both sides), so the
+    // ratio is always like-for-like.
+    val baselinePath = sys.env.getOrElse(
+      "SPARK_GRAFT_BASELINE_TSV", "results/baseline_duckdb.tsv")
+    val baseline: Map[String, Double] =
+      try {
+        val p = java.nio.file.Paths.get(baselinePath)
+        if (java.nio.file.Files.isReadable(p))
+          scala.jdk.CollectionConverters.ListHasAsScala(
+            java.nio.file.Files.readAllLines(p)).asScala
+            .filterNot(l => l.startsWith("#") || l.trim.isEmpty)
+            .flatMap { l =>
+              l.split("\t") match {
+                case Array(k, v) => scala.util.Try(k -> v.toDouble).toOption
+                case _ => None
+              }
+            }.filter(_._2 >= 0).toMap
+        else Map.empty
+      } catch { case _: Throwable => Map.empty }
+    val vsBaseline =
+      if (baseline.isEmpty) ""
+      else {
+        val common = results.collect {
+          case (k, v) if v >= 0 && baseline.contains(k) => (v, baseline(k))
+        }
+        val sparkTot = common.map(_._1).sum
+        val duckTot = common.map(_._2).sum
+        if (common.isEmpty || duckTot <= 0) ""
+        else f""","spark_oracle_total_sec":$sparkTot%.4f,"duckdb_total_sec":$duckTot%.4f,"vs_baseline":${sparkTot / duckTot}%.4f"""
+      }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries":$qs$vsBaseline,"sf":"${esc(sfDir)}"}""")
     spark.stop()
   }
 }

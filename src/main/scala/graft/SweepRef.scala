@@ -261,9 +261,25 @@ object SweepRef {
         Files.write(path, csv.getBytes(StandardCharsets.UTF_8))
         println(s"wrote ${csvRows.length} sweep rows to $out")
       }
-      // write the ladder-only CSV now: a failure in the batch phase
-      // below must never destroy the already-measured ladder
+      // sibling meta file: the artifact's provenance (producing commit
+      // via SPARK_GRAFT_SWEEP_COMMIT, set by the launch script) + config.
+      // The commit value is restricted to hex chars so raw interpolation
+      // can never produce invalid JSON.
+      def writeMeta(): Unit = {
+        val rawCommit = sys.env.getOrElse("SPARK_GRAFT_SWEEP_COMMIT", "unknown")
+        val commit =
+          if (rawCommit.nonEmpty && rawCommit.forall(c => c.isDigit ||
+              ('a' <= c && c <= 'f') || ('A' <= c && c <= 'F'))) rawCommit
+          else "unknown"
+        val meta =
+          f"""{"commit":"$commit","dim":$dim%d,"n_vecs":$nVecs%d,"k":$kClusters%d,"nq":$nq%d,"topk":$topk%d,"mode":"${if (highAcc) "highacc" else "plain"}","batch_nq":$batchNq%d,"build_s":$tBuild%.1f,"gt_s":$tGt%.1f}""" + "\n"
+        Files.write(Paths.get(out + ".meta.json"), meta.getBytes(StandardCharsets.UTF_8))
+      }
+      // write the ladder-only CSV + its meta sibling now: a failure in
+      // the batch phase below must never destroy the already-measured
+      // ladder or its provenance
       writeCsv(Map.empty)
+      writeMeta()
 
       // --- amortized-throughput rows: the NQ=100 ladder above measures
       // per-batch LATENCY (dominated by Spark per-job fixed cost at
@@ -299,13 +315,7 @@ object SweepRef {
           Some(np -> batchNq / wall)
         }
       }.toMap
-      if (batchQps.nonEmpty) writeCsv(batchQps)
-
-      // sibling meta file: the artifact's provenance (producing commit
-      // via SPARK_GRAFT_SWEEP_COMMIT, set by the launch script) + config
-      val meta =
-        f"""{"commit":"${sys.env.getOrElse("SPARK_GRAFT_SWEEP_COMMIT", "unknown")}","dim":$dim%d,"n_vecs":$nVecs%d,"k":$kClusters%d,"nq":$nq%d,"topk":$topk%d,"mode":"${if (highAcc) "highacc" else "plain"}","batch_nq":$batchNq%d,"build_s":$tBuild%.1f,"gt_s":$tGt%.1f}""" + "\n"
-      Files.write(Paths.get(out + ".meta.json"), meta.getBytes(StandardCharsets.UTF_8))
+      if (batchQps.nonEmpty) { writeCsv(batchQps); writeMeta() }
       println(f"""{"sweep":"d$dim","n_vecs":$nVecs%d,"k":$kClusters%d,"build_s":$tBuild%.1f,"gt_s":$tGt%.1f}""")
     } finally spark.stop()
   }

@@ -271,6 +271,12 @@ object IVFIndex {
               "yourself before re-running, or re-ingest will duplicate them).")
         fs.delete(new Path(s"$indexPath/_ingest_log"), true)
         fs.delete(batches, true)
+        // the mismatched checkpoint must go too: in the (Some, Some)
+        // arm a LIVE foreign checkpoint survives here, and the fresh
+        // query would resume from its source-file offsets — silently
+        // skipping files it recorded, breaking reingest's promise of a
+        // full re-ingest of the source dir
+        fs.delete(new Path(s"$indexPath/_ingest_checkpoint"), true)
       }
     }
     val dim = model.rotator.dim

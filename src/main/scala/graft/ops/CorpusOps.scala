@@ -97,6 +97,14 @@ object CorpusOps {
   /** Token budget per packed training chunk. */
   val PackBudget = 256
 
+  /** Cap on c15's collected phase-1 subtotal table (one row per
+    * (partition, distinct source) pair; range partitioning keeps it
+    * ≈ sources + partitions). ~4M rows is a few hundred MB of driver
+    * maps — far beyond any realistic source-label cardinality
+    * (corpus sources are publishers/crawls/datasets, thousands at
+    * most), yet low enough to fail loudly before a driver OOM. */
+  val PackMaxSubtotalRows = 4000000L
+
   /** The ordered input to packing: one range shuffle on
     * (source, doc_id) — a huge source spans MANY partitions, each a
     * contiguous slice of its id order — sorted within partitions.
@@ -150,6 +158,20 @@ object CorpusOps {
       it.foreach { case (_, s, n) => sums.update(s, sums.getOrElse(s, 0L) + n) }
       Iterator.single(sums.toArray)
     }.collect()
+    // driver-size guard: the subtotal table (and the prefix maps built
+    // from it) is O(Σ per-partition distinct sources). `source` is a
+    // grouping label (publisher / crawl / dataset), not a per-doc id —
+    // if a caller passes a near-unique column the table becomes
+    // corpus-sized; refuse before the driver OOMs.
+    locally {
+      val subtotalRows = partials.iterator.map(_.length.toLong).sum
+      require(subtotalRows <= PackMaxSubtotalRows,
+        s"packChunks phase-1 subtotal table has $subtotalRows " +
+          s"(partition, source) rows (cap $PackMaxSubtotalRows): the 'source' " +
+          "column's cardinality is too high for per-source packing — it must " +
+          "be a grouping label, not a per-document value. Pre-bucket sources " +
+          "(e.g. hash into N groups) or pack per bucket.")
+    }
     // prefix offsets: tokens of the same source in EARLIER partitions
     val offsets: Array[Map[String, Long]] = partials
       .scanLeft(Map.empty[String, Long]) { (acc, part) =>

@@ -461,41 +461,49 @@ object Dedup {
     var labels = nodes.select(col("id"), col("id").as("lab")).localCheckpoint(true)
     var round = 0
     var converged = false
-    while (!converged && round < maxRounds) {
-      val nbrMin = edges.join(labels, edges("dst") === labels("id"))
-        .groupBy(col("src")).agg(min("lab").as("nbr_lab"))
-      // carry the round's starting label through, so convergence can be
-      // decided inside the pointer-jump job itself (accumulator below)
-      // instead of a separate per-round comparison join
-      val propagated = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
-        .select(col("id"), col("lab").as("old_lab"),
-          least(col("lab"), coalesce(col("nbr_lab"), col("lab"))).as("lab"))
-      // pointer jump: labels are themselves node ids (the propagation
-      // only ever adopts ids seen as labels), so label(label) is total
-      // and ≤ label within the same component
-      val changed = spark.sparkContext.longAccumulator("canonicalize-changed")
-      val next = propagated.alias("x")
-        .join(propagated.select(col("id").as("jid"), col("lab").as("jlab")).alias("y"),
-          col("x.lab") === col("y.jid"))
-        .select(col("x.id").as("id"), col("x.old_lab").as("old_lab"), col("y.jlab").as("lab"))
-        .as[(Long, Long, Long)]
-        .mapPartitions(_.map { case (id, oldLab, lab) =>
-          if (oldLab != lab) changed.add(1L)
-          (id, lab)
-        })
-        .toDF("id", "lab")
-        .localCheckpoint(true) // eager: the checkpoint job fills `changed`
-      // task retries can only OVER-count (never turn a genuinely
-      // changeless round nonzero), so the worst case is one extra
-      // round — convergence is never declared early
-      converged = changed.value == 0L
-      labels.unpersist(blocking = false) // superseded round's blocks
-      labels = next
-      round += 1
+    // try/finally: the non-convergence require (and any mid-loop
+    // failure) must still release the cached edges and the last
+    // labels checkpoint — a long-lived session would otherwise leak
+    // the blocks on every failed call
+    try {
+      while (!converged && round < maxRounds) {
+        val nbrMin = edges.join(labels, edges("dst") === labels("id"))
+          .groupBy(col("src")).agg(min("lab").as("nbr_lab"))
+        // carry the round's starting label through, so convergence can be
+        // decided inside the pointer-jump job itself (accumulator below)
+        // instead of a separate per-round comparison join
+        val propagated = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
+          .select(col("id"), col("lab").as("old_lab"),
+            least(col("lab"), coalesce(col("nbr_lab"), col("lab"))).as("lab"))
+        // pointer jump: labels are themselves node ids (the propagation
+        // only ever adopts ids seen as labels), so label(label) is total
+        // and ≤ label within the same component
+        val changed = spark.sparkContext.longAccumulator("canonicalize-changed")
+        val next = propagated.alias("x")
+          .join(propagated.select(col("id").as("jid"), col("lab").as("jlab")).alias("y"),
+            col("x.lab") === col("y.jid"))
+          .select(col("x.id").as("id"), col("x.old_lab").as("old_lab"), col("y.jlab").as("lab"))
+          .as[(Long, Long, Long)]
+          .mapPartitions(_.map { case (id, oldLab, lab) =>
+            if (oldLab != lab) changed.add(1L)
+            (id, lab)
+          })
+          .toDF("id", "lab")
+          .localCheckpoint(true) // eager: the checkpoint job fills `changed`
+        // task retries can only OVER-count (never turn a genuinely
+        // changeless round nonzero), so the worst case is one extra
+        // round — convergence is never declared early
+        converged = changed.value == 0L
+        labels.unpersist(blocking = false) // superseded round's blocks
+        labels = next
+        round += 1
+      }
+      require(converged, s"canonicalize did not converge in $maxRounds rounds — " +
+        "a family chain this deep means the pair input is not near-dup-shaped")
+    } finally {
+      edges.unpersist(blocking = false)
+      if (!converged) labels.unpersist(blocking = false)
     }
-    require(converged, s"canonicalize did not converge in $maxRounds rounds — " +
-      "a family chain this deep means the pair input is not near-dup-shaped")
-    edges.unpersist(blocking = false)
     // the final labels frame stays cached: the returned plan reads it,
     // and a truncated-lineage checkpoint cannot be recomputed if
     // released early. One slim (id, lab) frame per call, freed when the

@@ -90,22 +90,33 @@ object StreamGate {
         OutputMode.Append, GroupStateTimeout.NoTimeout)(
         (_: String, rows: Iterator[(Long, Int, Double, Double, String, Option[Long])],
             state: GroupState[Long]) => {
-          // min within the batch keeps a single-batch drain exactly
-          // equal to the batch gate even if shuffle order varies
-          val batch = rows.toArray.sortBy(_._1)
-          val ledger = batch.head._6
+          // Single-pass fold. The batch-min id must be known before the
+          // FIRST row is emitted (Append mode cannot retract), so the
+          // group's metric rows are necessarily buffered for the batch —
+          // but compactly: one narrow (id, metrics) tuple per row, no
+          // sort, no hash/ledger copies. The buffer is bounded by the
+          // largest single-batch duplicate class, not the corpus.
+          val buf = scala.collection.mutable.ArrayBuffer
+            .empty[(Long, Int, Double, Double)]
+          var minId = Long.MaxValue
+          var ledger: Option[Long] = None
+          while (rows.hasNext) {
+            val r = rows.next()
+            if (buf.isEmpty) ledger = r._6 // same hash → same ledger row
+            if (r._1 < minId) minId = r._1
+            buf += ((r._1, r._2, r._3, r._4))
+          }
           // out-of-order hardening: if a LATER batch carries a smaller
           // id than the stored/compacted canonical, adopt it — this
           // batch and every future one then decide with the batch
           // gate's true min-id canonical. (Rows already emitted cannot
           // be retracted in Append mode — under doc_id-ordered
           // arrival, d7's stated precondition, the case never arises.)
-          val keepId =
-            (state.getOption.toList ++ ledger.toList :+ batch.head._1).min
+          val keepId = (state.getOption.toList ++ ledger.toList :+ minId).min
           // bounded state: a hash the ledger already answers with the
           // same canonical never occupies the state store
           if (!ledger.contains(keepId)) state.update(keepId)
-          batch.iterator.map { case (id, nTok, pr, mtl, _, _) =>
+          buf.iterator.map { case (id, nTok, pr, mtl) =>
             (id, nTok, pr, mtl, keepId)
           }
         })

@@ -345,6 +345,42 @@ class SourcesSpec extends AnyFunSuite {
     assert(loaded.index.toDF().select("id").distinct().count() == 15)
   }
 
+  test("reingest after a binding mismatch re-ingests EVERY source file") {
+    // the (stored=Some, current=Some, stored != current) arm: the
+    // checkpoint is ALIVE but belongs to a different query than the
+    // marker log records. reingest must clear the foreign checkpoint
+    // too — otherwise the fresh run resumes from its source-file
+    // offsets and silently skips files it recorded, contradicting the
+    // error message's losslessness promise
+    val sf = "/root/testdata/sf0.001"
+    val m = operators.AnnQueries.model(spark, sf)
+    val idxDir = java.nio.file.Files.createTempDirectory("b13_mismatch").toString
+    m.saveMeta(idxDir)
+    val srcDir = java.nio.file.Files.createTempDirectory("b13_mismatch_src")
+    writeVecsFile(srcDir, "f1.parquet", (420000L until 420010L), seed = 14)
+    IVFIndex.appendStream(spark, m, srcDir.toString, idxDir)
+    assert(IVFModel.load(spark, idxDir).index.count() == 10)
+    val fs = new org.apache.hadoop.fs.Path(idxDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    // break the binding, NOT the checkpoint: the live checkpoint (which
+    // has f1 in its source log) now mismatches the stored id
+    val idFile = new org.apache.hadoop.fs.Path(s"$idxDir/_ingest_log/_checkpoint_id")
+    val out = fs.create(idFile, true)
+    try out.write("00000000-0000-0000-0000-000000000000".getBytes("UTF-8"))
+    finally out.close()
+    writeVecsFile(srcDir, "f2.parquet", (420010L until 420015L), seed = 15)
+    // default still refuses while unfolded batch data exists
+    intercept[IllegalStateException] {
+      IVFIndex.appendStream(spark, m, srcDir.toString, idxDir)
+    }
+    IVFIndex.appendStream(spark, m, srcDir.toString, idxDir,
+      onCheckpointReset = "reingest")
+    val loaded = IVFModel.load(spark, idxDir)
+    assert(loaded.index.count() == 15,
+      "the surviving foreign checkpoint skipped f1 — reingest lost data")
+    assert(loaded.index.toDF().select("id").distinct().count() == 15)
+  }
+
   test("markers with no checkpoint binding and no checkpoint are treated as reset") {
     // the legacy blind spot: a run crashed before the id binding
     // existed (old code wrote it only after awaitTermination), then the

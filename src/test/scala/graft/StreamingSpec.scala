@@ -114,6 +114,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == batch, s"stream=$got batch=$batch")
   }
 
+  test("d7 many-duplicate single batch: fold matches the batch gate exactly") {
+    // one batch, one dominant duplicate class (the shape the per-group
+    // fold buffers): every copy must resolve to the class min-id even
+    // though shuffle order inside the group is arbitrary, and the
+    // non-dup rules must be untouched by the fold
+    val dir = java.nio.file.Files.createTempDirectory("d7_manydup")
+    val good = (1 to 30).map(i => s"word$i").mkString(" ")
+    val docs = (0 until 200).map(i => (500L - i) -> good) ++ // ids 301..500, shuffled-ish
+      Seq(600L -> "too short text", 601L -> good)
+    writeDocsFile(dir, "f1.parquet", 1000000L, docs)
+    val got = graft.streaming.StreamGate.streamingCorpusGateFromDir(
+        spark, dir.toString)
+      .select("doc_id", "kept", "reason").as[(Long, Int, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    val batch = graft.ops.CorpusOps.corpusFilter(docs.toDF("doc_id", "text"))
+      .select("doc_id", "kept", "reason").as[(Long, Int, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == batch, s"stream=$got batch=$batch")
+    assert(got(301L) == ((1, "keep")), got.toString)
+    assert(got(601L) == ((0, "duplicate")), got.toString)
+  }
+
   test("d7 out-of-order arrival: a later smaller id becomes the canonical going forward") {
     val dir = java.nio.file.Files.createTempDirectory("d7_ooo")
     val good = (1 to 30).map(i => s"word$i").mkString(" ")

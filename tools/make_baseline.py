@@ -34,15 +34,23 @@ for f in glob.glob(f"{sfdir}/*.parquet"):
 oracle = json.load(open(oracle_path))
 results = {}
 for key, sql in sorted(oracle.items()):
-    secs = []
-    for _ in range(runs):
-        t0 = time.perf_counter()
-        con.execute(sql).fetch_arrow_table()
-        secs.append(time.perf_counter() - t0)
-    results[key] = min(secs)
-    print(f"{key}\t{min(secs):.4f}")
+    # Failure policy mirrors graft.Bench: a failing query records -1 and
+    # is excluded from the total, never aborts the run (totals stay
+    # comparable engine-to-engine).
+    try:
+        secs = []
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            con.execute(sql).fetch_arrow_table()
+            secs.append(time.perf_counter() - t0)
+        results[key] = min(secs)
+        print(f"{key}\t{min(secs):.4f}")
+    except Exception as e:
+        results[key] = -1.0
+        print(f"{key}\tFAILED: {e}", file=sys.stderr)
 
-total = sum(results.values())
+total = sum(v for v in results.values() if v >= 0)
+n_ok = sum(1 for v in results.values() if v >= 0)
 sf = os.path.basename(sfdir.rstrip("/"))
 
 os.makedirs("results", exist_ok=True)
@@ -80,8 +88,8 @@ plus the golden snapshots.
 |---|---|
 """)
     for k, v in sorted(results.items()):
-        f.write(f"| {k} | {v:.4f} |\n")
-    f.write(f"| **total ({len(results)} queries)** | **{total:.4f}** |\n")
+        f.write(f"| {k} | {'FAILED' if v < 0 else f'{v:.4f}'} |\n")
+    f.write(f"| **total ({n_ok} queries)** | **{total:.4f}** |\n")
     f.write(f"""
 Machine: {platform.platform()}, {os.cpu_count()} CPUs.
 
@@ -95,4 +103,4 @@ SURVEY SS6. The 2x bar is evaluated on the totals ratio reported by
 `graft.Bench`.
 """)
 
-print(f"\ntotal {total:.4f} s over {len(results)} queries -> BASELINE.md + results/baseline_duckdb.tsv")
+print(f"\ntotal {total:.4f} s over {n_ok} queries -> BASELINE.md + results/baseline_duckdb.tsv")
