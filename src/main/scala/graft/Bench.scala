@@ -36,7 +36,12 @@ object Bench {
     Tables.events(spark, sfDir).count()
     spark.range(1000000L).selectExpr("sum(id)").collect()
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional subset (e.g. the sf1 spot-check runs only e1/e3/c17/d1)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only.fold(SparkEntry.queries)(ks =>
+      SparkEntry.queries.filter { case (k, _) => ks(k) })
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val secs = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
         val ok =
@@ -71,17 +76,26 @@ object Bench {
     val baseline: Map[String, Double] =
       try {
         val p = java.nio.file.Paths.get(baselinePath)
-        if (java.nio.file.Files.isReadable(p))
-          scala.jdk.CollectionConverters.ListHasAsScala(
+        if (java.nio.file.Files.isReadable(p)) {
+          val lines = scala.jdk.CollectionConverters.ListHasAsScala(
             java.nio.file.Files.readAllLines(p)).asScala
-            .filterNot(l => l.startsWith("#") || l.trim.isEmpty)
-            .flatMap { l =>
-              l.split("\t") match {
-                case Array(k, v) => scala.util.Try(k -> v.toDouble).toOption
-                case _ => None
-              }
-            }.filter(_._2 >= 0).toMap
-        else Map.empty
+          // the header comment records the TSV's scale factor; comparing
+          // a bench at a DIFFERENT sf against it would be meaningless,
+          // so the ratio is only emitted on a match (or an untagged TSV)
+          val tsvSf = lines.headOption.filter(_.startsWith("#"))
+            .flatMap(_.split("\\s+").find(_.startsWith("sf="))).map(_.drop(3))
+          val benchSf = java.nio.file.Paths.get(sfDir).getFileName.toString
+          if (tsvSf.forall(_ == benchSf))
+            lines
+              .filterNot(l => l.startsWith("#") || l.trim.isEmpty)
+              .flatMap { l =>
+                l.split("\t") match {
+                  case Array(k, v) => scala.util.Try(k -> v.toDouble).toOption
+                  case _ => None
+                }
+              }.filter(_._2 >= 0).toMap
+          else Map.empty
+        } else Map.empty
       } catch { case _: Throwable => Map.empty }
     val vsBaseline =
       if (baseline.isEmpty) ""

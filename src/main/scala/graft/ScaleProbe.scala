@@ -74,6 +74,20 @@ object ScaleProbe {
     val (_, tContam) = time(force(graft.ops.CorpusOps.contamination(docsOnDisk)))
     val (_, tStats) = time(force(graft.ops.CorpusOps.corpusStats(docsOnDisk)))
 
+    // --- c20 canonicalization at probe scale: a planted MEGA-FAMILY —
+    // one chain of `megaN` docs (diameter ≈ megaN, the adversarial
+    // shape for label propagation: naive propagation would need megaN
+    // rounds) plus the corpus's organic (prev, id) near-dup pairs.
+    // Pointer jumping must close the chain in O(log megaN) rounds. ---
+    val megaN = math.min(nDocs, 100000)
+    val chain = spark.range(megaN - 1L)
+      .select(col("id").as("id_a"), (col("id") + 1).as("id_b"))
+    val organic = spark.range(nDocs.toLong)
+      .filter(col("id") % 10 === 0 && col("id") >= megaN)
+      .select((col("id") - 1).as("id_a"), col("id").as("id_b"))
+    val (_, tCanon) = time(force(
+      Dedup.canonicalize(docsOnDisk, chain.union(organic))))
+
     // --- synthetic vectors: clustered gaussians, `dim`-dim (probe
     // high dims with SPARK_GRAFT_PROBE_DIM — the query-quantization
     // LUT path is aimed at reference-scale dims like 1536) ---
@@ -117,6 +131,7 @@ object ScaleProbe {
       s""""d6_stream_s":$tStream,""" +
       s""""c12_scrub_s":$tScrub,"c15_pack_s":$tPack,"c16_filter_s":$tFilter,""" +
       s""""c17_contam_s":$tContam,"c18_stats_s":$tStats,""" +
+      s""""c20_canon_s":$tCanon,"c20_mega_family":$megaN,""" +
       s""""index_build_s":$tBuild,""" +
       s""""search100_s":$tSearch,"search100_highacc_s":$tHighAcc,""" +
       s""""search100_q14_s":$tSearchQ}""")

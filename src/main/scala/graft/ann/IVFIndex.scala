@@ -699,9 +699,15 @@ final class IVFModel(
     * idempotently overwritten) as it completes and the returned frame
     * is the read-back union of exactly this call's chunk dirs —
     * executor churn can at worst fail the chunk in flight, never a
-    * finished one. Stale dirs from an earlier aborted run in the same
-    * outputDir are not read (only paths written by THIS call are),
-    * but they are not cleaned either — point each run at its own dir. */
+    * finished one. A USED outputDir (chunk dirs or a `_manifest.json`
+    * from any earlier run, completed or aborted) is refused loudly:
+    * chunk dirs are addressed by position, so writing a second run
+    * into the same dir could silently mix two query sets' results.
+    * On completion a `_manifest.json` (chunk count, query count,
+    * k/nprobe, an order-sensitive fingerprint of the query ids) is
+    * written as the run's durable provenance — its presence marks a
+    * finished run, its absence under existing chunk dirs an aborted
+    * one. */
   def searchAll(
       spark: SparkSession,
       queries: DataFrame,
@@ -714,6 +720,24 @@ final class IVFModel(
     import spark.implicits._
     import scala.jdk.CollectionConverters._
     require(chunk > 0, s"chunk must be positive, got $chunk")
+    val outFs = outputDir.map { dir =>
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      if (fs.exists(p)) {
+        val used = fs.listStatus(p).exists { st =>
+          val n = st.getPath.getName
+          n.startsWith("chunk-") || n == "_manifest.json"
+        }
+        if (used) throw new IllegalStateException(
+          s"searchAll outputDir $dir already holds another run's output " +
+            "(chunk-*/ or _manifest.json present). Chunk dirs are addressed by " +
+            "position, so a second run into the same dir could silently mix two " +
+            "query sets' results — point each run at a fresh directory.")
+      }
+      fs
+    }
+    var nQueries = 0L
+    var qFingerprint = 0xcbf29ce484222325L // FNV-1a over qids, order-sensitive
     val it = queries
       .select(col(idCol).cast(LongType).as("qid"), col(vecCol).as("qvec"))
       .as[(Long, Array[Float])]
@@ -732,8 +756,25 @@ final class IVFModel(
       })
       buf.clear()
     }
-    it.foreach { q => buf += q; if (buf.length == chunk) flush() }
+    it.foreach { q =>
+      nQueries += 1
+      var h = qFingerprint ^ q._1
+      h *= 0x100000001b3L
+      qFingerprint = h
+      buf += q
+      if (buf.length == chunk) flush()
+    }
     flush()
+    // completion manifest: durable provenance for the chunk dirs
+    outFs.foreach { fs =>
+      val out = fs.create(
+        new org.apache.hadoop.fs.Path(s"${outputDir.get}/_manifest.json"), true)
+      try out.write(
+        (s"""{"chunks":${parts.length},"queries":$nQueries,"k":$k,""" +
+          s""""nprobe":$nprobe,"query_fingerprint":"${java.lang.Long.toHexString(qFingerprint)}"}""" + "\n")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
     if (parts.isEmpty)
       spark.emptyDataset[(Long, Long, Int)].toDF("query_id", "neighbor_id", "rk")
     else parts.reduce(_.unionByName(_))

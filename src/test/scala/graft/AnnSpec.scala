@@ -129,12 +129,9 @@ class AnnSpec extends AnyFunSuite {
     val empty = m.searchAll(spark, queriesDF.filter(col("vec_id") < 0), 10, 12)
     assert(empty.columns.toSeq == Seq("query_id", "neighbor_id", "rk"))
     assert(empty.count() == 0)
-    // durable-chunk mode: same answer, chunks on disk, stale dirs from
-    // an aborted earlier run in the same dir are not read back
-    val outDir = java.nio.file.Files.createTempDirectory("searchall_durable").toString
-    spark.range(1).selectExpr("CAST(id AS BIGINT) AS query_id",
-        "CAST(99999 AS BIGINT) AS neighbor_id", "CAST(1 AS INT) AS rk")
-      .write.parquet(s"$outDir/chunk-30") // stale: this run writes 8 chunks
+    // durable-chunk mode: same answer, chunks on disk, completion
+    // manifest written
+    val outDir = java.nio.file.Files.createTempDirectory("searchall_durable").toString + "/run1"
     val durable = m.searchAll(spark, queriesDF, 10, 12, chunk = 64,
         outputDir = Some(outDir))
       .as[(Long, Long, Int)].collect().sortBy(r => (r._1, r._3))
@@ -142,6 +139,24 @@ class AnnSpec extends AnyFunSuite {
       "durable-chunk mode must be result-identical to the single broadcast")
     assert(java.nio.file.Files.exists(java.nio.file.Paths.get(outDir, "chunk-7", "_SUCCESS")),
       "each chunk must be durably written as it completes")
+    val manifest = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(outDir, "_manifest.json")), "UTF-8")
+    assert(manifest.contains("\"chunks\":8") && manifest.contains("\"queries\":500"),
+      s"manifest must record the run's shape: $manifest")
+    // a USED dir is refused loudly — chunk dirs are positional, so a
+    // second run into the same dir could silently mix query sets
+    val ex = intercept[IllegalStateException] {
+      m.searchAll(spark, queriesDF, 10, 12, chunk = 64, outputDir = Some(outDir))
+    }
+    assert(ex.getMessage.contains("fresh directory"), ex.getMessage)
+    // ...including a dir holding only an aborted run's chunks (no manifest)
+    val abortedDir = java.nio.file.Files.createTempDirectory("searchall_aborted").toString
+    spark.range(1).selectExpr("CAST(id AS BIGINT) AS query_id",
+        "CAST(99999 AS BIGINT) AS neighbor_id", "CAST(1 AS INT) AS rk")
+      .write.parquet(s"$abortedDir/chunk-30")
+    intercept[IllegalStateException] {
+      m.searchAll(spark, queriesDF, 10, 12, chunk = 64, outputDir = Some(abortedDir))
+    }
   }
 
   test("8-bit config: end-to-end build + search reaches near-exact recall") {

@@ -90,8 +90,22 @@ plus the golden snapshots.
     for k, v in sorted(results.items()):
         f.write(f"| {k} | {'FAILED' if v < 0 else f'{v:.4f}'} |\n")
     f.write(f"| **total ({n_ok} queries)** | **{total:.4f}** |\n")
+    dedup_total = sum(results.get(k, 0) for k in
+                      ("c19_verified_neardup", "c20_dedup_canonical")
+                      if results.get(k, -1) >= 0)
     f.write(f"""
 Machine: {platform.platform()}, {os.cpu_count()} CPUs.
+
+**Reading the two dedup outliers honestly**: c19_verified_neardup and
+c20_dedup_canonical account for {dedup_total:.1f} s of the {total:.1f} s
+total. Their DuckDB times measure the *oracle formulation* -- a
+deliberately brute-force all-pairs jaccard (c19) and a recursive-CTE
+transitive closure (c20), written to be obviously-correct reference
+SQL -- while the Spark side runs the real algorithms (LSH candidate
+generation + verified pairs; distributed min-label propagation with
+pointer jumping). Those two rows certify correctness of the Spark
+results, not competitive DuckDB wall-time; on the remaining queries
+the two engines run genuinely comparable plans.
 
 Interpretation: DuckDB is an in-process columnar engine with zero
 per-query scheduling overhead; Spark pays JVM job scheduling, codegen,
@@ -102,5 +116,12 @@ broadcast joins, partial aggregation) are audited per-operator in
 SURVEY SS6. The 2x bar is evaluated on the totals ratio reported by
 `graft.Bench`.
 """)
+
+# keep the sf1 spot-check section (tools/sf1_spotcheck.py) across full
+# regenerations of BASELINE.md
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from sf1_spotcheck import append_sf1_section
+if append_sf1_section():
+    print("re-appended sf1 spot-check section from results/sf1_spotcheck.json")
 
 print(f"\ntotal {total:.4f} s over {n_ok} queries -> BASELINE.md + results/baseline_duckdb.tsv")
