@@ -36,9 +36,16 @@ object Bench {
     Tables.events(spark, sfDir).count()
     spark.range(1000000L).selectExpr("sum(id)").collect()
 
-    // optional subset (e.g. the sf1 spot-check runs only e1/e3/c17/d1)
+    // optional subset (e.g. the sf1 spot-check runs only e1/e3/c17/d1);
+    // unknown names fail loudly — a typo must not produce a phantom
+    // empty "perfect" run
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { ks =>
+      val unknown = ks -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_BENCH_ONLY names unknown queries: ${unknown.mkString(", ")}")
+    }
     val selected = only.fold(SparkEntry.queries)(ks =>
       SparkEntry.queries.filter { case (k, _) => ks(k) })
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
@@ -97,16 +104,20 @@ object Bench {
           else Map.empty
         } else Map.empty
       } catch { case _: Throwable => Map.empty }
+    // suppressed on subset runs: a ratio over a hand-picked subset must
+    // never masquerade as the full-surface bar metric
     val vsBaseline =
-      if (baseline.isEmpty) ""
+      if (baseline.isEmpty || only.isDefined) ""
       else {
         val common = results.collect {
           case (k, v) if v >= 0 && baseline.contains(k) => (v, baseline(k))
         }
         val sparkTot = common.map(_._1).sum
         val duckTot = common.map(_._2).sum
+        // raw toString, not the locale-sensitive f"%.4f" — a
+        // comma-decimal default locale would emit invalid JSON
         if (common.isEmpty || duckTot <= 0) ""
-        else f""","spark_oracle_total_sec":$sparkTot%.4f,"duckdb_total_sec":$duckTot%.4f,"vs_baseline":${sparkTot / duckTot}%.4f"""
+        else s""","spark_oracle_total_sec":$sparkTot,"duckdb_total_sec":$duckTot,"vs_baseline":${sparkTot / duckTot}"""
       }
     println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries":$qs$vsBaseline,"sf":"${esc(sfDir)}"}""")
     spark.stop()

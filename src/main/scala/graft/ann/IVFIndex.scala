@@ -269,14 +269,19 @@ object IVFIndex {
               "markers + batches and re-ingests everything), or run IVFModel.compact first " +
               "to fold the batches into entries (then retire already-ingested source files " +
               "yourself before re-running, or re-ingest will duplicate them).")
-        fs.delete(new Path(s"$indexPath/_ingest_log"), true)
-        fs.delete(batches, true)
         // the mismatched checkpoint must go too: in the (Some, Some)
         // arm a LIVE foreign checkpoint survives here, and the fresh
         // query would resume from its source-file offsets — silently
         // skipping files it recorded, breaking reingest's promise of a
-        // full re-ingest of the source dir
+        // full re-ingest of the source dir. Deleted FIRST for crash
+        // safety: a crash mid-reset then leaves (stored=Some,
+        // current=None), which the next run detects as reset again —
+        // deleting the marker log first would instead leave
+        // (None, Some(foreign)), the arm that RESUMES the foreign
+        // checkpoint, re-opening the silent-skip hole.
         fs.delete(new Path(s"$indexPath/_ingest_checkpoint"), true)
+        fs.delete(new Path(s"$indexPath/_ingest_log"), true)
+        fs.delete(batches, true)
       }
     }
     val dim = model.rotator.dim
@@ -765,8 +770,10 @@ final class IVFModel(
       if (buf.length == chunk) flush()
     }
     flush()
-    // completion manifest: durable provenance for the chunk dirs
-    outFs.foreach { fs =>
+    // completion manifest: durable provenance for the chunk dirs. An
+    // empty query set writes no chunks and therefore no manifest — the
+    // dir stays unused, so a corrected re-run into it is still allowed.
+    outFs.filter(_ => parts.nonEmpty).foreach { fs =>
       val out = fs.create(
         new org.apache.hadoop.fs.Path(s"${outputDir.get}/_manifest.json"), true)
       try out.write(

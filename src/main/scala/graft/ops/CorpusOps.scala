@@ -152,26 +152,42 @@ object CorpusOps {
     val spark = docs.sparkSession
     import spark.implicits._
     val runs = packRuns(docs).rdd
-    // phase 1: per-(partition, source) token subtotals (tiny)
-    val partials: Array[Array[(String, Long)]] = runs.mapPartitions { it =>
-      val sums = scala.collection.mutable.LinkedHashMap.empty[String, Long]
-      it.foreach { case (_, s, n) => sums.update(s, sums.getOrElse(s, 0L) + n) }
-      Iterator.single(sums.toArray)
-    }.collect()
-    // driver-size guard: the subtotal table (and the prefix maps built
-    // from it) is O(Σ per-partition distinct sources). `source` is a
-    // grouping label (publisher / crawl / dataset), not a per-doc id —
-    // if a caller passes a near-unique column the table becomes
-    // corpus-sized; refuse before the driver OOMs.
+    // driver-size guard, BEFORE anything corpus-shaped is collected:
+    // the subtotal table is O(Σ per-partition distinct sources).
+    // `source` is a grouping label (publisher / crawl / dataset), not
+    // a per-doc id — if a caller passes a near-unique column the table
+    // becomes corpus-sized; refuse while the count is still the only
+    // thing on the wire. Rows arrive sorted by (source, doc_id) within
+    // each partition, so the count is transition-counting in O(1)
+    // memory, and the extra job re-reads the same shuffle files.
     locally {
-      val subtotalRows = partials.iterator.map(_.length.toLong).sum
+      val subtotalRows = runs.mapPartitions { it =>
+        var n = 0L
+        var cur: String = null
+        it.foreach { case (_, s, _) => if (s != cur) { n += 1; cur = s } }
+        Iterator.single(n)
+      }.collect().sum
       require(subtotalRows <= PackMaxSubtotalRows,
-        s"packChunks phase-1 subtotal table has $subtotalRows " +
+        s"packChunks phase-1 subtotal table would have $subtotalRows " +
           s"(partition, source) rows (cap $PackMaxSubtotalRows): the 'source' " +
           "column's cardinality is too high for per-source packing — it must " +
           "be a grouping label, not a per-document value. Pre-bucket sources " +
           "(e.g. hash into N groups) or pack per bucket.")
     }
+    // phase 1: per-(partition, source) token subtotals (tiny). Sorted
+    // input → each source is a contiguous run; transition-fold keeps
+    // source order without a map.
+    val partials: Array[Array[(String, Long)]] = runs.mapPartitions { it =>
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+      var cur: String = null
+      var sum = 0L
+      it.foreach { case (_, s, n) =>
+        if (s != cur) { if (cur != null) out += ((cur, sum)); cur = s; sum = 0L }
+        sum += n
+      }
+      if (cur != null) out += ((cur, sum))
+      Iterator.single(out.toArray)
+    }.collect()
     // prefix offsets: tokens of the same source in EARLIER partitions
     val offsets: Array[Map[String, Long]] = partials
       .scanLeft(Map.empty[String, Long]) { (acc, part) =>

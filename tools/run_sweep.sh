@@ -11,9 +11,12 @@ cd "$(dirname "$0")/.."
 OUT="${1:-results/sweep_d1536.csv}"
 COMMIT=$(git rev-parse HEAD)
 
+# unique snapshot dir per launch: deleting a shared path would yank
+# the classpath out from under a still-running sweep (lazily loaded
+# classes would NoClassDefFoundError an hour in)
 sbt -batch compile >/dev/null
-rm -rf /tmp/sweep_classes
-cp -r target/scala-2.13/classes /tmp/sweep_classes
+SNAP=$(mktemp -d /tmp/sweep_classes.XXXXXX)
+cp -r target/scala-2.13/classes/. "$SNAP"
 
 ADD_OPENS=""
 for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
@@ -25,7 +28,7 @@ done
 setsid nohup env SPARK_GRAFT_CPUS=24 SPARK_GRAFT_SWEEP_COMMIT="$COMMIT" \
   java $ADD_OPENS -Xmx48g \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
-  -cp "/tmp/sweep_classes:/opt/spark/jars/*" \
+  -cp "$SNAP:/opt/spark/jars/*" \
   graft.SweepRef "$OUT" \
   > /tmp/sweep_run.log 2>&1 < /dev/null &
 echo "sweep launched (commit $COMMIT) — log: /tmp/sweep_run.log"

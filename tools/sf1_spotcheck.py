@@ -32,13 +32,19 @@ def run_duckdb(sfdir, oracle):
         con.execute(f"SELECT count(*) FROM {name}").fetchone()  # warmup
     out = {}
     for key in QUERIES:
-        secs = []
-        for _ in range(RUNS):
-            t0 = time.perf_counter()
-            con.execute(oracle[key]).fetch_arrow_table()
-            secs.append(time.perf_counter() - t0)
-        out[key] = min(secs)
-        print(f"{key}\tduckdb {min(secs):.4f}")
+        # same failure policy as make_baseline.py: -1 sentinel, never
+        # abort — the already-measured queries must survive
+        try:
+            secs = []
+            for _ in range(RUNS):
+                t0 = time.perf_counter()
+                con.execute(oracle[key]).fetch_arrow_table()
+                secs.append(time.perf_counter() - t0)
+            out[key] = min(secs)
+            print(f"{key}\tduckdb {min(secs):.4f}")
+        except Exception as e:
+            out[key] = -1.0
+            print(f"{key}\tFAILED: {e}", file=sys.stderr)
     return out
 
 
@@ -62,8 +68,9 @@ def sf1_section(spot):
         d = spot["duckdb"].get(k, -1.0)
         s = spot.get("spark", {}).get(k, -1.0)
         ratio = f"{s / d:.2f}" if d > 0 and s > 0 else "-"
+        d_txt = f"{d:.4f}" if d >= 0 else "FAILED"
         s_txt = f"{s:.4f}" if s > 0 else "(run graft.Bench at sf1)"
-        lines.append(f"| {k} | {d:.4f} | {s_txt} | {ratio} |")
+        lines.append(f"| {k} | {d_txt} | {s_txt} | {ratio} |")
     lines += [
         "",
         "Reading it: where DuckDB's own time is substantial (c17's",
