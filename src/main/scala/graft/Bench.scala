@@ -19,6 +19,21 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
+    // optional subset (e.g. the sf1 spot-check runs only e1/e3/c17/d1).
+    // Validated BEFORE the SparkSession + warmup pass: a typo or an
+    // empty value must fail in milliseconds, not after the warmup, and
+    // must never produce a phantom zero-query "perfect" run.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { ks =>
+      require(ks.nonEmpty,
+        "SPARK_GRAFT_BENCH_ONLY is set but names no queries")
+      val unknown = ks -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_BENCH_ONLY names unknown queries: ${unknown.mkString(", ")}")
+    }
+    val selected = only.fold(SparkEntry.queries)(ks =>
+      SparkEntry.queries.filter { case (k, _) => ks(k) })
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -36,18 +51,6 @@ object Bench {
     Tables.events(spark, sfDir).count()
     spark.range(1000000L).selectExpr("sum(id)").collect()
 
-    // optional subset (e.g. the sf1 spot-check runs only e1/e3/c17/d1);
-    // unknown names fail loudly — a typo must not produce a phantom
-    // empty "perfect" run
-    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    only.foreach { ks =>
-      val unknown = ks -- SparkEntry.queries.keySet
-      require(unknown.isEmpty,
-        s"SPARK_GRAFT_BENCH_ONLY names unknown queries: ${unknown.mkString(", ")}")
-    }
-    val selected = only.fold(SparkEntry.queries)(ks =>
-      SparkEntry.queries.filter { case (k, _) => ks(k) })
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val secs = (1 to runs).map { _ =>
         val t0 = System.nanoTime()

@@ -279,9 +279,16 @@ object IVFIndex {
         // deleting the marker log first would instead leave
         // (None, Some(foreign)), the arm that RESUMES the foreign
         // checkpoint, re-opening the silent-skip hole.
+        // delete order is crash-ordered: checkpoint → batches → log.
+        // After any prefix of these a retry still detects reset
+        // ((stored=Some, current=None) while the log survives), so no
+        // crash point leaves either a resumable foreign checkpoint or
+        // orphaned unmarked batch dirs (the log must outlive the
+        // batches: markers-without-batches re-fires reset, while
+        // batches-without-markers would be invisible leaked storage).
         fs.delete(new Path(s"$indexPath/_ingest_checkpoint"), true)
-        fs.delete(new Path(s"$indexPath/_ingest_log"), true)
         fs.delete(batches, true)
+        fs.delete(new Path(s"$indexPath/_ingest_log"), true)
       }
     }
     val dim = model.rotator.dim

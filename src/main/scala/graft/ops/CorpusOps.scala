@@ -160,11 +160,17 @@ object CorpusOps {
     // thing on the wire. Rows arrive sorted by (source, doc_id) within
     // each partition, so the count is transition-counting in O(1)
     // memory, and the extra job re-reads the same shuffle files.
+    // each fold tracks `hasCur` explicitly so a NULL source is a
+    // normal grouping key (a bare `cur != null` sentinel would drop a
+    // leading null run — silently wrong offsets instead of an error)
     locally {
       val subtotalRows = runs.mapPartitions { it =>
         var n = 0L
         var cur: String = null
-        it.foreach { case (_, s, _) => if (s != cur) { n += 1; cur = s } }
+        var hasCur = false
+        it.foreach { case (_, s, _) =>
+          if (!hasCur || s != cur) { n += 1; cur = s; hasCur = true }
+        }
         Iterator.single(n)
       }.collect().sum
       require(subtotalRows <= PackMaxSubtotalRows,
@@ -180,12 +186,16 @@ object CorpusOps {
     val partials: Array[Array[(String, Long)]] = runs.mapPartitions { it =>
       val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
       var cur: String = null
+      var hasCur = false
       var sum = 0L
       it.foreach { case (_, s, n) =>
-        if (s != cur) { if (cur != null) out += ((cur, sum)); cur = s; sum = 0L }
+        if (!hasCur || s != cur) {
+          if (hasCur) out += ((cur, sum))
+          cur = s; sum = 0L; hasCur = true
+        }
         sum += n
       }
-      if (cur != null) out += ((cur, sum))
+      if (hasCur) out += ((cur, sum))
       Iterator.single(out.toArray)
     }.collect()
     // prefix offsets: tokens of the same source in EARLIER partitions
@@ -198,9 +208,10 @@ object CorpusOps {
     runs.mapPartitionsWithIndex { (pi, it) =>
       val off = bc.value(pi)
       var cur: String = null
+      var hasCur = false
       var cum = 0L
       it.map { case (id, s, n) =>
-        if (s != cur) { cur = s; cum = off.getOrElse(s, 0L) }
+        if (!hasCur || s != cur) { cur = s; hasCur = true; cum = off.getOrElse(s, 0L) }
         val start = cum
         cum += n
         val bin = start / PackBudget // ints ≥ 0: integer division = floor

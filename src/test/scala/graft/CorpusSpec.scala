@@ -93,6 +93,28 @@ class CorpusSpec extends AnyFunSuite {
     assert(out.count(r => r._4 == 0L && r._5 == 0L) >= 2)
   }
 
+  test("pack chunks: a NULL source is a normal grouping key, not dropped") {
+    val words = (1 to 50).map(i => s"w$i").mkString(" ") // 50 tokens per doc
+    // nulls range-sort FIRST, so they exercise the leading-run arm of
+    // every transition fold; enough rows to span several partitions
+    val d = (0L until 400L).map(i =>
+        (i, words, if (i < 300) null else "named"))
+      .toDF("doc_id", "text", "source")
+    val out = CorpusOps.packChunks(d)
+      .select("doc_id", "source", "n_tokens", "bin", "offset")
+      .as[(Long, String, Int, Long, Long)].collect().sortBy(_._1)
+    assert(out.length == 400)
+    // the null group's cumsum must be one exact global run, not a
+    // per-partition restart
+    var cum = 0L
+    for (r <- out.filter(_._2 == null)) {
+      assert(r._4 == cum / CorpusOps.PackBudget, s"bin mismatch at $r")
+      assert(r._5 == cum % CorpusOps.PackBudget, s"offset mismatch at $r")
+      cum += r._3
+    }
+    assert(cum == 300L * 50, s"null-source rows dropped (cum=$cum)")
+  }
+
   test("pack chunks: one source spreads across multiple tasks with an exact global cumsum") {
     val words20 = (1 to 20).map(i => s"w$i").mkString(" ")
     val d = (0L until 1000L).map(i => (i, words20, "one_source"))

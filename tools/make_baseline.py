@@ -15,6 +15,9 @@ graft.Bench to emit spark-total / duckdb-total in the bench JSON).
 import sys, json, glob, os, time, platform
 import duckdb
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from sf1_spotcheck import append_sf1_section, time_query
+
 sfdir = sys.argv[1]
 oracle_path = sys.argv[2]
 runs = int(sys.argv[3]) if len(sys.argv) > 3 else 3
@@ -38,13 +41,8 @@ for key, sql in sorted(oracle.items()):
     # is excluded from the total, never aborts the run (totals stay
     # comparable engine-to-engine).
     try:
-        secs = []
-        for _ in range(runs):
-            t0 = time.perf_counter()
-            con.execute(sql).fetch_arrow_table()
-            secs.append(time.perf_counter() - t0)
-        results[key] = min(secs)
-        print(f"{key}\t{min(secs):.4f}")
+        results[key] = time_query(con, sql, runs)
+        print(f"{key}\t{results[key]:.4f}")
     except Exception as e:
         results[key] = -1.0
         print(f"{key}\tFAILED: {e}", file=sys.stderr)
@@ -119,8 +117,6 @@ SURVEY SS6. The 2x bar is evaluated on the totals ratio reported by
 
 # keep the sf1 spot-check section (tools/sf1_spotcheck.py) across full
 # regenerations of BASELINE.md
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-from sf1_spotcheck import append_sf1_section
 if append_sf1_section():
     print("re-appended sf1 spot-check section from results/sf1_spotcheck.json")
 

@@ -11,12 +11,15 @@ cd "$(dirname "$0")/.."
 OUT="${1:-results/sweep_d1536.csv}"
 COMMIT=$(git rev-parse HEAD)
 
-# unique snapshot dir per launch: deleting a shared path would yank
-# the classpath out from under a still-running sweep (lazily loaded
-# classes would NoClassDefFoundError an hour in)
+# unique snapshot dir + log per launch: deleting/truncating a shared
+# path would yank the classpath (NoClassDefFoundError an hour in) or
+# the log out from under a still-running sweep. Day-old snapshots are
+# reaped so repeated launches don't fill /tmp.
+find /tmp -maxdepth 1 -name 'sweep_classes.*' -mmin +1440 -exec rm -rf {} + 2>/dev/null || true
 sbt -batch compile >/dev/null
 SNAP=$(mktemp -d /tmp/sweep_classes.XXXXXX)
 cp -r target/scala-2.13/classes/. "$SNAP"
+LOG="$SNAP.log"
 
 ADD_OPENS=""
 for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
@@ -30,5 +33,5 @@ setsid nohup env SPARK_GRAFT_CPUS=24 SPARK_GRAFT_SWEEP_COMMIT="$COMMIT" \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -cp "$SNAP:/opt/spark/jars/*" \
   graft.SweepRef "$OUT" \
-  > /tmp/sweep_run.log 2>&1 < /dev/null &
-echo "sweep launched (commit $COMMIT) — log: /tmp/sweep_run.log"
+  > "$LOG" 2>&1 < /dev/null &
+echo "sweep launched (commit $COMMIT) — log: $LOG"

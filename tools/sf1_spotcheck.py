@@ -24,6 +24,18 @@ BEGIN = "<!-- sf1-spotcheck:begin -->"
 END = "<!-- sf1-spotcheck:end -->"
 
 
+def time_query(con, sql, runs):
+    """min-of-runs wall seconds with full materialization — the ONE
+    timing rule for every DuckDB baseline number (make_baseline.py
+    imports this so the TSV and the spot-check cannot drift)."""
+    secs = []
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        con.execute(sql).fetch_arrow_table()
+        secs.append(time.perf_counter() - t0)
+    return min(secs)
+
+
 def run_duckdb(sfdir, oracle):
     con = duckdb.connect()
     for f in glob.glob(f"{sfdir}/*.parquet"):
@@ -35,13 +47,8 @@ def run_duckdb(sfdir, oracle):
         # same failure policy as make_baseline.py: -1 sentinel, never
         # abort — the already-measured queries must survive
         try:
-            secs = []
-            for _ in range(RUNS):
-                t0 = time.perf_counter()
-                con.execute(oracle[key]).fetch_arrow_table()
-                secs.append(time.perf_counter() - t0)
-            out[key] = min(secs)
-            print(f"{key}\tduckdb {min(secs):.4f}")
+            out[key] = time_query(con, oracle[key], RUNS)
+            print(f"{key}\tduckdb {out[key]:.4f}")
         except Exception as e:
             out[key] = -1.0
             print(f"{key}\tFAILED: {e}", file=sys.stderr)
