@@ -37,6 +37,22 @@ object IVFIndex {
     * (v2 = bit-packed ex_code). Load fails fast on mismatch. */
   val FormatVersion = 2L
 
+  /** Cap on how many entries of ONE cluster share a cached-index
+    * partition. k-means on real corpora grows catch-all clusters near
+    * the data mean that most queries rank into their probe set; with
+    * plain hash-on-cluster placement such a cluster's whole scan ran
+    * as a single task (measured: one 22-minute straggler on 2 cores
+    * while 30 sat idle, d=1536 / 1M rows / 2048-query batch). Clusters
+    * larger than this split into `ceil(size / cap)` blocks and the
+    * cache partitions on (cluster_id, block), bounding any task's
+    * share of a hot cluster. Results are layout-independent — the
+    * estimate-phase prune only skips candidates strictly worse than a
+    * partition-local kth, and every tie-break is (dist, id) — so this
+    * is purely a scheduling property. The on-disk layout needs no
+    * analogue: parquet scans already split fat cluster dirs at
+    * `maxPartitionBytes`. */
+  val ClusterBlockRows = 2048
+
   /** One indexed vector (columnar analogue of SHORT_DATA/LONG_CODE/
     * EX_FACTOR/IDs, IVF.hpp:29-33). */
   final case class Entry(
@@ -138,20 +154,39 @@ object IVFIndex {
       val (rot, cents, rotCents) = bc.value
       iter.map { case (id, vec) => quantizeRow(rot, cents, rotCents, exBits, dim, id, vec) }
     }
-    // cluster the index by cluster_id for scan locality / partition
-    // pruning. The layout is pinned fully deterministic: an EXPLICIT
-    // partition count (AQE coalesces a bare repartition(col) and its
-    // decision can differ between the cached materialization and a
-    // post-uncache re-plan) and sortWithinPartitions for the row order
-    // (shuffle fetch order is randomized). Without both, the
-    // estimate-phase pruning trajectory — and thus near-tie results —
-    // would vary per materialization; with them every search is
-    // bit-reproducible, and each cluster's rows stay contiguous for
-    // the per-cluster query-preparation cache.
+    // cluster the index by (cluster_id, block) for scan locality with
+    // bounded task size: blocks cap a hot cluster's share of any one
+    // partition (see ClusterBlockRows — hash-on-cluster alone turned
+    // catch-all clusters into multi-minute single-task stragglers).
+    // The layout is pinned fully deterministic: an EXPLICIT partition
+    // count (AQE coalesces a bare repartition(col) and its decision
+    // can differ between the cached materialization and a post-uncache
+    // re-plan) and sortWithinPartitions for the row order (shuffle
+    // fetch order is randomized) — every search is bit-reproducible,
+    // and each cluster's rows stay contiguous WITHIN a partition for
+    // the per-cluster query-preparation cache (a split cluster just
+    // re-prepares once per partition that holds one of its blocks).
+    // The quantize pass is persisted (disk-backed) so the per-cluster
+    // count and the final layout don't each recompute it; the handle
+    // is dropped once the index cache is materialized.
     val n = spark.sessionState.conf.numShufflePartitions
-    val index = entries.repartition(n, col("cluster_id"))
-      .sortWithinPartitions("cluster_id", "id").cache()
-    new IVFModel(params, rotator, centroids, rotatedCentroids, index)
+    val quantized = entries.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val blocks = quantized.groupBy("cluster_id").agg(
+        ceil(count(lit(1)) / lit(ClusterBlockRows.toDouble))
+          .cast("int").as("nblocks"))
+      val index = quantized
+        .join(broadcast(blocks), Seq("cluster_id"))
+        .withColumn("_blk", pmod(col("id"), col("nblocks").cast("long")).cast("int"))
+        .repartition(n, col("cluster_id"), col("_blk"))
+        .sortWithinPartitions("cluster_id", "id")
+        .select("id", "cluster_id", "sign_bits", "ex_code", "x2",
+          "fac_ip", "sum_xb", "fac_err", "xipnorm")
+        .as[Entry].cache()
+      index.queryExecution.toRdd.foreach(_ => ()) // materialize before unpersist
+      new IVFModel(params, rotator, centroids, rotatedCentroids, index)
+    } finally quantized.unpersist(blocking = false)
   }
 
   /** The per-vector assign + rotate + quantize kernel, shared by the
