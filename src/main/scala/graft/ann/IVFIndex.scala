@@ -37,20 +37,27 @@ object IVFIndex {
     * (v2 = bit-packed ex_code). Load fails fast on mismatch. */
   val FormatVersion = 2L
 
-  /** Cap on how many entries of ONE cluster share a cached-index
-    * partition. k-means on real corpora grows catch-all clusters near
-    * the data mean that most queries rank into their probe set; with
-    * plain hash-on-cluster placement such a cluster's whole scan ran
-    * as a single task (measured: one 22-minute straggler on 2 cores
-    * while 30 sat idle, d=1536 / 1M rows / 2048-query batch). Clusters
-    * larger than this split into `ceil(size / cap)` blocks and the
-    * cache partitions on (cluster_id, block), bounding any task's
-    * share of a hot cluster. Results are layout-independent — the
-    * estimate-phase prune only skips candidates strictly worse than a
-    * partition-local kth, and every tie-break is (dist, id) — so this
-    * is purely a scheduling property. The on-disk layout needs no
-    * analogue: parquet scans already split fat cluster dirs at
-    * `maxPartitionBytes`. */
+  /** Placement granularity of the cached index: entries are assigned
+    * to `ceil(clusterSize / this)` blocks per cluster and the cache
+    * partitions on (cluster_id, block), so the unit the partitioner
+    * places is never more than this many rows. k-means on real corpora
+    * grows catch-all clusters near the data mean that most queries
+    * rank into their probe set; with plain hash-on-cluster placement
+    * such a cluster's whole scan ran as a single task (measured: one
+    * 22-minute straggler on 2 cores while 30 sat idle, d=1536 / 1M
+    * rows / 2048-query batch). Blocking spreads a hot cluster
+    * ~uniformly over ALL partitions — a partition's share of an
+    * S-row cluster is ~S/numShufflePartitions (plus hash variance),
+    * NOT capped at this constant, which only bounds the placement
+    * unit. Results are layout-independent up to the estimate bound:
+    * the prune skips a candidate only when its estimateLower exceeds
+    * the partition-local kth distance, and estimateLower is a true
+    * lower bound with high probability (the spec-pinned ~>0.95 fac_err
+    * guarantee), not certainty — on a bound violation the skip
+    * decision can depend on which rows share the partition. All
+    * tie-breaks are (dist, id); goldens pin the results unchanged at
+    * sf0.001. The on-disk layout needs no analogue: parquet scans
+    * already split fat cluster dirs at `maxPartitionBytes`. */
   val ClusterBlockRows = 2048
 
   /** One indexed vector (columnar analogue of SHORT_DATA/LONG_CODE/
@@ -155,9 +162,14 @@ object IVFIndex {
       iter.map { case (id, vec) => quantizeRow(rot, cents, rotCents, exBits, dim, id, vec) }
     }
     // cluster the index by (cluster_id, block) for scan locality with
-    // bounded task size: blocks cap a hot cluster's share of any one
-    // partition (see ClusterBlockRows — hash-on-cluster alone turned
-    // catch-all clusters into multi-minute single-task stragglers).
+    // balanced task size: blocks spread a hot cluster across the
+    // partitions instead of handing it to one task (see
+    // ClusterBlockRows — hash-on-cluster alone turned catch-all
+    // clusters into multi-minute single-task stragglers). The block
+    // key hashes the id first: raw pmod(id, nblocks) would collapse
+    // under structured id spaces (all-even ids, snowflake-style
+    // constant low bits, strides sharing a residue class) and quietly
+    // reinstate the one-task scan.
     // The layout is pinned fully deterministic: an EXPLICIT partition
     // count (AQE coalesces a bare repartition(col) and its decision
     // can differ between the cached materialization and a post-uncache
@@ -178,7 +190,7 @@ object IVFIndex {
           .cast("int").as("nblocks"))
       val index = quantized
         .join(broadcast(blocks), Seq("cluster_id"))
-        .withColumn("_blk", pmod(col("id"), col("nblocks").cast("long")).cast("int"))
+        .withColumn("_blk", pmod(xxhash64(col("id")), col("nblocks").cast("long")).cast("int"))
         .repartition(n, col("cluster_id"), col("_blk"))
         .sortWithinPartitions("cluster_id", "id")
         .select("id", "cluster_id", "sign_bits", "ex_code", "x2",

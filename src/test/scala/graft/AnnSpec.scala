@@ -370,18 +370,22 @@ class AnnSpec extends AnyFunSuite {
   test("hot cluster spans multiple cached partitions (bounded cluster blocks)") {
     // a catch-all cluster far larger than ClusterBlockRows must NOT scan
     // as a single task: the cached layout blocks it across partitions.
-    // Correctness is layout-independent (deterministic (dist, id)
-    // tie-breaks; the estimate prune only skips strictly-worse
-    // candidates), so recall vs exact GT must be unaffected.
+    // Ids are strided by 8 on purpose — a raw pmod(id, nblocks) block
+    // key would collapse every strided id into one residue class (one
+    // block, one task again); the hashed key must spread them. Recall
+    // is checked through the split cluster: results are layout-
+    // independent up to the probabilistic estimate bound (tie-breaks
+    // are (dist, id); a rare estimateLower violation can make a skip
+    // depend on partition co-residents), and exactly unaffected here.
     import spark.implicits._
     val dim = 16
     val rnd = new scala.util.Random(11)
     val hotCenter = randVec(rnd, dim)
     val nHot = 3 * IVFIndex.ClusterBlockRows + 7 // >3 blocks
     val rows = (0 until nHot).map { i =>
-      (i.toLong, hotCenter.map(_ + 0.01f * rnd.nextGaussian().toFloat))
+      (8L * i, hotCenter.map(_ + 0.01f * rnd.nextGaussian().toFloat))
     } ++ (0 until 600).map { i =>
-      ((nHot + i).toLong, randVec(rnd, dim).map(_ * 5f))
+      (8L * (nHot + i) + 1, randVec(rnd, dim).map(_ * 5f))
     }
     val df = spark.createDataset(rows).toDF("vec_id", "embedding")
     val m = IVFIndex.build(spark, df, IVFIndex.Params(k = 4, totalBits = 4))
