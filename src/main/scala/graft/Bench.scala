@@ -15,6 +15,36 @@ import org.apache.spark.sql.SparkSession
   * the only statistic stable enough to compare across rounds.
   * Failed queries report -1 seconds instead of masquerading as fast. */
 object Bench {
+  /** Parse the baseline TSV (tools/make_baseline.py): `key\tseconds`
+    * rows under an optional `# ... sf=<tag> ...` header comment. Empty
+    * on any problem — a missing/garbled/foreign-sf baseline must
+    * suppress the ratio, never crash the bench or compare
+    * cross-scale. -1 failure sentinels are dropped so the totals only
+    * ever cover queries both engines timed. */
+  private[graft] def readBaseline(path: String, benchSf: String): Map[String, Double] =
+    try {
+      val p = java.nio.file.Paths.get(path)
+      if (java.nio.file.Files.isReadable(p)) {
+        val lines = scala.jdk.CollectionConverters.ListHasAsScala(
+          java.nio.file.Files.readAllLines(p)).asScala
+        // the header comment records the TSV's scale factor; comparing
+        // a bench at a DIFFERENT sf against it would be meaningless,
+        // so the ratio is only emitted on a match (or an untagged TSV)
+        val tsvSf = lines.headOption.filter(_.startsWith("#"))
+          .flatMap(_.split("\\s+").find(_.startsWith("sf="))).map(_.drop(3))
+        if (tsvSf.forall(_ == benchSf))
+          lines
+            .filterNot(l => l.startsWith("#") || l.trim.isEmpty)
+            .flatMap { l =>
+              l.split("\t") match {
+                case Array(k, v) => scala.util.Try(k -> v.toDouble).toOption
+                case _ => None
+              }
+            }.filter(_._2 >= 0).toMap
+        else Map.empty
+      } else Map.empty
+    } catch { case _: Throwable => Map.empty }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -83,30 +113,8 @@ object Bench {
     // ratio is always like-for-like.
     val baselinePath = sys.env.getOrElse(
       "SPARK_GRAFT_BASELINE_TSV", "results/baseline_duckdb.tsv")
-    val baseline: Map[String, Double] =
-      try {
-        val p = java.nio.file.Paths.get(baselinePath)
-        if (java.nio.file.Files.isReadable(p)) {
-          val lines = scala.jdk.CollectionConverters.ListHasAsScala(
-            java.nio.file.Files.readAllLines(p)).asScala
-          // the header comment records the TSV's scale factor; comparing
-          // a bench at a DIFFERENT sf against it would be meaningless,
-          // so the ratio is only emitted on a match (or an untagged TSV)
-          val tsvSf = lines.headOption.filter(_.startsWith("#"))
-            .flatMap(_.split("\\s+").find(_.startsWith("sf="))).map(_.drop(3))
-          val benchSf = java.nio.file.Paths.get(sfDir).getFileName.toString
-          if (tsvSf.forall(_ == benchSf))
-            lines
-              .filterNot(l => l.startsWith("#") || l.trim.isEmpty)
-              .flatMap { l =>
-                l.split("\t") match {
-                  case Array(k, v) => scala.util.Try(k -> v.toDouble).toOption
-                  case _ => None
-                }
-              }.filter(_._2 >= 0).toMap
-          else Map.empty
-        } else Map.empty
-      } catch { case _: Throwable => Map.empty }
+    val baseline: Map[String, Double] = readBaseline(
+      baselinePath, java.nio.file.Paths.get(sfDir).getFileName.toString)
     // suppressed on subset runs: a ratio over a hand-picked subset must
     // never masquerade as the full-surface bar metric
     val vsBaseline =

@@ -1,0 +1,66 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins Bench.readBaseline — the parser behind the bench JSON's
+  * `vs_baseline` field (the bar's BENCH-vs-BASELINE metric). A silent
+  * parsing regression would drop the field from BENCH_r{N}.json with no
+  * test failing anywhere else, so every guard is pinned here: the
+  * sf-tag cross-scale refusal, the untagged-TSV fallback, malformed-line
+  * and -1-sentinel filtering, and the never-crash contract.
+  */
+class BenchSpec extends AnyFunSuite {
+
+  private def write(lines: String*): String = {
+    val f = Files.createTempFile("baseline", ".tsv")
+    Files.write(f, lines.mkString("\n").getBytes("UTF-8"))
+    f.toString
+  }
+
+  test("parses key\\tseconds rows under a matching sf tag") {
+    val p = write("# duckdb 1.0.0 sf=sf0.1 runs=3", "e1_q1_agg\t0.25", "c17\t1.764")
+    assert(Bench.readBaseline(p, "sf0.1") ===
+      Map("e1_q1_agg" -> 0.25, "c17" -> 1.764))
+  }
+
+  test("a different bench sf suppresses the whole baseline") {
+    val p = write("# sf=sf0.1", "e1_q1_agg\t0.25")
+    assert(Bench.readBaseline(p, "sf1") === Map.empty)
+  }
+
+  test("an untagged TSV is accepted at any sf") {
+    val p = write("e1_q1_agg\t0.25")
+    assert(Bench.readBaseline(p, "sf1") === Map("e1_q1_agg" -> 0.25))
+  }
+
+  test("failure sentinels, malformed lines, comments and blanks are dropped") {
+    val p = write(
+      "# sf=sf0.1",
+      "failed_query\t-1",          // make_baseline.py failure sentinel
+      "no_tab_here",               // malformed: no value
+      "too\tmany\tfields",         // malformed: extra field
+      "bad_number\tNaN-ish",       // malformed: unparseable value
+      "",                          // blank
+      "# trailing comment",
+      "good\t2.5")
+    assert(Bench.readBaseline(p, "sf0.1") === Map("good" -> 2.5))
+  }
+
+  test("a missing file yields empty, never throws") {
+    assert(Bench.readBaseline("/nonexistent/baseline.tsv", "sf0.1") === Map.empty)
+  }
+
+  test("the committed baseline TSV parses and carries the oracle surface") {
+    // the real artifact the driver-run bench reads: sf-tagged sf0.1,
+    // every key a SparkEntry query with a SQL oracle
+    val m = Bench.readBaseline("results/baseline_duckdb.tsv", "sf0.1")
+    assert(m.nonEmpty, "committed baseline TSV failed to parse")
+    val unknown = m.keySet -- SparkEntry.queries.keySet
+    assert(unknown.isEmpty, s"baseline names unknown queries: $unknown")
+    assert(m.keySet.subsetOf(SparkEntry.oracleSql.keySet),
+      "baseline contains a query with no SQL oracle")
+    assert(m.values.forall(_ >= 0))
+  }
+}
