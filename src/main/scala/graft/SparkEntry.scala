@@ -58,6 +58,9 @@ object SparkEntry {
     "c18_corpus_stats" -> (PipelineQueries.corpusStats(_, _)),
     "c19_verified_neardup" -> (PipelineQueries.verifiedNearDup(_, _)),
     "c20_dedup_canonical" -> (PipelineQueries.dedupCanonical(_, _)),
+    "c21_doc_repetition" -> (PipelineQueries.docRepetition(_, _)),
+    "c22_domain_mix" -> (PipelineQueries.domainMix(_, _)),
+    "c23_semdedup"   -> (PipelineQueries.semDedup(_, _)),
     "d1_sessionize"  -> (PipelineQueries.sessionize(_, _)),
     "d2_window_agg"  -> (PipelineQueries.windowAgg(_, _)),
     "d3_stream_agg"  -> (PipelineQueries.streamingAgg(_, _)),

@@ -93,6 +93,22 @@ object PipelineQueries {
   def corpusStats(spark: SparkSession, dir: String): DataFrame =
     CorpusOps.corpusStats(Tables.documents(spark, dir)).orderBy("source")
 
+  def docRepetition(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.docRepetition(Tables.documents(spark, dir)).orderBy("doc_id")
+
+  def domainMix(spark: SparkSession, dir: String): DataFrame =
+    CorpusOps.domainMix(Tables.documents(spark, dir)).orderBy("doc_id")
+
+  /** c23: SemDeDup — the b2/b3 k-means assignment routes the
+    * within-cluster cosine pruning; keeps the min-id representative
+    * per semantic-duplicate group. Rows-only (k-means is not
+    * SQL-expressible); pinned by OpsSpec + golden. */
+  def semDedup(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Dedup.semDedup(
+      AnnQueries.ivfAssign(spark, dir).select("vec_id", "cluster_id"),
+      Tables.embeddings(spark, dir), threshold = 0.3)
+      .orderBy("vec_id")
+
   def sessionize(spark: SparkSession, dir: String): DataFrame =
     EventOps.sessionize(spark, dir)
 
@@ -161,6 +177,43 @@ object PipelineQueries {
       | WHERE t.jaccard >= 0.8)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "c21_doc_repetition" ->
+      // thresholds + the unrounded-flag rule mirror TextAnalysis
+      // .docRepetition; 1-based list indexing matches element_at
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |g AS (SELECT doc_id, w, CAST(len(w) AS INT) AS n,
+         |  list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]) AS g2 FROM t)
+         |SELECT doc_id, n AS n_tokens, CAST(len(g2) AS INT) AS n_2grams,
+         | CASE WHEN len(g2) = 0 THEN 0.0 ELSE
+         |   ROUND(CAST(len(g2) - len(list_distinct(g2)) AS DOUBLE) / len(g2), 6) END AS dup_2gram_ratio,
+         | ROUND(CAST(list_max(list_transform(list_distinct(w),
+         |   x -> len(list_filter(w, y -> y = x)))) AS DOUBLE) / n, 6) AS top_word_ratio,
+         | CAST((CASE WHEN len(g2) = 0 THEN 0.0 ELSE
+         |     CAST(len(g2) - len(list_distinct(g2)) AS DOUBLE) / len(g2) END) > ${TextAnalysis.DupGramMax}
+         |   OR CAST(list_max(list_transform(list_distinct(w),
+         |     x -> len(list_filter(w, y -> y = x)))) AS DOUBLE) / n > ${TextAnalysis.TopWordMax}
+         |   AS INT) AS repetitive
+         |FROM g ORDER BY doc_id""".stripMargin,
+    "c22_domain_mix" ->
+      // arithmetic mirrors CorpusOps.domainMix token-for-token, with
+      // explicit DOUBLE casts (bare decimal literals are DECIMAL to
+      // DuckDB, whose fixed-scale division would diverge from IEEE)
+      s"""WITH tok AS (SELECT source,
+         |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens,
+         |  ${CorpusOps.MixWeightSql} AS w
+         | FROM documents GROUP BY source),
+         |sc AS (SELECT source, tokens, w,
+         |  MIN(CAST(tokens AS DOUBLE) / w) OVER () AS kk FROM tok),
+         |rt AS (SELECT source, ROUND(w * kk / tokens, 6) AS rate,
+         |  CASE WHEN CAST(floor(w * kk / tokens * CAST(4294967296 AS DOUBLE)) AS BIGINT) >= 4294967296
+         |       THEN 'zzzzzzzz'
+         |       ELSE printf('%08x', CAST(floor(w * kk / tokens * CAST(4294967296 AS DOUBLE)) AS BIGINT)) END AS thr
+         | FROM sc)
+         |SELECT d.doc_id, d.source,
+         | CAST(len(string_split(d.text, ' ')) AS INT) AS n_tokens, rt.rate
+         |FROM documents d JOIN rt USING (source)
+         |WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) < rt.thr
+         |ORDER BY doc_id""".stripMargin,
     "c12_pii_scrub" ->
       // each count runs on the text with earlier patterns redacted,
       // mirroring CorpusOps.piiScrub exactly

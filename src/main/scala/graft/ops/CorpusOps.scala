@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{IntegerType, LongType}
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
 
 /** Corpus-preparation operators (SURVEY.md §2 C12–C17) — the steps a
   * large-scale training-data pipeline runs after text analysis and
@@ -391,5 +391,57 @@ object CorpusOps {
         col("doc_id"),
         coalesce(col("n_shared"), lit(0L)).as("n_shared"),
         (coalesce(col("n_shared"), lit(0L)) > 0).cast(IntegerType).as("contaminated"))
+  }
+
+  // ---------------------------------------------------------------- c22
+  /** Domain-mixture weights: relative target proportions per source,
+    * derived from the trailing digits of the source label (src7 →
+    * 7 % 4 + 1 = 4 shares). A pure function of the label so the SQL
+    * oracle applies the identical rule; a production pipeline swaps
+    * in a real weight table without touching the plumbing. */
+  def mixWeight(source: Column): Column =
+    (substring(source, 4, 18).cast(IntegerType) % 4 + 1).cast(IntegerType)
+  val MixWeightSql = "CAST(CAST(substr(source, 4) AS INT) % 4 + 1 AS INT)"
+
+  /** c22: weighted domain-mixture sampling — downsample each source so
+    * the SAMPLED corpus hits target token proportions. The binding
+    * constraint is the scarcest source relative to its weight: the
+    * feasible scale is K = min_s(tokens_s / w_s), each source's token
+    * target is w_s·K, and its keep-rate is w_s·K / tokens_s (exactly
+    * 1 for the binding source — no source is ever oversampled, which
+    * would need duplication). Docs are kept by a deterministic md5
+    * threshold (first 8 hex chars vs the rate scaled to 2^32), so the
+    * sample is reproducible and stable under corpus growth, like c13.
+    *
+    * Scale shape: one groupBy over the (tiny) source cardinality, a
+    * window over that stats table (sources rows, not corpus rows),
+    * then a broadcast join + narrow filter over the corpus — the
+    * corpus itself never shuffles. At 100 TB this is a scan. */
+  def domainMix(docs: DataFrame): DataFrame = {
+    // per-source token totals + weights: O(sources) rows
+    val stats = docs
+      .select(col("source"), size(split(col("text"), " ")).as("nt"))
+      .groupBy("source").agg(sum("nt").cast(LongType).as("tokens"))
+      .withColumn("w", mixWeight(col("source")))
+    // K over the full stats table: an unpartitioned window over
+    // O(sources) rows, NOT corpus rows — the single-task stage is a
+    // few KB. Arithmetic mirrors the oracle token-for-token, with
+    // EXPLICIT double casts (a bare 1.0 literal is DECIMAL to DuckDB),
+    // so the IEEE doubles agree bit-exactly across engines.
+    val k = min(col("tokens").cast(DoubleType) / col("w"))
+      .over(Window.partitionBy())
+    val scaled = floor(col("w") * col("kk") / col("tokens") * lit(4294967296.0))
+      .cast(LongType)
+    val rates = stats.withColumn("kk", k)
+      .select(
+        col("source"),
+        round(col("w") * col("kk") / col("tokens"), 6).as("rate"),
+        when(scaled >= 4294967296L, lit("zzzzzzzz"))
+          .otherwise(format_string("%08x", scaled)).as("thr"))
+    docs
+      .join(broadcast(rates), "source")
+      .filter(substring(md5(col("doc_id").cast("string")), 1, 8) < col("thr"))
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).as("n_tokens"), col("rate"))
   }
 }

@@ -576,4 +576,56 @@ object Dedup {
         }
       }.toDF("id_a", "id_b", "cos")
   }
+
+  // ---------- semantic dedup (c23) ----------
+  /** c23: SemDeDup (Abbas et al. 2023) — cluster the embedding space
+    * with k-means, then prune near-duplicates WITHIN each cluster
+    * only: in ascending id order a vector is dropped if its cosine to
+    * an already-KEPT member of the same cluster reaches `threshold`
+    * (so every semantic-duplicate group keeps exactly its min-id
+    * representative, and kept vectors are pairwise < threshold — the
+    * greedy ordering makes the result deterministic).
+    *
+    * This is the scale path c5's exact all-pairs baseline points at:
+    * clustering cuts the O(N²) comparison space to Σ|c|² with k
+    * chosen so clusters fit a task (N/k vectors · dim floats), and the
+    * whole op is ONE shuffle on cluster_id — the assignment itself
+    * reuses the IVF k-means (b2/b3), so an existing ANN index prunes
+    * its own corpus for free. A pathologically hot cluster is the
+    * same skew the IVF search path already handles (salt or split by
+    * the block layout); at the reference's k (√N-ish) clusters stay
+    * task-sized.
+    *
+    * `assign`: (vec_id, cluster_id) — from [[graft.ann.IVFIndex]]
+    * assignment. `embeddings`: (vec_id, embedding). */
+  def semDedup(
+      assign: DataFrame,
+      embeddings: DataFrame,
+      threshold: Double): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    import graft.functions.VectorFunctions.dot
+    val members = embeddings
+      .select(col("vec_id").cast(LongType), col("embedding"))
+      .join(assign.select(col("vec_id").cast(LongType), col("cluster_id").cast(IntegerType)), "vec_id")
+      .as[(Long, Array[Float], Int)]
+    members.groupByKey(_._3)
+      .flatMapGroups { (cid: Int, iter: Iterator[(Long, Array[Float], Int)]) =>
+        // greedy in id order against the kept set: O(|c|·kept)·dim,
+        // all inside one task — nothing global, nothing on the driver
+        val rows = iter.map { case (id, v, _) =>
+          (id, v, math.sqrt(dot(v, v))) }.toArray.sortBy(_._1)
+        val kept = new scala.collection.mutable.ArrayBuffer[(Array[Float], Double)]
+        rows.iterator.map { case (id, v, n) =>
+          val dup = kept.exists { case (u, un) =>
+            // same fixed-point rounding as c5 so thresholds behave
+            // identically across the dedup family
+            math.floor(dot(v, u) / (n * un) * 1e6 + 0.5) / 1e6 >= threshold
+          }
+          if (!dup) kept += ((v, n))
+          (id, cid, if (dup) 0 else 1)
+        }
+      }
+      .toDF("vec_id", "cluster_id", "keep")
+  }
 }

@@ -128,4 +128,52 @@ object TextAnalysis {
     } else minWin = full
     (full, minWin)
   }
+
+  // ---------------------------------------------------------------- c21
+  /** Repetition thresholds: a doc is flagged when more than 20% of its
+    * 2-grams are repeats or one word is more than 20% of its tokens
+    * (the Gopher-style "repetitive document" filters; see
+    * reference python/dataset_utils.py for the corpus-prep stage this
+    * extends). Shared with the SQL oracle. */
+  val DupGramMax = 0.2
+  val TopWordMax = 0.2
+
+  /** c21: intra-document repetition metrics — the duplicate-2-gram
+    * fraction and the most-common-word fraction, plus the keep/flag
+    * decision. Boilerplate text, keyword-stuffed spam, and template
+    * pages all light up one of the two ratios.
+    *
+    * Built entirely from codegen'd higher-order functions (transform /
+    * array_distinct / filter), so the identical logic runs as the
+    * DuckDB oracle, and the whole operator is a narrow map — a pure
+    * scan at 100 TB, no shuffle. The nested filter scan is
+    * O(distinct·tokens) per doc; for web-scale docs (≤ tens of KB)
+    * that is microseconds, and it stays inside whole-stage codegen
+    * where a sort-based mode would force a per-doc explode+groupBy
+    * shuffle. */
+  def docRepetition(docs: DataFrame): DataFrame = {
+    val w = toks(col("text"))
+    val n = size(w)
+    // 1-based element_at, i = 1..n-1 → the n-1 consecutive 2-grams;
+    // guarded: sequence(1, 0) would yield a DESCENDING [1, 0] range
+    val g2 = when(n >= 2,
+      transform(sequence(lit(1), n - 1),
+        i => concat(element_at(w, i), lit(" "), element_at(w, i + 1))))
+      .otherwise(array().cast(ArrayType(StringType)))
+    val n2 = size(g2)
+    val dupRatio = when(n2 === 0, lit(0.0))
+      .otherwise((n2 - size(array_distinct(g2))).cast(DoubleType) / n2)
+    val topCount = array_max(
+      transform(array_distinct(w), x => size(filter(w, y => y === x))))
+    val topRatio = topCount.cast(DoubleType) / n
+    docs.select(
+      col("doc_id"),
+      n.as("n_tokens"),
+      n2.as("n_2grams"),
+      round(dupRatio, 6).as("dup_2gram_ratio"),
+      round(topRatio, 6).as("top_word_ratio"),
+      // the flag compares the UNROUNDED ratios (mirrored in the oracle)
+      (dupRatio > DupGramMax || topRatio > TopWordMax)
+        .cast(IntegerType).as("repetitive"))
+  }
 }

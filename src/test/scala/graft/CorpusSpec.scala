@@ -198,4 +198,29 @@ class CorpusSpec extends AnyFunSuite {
     assert(out(21L) == ((4L, 1)), out.toString)
     assert(out(22L) == ((0L, 0)), out.toString)
   }
+
+  test("domain mix: binding source keeps everything, others downsample to weight ratios") {
+    def words(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
+    // weights from the label rule (srcN -> N % 4 + 1):
+    //   src1 w=2, src2 w=3, src5 w=2
+    // tokens: src1 = 40, src2 = 600, src5 = 400
+    // K = min(40/2, 600/3, 400/2) = 20  ->  rates: 1.0, 0.1, 0.1
+    val d = (
+      (1 to 4).map(i => (100L + i, words(10), "src1")) ++
+      (1 to 30).map(i => (200L + i, words(20), "src2")) ++
+      (1 to 20).map(i => (300L + i, words(20), "src5"))
+    ).toDF("doc_id", "text", "source")
+    val out = CorpusOps.domainMix(d).collect()
+    val bySrc = out.groupBy(_.getAs[String]("source"))
+    // the binding source is never downsampled
+    assert(bySrc("src1").length == 4, bySrc.view.mapValues(_.length).toMap.toString)
+    assert(bySrc("src1").forall(_.getAs[Double]("rate") == 1.0))
+    // non-binding sources carry the exact feasible rate and lose docs
+    for (s <- Seq("src2", "src5"); r <- bySrc.getOrElse(s, Array.empty[org.apache.spark.sql.Row]))
+      assert(r.getAs[Double]("rate") == 0.1, r.toString)
+    assert(bySrc.getOrElse("src2", Array.empty[org.apache.spark.sql.Row]).length < 30)
+    // deterministic: the kept set is a pure function of the input
+    val again = CorpusOps.domainMix(d).collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(again == out.map(_.getAs[Long]("doc_id")).toSet)
+  }
 }

@@ -321,4 +321,50 @@ class OpsSpec extends AnyFunSuite {
     val frames = Multimodal.sampleFrames(spark, d, stride = 2).count()
     assert(frames == 1 + 4) // 1 frame for 4B doc; ceil(100/16)=7 frames -> idx 0,2,4,6
   }
+
+  test("doc repetition flags duplicate-2gram and top-word stuffing, not normal prose") {
+    val d = docs(
+      1L -> "the quick brown fox jumps over a lazy dog near the river bank today",
+      2L -> "buy now buy now buy now buy now buy now buy now",   // dup 2-grams
+      3L -> "spam is spam and spam was spam so spam stays spam", // one word stuffed
+      4L -> "single")                                            // degenerate: no 2-grams
+    val out = TextAnalysis.docRepetition(d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Int]("repetitive") == 0, out(1L).toString)
+    assert(out(2L).getAs[Int]("repetitive") == 1, out(2L).toString)
+    assert(out(2L).getAs[Double]("dup_2gram_ratio") > 0.5)
+    assert(out(3L).getAs[Int]("repetitive") == 1, out(3L).toString)
+    assert(out(3L).getAs[Double]("top_word_ratio") > 0.4)
+    // a one-token doc has zero 2-grams (ratio 0, not NULL/NaN) and a
+    // top-word ratio of 1 — degenerate docs are flagged, by design
+    assert(out(4L).getAs[Int]("n_2grams") == 0)
+    assert(out(4L).getAs[Double]("dup_2gram_ratio") == 0.0)
+    assert(out(4L).getAs[Double]("top_word_ratio") == 1.0)
+  }
+
+  test("semdedup prunes within clusters only, greedily against the KEPT set") {
+    def at(deg: Double) = Array(math.cos(math.toRadians(deg)).toFloat,
+      math.sin(math.toRadians(deg)).toFloat)
+    // cluster 0: 0° kept; 15° dup of 0° (cos .966 >= .95); 30° is NOT a
+    // dup of the KEPT 0° (cos .866) even though it IS within .95 of the
+    // DROPPED 15° — greedy-vs-kept must keep it
+    // cluster 1: an exact copy of 0° survives (other cluster untouched)
+    val emb = Seq(
+      (10L, at(0)), (11L, at(15)), (12L, at(30)), (20L, at(0)))
+      .toDF("vec_id", "embedding")
+    val asg = Seq((10L, 0), (11L, 0), (12L, 0), (20L, 1))
+      .toDF("vec_id", "cluster_id")
+    val out = Dedup.semDedup(asg, emb, threshold = 0.95)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("keep")).toMap
+    assert(out == Map(10L -> 1, 11L -> 0, 12L -> 1, 20L -> 1), out.toString)
+  }
+
+  test("semdedup keeps the min-id representative of an identical group") {
+    val v = Array(0.6f, 0.8f)
+    val emb = Seq((3L, v), (1L, v), (2L, v)).toDF("vec_id", "embedding")
+    val asg = Seq((3L, 0), (1L, 0), (2L, 0)).toDF("vec_id", "cluster_id")
+    val out = Dedup.semDedup(asg, emb, threshold = 0.999)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("keep")).toMap
+    assert(out == Map(1L -> 1, 2L -> 0, 3L -> 0), out.toString)
+  }
 }

@@ -131,4 +131,15 @@ class PlanSpec extends AnyFunSuite {
     assert("array_distinct".r.findAllIn(p).length <= 2,
       s"shingle-recomputing pre-filter is back:\n$p")
   }
+
+  test("c22 domain mix broadcasts the rate table and keeps the corpus unshuffled") {
+    val p = plan(operators.PipelineQueries.domainMix(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), s"rate table not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus-side shuffle join appeared:\n$p")
+  }
+
+  test("c21 repetition metrics stay in codegen (no UDF node in the plan)") {
+    val p = plan(operators.PipelineQueries.docRepetition(spark, sf))
+    assert(!p.contains("UDF"), s"c21 fell back to a UDF:\n$p")
+  }
 }
