@@ -61,11 +61,6 @@ object EventOps {
 
   private val runId = new java.util.concurrent.atomic.AtomicInteger(0)
 
-  private val eventsSchema = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
-    StructField("user_id", LongType), StructField("event_type", StringType),
-    StructField("value", DoubleType), StructField("props", StringType)))
-
   private val srcDirCache =
     new java.util.concurrent.ConcurrentHashMap[(String, String), java.nio.file.Path]()
 
@@ -87,11 +82,16 @@ object EventOps {
       d
     }).toString
 
-  /** Streaming source over the events table. `ts` arrives as raw
-    * nanos (see Tables). */
+  /** Streaming source over the events table. The file stream source
+    * needs an explicit schema; take it from the parquet footer (a
+    * driver-side metadata read, no data scan) so `ts` matches whatever
+    * encoding this testdata generation shipped — raw long nanos or
+    * TIMESTAMP micros (see Tables.nanosToTimestamp, which consumers
+    * apply when they need a real timestamp). */
   private def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     Tables.enableNanosAsLong(spark)
-    spark.readStream.schema(eventsSchema)
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    spark.readStream.schema(schema)
       .parquet(symlinkedDir(dir, "events.parquet"))
   }
 
