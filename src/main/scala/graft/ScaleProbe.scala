@@ -74,6 +74,21 @@ object ScaleProbe {
     val (_, tContam) = time(force(graft.ops.CorpusOps.contamination(docsOnDisk)))
     val (_, tStats) = time(force(graft.ops.CorpusOps.corpusStats(docsOnDisk)))
 
+    // --- c21 repetition metrics: a pure narrow map (the nested
+    // distinct-token scan is per-doc, inside codegen) — must scale
+    // like the other scans, no shuffle ---
+    val (_, tRepet) = time(force(
+      graft.ops.TextAnalysis.docRepetition(docsOnDisk)))
+
+    // --- c22 domain mixture: the probe corpus re-labelled over 8
+    // sources (the on-disk single-source shape would make the mix
+    // degenerate). Corpus-side cost must be one groupBy into an
+    // O(sources) stats table + a broadcast join back — the corpus
+    // itself never shuffles. ---
+    val docsMultiSrc = docsOnDisk.withColumn(
+      "source", concat(lit("src"), (col("doc_id") % 8).cast("int")))
+    val (_, tMix) = time(force(graft.ops.CorpusOps.domainMix(docsMultiSrc)))
+
     // --- c20 canonicalization at probe scale: a planted MEGA-FAMILY —
     // one chain of `megaN` docs (diameter ≈ megaN, the adversarial
     // shape for label propagation: naive propagation would need megaN
@@ -125,16 +140,31 @@ object ScaleProbe {
     val (_, tHighAcc) = time(force(
       model.searchHighAcc(spark, vecsOnDisk, queries, k = 100, nprobe = 32)))
 
+    // --- c23 SemDeDup over the SAME IVF assignment (the b2/b3 k-means
+    // the production query reuses), timed in both regimes: a dup-heavy
+    // threshold (kept set stays small — the common case) and a
+    // dup-free one (kept = |cluster|, the within-cluster greedy's
+    // O(|c|²·dim/2) worst case — the number that tells you when k is
+    // too small for the corpus). k=256 ⇒ ~N/256 vectors/cluster. ---
+    val assign = model.index.toDF()
+      .select(col("id").as("vec_id"), col("cluster_id"))
+    val (_, tSemDup) = time(force(
+      Dedup.semDedup(assign, vecsOnDisk, threshold = 0.3)))
+    val (_, tSemNoDup) = time(force(
+      Dedup.semDedup(assign, vecsOnDisk, threshold = 0.9999)))
+
     println(
       s"""{"probe":"scale","n_docs":$nDocs,"n_vecs":$nVecs,"dim":$dim,"cpus":$cpus,""" +
       s""""c1_exact_s":$tExact,"c2_minhash_s":$tMinhash,"c3_simhash_s":$tSimhash,""" +
       s""""d6_stream_s":$tStream,""" +
       s""""c12_scrub_s":$tScrub,"c15_pack_s":$tPack,"c16_filter_s":$tFilter,""" +
       s""""c17_contam_s":$tContam,"c18_stats_s":$tStats,""" +
+      s""""c21_repetition_s":$tRepet,"c22_domainmix_s":$tMix,""" +
       s""""c20_canon_s":$tCanon,"c20_mega_family":$megaN,""" +
       s""""index_build_s":$tBuild,""" +
       s""""search100_s":$tSearch,"search100_highacc_s":$tHighAcc,""" +
-      s""""search100_q14_s":$tSearchQ}""")
+      s""""search100_q14_s":$tSearchQ,""" +
+      s""""c23_semdedup_s":$tSemDup,"c23_semdedup_nodup_s":$tSemNoDup}""")
     spark.stop()
   }
 }
