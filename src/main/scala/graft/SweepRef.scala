@@ -271,8 +271,13 @@ object SweepRef {
           if (rawCommit.nonEmpty && rawCommit.forall(c => c.isDigit ||
               ('a' <= c && c <= 'f') || ('A' <= c && c <= 'F'))) rawCommit
           else "unknown"
+        // raw toString for the doubles, not the locale-sensitive
+        // f"%.1f" — a comma-decimal default locale would emit invalid
+        // JSON (same hazard Bench's vs_baseline line avoids)
+        val buildS = math.rint(tBuild * 10) / 10
+        val gtS = math.rint(tGt * 10) / 10
         val meta =
-          f"""{"commit":"$commit","dim":$dim%d,"n_vecs":$nVecs%d,"k":$kClusters%d,"nq":$nq%d,"topk":$topk%d,"mode":"${if (highAcc) "highacc" else "plain"}","batch_nq":$batchNq%d,"build_s":$tBuild%.1f,"gt_s":$tGt%.1f}""" + "\n"
+          s"""{"commit":"$commit","dim":$dim,"n_vecs":$nVecs,"k":$kClusters,"nq":$nq,"topk":$topk,"mode":"${if (highAcc) "highacc" else "plain"}","batch_nq":$batchNq,"build_s":$buildS,"gt_s":$gtS}""" + "\n"
         Files.write(Paths.get(out + ".meta.json"), meta.getBytes(StandardCharsets.UTF_8))
       }
       // write the ladder-only CSV + its meta sibling now: a failure in

@@ -105,7 +105,12 @@ object PipelineQueries {
     * SQL-expressible); pinned by OpsSpec + golden. */
   def semDedup(spark: SparkSession, dir: String): DataFrame =
     graft.ops.Dedup.semDedup(
-      AnnQueries.ivfAssign(spark, dir).select("vec_id", "cluster_id"),
+      // the raw index, not ivfAssign: the b3 query's orderBy (a full
+      // range-shuffle) and sqrt/round distance column would be pure
+      // wasted work — semDedup keeps only (vec_id, cluster_id) and
+      // reshuffles by cluster anyway
+      AnnQueries.model(spark, dir).index.toDF()
+        .select(col("id").as("vec_id"), col("cluster_id")),
       Tables.embeddings(spark, dir), threshold = 0.3)
       .orderBy("vec_id")
 

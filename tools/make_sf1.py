@@ -74,6 +74,11 @@ for r in range(reps):
     replicas.append(t)
 out = pa.concat_tables(replicas)
 pq.write_table(out, f"{dst}/events.parquet")
-assert pq.read_schema(f"{dst}/events.parquet").field("ts").type == pa.timestamp("ns")
-print(f"events\t{out.num_rows} rows (ts kept timestamp[ns])")
+# events.ts has shipped as TIMESTAMP(NANOS) and as plain micros across
+# testdata generations (see Tables.nanosToTimestamp); either is fine —
+# what matters is that replication preserved the source encoding.
+_src_ts = pq.read_schema(f"{src}/events.parquet").field("ts").type
+_dst_ts = pq.read_schema(f"{dst}/events.parquet").field("ts").type
+assert _dst_ts == _src_ts, f"ts encoding changed: {_src_ts} -> {_dst_ts}"
+print(f"events\t{out.num_rows} rows (ts kept {_dst_ts})")
 print(f"wrote {reps}x replicas of {src} to {dst}")

@@ -14,8 +14,15 @@ COMMIT=$(git rev-parse HEAD)
 # unique snapshot dir + log per launch: deleting/truncating a shared
 # path would yank the classpath (NoClassDefFoundError an hour in) or
 # the log out from under a still-running sweep. Day-old snapshots are
-# reaped so repeated launches don't fill /tmp.
-find /tmp -maxdepth 1 -name 'sweep_classes.*' -mmin +1440 -exec rm -rf {} + 2>/dev/null || true
+# reaped so repeated launches don't fill /tmp — but NEVER one still on
+# a live JVM's classpath (a >24 h sweep would otherwise lose its
+# classes mid-run, the exact failure the snapshot exists to prevent).
+for d in /tmp/sweep_classes.*; do
+  [ -d "$d" ] || continue
+  [ -n "$(find "$d" -maxdepth 0 -mmin +1440)" ] || continue
+  pgrep -f "cp $d:" >/dev/null 2>&1 && continue
+  rm -rf "$d" "$d.log"
+done
 sbt -batch compile >/dev/null
 SNAP=$(mktemp -d /tmp/sweep_classes.XXXXXX)
 cp -r target/scala-2.13/classes/. "$SNAP"
