@@ -48,6 +48,10 @@ object SweepRef {
     sys.env.get(name).map(_.toInt).getOrElse(dflt)
 
   def main(args: Array[String]): Unit = {
+    // the CSV rows are written with f"%.2f"-style interpolation; pin
+    // the process locale so a comma-decimal default can never corrupt
+    // the artifact's column structure
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val out = if (args.nonEmpty) args(0) else "results/sweep_d1536.csv"
     val dim = env("SPARK_GRAFT_SWEEP_DIM", 1536)
     val nVecs = env("SPARK_GRAFT_SWEEP_VECS", 1000000)
