@@ -281,7 +281,7 @@ object SweepRef {
         val buildS = math.rint(tBuild * 10) / 10
         val gtS = math.rint(tGt * 10) / 10
         val meta =
-          s"""{"commit":"$commit","dim":$dim,"n_vecs":$nVecs,"k":$kClusters,"nq":$nq,"topk":$topk,"mode":"${if (highAcc) "highacc" else "plain"}","batch_nq":$batchNq,"build_s":$buildS,"gt_s":$gtS}""" + "\n"
+          s"""{"commit":"$commit","dim":$dim,"n_vecs":$nVecs,"k":$kClusters,"nq":$nq,"topk":$topk,"mode":"${if (highAcc) "highacc" else "plain"}","batch_nq":$batchNq,"batch_query_bits":14,"build_s":$buildS,"gt_s":$gtS}""" + "\n"
         Files.write(Paths.get(out + ".meta.json"), meta.getBytes(StandardCharsets.UTF_8))
       }
       // write the ladder-only CSV + its meta sibling now: a failure in
@@ -307,10 +307,19 @@ object SweepRef {
           .filter(np => rows.exists(_._1 == np))
       val batchQdf = synth(spark.range(batchNq.toLong.max(1L)).as[java.lang.Long]
         .repartition(cpus.toInt), seedBase = 0x9E3779B97F4A7C15L)
+      // LUT estimate kernel (queryBits=14): the Spark analogue of the
+      // reference's FastScan accumulation, which is what its QPS
+      // numbers measure — the scalar per-set-bit kernel is the
+      // non-SIMD fallback, ~25-35% slower wall at this shape (the
+      // batch phase is estimate-volume-bound: k-means catch-all
+      // clusters put ~8x the balanced candidate count in front of
+      // the estimator; measured 159M pairs per 2048-query chunk at
+      // 1M x d=1536, K=512)
+      val batchModel = model.withQueryBits(14)
       val batchQps: Map[Int, Double] = batchRungs.flatMap { np =>
         val qdf = batchQdf
         val w0 = System.nanoTime()
-        val n = model.searchAll(spark, qdf, topk, np, chunk = 2048).count()
+        val n = batchModel.searchAll(spark, qdf, topk, np, chunk = 2048).count()
         val wall = (System.nanoTime() - w0) / 1e9
         if (n != batchNq.toLong * topk) {
           // short count (e.g. a skewed corpus whose nprobe-probe set

@@ -872,43 +872,61 @@ final class IVFModel(
     val probedClusters = probeArr.indices.filter(probeArr(_) != null)
     val bc = spark.sparkContext.broadcast((probes, rotatedCentroids, probeArr))
 
-    // --- scan only probed clusters; estimate → prune → rerank → local top-k ---
+    // --- scan only probed clusters; estimate → prune → rerank → local top-k.
+    // The scan is QUERY-MAJOR over per-cluster entry runs: entries are
+    // buffered and grouped by cluster first, then each probing query
+    // scans its cluster's whole run before the next query starts. With
+    // a large in-flight query batch (searchAll chunks of thousands),
+    // the naive entry-major order touches a DIFFERENT query's residual
+    // (dim × 4 B, several KB at d≥1024) on every inner step — every
+    // estimate becomes a DRAM round-trip (measured ~30× the hot-cache
+    // kernel cost at d=1536, NQ=2048). Query-major keeps one residual
+    // cache-hot across an entire ≤ClusterBlockRows-entry run while the
+    // run's sign-bit words stream sequentially; it also needs no
+    // (cluster × query) prepared-residual cache — each pair is visited
+    // exactly once per partition. The buffer holds only this
+    // partition's probed-cluster entries (the isin filter runs before
+    // mapPartitions), i.e. at most the partition's share of the cached
+    // index — the same rows the block-manager already holds
+    // deserialized, with (cluster_id, block) capping partition skew. ---
     val candidates = idx
       .filter(col("cluster_id").isin(probedClusters.map(_.asInstanceOf[AnyRef]): _*))
       .mapPartitions { iter =>
         val (qs, rotCents, byCluster) = bc.value
-        // prepared query residuals per (cluster, query), lazily filled
-        val prepared = new Array[Array[RaBitQ.QueryCluster]](byCluster.length)
         val heaps = Array.fill(qs.length)(new KnnExact.BoundedTopK(k))
         val dists = Array.fill(qs.length)(Double.MaxValue) // local distk
+        val byClusterRuns =
+          new scala.collection.mutable.HashMap[Int, scala.collection.mutable.ArrayBuffer[Entry]]
         iter.foreach { e =>
-          val queryIdxs = byCluster(e.cluster_id)
-          if (queryIdxs != null) {
-            var pc = prepared(e.cluster_id)
-            if (pc == null) {
-              pc = new Array[RaBitQ.QueryCluster](qs.length)
-              prepared(e.cluster_id) = pc
-            }
-            var j = 0
-            while (j < queryIdxs.length) {
-              val qi = queryIdxs(j)
-              var qc = pc(qi)
-              if (qc == null) {
-                qc = RaBitQ.prepareQuery(qs(qi)._2, rotCents(e.cluster_id), queryBits)
-                pc(qi) = qc
-              }
+          if (byCluster(e.cluster_id) != null)
+            byClusterRuns.getOrElseUpdate(
+              e.cluster_id, scala.collection.mutable.ArrayBuffer.empty[Entry]) += e
+        }
+        byClusterRuns.foreach { case (cid, run) =>
+          val queryIdxs = byCluster(cid)
+          var j = 0
+          while (j < queryIdxs.length) {
+            val qi = queryIdxs(j)
+            val qc = RaBitQ.prepareQuery(qs(qi)._2, rotCents(cid), queryBits)
+            var distK = dists(qi)
+            val heap = heaps(qi)
+            var i = 0
+            while (i < run.length) {
+              val e = run(i)
               val lower =
                 if (queryBits > 0)
                   RaBitQ.estimateLowerLut(qc, e.sign_bits, e.x2, e.fac_ip, e.fac_err)
                 else
                   RaBitQ.estimateLower(qc, e.sign_bits, e.x2, e.fac_ip, e.fac_err)
-              if (lower <= dists(qi)) {
+              if (lower <= distK) {
                 val ex = RaBitQ.rerankDist(qc, e.sign_bits, e.ex_code, e.x2, e.xipnorm, exBits)
-                heaps(qi).insert(ex, e.id)
-                dists(qi) = heaps(qi).worstOrElse(Double.MaxValue)
+                heap.insert(ex, e.id)
+                distK = heap.worstOrElse(Double.MaxValue)
               }
-              j += 1
+              i += 1
             }
+            dists(qi) = distK
+            j += 1
           }
         }
         heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
