@@ -62,5 +62,19 @@ class BenchSpec extends AnyFunSuite {
     assert(m.keySet.subsetOf(SparkEntry.oracleSql.keySet),
       "baseline contains a query with no SQL oracle")
     assert(m.values.forall(_ >= 0))
+    // ...and the REVERSE: every oracle query must appear in the TSV
+    // (as a timing or a -1 failure sentinel in the raw file), else
+    // vs_baseline silently shrinks its surface when a new oracle query
+    // is added without re-running tools/make_baseline.py. Raw lines,
+    // not readBaseline: the parsed map legitimately drops sentinels.
+    val rawKeys = scala.jdk.CollectionConverters.ListHasAsScala(
+      java.nio.file.Files.readAllLines(
+        java.nio.file.Paths.get("results/baseline_duckdb.tsv"))).asScala
+      .filterNot(l => l.startsWith("#") || l.trim.isEmpty)
+      .flatMap(_.split("\t").headOption).toSet
+    val missing = SparkEntry.oracleSql.keySet -- rawKeys
+    assert(missing.isEmpty,
+      s"oracle queries absent from the committed baseline TSV (re-run " +
+        s"tools/make_baseline.py): $missing")
   }
 }
