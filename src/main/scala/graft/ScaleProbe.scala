@@ -89,6 +89,24 @@ object ScaleProbe {
       "source", concat(lit("src"), (col("doc_id") % 8).cast("int")))
     val (_, tMix) = time(force(graft.ops.CorpusOps.domainMix(docsMultiSrc)))
 
+    // --- c24 substring-span dedup: ~33 windows/doc explode to md5
+    // keys; the 10% planted near-dups share two long runs each (the
+    // 20-token prefix and 19-token suffix around the changed token),
+    // so the dup-key join and per-doc interval union do real work ---
+    val (_, tSpans) = time(force(Dedup.substringSpans(docsOnDisk)))
+
+    // --- c25 BM25 over the probe vocabulary: term-pruned postings —
+    // the corpus scans once, only rows hitting the 9 query terms
+    // shuffle (vocab 5000 ⇒ ~0.8% of postings survive the prune) ---
+    val probeQueries = Seq(
+      "p1" -> Seq("w1", "w42", "w123"),
+      "p2" -> Seq("w7", "w77", "w777"),
+      "p3" -> Seq("w13", "w169", "w2197"))
+      .flatMap { case (q, ts) => ts.map(t => (q, t)) }
+      .toDF("query_id", "term")
+    val (_, tBm25) = time(force(graft.ops.Retrieval.topK(
+      graft.ops.Retrieval.bm25Scores(docsOnDisk, probeQueries), 10)))
+
     // --- c20 canonicalization at probe scale: a planted MEGA-FAMILY —
     // one chain of `megaN` docs (diameter ≈ megaN, the adversarial
     // shape for label propagation: naive propagation would need megaN
@@ -153,6 +171,12 @@ object ScaleProbe {
     val (_, tSemNoDup) = time(force(
       Dedup.semDedup(assign, vecsOnDisk, threshold = 0.9999)))
 
+    // --- c26 hybrid search at probe scale: the lexical leg re-runs
+    // the c25 shape for the 3 query docs' tokens; the vector leg is a
+    // 3-query broadcast over the full embeddings scan ---
+    val (_, tHybrid) = time(force(
+      graft.ops.Retrieval.hybridSearch(spark, docsOnDisk, vecsOnDisk)))
+
     println(
       s"""{"probe":"scale","n_docs":$nDocs,"n_vecs":$nVecs,"dim":$dim,"cpus":$cpus,""" +
       s""""c1_exact_s":$tExact,"c2_minhash_s":$tMinhash,"c3_simhash_s":$tSimhash,""" +
@@ -160,6 +184,7 @@ object ScaleProbe {
       s""""c12_scrub_s":$tScrub,"c15_pack_s":$tPack,"c16_filter_s":$tFilter,""" +
       s""""c17_contam_s":$tContam,"c18_stats_s":$tStats,""" +
       s""""c21_repetition_s":$tRepet,"c22_domainmix_s":$tMix,""" +
+      s""""c24_spans_s":$tSpans,"c25_bm25_s":$tBm25,"c26_hybrid_s":$tHybrid,""" +
       s""""c20_canon_s":$tCanon,"c20_mega_family":$megaN,""" +
       s""""index_build_s":$tBuild,""" +
       s""""search100_s":$tSearch,"search100_highacc_s":$tHighAcc,""" +

@@ -61,6 +61,9 @@ object SparkEntry {
     "c21_doc_repetition" -> (PipelineQueries.docRepetition(_, _)),
     "c22_domain_mix" -> (PipelineQueries.domainMix(_, _)),
     "c23_semdedup"   -> (PipelineQueries.semDedup(_, _)),
+    "c24_substring_dedup" -> (PipelineQueries.substringDedup(_, _)),
+    "c25_bm25_search" -> (PipelineQueries.bm25Search(_, _)),
+    "c26_hybrid_search" -> (PipelineQueries.hybridSearch(_, _)),
     "d1_sessionize"  -> (PipelineQueries.sessionize(_, _)),
     "d2_window_agg"  -> (PipelineQueries.windowAgg(_, _)),
     "d3_stream_agg"  -> (PipelineQueries.streamingAgg(_, _)),

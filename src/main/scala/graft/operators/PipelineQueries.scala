@@ -114,6 +114,18 @@ object PipelineQueries {
       Tables.embeddings(spark, dir), threshold = 0.3)
       .orderBy("vec_id")
 
+  def substringDedup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.substringSpans(Tables.documents(spark, dir)).orderBy("doc_id")
+
+  def bm25Search(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Retrieval.bm25Search(spark, Tables.documents(spark, dir))
+      .orderBy("query_id", "rk")
+
+  def hybridSearch(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Retrieval.hybridSearch(spark, Tables.documents(spark, dir),
+      Tables.embeddings(spark, dir))
+      .orderBy("query_id", "rk")
+
   def sessionize(spark: SparkSession, dir: String): DataFrame =
     EventOps.sessionize(spark, dir)
 
@@ -181,7 +193,104 @@ object PipelineQueries {
       | JOIN embeddings eb ON eb.vec_id = t.id_b
       | WHERE t.jaccard >= 0.8)""".stripMargin
 
+  /** The BM25 scoring pipeline as SQL CTEs, parameterized by the
+    * query-terms CTE (must be named `bq`, rows (query_id, term));
+    * arithmetic mirrors Retrieval.bm25Scores expression-for-expression
+    * (see the oracle-parity notes there: exact-int avgdl, 1e-4
+    * quantized idf, integer micro-unit term scores). Yields CTE
+    * `tot(query_id, doc_id, score)`. */
+  private def bm25CteSql(queryCte: String): String = {
+    import graft.ops.Retrieval.{BmK1, BmB}
+    s"""$queryCte,
+       |bdl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl FROM documents),
+       |bst AS (SELECT CAST(count(*) AS DOUBLE) AS nn, sum(dl)/count(*) AS avgdl FROM bdl),
+       |btf AS (SELECT term, doc_id, CAST(count(*) AS DOUBLE) AS tf
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+       |  WHERE term IN (SELECT DISTINCT term FROM bq) GROUP BY term, doc_id),
+       |btfd AS (SELECT term, doc_id, tf,
+       |  CAST(count(*) OVER (PARTITION BY term) AS DOUBLE) AS df FROM btf),
+       |bsc AS (SELECT bq.query_id, t.doc_id,
+       |  CAST(floor(
+       |    (floor(ln(1.0 + (bst.nn - t.df + 0.5)/(t.df + 0.5)) * 1e4 + 0.5)/1e4)
+       |    * (t.tf * (CAST($BmK1 AS DOUBLE) + 1.0)
+       |       / (t.tf + CAST($BmK1 AS DOUBLE) * (1.0 - CAST($BmB AS DOUBLE)
+       |          + CAST($BmB AS DOUBLE) * d.dl / bst.avgdl)))
+       |    * 1e6 + 0.5) AS BIGINT) AS micro
+       | FROM btfd t JOIN bq USING (term) JOIN bdl d USING (doc_id) CROSS JOIN bst),
+       |tot AS (SELECT query_id, doc_id,
+       |  CAST(sum(micro) AS DOUBLE)/1e6 AS score FROM bsc GROUP BY 1, 2)""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "c24_substring_dedup" ->
+      // SpanK-token windows, 1-based start positions, md5 span keys;
+      // coverage telescopes LEAST(K, next-start) — all mirrored in
+      // Dedup.substringSpans
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |win AS (SELECT doc_id, unnest(range(1, len(w) - ${Dedup.SpanK - 2})) AS p, w
+         |        FROM t WHERE len(w) >= ${Dedup.SpanK}),
+         |wk AS (SELECT doc_id, p,
+         |  md5(array_to_string(w[p:p+${Dedup.SpanK - 1}], ' ')) AS key FROM win),
+         |dup AS (SELECT key FROM wk GROUP BY key HAVING min(doc_id) < max(doc_id)),
+         |dpos AS (SELECT doc_id, p FROM wk JOIN dup USING (key)),
+         |cov AS (SELECT doc_id,
+         |  LEAST(${Dedup.SpanK}, COALESCE(lead(p) OVER (PARTITION BY doc_id ORDER BY p),
+         |    p + ${Dedup.SpanK}) - p) AS c
+         | FROM dpos),
+         |a AS (SELECT doc_id, CAST(count(*) AS INT) AS n_dup_windows,
+         |  CAST(sum(c) AS BIGINT) AS dup_tokens FROM cov GROUP BY doc_id),
+         |base AS (SELECT doc_id,
+         |  CAST(len(string_split(text, ' ')) AS INT) AS n_tokens FROM documents)
+         |SELECT b.doc_id, b.n_tokens,
+         | CAST(GREATEST(b.n_tokens - ${Dedup.SpanK - 1}, 0) AS INT) AS n_windows,
+         | COALESCE(a.n_dup_windows, 0) AS n_dup_windows,
+         | COALESCE(a.dup_tokens, 0) AS dup_tokens,
+         | ROUND(CAST(COALESCE(a.dup_tokens, 0) AS DOUBLE) / b.n_tokens, 6) AS dup_token_ratio,
+         | CAST(CAST(COALESCE(a.dup_tokens, 0) AS DOUBLE) / b.n_tokens
+         |   > CAST(${Dedup.SpanDupMax} AS DOUBLE) AS INT) AS flagged
+         |FROM base b LEFT JOIN a USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "c25_bm25_search" ->
+      (s"WITH ${bm25CteSql(
+        s"bq(query_id, term) AS (VALUES ${graft.ops.Retrieval.bmQuerySql})")}" +
+        s"""
+           |SELECT query_id, CAST(rk AS INT) AS rk, doc_id, score FROM (
+           | SELECT query_id, doc_id, score,
+           |  row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rk
+           | FROM tot)
+           |WHERE rk <= ${graft.ops.Retrieval.BmTopK} ORDER BY query_id, rk""".stripMargin),
+    "c26_hybrid_search" -> {
+      import graft.ops.Retrieval.{HybridQueryIds, HybridQueryTokens, HybridLegK, RrfC, BmTopK}
+      val ids = HybridQueryIds.mkString(", ")
+      (s"WITH ${bm25CteSql(
+        s"""bq AS (SELECT doc_id AS query_id,
+           |  unnest(list_distinct(string_split(text, ' ')[1:$HybridQueryTokens])) AS term
+           | FROM documents WHERE doc_id IN ($ids))""".stripMargin)}," +
+        s"""
+           |lex AS (SELECT query_id, doc_id, rk FROM (
+           |  SELECT query_id, doc_id,
+           |   row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rk
+           |  FROM tot) WHERE rk <= $HybridLegK),
+           |hqe AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id IN ($ids)),
+           |cosr AS (SELECT hqe.query_id, d.vec_id AS doc_id,
+           |   floor(list_cosine_similarity(CAST(hqe.embedding AS DOUBLE[]),
+           |     CAST(d.embedding AS DOUBLE[])) * 1e6 + 0.5)/1e6 AS score
+           |  FROM embeddings d CROSS JOIN hqe),
+           |vec AS (SELECT query_id, doc_id, rk FROM (
+           |  SELECT query_id, doc_id,
+           |   row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rk
+           |  FROM cosr) WHERE rk <= $HybridLegK),
+           |f AS (SELECT query_id, doc_id,
+           |  CAST(COALESCE(l.rk, 0) AS INT) AS lex_rk,
+           |  CAST(COALESCE(v.rk, 0) AS INT) AS vec_rk,
+           |  CAST(COALESCE(CAST(floor(1e6/($RrfC + l.rk)) AS BIGINT), 0)
+           |     + COALESCE(CAST(floor(1e6/($RrfC + v.rk)) AS BIGINT), 0) AS DOUBLE)/1e6 AS score
+           | FROM lex l FULL JOIN vec v USING (query_id, doc_id))
+           |SELECT query_id, CAST(rk AS INT) AS rk, doc_id, score AS rrf, lex_rk, vec_rk FROM (
+           | SELECT query_id, doc_id, score, lex_rk, vec_rk,
+           |  row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rk
+           | FROM f)
+           |WHERE rk <= $BmTopK ORDER BY query_id, rk""".stripMargin)
+    },
     "c21_doc_repetition" ->
       // thresholds + the unrounded-flag rule mirror TextAnalysis
       // .docRepetition; 1-based list indexing matches element_at

@@ -628,4 +628,80 @@ object Dedup {
       }
       .toDF("vec_id", "cluster_id", "keep")
   }
+
+  // ---------- exact substring-span dedup (c24) ----------
+  /** Span length in tokens for exact substring-span dedup — the span
+    * granularity of Lee et al. 2022 ("Deduplicating Training Data
+    * Makes Language Models Better"), scaled to the synthetic corpus'
+    * ~54-token documents. Shared with the SQL oracle. */
+  val SpanK = 8
+  /** Flag threshold: a doc whose tokens are more than 30% covered by
+    * cross-document duplicated spans is flagged for span removal. */
+  val SpanDupMax = 0.3
+
+  /** c24: exact substring-span dedup — find every SpanK-token window
+    * that appears verbatim in MORE THAN ONE document and measure, per
+    * doc, how much of it is such boilerplate: the number of duplicated
+    * window positions and the exact token coverage of their union
+    * (overlapping windows are merged, so coverage never double-counts
+    * a token). This is the cross-document complement of c21's
+    * intra-document repetition: c21 catches a doc repeating itself,
+    * c24 catches license headers / navboxes / syndicated passages
+    * repeated across the corpus.
+    *
+    * Scale shape: windows explode to (16-byte md5 key, doc, pos) rows
+    * — ~n_tokens rows per doc, never the O(n·K) token copies (the
+    * window text dies inside the projection). Duplicate detection is
+    * min(doc)/max(doc) window functions OVER THE SPAN KEY on that one
+    * exploded set (a span is cross-doc iff min < max — no
+    * countDistinct expansion), so the corpus is scanned ONCE and the
+    * spans shuffle ONCE; the groupBy+self-join alternative would scan
+    * and shuffle the exploded windows twice. The per-doc interval
+    * union is then a lead() window + sum, partitioned by doc. Every
+    * shuffle key is fixed-width; nothing touches the driver.
+    * Coverage union: sorted window starts p1<p2<... each contribute
+    * min(SpanK, next_start - start) tokens (the last contributes
+    * SpanK), which telescopes to exactly |union of [p, p+SpanK)
+    * intervals|. */
+  def substringSpans(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = split(col("text"), " ")
+    val n = size(w)
+    // one (p, key) pair per window start p = 1..n-SpanK+1 (1-based to
+    // match the oracle's list indexing); docs shorter than SpanK have
+    // no windows and rejoin via the final left join
+    val wins = docs
+      .filter(n >= SpanK)
+      .select(col("doc_id").cast(LongType).as("doc_id"),
+        explode(transform(sequence(lit(1), n - (SpanK - 1)),
+          i => struct(i.as("p"),
+            md5(concat_ws(" ", slice(w, i, lit(SpanK))).cast(BinaryType)).as("key"))))
+          .as("win"))
+      .select(col("doc_id"), col("win.p").as("p"), col("win.key").as("key"))
+    // cross-doc duplicated span positions: min/max over the key
+    // partition — one shuffle, no join back, no second corpus scan
+    val byKey = Window.partitionBy("key")
+    val byDoc = Window.partitionBy("doc_id").orderBy("p")
+    val covered = wins
+      .withColumn("mn", min("doc_id").over(byKey))
+      .withColumn("mx", max("doc_id").over(byKey))
+      .filter(col("mx") > col("mn"))
+      .withColumn("c",
+        least(lit(SpanK),
+          coalesce(lead(col("p"), 1).over(byDoc), col("p") + SpanK) - col("p")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast(IntegerType).as("n_dup_windows"),
+        sum("c").cast(LongType).as("dup_tokens"))
+    val ratio = col("dup_tokens").cast(DoubleType) / col("n_tokens")
+    docs
+      .select(col("doc_id").cast(LongType).as("doc_id"), n.as("n_tokens"),
+        greatest(n - (SpanK - 1), lit(0)).as("n_windows"))
+      .join(covered, Seq("doc_id"), "left")
+      .na.fill(0, Seq("n_dup_windows", "dup_tokens"))
+      .select(col("doc_id"), col("n_tokens"), col("n_windows"),
+        col("n_dup_windows"), col("dup_tokens"),
+        round(ratio, 6).as("dup_token_ratio"),
+        // flag compares the UNROUNDED ratio (mirrored in the oracle)
+        (ratio > SpanDupMax).cast(IntegerType).as("flagged"))
+  }
 }

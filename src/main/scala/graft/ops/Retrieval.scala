@@ -1,0 +1,179 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text retrieval over the corpus: BM25 keyword search (c25) and
+  * hybrid lexical+vector fusion (c26) — the query-side capabilities a
+  * corpus engine pairs with its ANN index (the reference's search
+  * surface covers the vector half; these add the lexical half and the
+  * fusion, the standard "hybrid search" a vector-DB user expects).
+  *
+  * Scale design: two corpus scans and NO corpus-sized shuffle — a
+  * one-row (N, avgdl) partial-agg scan broadcast-crossed into the
+  * plan, and the postings scan, pruned to the query terms BEFORE any
+  * shuffle (a broadcast semi-join on the term list) with the doc
+  * length riding along each surviving posting, so no corpus-wide
+  * doc-length table ever joins back in. At 100 TB with a bounded
+  * query set this is a scan plus a small-key aggregation, never an
+  * inverted-index build over the full vocabulary. Document-frequency
+  * comes from a window over the already-aggregated postings
+  * (O(matched docs) rows) — nothing corpus-sized reaches the driver.
+  *
+  * Oracle-parity arithmetic (the whole scoring pipeline is certified
+  * by hash against DuckDB running the mirrored SQL):
+  *  - doc lengths and counts are integer-valued doubles, so their
+  *    partial sums are EXACT and summation order cannot matter;
+  *    `avgdl` is then a single IEEE division — bit-identical across
+  *    engines;
+  *  - `idf` is the one transcendental (ln); engines' libm may differ
+  *    in the last ulp, so it is quantized to 1e-4 immediately (a
+  *    flip would need the ulp to land within ~1e-12 of a rounding
+  *    boundary, across only O(#distinct terms) values);
+  *  - per-term scores are rounded to integer MICRO-units before the
+  *    per-doc sum, making the sum order-independent, then ranked.
+  */
+object Retrieval {
+  /** BM25 shape parameters (Robertson-Sparck Jones defaults). The SQL
+    * oracles inline the same literals — keep in sync. */
+  val BmK1 = 1.2
+  val BmB = 0.75
+  val BmTopK = 10
+
+  /** c25's fixed query set — terms drawn from the synthetic corpus'
+    * working vocabulary. Shared with the SQL oracle via [[bmQuerySql]]. */
+  val BmQueries: Seq[(String, Seq[String])] = Seq(
+    "q_perf" -> Seq("fast", "join", "table"),
+    "q_vector" -> Seq("vector", "scan", "hash"),
+    "q_stream" -> Seq("stream", "window", "merge", "spark"))
+
+  def bmQuerySql: String =
+    BmQueries.flatMap { case (q, ts) => ts.map(t => s"('$q', '$t')") }
+      .mkString(", ")
+
+  /** BM25 scores for every (query, doc) pair sharing at least one
+    * term. `queryTerms` must have columns (query_id, term); duplicate
+    * terms within a query are the caller's responsibility (both c25's
+    * literal list and c26's array_distinct feed it deduplicated). */
+  private[graft] def bm25Scores(docs: DataFrame, queryTerms: DataFrame): DataFrame = {
+    val w = split(col("text"), " ")
+    // one-row corpus stats; explicit sum/count (not avg) so both
+    // engines run the identical exact-int-sum + one-division plan,
+    // and a partial-agg scan (one row out per task, no shuffle of
+    // corpus rows)
+    val stats = docs.select(size(w).cast(DoubleType).as("dl")).agg(
+      count(lit(1)).cast(DoubleType).as("nn"),
+      (sum("dl") / count(lit(1))).as("avgdl"))
+    val terms = queryTerms.select("term").distinct()
+    // dl rides along each pruned posting (+8 bytes pre-shuffle) so no
+    // corpus-sized doc-length table ever has to join back in
+    val tf = docs.select(col("doc_id"), size(w).cast(DoubleType).as("dl"),
+        explode(w).as("term"))
+      .join(broadcast(terms), "term") // prune postings BEFORE the shuffle
+      .groupBy("term", "doc_id")
+      .agg(count(lit(1)).cast(DoubleType).as("tf"), max("dl").as("dl"))
+      // df over the aggregated postings: O(matched docs) rows, one
+      // small shuffle by term — no second pass over the corpus
+      .withColumn("df",
+        count(lit(1)).over(Window.partitionBy("term")).cast(DoubleType))
+    val idfq = floor(log(lit(1.0) + (col("nn") - col("df") + lit(0.5))
+      / (col("df") + lit(0.5))) * 1e4 + lit(0.5)) / 1e4
+    val tnorm = col("tf") * (lit(BmK1) + lit(1.0)) /
+      (col("tf") + lit(BmK1) * (lit(1.0) - lit(BmB)
+        + lit(BmB) * col("dl") / col("avgdl")))
+    tf.join(broadcast(queryTerms), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("micro", floor(idfq * tnorm * lit(1e6) + lit(0.5)).cast(LongType))
+      .groupBy("query_id", "doc_id")
+      .agg((sum("micro").cast(DoubleType) / 1e6).as("score"))
+  }
+
+  private[graft] def topK(scored: DataFrame, k: Int): DataFrame = {
+    val byQ = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("doc_id"))
+    scored.withColumn("rk", row_number().over(byQ))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col("doc_id"), col("score"))
+  }
+
+  /** c25: BM25 keyword top-k over the documents table for the fixed
+    * query set. */
+  def bm25Search(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val qt = BmQueries.flatMap { case (q, ts) => ts.map(t => (q, t)) }
+      .toDF("query_id", "term")
+    topK(bm25Scores(docs, qt), BmTopK)
+  }
+
+  // ------------------------- hybrid (c26) -------------------------
+  /** Query-by-document ids for c26 — each query doc supplies both its
+    * embedding (vector leg) and its first [[HybridQueryTokens]]
+    * distinct tokens (lexical leg). Shared with the SQL oracle. */
+  val HybridQueryIds: Seq[Long] = Seq(0L, 7L, 13L)
+  val HybridQueryTokens = 8
+  /** Per-leg candidate depth and the RRF dampening constant (60 is the
+    * standard from Cormack et al.). */
+  val HybridLegK = 20
+  val RrfC = 60
+
+  /** c26: hybrid search — BM25 lexical ranking fused with embedding
+    * cosine ranking by Reciprocal Rank Fusion. Each leg contributes
+    * floor(1e6 / (RrfC + rank)) integer micro-units for its top
+    * [[HybridLegK]] candidates; the fused score is the micro sum (an
+    * exact integer — fusion is float-free), ranked descending with
+    * doc-id ties.
+    *
+    * Scale shape: the lexical leg is [[bm25Scores]] (corpus scanned
+    * once, postings pruned to the query docs' terms); the vector leg
+    * is a broadcast of the O(queries) embeddings against the
+    * embeddings scan — the same shape as b1's exact top-k — and the
+    * fusion itself joins two O(queries·k) sides. The cosine kernel and
+    * its fixed-point rounding are shared with c5/c19 (dot in double
+    * over float inputs, floor(x·1e6+0.5)/1e6), which is exactly what
+    * DuckDB's list_cosine_similarity-over-DOUBLE[] reproduces. */
+  def hybridSearch(spark: SparkSession, docs: DataFrame, embeddings: DataFrame): DataFrame = {
+    import spark.implicits._
+    import graft.functions.VectorFunctions.dot
+    // lexical leg: first-N distinct tokens of each query doc
+    val qterms = docs
+      .filter(col("doc_id").isin(HybridQueryIds: _*))
+      .select(col("doc_id").as("query_id"),
+        explode(array_distinct(slice(split(col("text"), " "), 1, HybridQueryTokens)))
+          .as("term"))
+    val lex = topK(bm25Scores(docs, qterms), HybridLegK)
+      .select(col("query_id"), col("doc_id"), col("rk").as("lex_rk"))
+    // vector leg: query embeddings broadcast against the corpus scan
+    val e = embeddings.select(col("vec_id"), col("embedding"))
+    val qe = e.filter(col("vec_id").isin(HybridQueryIds: _*))
+      .withColumnRenamed("vec_id", "query_id")
+      .withColumnRenamed("embedding", "qv")
+    val cos = e.crossJoin(broadcast(qe))
+      .select(col("query_id"), col("vec_id").as("doc_id"), col("qv"), col("embedding"))
+      .as[(Long, Long, Array[Float], Array[Float])]
+      .map { case (q, d, qv, v) =>
+        val c = dot(qv, v) / (math.sqrt(dot(qv, qv)) * math.sqrt(dot(v, v)))
+        (q, d, math.floor(c * 1e6 + 0.5) / 1e6)
+      }
+      .toDF("query_id", "doc_id", "score")
+    val vec = topK(cos, HybridLegK)
+      .select(col("query_id"), col("doc_id"), col("rk").as("vec_rk"))
+    // RRF fusion: integer micro contributions, absent leg contributes 0
+    def contrib(rk: org.apache.spark.sql.Column) =
+      floor(lit(1e6) / (lit(RrfC) + rk)).cast(LongType)
+    val fused = lex.join(vec, Seq("query_id", "doc_id"), "full_outer")
+      .select(col("query_id"), col("doc_id"),
+        coalesce(col("lex_rk"), lit(0)).as("lex_rk"),
+        coalesce(col("vec_rk"), lit(0)).as("vec_rk"),
+        ((when(col("lex_rk").isNotNull, contrib(col("lex_rk"))).otherwise(lit(0L))
+          + when(col("vec_rk").isNotNull, contrib(col("vec_rk"))).otherwise(lit(0L)))
+          .cast(DoubleType) / 1e6).as("score"))
+    val byQ = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("doc_id"))
+    fused.withColumn("rk", row_number().over(byQ))
+      .filter(col("rk") <= BmTopK)
+      .select(col("query_id"), col("rk"), col("doc_id"),
+        col("score").as("rrf"), col("lex_rk"), col("vec_rk"))
+  }
+}

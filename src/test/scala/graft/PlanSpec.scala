@@ -142,4 +142,26 @@ class PlanSpec extends AnyFunSuite {
     val p = plan(operators.PipelineQueries.docRepetition(spark, sf))
     assert(!p.contains("UDF"), s"c21 fell back to a UDF:\n$p")
   }
+
+  test("c24 substring dedup: UDF-free, dup test is a key-window (no join-back rescan)") {
+    val p = plan(operators.PipelineQueries.substringDedup(spark, sf))
+    assert(!p.contains("UDF"), s"c24 fell back to a UDF:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"c24 planned a non-equi join:\n$p")
+    // exploded windows feed the min/max key-window directly: the only
+    // scans are the window source and the final doc left-join side —
+    // the groupBy+join-back shape would show a third
+    assert("Scan parquet".r.findAllIn(p).length <= 2,
+      s"c24 rescans the corpus for the dup join:\n$p")
+  }
+
+  test("c25 bm25: the term list is broadcast (postings pruned before any shuffle)") {
+    val p = plan(operators.PipelineQueries.bm25Search(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), s"term semi-join not broadcast:\n$p")
+    assert(!p.contains("UDF"), s"c25 fell back to a UDF:\n$p")
+    // exactly two corpus scans: the one-row stats partial agg and the
+    // postings scan; a doc-length join-back would add a third
+    assert("Scan parquet".r.findAllIn(p).length <= 2,
+      s"c25 grew a corpus-sized doc-length join:\n$p")
+  }
 }
