@@ -89,10 +89,11 @@ object ScaleProbe {
       "source", concat(lit("src"), (col("doc_id") % 8).cast("int")))
     val (_, tMix) = time(force(graft.ops.CorpusOps.domainMix(docsMultiSrc)))
 
-    // --- c24 substring-span dedup: ~33 windows/doc explode to md5
-    // keys; the 10% planted near-dups share two long runs each (the
-    // 20-token prefix and 19-token suffix around the changed token),
-    // so the dup-key join and per-doc interval union do real work ---
+    // --- c24 substring-span dedup: ~33 windows/doc explode to
+    // 128-bit span keys; the 10% planted near-dups share two long
+    // runs each (the 20-token prefix and 19-token suffix around the
+    // changed token), so the dup key-window and per-doc interval
+    // union do real work ---
     val (_, tSpans) = time(force(Dedup.substringSpans(docsOnDisk)))
 
     // --- c25 BM25 over the probe vocabulary: term-pruned postings —

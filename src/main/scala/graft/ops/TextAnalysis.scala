@@ -143,37 +143,58 @@ object TextAnalysis {
     * decision. Boilerplate text, keyword-stuffed spam, and template
     * pages all light up one of the two ratios.
     *
-    * Built entirely from codegen'd higher-order functions (transform /
-    * array_distinct / filter), so the identical logic runs as the
-    * DuckDB oracle, and the whole operator is a narrow map — a pure
-    * scan at 100 TB, no shuffle. The nested filter scan is
-    * O(distinct·tokens) per doc; for web-scale docs (≤ tens of KB)
-    * that is microseconds, and it stays inside whole-stage codegen
-    * where a sort-based mode would force a per-doc explode+groupBy
-    * shuffle. */
+    * A compiled typed kernel (one hash-map pass per doc for the word
+    * histogram, one hash-set pass for distinct 2-grams), so the whole
+    * operator stays a narrow map — a pure scan at 100 TB, no shuffle.
+    * The earlier higher-order-function formulation (`transform` +
+    * nested `filter` per distinct token) is the same arithmetic but
+    * evaluates INTERPRETED per element — O(distinct·tokens) closure
+    * evaluations per doc made it the whole suite's slowest query
+    * (16 s at sf0.1 on a single-split file vs 0.5 s for this
+    * kernel). Rounding runs through the same HALF_UP BigDecimal as
+    * Spark's `round`, so the DuckDB oracle match is unchanged. */
   def docRepetition(docs: DataFrame): DataFrame = {
-    val w = toks(col("text"))
-    val n = size(w)
-    // 1-based element_at, i = 1..n-1 → the n-1 consecutive 2-grams;
-    // guarded: sequence(1, 0) would yield a DESCENDING [1, 0] range
-    val g2 = when(n >= 2,
-      transform(sequence(lit(1), n - 1),
-        i => concat(element_at(w, i), lit(" "), element_at(w, i + 1))))
-      .otherwise(array().cast(ArrayType(StringType)))
-    val n2 = size(g2)
-    val dupRatio = when(n2 === 0, lit(0.0))
-      .otherwise((n2 - size(array_distinct(g2))).cast(DoubleType) / n2)
-    val topCount = array_max(
-      transform(array_distinct(w), x => size(filter(w, y => y === x))))
-    val topRatio = topCount.cast(DoubleType) / n
-    docs.select(
-      col("doc_id"),
-      n.as("n_tokens"),
-      n2.as("n_2grams"),
-      round(dupRatio, 6).as("dup_2gram_ratio"),
-      round(topRatio, 6).as("top_word_ratio"),
-      // the flag compares the UNROUNDED ratios (mirrored in the oracle)
-      (dupRatio > DupGramMax || topRatio > TopWordMax)
-        .cast(IntegerType).as("repetitive"))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast(LongType), col("text")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) => repetitionOf(id, text) })
+      .toDF("doc_id", "n_tokens", "n_2grams", "dup_2gram_ratio",
+        "top_word_ratio", "repetitive")
+  }
+
+  /** Spark round(_, 6) semantics exactly: HALF_UP on the decimal
+    * rendering of the double, not on a binary scaling. */
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  private[graft] def repetitionOf(id: Long, text: String): (Long, Int, Int, Double, Double, Int) = {
+    // null-safe like the SQL formulation it replaced (no nulls in the
+    // test corpora, but a kernel must not NPE on a foreign one)
+    val w = (if (text == null) "" else text).split(" ", -1)
+    val n = w.length
+    val counts = new scala.collection.mutable.HashMap[String, Int]
+    var top = 0
+    var i = 0
+    while (i < n) {
+      val c = counts.getOrElse(w(i), 0) + 1
+      counts.update(w(i), c)
+      if (c > top) top = c
+      i += 1
+    }
+    val n2 = if (n >= 2) n - 1 else 0
+    var distinct2 = 0
+    if (n2 > 0) {
+      val seen = new scala.collection.mutable.HashSet[String]
+      i = 0
+      while (i < n - 1) {
+        if (seen.add(w(i) + " " + w(i + 1))) distinct2 += 1
+        i += 1
+      }
+    }
+    val dupRatio = if (n2 == 0) 0.0 else (n2 - distinct2).toDouble / n2
+    val topRatio = top.toDouble / n
+    // the flag compares the UNROUNDED ratios (mirrored in the oracle)
+    val flag = if (dupRatio > DupGramMax || topRatio > TopWordMax) 1 else 0
+    (id, n, n2, round6(dupRatio), round6(topRatio), flag)
   }
 }

@@ -138,14 +138,22 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), s"corpus-side shuffle join appeared:\n$p")
   }
 
-  test("c21 repetition metrics stay in codegen (no UDF node in the plan)") {
+  test("c21 repetition metrics: typed kernel, narrow map (no shuffle, no scalar UDF)") {
     val p = plan(operators.PipelineQueries.docRepetition(spark, sf))
-    assert(!p.contains("UDF"), s"c21 fell back to a UDF:\n$p")
+    assert(p.contains("MapPartitions"), s"c21 lost its typed kernel:\n$p")
+    assert(!p.contains("ScalaUDF"), s"c21 fell back to a scalar UDF:\n$p")
+    // narrow map: the only exchange is the harness's trailing orderBy
+    assert("Exchange".r.findAllIn(p).length <= 1,
+      s"c21 grew a shuffle:\n$p")
   }
 
-  test("c24 substring dedup: UDF-free, dup test is a key-window (no join-back rescan)") {
+  test("c24 substring dedup: typed span kernel, dup test is a key-window (no join-back rescan)") {
     val p = plan(operators.PipelineQueries.substringDedup(spark, sf))
-    assert(!p.contains("UDF"), s"c24 fell back to a UDF:\n$p")
+    // the span hashes come from the compiled typed kernel (shows as
+    // MapPartitions via Spark's internal UDFAdaptors — NOT a scalar
+    // ScalaUDF fallback, which would evaluate per-row interpreted)
+    assert(p.contains("MapPartitions"), s"c24 lost its typed span kernel:\n$p")
+    assert(!p.contains("ScalaUDF"), s"c24 fell back to a scalar UDF:\n$p")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"c24 planned a non-equi join:\n$p")
     // exploded windows feed the min/max key-window directly: the only
@@ -155,12 +163,16 @@ class PlanSpec extends AnyFunSuite {
       s"c24 rescans the corpus for the dup join:\n$p")
   }
 
-  test("c25 bm25: the term list is broadcast (postings pruned before any shuffle)") {
+  test("c25 bm25: typed tf kernel, no corpus explode, query fan-out broadcast") {
     val p = plan(operators.PipelineQueries.bm25Search(spark, sf))
-    assert(p.contains("BroadcastHashJoin"), s"term semi-join not broadcast:\n$p")
-    assert(!p.contains("UDF"), s"c25 fell back to a UDF:\n$p")
+    // per-doc term counting is the compiled kernel (MapPartitions via
+    // UDFAdaptors), never a posting explode or a scalar-UDF fallback
+    assert(p.contains("MapPartitions"), s"c25 lost its typed tf kernel:\n$p")
+    assert(!p.contains("ScalaUDF"), s"c25 fell back to a scalar UDF:\n$p")
+    assert(!p.toLowerCase.contains("explode"), s"c25 explodes the corpus again:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"query fan-out join not broadcast:\n$p")
     // exactly two corpus scans: the one-row stats partial agg and the
-    // postings scan; a doc-length join-back would add a third
+    // tf kernel scan; a doc-length join-back would add a third
     assert("Scan parquet".r.findAllIn(p).length <= 2,
       s"c25 grew a corpus-sized doc-length join:\n$p")
   }
