@@ -96,17 +96,19 @@ object ScaleProbe {
     // union do real work ---
     val (_, tSpans) = time(force(Dedup.substringSpans(docsOnDisk)))
 
-    // --- c25 BM25 over the probe vocabulary: term-pruned postings —
-    // the corpus scans once, only rows hitting the 9 query terms
-    // shuffle (vocab 5000 ⇒ ~0.8% of postings survive the prune) ---
-    val probeQueries = Seq(
+    // --- c25 BM25 over the probe vocabulary: the typed tf kernel
+    // counts hits against the 9 broadcast query terms in the scan —
+    // no postings ever materialize, and with a uniform 5000-token
+    // vocab only ~0.18% of token occurrences (9/5000) are hits, so
+    // the shuffled per-(term, doc) aggregate rows stay tiny ---
+    val probePairs = Seq(
       "p1" -> Seq("w1", "w42", "w123"),
       "p2" -> Seq("w7", "w77", "w777"),
       "p3" -> Seq("w13", "w169", "w2197"))
       .flatMap { case (q, ts) => ts.map(t => (q, t)) }
-      .toDF("query_id", "term")
     val (_, tBm25) = time(force(graft.ops.Retrieval.topK(
-      graft.ops.Retrieval.bm25Scores(docsOnDisk, probeQueries), 10)))
+      graft.ops.Retrieval.bm25Scores(docsOnDisk,
+        probePairs.toDF("query_id", "term"), probePairs.map(_._2).toSet), 10)))
 
     // --- c20 canonicalization at probe scale: a planted MEGA-FAMILY —
     // one chain of `megaN` docs (diameter ≈ megaN, the adversarial

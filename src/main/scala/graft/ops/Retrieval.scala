@@ -56,10 +56,17 @@ object Retrieval {
       .mkString(", ")
 
   /** BM25 scores for every (query, doc) pair sharing at least one
-    * term. `queryTerms` must have columns (query_id, term); duplicate
-    * terms within a query are the caller's responsibility (both c25's
-    * literal list and c26's array_distinct feed it deduplicated). */
-  private[graft] def bm25Scores(docs: DataFrame, queryTerms: DataFrame): DataFrame = {
+    * term. `queryTerms` must be a LOCAL relation with columns
+    * (query_id, term) and `termSet` its distinct terms — the query
+    * workload is bounded by contract, so it lives driver-side and NO
+    * Spark job runs until the returned DataFrame is acted on (an
+    * earlier draft collected the term list here, which launched a job
+    * at plan-construction time and, for c26, re-evaluated the
+    * corpus-derived query subtree). Duplicate terms within a query
+    * are the caller's responsibility (both c25's literal list and
+    * c26's local distinct feed it deduplicated). */
+  private[graft] def bm25Scores(
+      docs: DataFrame, queryTerms: DataFrame, termSet: Set[String]): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val w = split(col("text"), " ")
@@ -70,15 +77,13 @@ object Retrieval {
     val stats = docs.select(size(w).cast(DoubleType).as("dl")).agg(
       count(lit(1)).cast(DoubleType).as("nn"),
       (sum("dl") / count(lit(1))).as("avgdl"))
-    // the query-term set is bounded by contract (a query workload, not
-    // a vocabulary) — collected once, broadcast into a compiled typed
-    // kernel that counts term hits per doc locally. The corpus is
-    // never exploded: the only rows that leave the scan are ALREADY
-    // per-(term, doc) aggregated counts, so the posting
-    // explode→semi-join→groupBy chain and its shuffle disappear
-    // entirely (measured 5.2 s → 1.25 s on the sf1 single-split
-    // corpus, where one task does all the per-token work).
-    val termSet = queryTerms.select("term").distinct().as[String].collect().toSet
+    // the term set broadcasts into a compiled typed kernel that counts
+    // term hits per doc locally. The corpus is never exploded: the
+    // only rows that leave the scan are ALREADY per-(term, doc)
+    // aggregated counts, so the posting explode→semi-join→groupBy
+    // chain and its shuffle disappear entirely (measured 5.2 s →
+    // 1.25 s on the sf1 single-split corpus, where one task does all
+    // the per-token work).
     val bcTerms = spark.sparkContext.broadcast(termSet)
     val tf0 = docs.select(col("doc_id"), col("text")).as[(Long, String)]
       .flatMap { case (id, text) =>
@@ -124,9 +129,9 @@ object Retrieval {
     * query set. */
   def bm25Search(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    val qt = BmQueries.flatMap { case (q, ts) => ts.map(t => (q, t)) }
-      .toDF("query_id", "term")
-    topK(bm25Scores(docs, qt), BmTopK)
+    val pairs = BmQueries.flatMap { case (q, ts) => ts.map(t => (q, t)) }
+    val qt = pairs.toDF("query_id", "term")
+    topK(bm25Scores(docs, qt, pairs.map(_._2).toSet), BmTopK)
   }
 
   // ------------------------- hybrid (c26) -------------------------
@@ -158,13 +163,20 @@ object Retrieval {
   def hybridSearch(spark: SparkSession, docs: DataFrame, embeddings: DataFrame): DataFrame = {
     import spark.implicits._
     import graft.functions.VectorFunctions.dot
-    // lexical leg: first-N distinct tokens of each query doc
-    val qterms = docs
+    // lexical leg: first-N distinct tokens of each query doc. The
+    // O(queries) texts are collected ONCE and the terms derived
+    // locally (same bounded-collect shape as c11's query rows) — the
+    // alternative, an in-plan corpus-derived query subtree, would be
+    // re-evaluated by both the term-set broadcast and the fan-out join
+    val qpairs = docs
       .filter(col("doc_id").isin(HybridQueryIds: _*))
-      .select(col("doc_id").as("query_id"),
-        explode(array_distinct(slice(split(col("text"), " "), 1, HybridQueryTokens)))
-          .as("term"))
-    val lex = topK(bm25Scores(docs, qterms), HybridLegK)
+      .select(col("doc_id").cast(LongType), col("text")).as[(Long, String)]
+      .collect().sortBy(_._1)
+      .flatMap { case (id, text) =>
+        text.split(" ", -1).take(HybridQueryTokens).distinct.map(t => (id, t))
+      }.toSeq
+    val qterms = qpairs.toDF("query_id", "term")
+    val lex = topK(bm25Scores(docs, qterms, qpairs.map(_._2).toSet), HybridLegK)
       .select(col("query_id"), col("doc_id"), col("rk").as("lex_rk"))
     // vector leg: query embeddings broadcast against the corpus scan
     val e = embeddings.select(col("vec_id"), col("embedding"))

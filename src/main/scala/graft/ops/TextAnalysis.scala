@@ -167,10 +167,14 @@ object TextAnalysis {
   private def round6(x: Double): Double =
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 
-  private[graft] def repetitionOf(id: Long, text: String): (Long, Int, Int, Double, Double, Int) = {
-    // null-safe like the SQL formulation it replaced (no nulls in the
-    // test corpora, but a kernel must not NPE on a foreign one)
-    val w = (if (text == null) "" else text).split(" ", -1)
+  private[graft] def repetitionOf(id: Long, text: String)
+      : (Long, Option[Int], Option[Int], Option[Double], Option[Double], Option[Int]) = {
+    // null text propagates NULL metrics, exactly like the SQL
+    // formulation this kernel replaced (string_split(NULL) -> NULL
+    // through every derived column) — no nulls in the test corpora,
+    // but a foreign corpus must neither NPE nor get falsely flagged
+    if (text == null) return (id, None, None, None, None, None)
+    val w = text.split(" ", -1)
     val n = w.length
     val counts = new scala.collection.mutable.HashMap[String, Int]
     var top = 0
@@ -195,6 +199,6 @@ object TextAnalysis {
     val topRatio = top.toDouble / n
     // the flag compares the UNROUNDED ratios (mirrored in the oracle)
     val flag = if (dupRatio > DupGramMax || topRatio > TopWordMax) 1 else 0
-    (id, n, n2, round6(dupRatio), round6(topRatio), flag)
+    (id, Some(n), Some(n2), Some(round6(dupRatio)), Some(round6(topRatio)), Some(flag))
   }
 }

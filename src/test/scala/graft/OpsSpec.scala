@@ -342,6 +342,21 @@ class OpsSpec extends AnyFunSuite {
     assert(out(4L).getAs[Double]("top_word_ratio") == 1.0)
   }
 
+  test("doc repetition propagates NULL text as NULL metrics (oracle semantics)") {
+    // the typed kernel must mirror string_split(NULL) -> NULL through
+    // every column, never coerce to "" (which would falsely flag the
+    // doc repetitive with top_word_ratio 1.0)
+    val d = Seq(
+      (1L, "the quick brown fox jumps over a lazy dog near the river bank today"),
+      (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.docRepetition(d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(!out(1L).isNullAt(1) && out(1L).getAs[Int]("repetitive") == 0)
+    (1 to 5).foreach(i => assert(out(2L).isNullAt(i),
+      s"column $i of the null-text row must be NULL: ${out(2L)}"))
+  }
+
   test("semdedup prunes within clusters only, greedily against the KEPT set") {
     def at(deg: Double) = Array(math.cos(math.toRadians(deg)).toFloat,
       math.sin(math.toRadians(deg)).toFloat)

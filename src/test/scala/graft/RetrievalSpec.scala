@@ -81,9 +81,9 @@ class RetrievalSpec extends AnyFunSuite {
       (3L, "pad pad pad pad pad pad pad pad pad pad"), // no query term
       (4L, "rare pad pad pad pad pad pad pad pad pad")) // df(rare)=1
       .toDF("doc_id", "text")
-    val qt = Seq(("q1", "fast"), ("q1", "join"), ("q2", "rare"), ("q2", "fast"))
-      .toDF("query_id", "term")
-    val r = Retrieval.topK(Retrieval.bm25Scores(d, qt), 10)
+    val qp = Seq(("q1", "fast"), ("q1", "join"), ("q2", "rare"), ("q2", "fast"))
+    val r = Retrieval.topK(
+        Retrieval.bm25Scores(d, qp.toDF("query_id", "term"), qp.map(_._2).toSet), 10)
       .collect().map(x => (x.getString(0), x.getInt(1), x.getLong(2), x.getDouble(3)))
     val q1 = r.filter(_._1 == "q1").sortBy(_._2)
     assert(q1.map(_._3).toSeq === Seq(1L, 2L), "doc1 (higher tf + join hit) above doc2")
