@@ -62,6 +62,11 @@ object ScaleProbe {
     val (_, tSimhash) = time(force(Dedup.simHashSummary(spark, docsOnDisk)))
     val (_, tStream) = time(force(
       graft.streaming.StreamDedup.streamingNearDupFromDir(spark, docsDir.toString)))
+    // d8: the span-keyed streaming gate over the same corpus — state is
+    // one row per distinct live span (~n_tokens x docs keys at this
+    // dup rate), the streaming analogue of c24's one keyed shuffle
+    val (_, tStreamSpans) = time(force(
+      graft.streaming.StreamSpanDedup.streamingSpanDedupFromDir(spark, docsDir.toString)))
 
     // --- corpus-preparation layer (c12/c15/c16/c17/c18) at the same
     // scale. The probe docs all share ONE source value — the
@@ -183,7 +188,7 @@ object ScaleProbe {
     println(
       s"""{"probe":"scale","n_docs":$nDocs,"n_vecs":$nVecs,"dim":$dim,"cpus":$cpus,""" +
       s""""c1_exact_s":$tExact,"c2_minhash_s":$tMinhash,"c3_simhash_s":$tSimhash,""" +
-      s""""d6_stream_s":$tStream,""" +
+      s""""d6_stream_s":$tStream,"d8_stream_spans_s":$tStreamSpans,""" +
       s""""c12_scrub_s":$tScrub,"c15_pack_s":$tPack,"c16_filter_s":$tFilter,""" +
       s""""c17_contam_s":$tContam,"c18_stats_s":$tStats,""" +
       s""""c21_repetition_s":$tRepet,"c22_domainmix_s":$tMix,""" +

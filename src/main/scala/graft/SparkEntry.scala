@@ -71,6 +71,7 @@ object SparkEntry {
     "d5_session_window" -> (PipelineQueries.sessionWindow(_, _)),
     "d6_stream_dedup" -> (PipelineQueries.streamingNearDup(_, _)),
     "d7_stream_gate" -> (PipelineQueries.streamingCorpusGate(_, _)),
+    "d8_stream_spans" -> (PipelineQueries.streamingSpanDedup(_, _)),
     "e1_q1_agg"      -> (Relational.q1Agg(_, _)),
     "e2_q3_join"     -> (Relational.q3Join(_, _)),
     "e3_q5_multijoin" -> (Relational.q5MultiJoin(_, _)),

@@ -147,6 +147,9 @@ object PipelineQueries {
   def streamingCorpusGate(spark: SparkSession, dir: String): DataFrame =
     graft.streaming.StreamGate.streamingCorpusGate(spark, dir)
 
+  def streamingSpanDedup(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamSpanDedup.streamingSpanDedup(spark, dir)
+
   private def enList = TextAnalysis.markerSqlList("en")
   private def hashBucketSql = "substring(md5(CAST(doc_id AS VARCHAR)), 1, 2)"
 
@@ -249,6 +252,29 @@ object PipelineQueries {
          | CAST(CAST(COALESCE(a.dup_tokens, 0) AS DOUBLE) / b.n_tokens
          |   > CAST(${Dedup.SpanDupMax} AS DOUBLE) AS INT) AS flagged
          |FROM base b LEFT JOIN a USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "d8_stream_spans" ->
+      // the single-batch AvailableNow drain makes the ordered-arrival
+      // dup rule order-independent: a window is a duplicate iff its
+      // span's minimum holder doc precedes this doc (first holder
+      // unflagged). Span keys + coverage mirror c24's oracle.
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |win AS (SELECT doc_id, unnest(range(1, len(w) - ${Dedup.SpanK - 2})) AS p, w
+         |        FROM t WHERE len(w) >= ${Dedup.SpanK}),
+         |wk AS (SELECT doc_id, p,
+         |  md5(array_to_string(w[p:p+${Dedup.SpanK - 1}], ' ')) AS key FROM win),
+         |m AS (SELECT key, min(doc_id) AS holder FROM wk GROUP BY key),
+         |d AS (SELECT wk.doc_id, wk.p, CAST(wk.doc_id > m.holder AS INT) AS dup
+         |      FROM wk JOIN m USING (key)),
+         |cov AS (SELECT doc_id,
+         |  LEAST(${Dedup.SpanK}, COALESCE(lead(p) OVER (PARTITION BY doc_id ORDER BY p),
+         |    p + ${Dedup.SpanK}) - p) AS c
+         | FROM d WHERE dup = 1),
+         |cv AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS dup_tokens FROM cov GROUP BY doc_id),
+         |cnt AS (SELECT doc_id, CAST(count(*) AS INT) AS n_windows,
+         |  CAST(sum(dup) AS INT) AS n_dup_windows FROM d GROUP BY doc_id)
+         |SELECT cnt.doc_id, cnt.n_windows, cnt.n_dup_windows,
+         | COALESCE(cv.dup_tokens, 0) AS dup_tokens
+         |FROM cnt LEFT JOIN cv USING (doc_id) ORDER BY doc_id""".stripMargin,
     "c25_bm25_search" ->
       (s"WITH ${bm25CteSql(
         s"bq(query_id, term) AS (VALUES ${graft.ops.Retrieval.bmQuerySql})")}" +

@@ -1,0 +1,150 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.ops.Dedup
+
+/** d8: streaming substring-span dedup — the incremental form of the
+  * batch cross-doc span pipeline (c24), for a continuously-running
+  * ingest job that must flag boilerplate spans AGAINST THE CORPUS SEEN
+  * SO FAR. Where batch c24 flags every holder of a shared span, the
+  * streaming form keeps each span's FIRST holder unflagged (its copy
+  * is the one the corpus keeps) and flags every later arrival — the
+  * ordered-arrival semantics an ingest gate actually wants.
+  *
+  * Shape: each arriving document expands through the SAME compiled
+  * two-lane span kernel as c24 (one row per window, two-long key, no
+  * window text materialized); rows group by exact span key and a
+  * `flatMapGroupsWithState` operator keeps (first-holder id,
+  * last-seen time) per live span. A row is a duplicate iff a DIFFERENT
+  * doc already holds its span. All of a doc's windows emit in the
+  * trigger that ingested it, so the per-batch `foreachBatch` step can
+  * compute the doc's full interval-union coverage (same telescoping
+  * lead() merge as c24) before anything is persisted — each microbatch
+  * lands O(docs) rows, never O(windows).
+  *
+  * State is one row per DISTINCT live span — the Lee et al. streaming
+  * analogue — bounded by `retentionSec` exactly like d6: spans idle
+  * past retention are pruned on the data path when touched and dropped
+  * via EventTimeTimeout when not. At 100 TB/day the state shards by
+  * span key across executors and the per-batch work is the c24 kernel
+  * scan plus one keyed shuffle.
+  *
+  * Determinism + oracle: with the default single-file source the
+  * AvailableNow drain runs ONE batch, the watermark never advances
+  * mid-run, and no span can expire — so "a different doc already
+  * holds the span" reduces to the order-independent rule
+  * `doc_id > min(doc_id) over the span`, which is exactly the DuckDB
+  * oracle (hash-checked). Multi-batch eviction behavior is pinned by
+  * StreamingSpec instead (it is watermark-schedule-dependent, like
+  * d6's).
+  */
+object StreamSpanDedup {
+  /** First holder + last-seen event time (ms) of a live span. */
+  final case class SpanState(holder: Long, tsMs: Long)
+
+  /** d8 entry: stream the documents table of `dir`. */
+  def streamingSpanDedup(spark: SparkSession, dir: String): DataFrame =
+    streamingSpanDedupFromDir(spark, EventOps.symlinkedDir(dir, "documents.parquet"))
+
+  def streamingSpanDedupFromDir(
+      spark: SparkSession,
+      srcDir: String,
+      retentionSec: Long = 600L,
+      watermarkDelay: String = "60 seconds",
+      maxFilesPerTrigger: Option[Int] = None,
+      sinkDir: Option[String] = None): DataFrame = {
+    import spark.implicits._
+    val retentionMs = retentionSec * 1000L
+    val reader = spark.readStream.schema(StreamDedup.docsSchema)
+    val raw = maxFilesPerTrigger.fold(reader)(n =>
+      reader.option("maxFilesPerTrigger", n)).parquet(srcDir)
+
+    val winRows = raw.select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val toks = if (text == null) Array.empty[String] else text.split(" ", -1)
+        Dedup.spanWindowHashes(toks).map { case (p, h1, h2) => (h1, h2, id, p) }
+      }
+      .toDF("h1", "h2", "doc_id", "p")
+      .withColumn("ts",
+        timestamp_seconds(lit(StreamDedup.BaseEpochSec) + col("doc_id")))
+      .withWatermark("ts", watermarkDelay)
+
+    val flagged = winRows
+      .select(col("h1"), col("h2"), col("doc_id"), col("p"), col("ts"))
+      .as[(Long, Long, Long, Int, java.sql.Timestamp)]
+      .groupByKey { case (h1, h2, _, _, _) => (h1, h2) }
+      .flatMapGroupsWithState(
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (_: (Long, Long),
+         rows: Iterator[(Long, Long, Long, Int, java.sql.Timestamp)],
+         state: GroupState[SpanState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val wm = state.getCurrentWatermarkMs()
+            // expire on the data path too: a span last seen before
+            // (watermark - retention) no longer counts as held, and the
+            // current batch's first arrival becomes the new holder
+            var holder = state.getOption
+              .filter(_.tsMs + retentionMs >= wm).map(_.holder)
+            // doc_id order = event-time order (deterministic whatever
+            // the shuffle delivers)
+            val batch = rows.toArray.sortBy(r => (r._3, r._4))
+            val out = batch.map { case (_, _, id, p, _) =>
+              val dup = holder.exists(_ != id)
+              if (holder.isEmpty) holder = Some(id)
+              (id, p, if (dup) 1 else 0)
+            }
+            val maxTsMs = batch.map(_._5.getTime).max
+            state.update(SpanState(holder.get, maxTsMs))
+            state.setTimeoutTimestamp(maxTsMs + retentionMs)
+            out.iterator
+          }
+      }
+      .toDF("doc_id", "p", "dup")
+
+    // per-doc rollup INSIDE each batch: every doc's windows emit in the
+    // trigger that ingested it, so coverage (the same telescoping
+    // interval union as c24) is complete here
+    def drainAndRead(outDir: String, durable: Boolean): DataFrame = {
+      val writer = flagged.writeStream
+        .outputMode("append")
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          val byDoc = Window.partitionBy("doc_id").orderBy("p")
+          val counts = batch.groupBy("doc_id").agg(
+            count(lit(1)).cast("int").as("n_windows"),
+            sum("dup").cast("int").as("n_dup_windows"))
+          val cov = batch.filter(col("dup") === 1)
+            .withColumn("c", least(lit(Dedup.SpanK),
+              coalesce(lead(col("p"), 1).over(byDoc),
+                col("p") + Dedup.SpanK) - col("p")))
+            .groupBy("doc_id").agg(sum("c").cast("long").as("dup_tokens"))
+          counts.join(cov, Seq("doc_id"), "left")
+            .na.fill(0L, Seq("dup_tokens"))
+            .write.mode("overwrite").parquet(s"$outDir/data/batch_id=$id")
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      val q = (if (durable) writer.option("checkpointLocation", s"$outDir/_checkpoint")
+               else writer)
+        .start()
+      q.awaitTermination()
+      // re-sum guard over O(docs) rows, a no-op while the
+      // one-trigger-per-doc invariant holds (mirrors d6)
+      spark.read.parquet(s"$outDir/data")
+        .groupBy("doc_id")
+        .agg(sum("n_windows").cast("int").as("n_windows"),
+          sum("n_dup_windows").cast("int").as("n_dup_windows"),
+          sum("dup_tokens").cast("long").as("dup_tokens"))
+        .orderBy("doc_id")
+    }
+    sinkDir match {
+      case Some(out) => drainAndRead(out, durable = true)
+      case None => graft.Scratch.materialize("d8_out")(drainAndRead(_, durable = false))
+    }
+  }
+}

@@ -91,4 +91,66 @@ class PropertySpec extends AnyFunSuite {
       assert(f >= 0 && w >= 0)
     }
   }
+
+  private val tokGen = Gen.listOf(
+    Gen.oneOf(Gen.const(""), Gen.alphaNumStr.map(_.take(6)))).map(_.toArray)
+
+  test("span hashes: window identity iff token-sequence identity") {
+    forAll(tokGen, n = 300) { toks =>
+      val hs = Dedup.spanWindowHashes(toks)
+      val k = Dedup.SpanK
+      // shape: one entry per window, 1-based positions, both lanes in range
+      val expected = math.max(toks.length - k + 1, 0)
+      assert(hs.length == (if (toks.length < k) 0 else expected))
+      hs.zipWithIndex.foreach { case ((p, h1, h2), i) =>
+        assert(p == i + 1)
+        assert(h1 >= 0 && h1 < (1L << 61) - 1 && h2 >= 0 && h2 < (1L << 61) - 1)
+      }
+      // equal windows hash equal on BOTH lanes; with ≤6-char alphanumeric
+      // tokens a lane collision of UNEQUAL windows would be a 2^-61 event
+      val byContent = hs.indices.groupBy(i =>
+        toks.slice(i, i + k).toSeq)
+      byContent.values.foreach { idxs =>
+        assert(idxs.map(i => (hs(i)._2, hs(i)._3)).distinct.size == 1,
+          "identical windows must collide on both lanes")
+      }
+      val byHash = hs.indices.groupBy(i => (hs(i)._2, hs(i)._3))
+      byHash.values.foreach { idxs =>
+        assert(idxs.map(i => toks.slice(i, i + k).toSeq).distinct.size == 1,
+          "distinct windows must not collide")
+      }
+    }
+  }
+
+  test("span hashes distinguish token-boundary shifts (no concat ambiguity)") {
+    // ("ab","c") vs ("a","bc") and ("a","") vs ("a") prefix shapes —
+    // per-token hashing must separate what a naive join would merge
+    val a = Array("ab", "c", "x1", "x2", "x3", "x4", "x5", "x6")
+    val b = Array("a", "bc", "x1", "x2", "x3", "x4", "x5", "x6")
+    val ha = Dedup.spanWindowHashes(a)(0)
+    val hb = Dedup.spanWindowHashes(b)(0)
+    assert((ha._2, ha._3) != (hb._2, hb._3))
+    val c = Array("a", "", "x1", "x2", "x3", "x4", "x5", "x6")
+    val d = Array("", "a", "x1", "x2", "x3", "x4", "x5", "x6")
+    val hc = Dedup.spanWindowHashes(c)(0)
+    val hd = Dedup.spanWindowHashes(d)(0)
+    assert((hc._2, hc._3) != (hd._2, hd._3))
+  }
+
+  test("repetition kernel matches a naive recomputation on arbitrary docs") {
+    forAll(tokGen, n = 300) { toks =>
+      val text = toks.mkString(" ")
+      val w = text.split(" ", -1) // what the kernel actually tokenizes
+      val (_, n1, n2, dup, top, flag) = TextAnalysis.repetitionOf(7L, text)
+      assert(n1.get == w.length)
+      val g2 = w.sliding(2).filter(_.length == 2).map(_.mkString(" ")).toSeq
+      assert(n2.get == g2.length)
+      val dupNaive = if (g2.isEmpty) 0.0
+        else (g2.length - g2.distinct.length).toDouble / g2.length
+      val topNaive = w.groupBy(identity).values.map(_.length).max.toDouble / w.length
+      assert(math.abs(dup.get - dupNaive) < 1e-6 && math.abs(top.get - topNaive) < 1e-6)
+      assert(flag.get == (if (dupNaive > TextAnalysis.DupGramMax
+        || topNaive > TextAnalysis.TopWordMax) 1 else 0))
+    }
+  }
 }

@@ -252,6 +252,68 @@ class StreamingSpec extends AnyFunSuite {
     (4L to 8L).foreach(d => assert(got(d) == 0L, s"doc $d in saturated bucket: $got"))
   }
 
+  test("d8 streaming span dedup: ordered-arrival semantics on one batch") {
+    val dir = java.nio.file.Files.createTempDirectory("d8_single")
+    val a = (1 to 20).map(i => s"a$i")
+    val shared = a.slice(4, 16) // a5..a16, a 12-token run
+    val b = Seq("b1", "b2", "b3") ++ shared ++ Seq("b4", "b5", "b6")
+    val dRep = (1 to 8).map(i => s"x$i") ++ Seq("sep") ++ (1 to 8).map(i => s"x$i")
+    writeDocsFile(dir, "f1.parquet", 1000000L, Seq(
+      1L -> a.mkString(" "),
+      2L -> b.mkString(" "),
+      3L -> "tiny doc under k", // < SpanK tokens -> no windows, absent
+      4L -> dRep.mkString(" ")))
+    val got = graft.streaming.StreamSpanDedup
+      .streamingSpanDedupFromDir(spark, dir.toString)
+      .as[(Long, Int, Int, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got.keySet == Set(1L, 2L, 4L), s"short doc must be absent: $got")
+    // doc 1 is every shared span's FIRST holder -> unflagged (batch c24
+    // would flag both holders; the stream keeps the first copy)
+    assert(got(1L) == ((13, 0, 0L)), s"first holder flagged: $got")
+    // doc 2: 5 windows inside the shared run, union covers 12 tokens
+    assert(got(2L) == ((11, 5, 12L)), s"later holder miscounted: $got")
+    // within-doc repetition is NOT cross-doc: same holder, no flags
+    assert(got(4L) == ((10, 0, 0L)), s"self-repeat flagged: $got")
+  }
+
+  test("d8 span eviction: an idle span is forgotten, re-arrival becomes holder") {
+    val dir = java.nio.file.Files.createTempDirectory("d8_evict")
+    val s = (1 to 12).map(i => s"s$i").mkString(" ")
+    writeDocsFile(dir, "f1.parquet", 1000000L, Seq(1L -> s))
+    writeDocsFile(dir, "f2.parquet", 1010000L,
+      Seq(3000L -> (1 to 12).map(i => s"u$i").mkString(" ")))
+    writeDocsFile(dir, "f3.parquet", 1020000L,
+      Seq(3100L -> (1 to 12).map(i => s"v$i").mkString(" ")))
+    writeDocsFile(dir, "f4.parquet", 1030000L, Seq(3200L -> s))
+    val got = graft.streaming.StreamSpanDedup
+      .streamingSpanDedupFromDir(spark, dir.toString,
+        retentionSec = 600L, maxFilesPerTrigger = Some(1))
+      .as[(Long, Int, Int, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(3200L) == ((5, 0, 0L)),
+      s"doc 3200 should not be flagged against evicted doc 1's spans: $got")
+  }
+
+  test("d8 warm spans stay held: retention applies to the span's last sighting") {
+    val dir = java.nio.file.Files.createTempDirectory("d8_warm")
+    val s = (1 to 12).map(i => s"s$i").mkString(" ")
+    // doc 1's spans would individually be past retention by doc 3200's
+    // batch, but doc 2900's copy keeps them WARM (last-seen refreshed) —
+    // the corpus-so-far still contains the content, so 3200 is flagged
+    writeDocsFile(dir, "f1.parquet", 1000000L, Seq(1L -> s))
+    writeDocsFile(dir, "f2.parquet", 1010000L, Seq(2900L -> s))
+    writeDocsFile(dir, "f3.parquet", 1020000L, Seq(3200L -> s))
+    val got = graft.streaming.StreamSpanDedup
+      .streamingSpanDedupFromDir(spark, dir.toString,
+        retentionSec = 600L, maxFilesPerTrigger = Some(1))
+      .as[(Long, Int, Int, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) == ((5, 0, 0L)), got.toString)
+    assert(got(2900L) == ((5, 5, 12L)), s"warm copy not flagged: $got")
+    assert(got(3200L) == ((5, 5, 12L)), s"span went cold despite 2900's copy: $got")
+  }
+
   test("d6 without eviction: the same late near-dup IS counted") {
     val dir = java.nio.file.Files.createTempDirectory("d6_noevict")
     val base = "the quick brown fox jumps over the lazy dog again and again today " * 4
