@@ -94,6 +94,15 @@ object ScaleProbe {
       "source", concat(lit("src"), (col("doc_id") % 8).cast("int")))
     val (_, tMix) = time(force(graft.ops.CorpusOps.domainMix(docsMultiSrc)))
 
+    // --- c27/c28 LM scoring at probe scale. The random 5000-token
+    // vocab makes the bigram model ~n_docs·39 DISTINCT bigrams (~4M at
+    // 100k docs) — far past broadcast range, so the model joins run as
+    // the keyed shuffle joins the 100 TB plan would use. c28's unigram
+    // model stays 5000 rows (AQE broadcasts it) with the 8-source
+    // relabelling giving a 25% target slice. ---
+    val (_, tNgramLm) = time(force(graft.ops.LmScore.ngramLm(docsOnDisk)))
+    val (_, tDsir) = time(force(graft.ops.LmScore.dsirWeight(docsMultiSrc)))
+
     // --- c24 substring-span dedup: ~33 windows/doc explode to
     // 128-bit span keys; the 10% planted near-dups share two long
     // runs each (the 20-token prefix and 19-token suffix around the
@@ -192,6 +201,7 @@ object ScaleProbe {
       s""""c12_scrub_s":$tScrub,"c15_pack_s":$tPack,"c16_filter_s":$tFilter,""" +
       s""""c17_contam_s":$tContam,"c18_stats_s":$tStats,""" +
       s""""c21_repetition_s":$tRepet,"c22_domainmix_s":$tMix,""" +
+      s""""c27_ngramlm_s":$tNgramLm,"c28_dsir_s":$tDsir,""" +
       s""""c24_spans_s":$tSpans,"c25_bm25_s":$tBm25,"c26_hybrid_s":$tHybrid,""" +
       s""""c20_canon_s":$tCanon,"c20_mega_family":$megaN,""" +
       s""""index_build_s":$tBuild,""" +

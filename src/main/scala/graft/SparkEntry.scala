@@ -64,6 +64,8 @@ object SparkEntry {
     "c24_substring_dedup" -> (PipelineQueries.substringDedup(_, _)),
     "c25_bm25_search" -> (PipelineQueries.bm25Search(_, _)),
     "c26_hybrid_search" -> (PipelineQueries.hybridSearch(_, _)),
+    "c27_lm_perplexity" -> (PipelineQueries.ngramLm(_, _)),
+    "c28_dsir_weight" -> (PipelineQueries.dsirWeight(_, _)),
     "d1_sessionize"  -> (PipelineQueries.sessionize(_, _)),
     "d2_window_agg"  -> (PipelineQueries.windowAgg(_, _)),
     "d3_stream_agg"  -> (PipelineQueries.streamingAgg(_, _)),

@@ -15,7 +15,23 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // optional subset for local iteration (the driver never sets this);
+    // validated up front like Bench's SPARK_GRAFT_BENCH_ONLY
+    val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { ks =>
+      require(ks.nonEmpty, "SPARK_GRAFT_VERIFY_ONLY is set but names no queries")
+      val unknown = ks -- SparkEntry.queries.keySet
+      require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
+      // loud: the written oracle_sql.json covers ONLY the subset, so a
+      // check_oracle pass over this outDir certifies nothing else —
+      // and stale dirs from an earlier full run are not re-dumped
+      System.err.println(s"[verify] SUBSET MODE: ${ks.size} of " +
+        s"${SparkEntry.queries.size} queries; oracle_sql.json covers only the subset")
+    }
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -35,6 +51,7 @@ object Verify {
       case c => c.toString
     } + "\""
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

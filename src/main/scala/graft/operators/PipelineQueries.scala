@@ -126,6 +126,12 @@ object PipelineQueries {
       Tables.embeddings(spark, dir))
       .orderBy("query_id", "rk")
 
+  def ngramLm(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.LmScore.ngramLm(Tables.documents(spark, dir)).orderBy("doc_id")
+
+  def dsirWeight(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.LmScore.dsirWeight(Tables.documents(spark, dir)).orderBy("doc_id")
+
   def sessionize(spark: SparkSession, dir: String): DataFrame =
     EventOps.sessionize(spark, dir)
 
@@ -225,6 +231,48 @@ object PipelineQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "c27_lm_perplexity" ->
+      // mirrors LmScore.ngramLm: bigram counts per doc, add-one
+      // smoothing over |distinct w2|, 1e-4-quantized ln per distinct
+      // bigram, integer tenk sums, one trailing DOUBLE/DOUBLE division
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
+         |  FROM documents WHERE text IS NOT NULL),
+         |b AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+         |      FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i FROM t)),
+         |r AS (SELECT doc_id, w1, w2, CAST(count(*) AS BIGINT) AS cnt FROM b GROUP BY 1, 2, 3),
+         |bc AS (SELECT w1, w2, CAST(sum(cnt) AS BIGINT) AS c2 FROM r GROUP BY 1, 2),
+         |uc AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM bc GROUP BY 1),
+         |vv AS (SELECT CAST(count(DISTINCT w2) AS BIGINT) AS v FROM bc),
+         |sc AS (SELECT doc_id, CAST(sum(cnt) AS INT) AS n_bigrams,
+         |  CAST(sum(cnt * CAST(floor(ln(CAST(c1 + v AS DOUBLE)/(c2 + 1.0)) * 1e4 + 0.5) AS BIGINT)) AS BIGINT) AS sum_tenk
+         | FROM r JOIN bc USING (w1, w2) JOIN uc USING (w1) CROSS JOIN vv
+         | GROUP BY doc_id)
+         |SELECT d.doc_id, sc.n_bigrams,
+         | CAST(sc.sum_tenk AS DOUBLE) / CAST(CAST(sc.n_bigrams AS BIGINT) * 10000 AS DOUBLE) AS mean_nll,
+         | CAST(CAST(sc.sum_tenk AS DOUBLE) / CAST(CAST(sc.n_bigrams AS BIGINT) * 10000 AS DOUBLE)
+         |   > ${graft.ops.LmScore.NllFlagMax} AS INT) AS high_nll
+         |FROM documents d LEFT JOIN sc USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "c28_dsir_weight" ->
+      // mirrors LmScore.dsirWeight: one unigram model table carrying
+      // raw + target counts, totals/vocab from the model, per-word
+      // delta = quantized nll_raw - quantized nll_target, integer sums
+      s"""WITH u AS (SELECT doc_id,
+         |   CASE WHEN source IN (${graft.ops.LmScore.dsirTargetSqlList}) THEN 1 ELSE 0 END AS tgt,
+         |   unnest(string_split(text, ' ')) AS w
+         |  FROM documents WHERE text IS NOT NULL),
+         |r AS (SELECT doc_id, tgt, w, CAST(count(*) AS BIGINT) AS cnt FROM u GROUP BY 1, 2, 3),
+         |m AS (SELECT w, CAST(sum(cnt) AS BIGINT) AS rc,
+         |   CAST(sum(CASE WHEN tgt = 1 THEN cnt ELSE 0 END) AS BIGINT) AS tc FROM r GROUP BY w),
+         |tot AS (SELECT CAST(sum(rc) AS BIGINT) AS rr, CAST(sum(tc) AS BIGINT) AS tt,
+         |   CAST(count(*) AS BIGINT) AS v FROM m),
+         |sc AS (SELECT doc_id, CAST(sum(cnt) AS INT) AS n_tokens,
+         |  CAST(sum(cnt * (CAST(floor(ln(CAST(rr + v AS DOUBLE)/(rc + 1.0)) * 1e4 + 0.5) AS BIGINT)
+         |               -  CAST(floor(ln(CAST(tt + v AS DOUBLE)/(tc + 1.0)) * 1e4 + 0.5) AS BIGINT))) AS BIGINT) AS sum_delta
+         | FROM r JOIN m USING (w) CROSS JOIN tot GROUP BY doc_id)
+         |SELECT d.doc_id, d.source, sc.n_tokens,
+         | CAST(sc.sum_delta AS DOUBLE) / 1e4 AS log_ratio,
+         | CAST(sc.sum_delta > 0 AS INT) AS keep
+         |FROM documents d LEFT JOIN sc USING (doc_id) ORDER BY doc_id""".stripMargin,
     "c24_substring_dedup" ->
       // SpanK-token windows, 1-based start positions, md5 span keys;
       // coverage telescopes LEAST(K, next-start) — all mirrored in

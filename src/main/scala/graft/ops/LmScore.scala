@@ -1,0 +1,190 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Statistical language-model scoring over the corpus — the two
+  * model-based selection stages a large-scale training-data pipeline
+  * runs after the rule-based gates (c16) and dedup (c19/c20):
+  *
+  *  - c27 [[ngramLm]]: CCNet-style fluency scoring — train a bigram LM
+  *    on the corpus itself, score every document by its mean per-token
+  *    negative log-likelihood, flag the statistical outliers (boilerplate
+  *    and keyword-stuffed text scores LOW, incoherent token soup scores
+  *    HIGH — both tails are quality signals).
+  *  - c28 [[dsirWeight]]: DSIR-style importance weighting (Xie et al.
+  *    2023, "Data Selection for Language Models via Importance
+  *    Resampling") — train unigram LMs on a target slice and on the full
+  *    corpus, score every document by its total log likelihood-ratio
+  *    log p_target(doc) - log p_raw(doc), and keep docs that look more
+  *    like the target domain than the background.
+  *
+  * Scale design (both operators): the corpus TEXT is scanned twice —
+  * once through a compiled typed kernel that emits PER-DOC AGGREGATED
+  * n-gram counts (one hash-map pass per doc, so the shuffle carries
+  * distinct-grams-per-doc rows, never one row per token), and once more
+  * when those kernel rows are re-derived as the scoring probe (a third,
+  * doc_id-pruned pass feeds the trailing all-docs join-back — column
+  * pruning keeps it off the text bytes). The
+  * model tables are O(distinct grams) rows built by map-side partial
+  * aggregation from the kernel rows (c27's unigram table and vocab size
+  * derive from the BIGRAM table — O(model) input, not a third corpus
+  * pass); at 100 TB they are orders of magnitude smaller than the
+  * corpus and join back by gram key (AQE broadcasts them when they fit,
+  * shuffle-joins otherwise — either way the corpus side never
+  * re-partitions by anything wider than the gram key). A production run
+  * at 100 TB would persist the kernel rows to a staging table instead
+  * of recomputing the lineage for the probe side; the operator shape is
+  * unchanged.
+  *
+  * Oracle-parity arithmetic (same discipline as Retrieval/c25): every
+  * count is an exact integer, each transcendental (one `ln` per distinct
+  * gram, over the model tables only) is quantized to 1e-4 immediately,
+  * per-doc scores are integer sums of quantized units (order-independent
+  * across partitions and engines), and the single trailing division is
+  * IEEE-identical everywhere. c28's `keep` compares the integer sum
+  * against zero (boundary-proof); c27's `high_nll` compares the
+  * division result, which is still exact parity because both engines
+  * compute the identical double and the rational mean (denominator
+  * n·1e4) can never equal the threshold literal exactly.
+  */
+object LmScore {
+  /** c27 flag threshold: mean per-token NLL above this marks a doc as a
+    * statistical outlier vs the corpus LM. Sits just above the synthetic
+    * corpus' mean (~3.39 at sf0.01, vocab ~30 ⇒ NLL ≈ ln V), so the flag
+    * genuinely splits the corpus. Shared with the SQL oracle. */
+  val NllFlagMax = 3.4
+
+  /** c28 target slice: the sources whose distribution the importance
+    * weights steer toward. Shared with the SQL oracle. */
+  val DsirTargetSources: Seq[String] = Seq("src0", "src1")
+  def dsirTargetSqlList: String = DsirTargetSources.map(s => s"'$s'").mkString(", ")
+
+  /** Per-doc aggregated bigram counts via one hash-map pass — the
+    * kernel both the model build and the scoring probe run over.
+    * Null text emits nothing (the doc re-enters through the trailing
+    * left join with NULL metrics, like c21). */
+  private[graft] def bigramRows(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast(LongType), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        if (text == null) Iterator.empty
+        else {
+          val w = text.split(" ", -1)
+          val m = new scala.collection.mutable.HashMap[(String, String), Int]
+          var i = 0
+          while (i < w.length - 1) {
+            val k = (w(i), w(i + 1))
+            m.update(k, m.getOrElse(k, 0) + 1)
+            i += 1
+          }
+          m.iterator.map { case ((w1, w2), c) => (id, w1, w2, c) }
+        }
+      }
+      .toDF("doc_id", "w1", "w2", "cnt")
+  }
+
+  /** The 1e-4-quantized negative log-likelihood of an add-one-smoothed
+    * event: floor(ln((denom) / (num+1)) * 1e4 + 0.5) as integer
+    * "tenk" units. `denom`/`num` are exact-integer columns, so the one
+    * transcendental runs over model-table rows only. */
+  private def nllTenk(num: org.apache.spark.sql.Column,
+      denom: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    floor(log(denom.cast(DoubleType) / (num + lit(1.0))) * 1e4 + lit(0.5))
+      .cast(LongType)
+
+  /** c27: bigram-LM perplexity scoring. P(w2|w1) = (c(w1,w2)+1) /
+    * (c(w1·)+V) with add-one smoothing over the prediction vocabulary
+    * V = |distinct w2|; a doc's score is the mean NLL over its bigram
+    * transitions. Docs with no bigrams (null or single-token text)
+    * carry NULL metrics. */
+  def ngramLm(docs: DataFrame): DataFrame = {
+    val rows = bigramRows(docs)
+    // model tables: bigram counts from the kernel rows; the unigram
+    // (context) table and vocab size derive from the bigram table —
+    // O(model) input, not another corpus scan. Sums of exact ints.
+    val bc = rows.groupBy("w1", "w2").agg(sum("cnt").as("c2"))
+    val uc = bc.groupBy("w1").agg(sum("c2").as("c1"))
+    val vv = bc.agg(countDistinct("w2").as("v"))
+    val scored = rows
+      .join(bc, Seq("w1", "w2"))
+      .join(uc, Seq("w1"))
+      .crossJoin(broadcast(vv))
+      .withColumn("tenk", nllTenk(col("c2"), col("c1") + col("v")))
+      .groupBy("doc_id")
+      .agg(
+        sum("cnt").cast(IntegerType).as("n_bigrams"),
+        sum(col("cnt") * col("tenk")).as("sum_tenk"))
+    docs.select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .withColumn("mean_nll",
+        col("sum_tenk").cast(DoubleType) /
+          (col("n_bigrams").cast(LongType) * lit(10000L)).cast(DoubleType))
+      // the flag compares integer sums (mean > t ⇔ sum > t·n·1e4 would
+      // need exact t; comparing the division result is still exact
+      // parity because both engines compute the identical double)
+      .withColumn("high_nll", (col("mean_nll") > lit(NllFlagMax)).cast(IntegerType))
+      .select("doc_id", "n_bigrams", "mean_nll", "high_nll")
+  }
+
+  /** Per-doc aggregated unigram counts with the target-slice flag. */
+  private[graft] def unigramRows(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val tgt = DsirTargetSources.toSet
+    docs.select(col("doc_id").cast(LongType), col("source"), col("text"))
+      .as[(Long, String, String)]
+      .flatMap { case (id, source, text) =>
+        if (text == null) Iterator.empty
+        else {
+          val w = text.split(" ", -1)
+          val m = new scala.collection.mutable.HashMap[String, Int]
+          var i = 0
+          while (i < w.length) {
+            m.update(w(i), m.getOrElse(w(i), 0) + 1)
+            i += 1
+          }
+          val t = if (source != null && tgt.contains(source)) 1 else 0
+          m.iterator.map { case (word, c) => (id, t, word, c) }
+        }
+      }
+      .toDF("doc_id", "tgt", "w", "cnt")
+  }
+
+  /** c28: DSIR importance weighting. Unigram LMs with add-one smoothing
+    * over the raw vocabulary V: p_t(w) = (tc+1)/(T+V) from the target
+    * slice, p_r(w) = (rc+1)/(R+V) from the full corpus. A doc's
+    * log_ratio is its total log p_t(doc) - log p_r(doc) (positive =
+    * more target-like than background; DSIR keeps by this statistic);
+    * `keep` compares the integer sum against zero, so the decision is
+    * exactly order- and engine-independent. */
+  def dsirWeight(docs: DataFrame): DataFrame = {
+    val rows = unigramRows(docs)
+    // one model table: raw + target counts per word; totals and vocab
+    // size from one more O(model) aggregation
+    val model = rows.groupBy("w").agg(
+      sum("cnt").as("rc"),
+      sum(when(col("tgt") === 1, col("cnt")).otherwise(lit(0L))).as("tc"))
+    val tot = model.agg(
+      sum("rc").as("rr"), sum("tc").as("tt"), count(lit(1)).as("v"))
+    val scored = rows
+      .join(model, Seq("w"))
+      .crossJoin(broadcast(tot))
+      // log-ratio in tenk units: nll_raw - nll_target (both quantized
+      // independently, mirrored in the oracle)
+      .withColumn("delta",
+        nllTenk(col("rc"), col("rr") + col("v")) -
+          nllTenk(col("tc"), col("tt") + col("v")))
+      .groupBy("doc_id")
+      .agg(
+        sum("cnt").cast(IntegerType).as("n_tokens"),
+        sum(col("cnt") * col("delta")).as("sum_delta"))
+    docs.select(col("doc_id"), col("source"))
+      .join(scored, Seq("doc_id"), "left")
+      .withColumn("log_ratio", col("sum_delta").cast(DoubleType) / lit(1e4))
+      .withColumn("keep", (col("sum_delta") > lit(0L)).cast(IntegerType))
+      .select("doc_id", "source", "n_tokens", "log_ratio", "keep")
+  }
+}

@@ -223,4 +223,81 @@ class CorpusSpec extends AnyFunSuite {
     val again = CorpusOps.domainMix(d).collect().map(_.getAs[Long]("doc_id")).toSet
     assert(again == out.map(_.getAs[Long]("doc_id")).toSet)
   }
+
+  test("ngram LM: exact tiny-case NLL; common transitions score below rare ones") {
+    import graft.ops.LmScore
+    // one doc "x y x y x": c2=2 for both bigram types, c1=2, V=2
+    // ⇒ every transition NLL = ln(4/3) ⇒ tenk = 2877 ⇒ mean 0.2877
+    val r1 = LmScore.ngramLm(docs(1L -> "x y x y x")).collect().head
+    assert(r1.getAs[Int]("n_bigrams") == 4)
+    assert(r1.getAs[Double]("mean_nll") == 0.2877, r1.toString)
+    // corpus dominated by the a↔b loop; doc 99 is one-off transitions
+    val d = docs(((1L to 10L).map(i => i -> "a b a b a b a b") :+
+      (99L -> "q r s t u v w x")): _*)
+    val out = LmScore.ngramLm(d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("mean_nll")).toMap
+    assert(out(1L) < out(99L), out.toString)
+  }
+
+  test("ngram LM: high_nll fires on rare-transition docs and not on common ones") {
+    import graft.ops.LmScore
+    // 12 docs of 12 unique tokens each ⇒ V ≈ 144 second-position
+    // words, every transition a singleton: NLL ≈ ln((1+V)/2) ≈ ln 72
+    // ≈ 4.3 > NllFlagMax. Doc 100 repeats one 2-token loop: its
+    // transitions are corpus-frequent, NLL ≈ ln 8 ≈ 2.1 < NllFlagMax.
+    val unique = (1L to 12L).map(i =>
+      i -> (1 to 12).map(j => s"u${i}_$j").mkString(" "))
+    val d = docs((unique :+ (100L -> ("a b " * 10).trim)): _*)
+    val out = LmScore.ngramLm(d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("high_nll")).toMap
+    assert(out(100L) == 0, s"common-transition doc flagged: $out")
+    (1L to 12L).foreach(i => assert(out(i) == 1, s"rare-transition doc $i unflagged: $out"))
+  }
+
+  test("ngram LM: null and single-token docs carry NULL metrics") {
+    import graft.ops.LmScore
+    val d = Seq((1L, "hello"), (2L, null.asInstanceOf[String]), (3L, "a b a"))
+      .toDF("doc_id", "text")
+    val rows = LmScore.ngramLm(d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(rows(1L).isNullAt(rows(1L).fieldIndex("mean_nll")), "single token")
+    assert(rows(2L).isNullAt(rows(2L).fieldIndex("n_bigrams")), "null text")
+    assert(rows(2L).isNullAt(rows(2L).fieldIndex("high_nll")), "null text flag")
+    assert(!rows(3L).isNullAt(rows(3L).fieldIndex("mean_nll")))
+  }
+
+  test("dsir: target-vocab docs keep, background-vocab docs drop, exact deltas") {
+    import graft.ops.LmScore
+    // target slice (src0) speaks t+c, background (src7) speaks b+c;
+    // probes 100/101 sit in the background source but use one vocab each
+    val d = (
+      (1 to 5).map(i => (i.toLong, "t c t c", "src0")) ++
+      (1 to 5).map(i => (10L + i, "b c b c", "src7")) ++
+      Seq((100L, "t t t", "src7"), (101L, "b b b", "src7"))
+    ).toDF("doc_id", "text", "source")
+    val out = LmScore.dsirWeight(d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // hand computation: rc(t)=13 rc(b)=13 rc(c)=20, tc(t)=10 tc(c)=10
+    // tc(b)=0, rr=46 tt=20 V=3 ⇒ delta(t) = 12528-7376 = 5152,
+    // delta(b) = 12528-31355 = -18827
+    assert(out(100L).getAs[Double]("log_ratio") == 3 * 5152 / 1e4, out(100L).toString)
+    assert(out(100L).getAs[Int]("keep") == 1)
+    assert(out(101L).getAs[Double]("log_ratio") == 3 * -18827 / 1e4, out(101L).toString)
+    assert(out(101L).getAs[Int]("keep") == 0)
+    // keep agrees with the sign of log_ratio everywhere
+    out.values.foreach { r =>
+      assert((r.getAs[Double]("log_ratio") > 0) == (r.getAs[Int]("keep") == 1), r.toString)
+    }
+  }
+
+  test("dsir: null text carries NULL metrics and NULL keep") {
+    import graft.ops.LmScore
+    val d = Seq((1L, null.asInstanceOf[String], "src0"), (2L, "t t", "src0"))
+      .toDF("doc_id", "text", "source")
+    val rows = LmScore.dsirWeight(d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(rows(1L).isNullAt(rows(1L).fieldIndex("n_tokens")))
+    assert(rows(1L).isNullAt(rows(1L).fieldIndex("keep")))
+    assert(!rows(2L).isNullAt(rows(2L).fieldIndex("keep")))
+  }
 }

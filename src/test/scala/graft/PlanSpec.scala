@@ -176,4 +176,20 @@ class PlanSpec extends AnyFunSuite {
     assert("Scan parquet".r.findAllIn(p).length <= 2,
       s"c25 grew a corpus-sized doc-length join:\n$p")
   }
+
+  test("c27/c28 LM scoring: typed count kernels, model joins keyed, one one-row cross each") {
+    for ((name, df) <- Seq(
+        "c27" -> operators.PipelineQueries.ngramLm(spark, sf),
+        "c28" -> operators.PipelineQueries.dsirWeight(spark, sf))) {
+      val p = plan(df)
+      assert(p.contains("MapPartitions"), s"$name lost its typed count kernel:\n$p")
+      assert(!p.contains("ScalaUDF"), s"$name fell back to a scalar UDF:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$name planned a cartesian:\n$p")
+      // model tables join back by gram KEY (hash or broadcast, AQE's
+      // choice); the only nested-loop allowed is the one-row
+      // vocab/totals broadcast cross
+      assert("BroadcastNestedLoopJoin".r.findAllIn(p).length <= 1,
+        s"$name nested-loops corpus rows:\n$p")
+    }
+  }
 }

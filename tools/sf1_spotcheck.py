@@ -6,7 +6,9 @@ set of queries where both engines do REAL work — e1 (scan-heavy agg),
 e3 (multi-join), c17 (n-gram contamination join), d1 (sessionize
 window), c24 (substring-span dedup: the 10x replicas keep their text,
 so EVERY span is cross-doc duplicated — the adversarial shape), c25
-(BM25 over 10x the postings) — on the 10x-replicated tables of
+(BM25 over 10x the postings), c27 (bigram-LM train + score: ~5M
+bigram occurrences unnested on the DuckDB side), c28 (DSIR unigram
+log-ratios over the same volume) — on the 10x-replicated tables of
 tools/make_sf1.py.
 
 Writes results/sf1_spotcheck.json and rewrites the marker-delimited
@@ -15,14 +17,15 @@ the section from the json on a full regeneration).
 
 Usage:
   python3 tools/make_sf1.py                     # build /tmp/sf1 once
-  SPARK_GRAFT_BENCH_ONLY=e1_q1_agg,e3_q5_multijoin,c17_contamination,d1_sessionize,c24_substring_dedup,c25_bm25_search \
+  SPARK_GRAFT_BENCH_ONLY=e1_q1_agg,e3_q5_multijoin,c17_contamination,d1_sessionize,c24_substring_dedup,c25_bm25_search,c27_lm_perplexity,c28_dsir_weight \
     SPARK_GRAFT_SF_DIR=/tmp/sf1 sbt "runMain graft.Bench" | grep '"metric"' > /tmp/sf1_bench.json
   python3 tools/sf1_spotcheck.py <oracle_sql.json> [/tmp/sf1] [/tmp/sf1_bench.json]
 """
 import duckdb, glob, json, os, sys, time
 
 QUERIES = ["e1_q1_agg", "e3_q5_multijoin", "c17_contamination", "d1_sessionize",
-           "c24_substring_dedup", "c25_bm25_search"]
+           "c24_substring_dedup", "c25_bm25_search", "c27_lm_perplexity",
+           "c28_dsir_weight"]
 RUNS = 3
 BEGIN = "<!-- sf1-spotcheck:begin -->"
 END = "<!-- sf1-spotcheck:end -->"
@@ -66,7 +69,7 @@ def sf1_section(spot):
              "",
              "At sf0.1 most oracle queries finish in DuckDB in <50 ms — the",
              "per-query ratios above measure Spark's per-job fixed cost, not",
-             "plan cost. This section re-times six representative queries on",
+             "plan cost. This section re-times eight representative queries on",
              f"10x-replicated tables (`tools/make_sf1.py`, ~sf1: "
              f"{spot.get('lineitem_rows', '~6M')} lineitem rows), where the",
              "data is large enough for the plans themselves to dominate.",
