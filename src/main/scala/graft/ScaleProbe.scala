@@ -30,6 +30,13 @@ object ScaleProbe {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
+      // the production state-store for large streaming state: the
+      // default HDFSBackedStateStoreProvider keeps every state row on
+      // the JVM heap and OOMs the d8 span store at 500k docs (~16.5M
+      // distinct span states); RocksDB spills to native memory + disk
+      // and is the deployment conf any big stateful stream runs with
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._

@@ -66,6 +66,7 @@ object SparkEntry {
     "c26_hybrid_search" -> (PipelineQueries.hybridSearch(_, _)),
     "c27_lm_perplexity" -> (PipelineQueries.ngramLm(_, _)),
     "c28_dsir_weight" -> (PipelineQueries.dsirWeight(_, _)),
+    "c29_embed_contam" -> (PipelineQueries.embedContamination(_, _)),
     "d1_sessionize"  -> (PipelineQueries.sessionize(_, _)),
     "d2_window_agg"  -> (PipelineQueries.windowAgg(_, _)),
     "d3_stream_agg"  -> (PipelineQueries.streamingAgg(_, _)),
@@ -74,6 +75,7 @@ object SparkEntry {
     "d6_stream_dedup" -> (PipelineQueries.streamingNearDup(_, _)),
     "d7_stream_gate" -> (PipelineQueries.streamingCorpusGate(_, _)),
     "d8_stream_spans" -> (PipelineQueries.streamingSpanDedup(_, _)),
+    "d9_stream_contam" -> (PipelineQueries.streamingEmbedContam(_, _)),
     "e1_q1_agg"      -> (Relational.q1Agg(_, _)),
     "e2_q3_join"     -> (Relational.q3Join(_, _)),
     "e3_q5_multijoin" -> (Relational.q5MultiJoin(_, _)),

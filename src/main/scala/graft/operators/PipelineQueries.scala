@@ -126,6 +126,10 @@ object PipelineQueries {
       Tables.embeddings(spark, dir))
       .orderBy("query_id", "rk")
 
+  def embedContamination(spark: SparkSession, dir: String): DataFrame =
+    CorpusOps.embedContamination(spark, Tables.embeddings(spark, dir))
+      .orderBy("vec_id")
+
   def ngramLm(spark: SparkSession, dir: String): DataFrame =
     graft.ops.LmScore.ngramLm(Tables.documents(spark, dir)).orderBy("doc_id")
 
@@ -155,6 +159,9 @@ object PipelineQueries {
 
   def streamingSpanDedup(spark: SparkSession, dir: String): DataFrame =
     graft.streaming.StreamSpanDedup.streamingSpanDedup(spark, dir)
+
+  def streamingEmbedContam(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamContam.streamingEmbedContam(spark, dir)
 
   private def enList = TextAnalysis.markerSqlList("en")
   private def hashBucketSql = "substring(md5(CAST(doc_id AS VARCHAR)), 1, 2)"
@@ -230,7 +237,28 @@ object PipelineQueries {
        |  CAST(sum(micro) AS DOUBLE)/1e6 AS score FROM bsc GROUP BY 1, 2)""".stripMargin
   }
 
+  /** The c29 embed-decontamination oracle, shared by c29 (batch) and
+    * d9 (stream — stateless, so arrival order cannot matter and the
+    * hash check certifies batch/stream equivalence): N×E window
+    * argmax with (cos DESC, eval_id) rank — certifies the
+    * broadcast-kernel local argmax; cosine arithmetic shared with
+    * c5/c26 (DOUBLE[] cosine + floor(x·1e6+0.5)/1e6). */
+  private val EmbedContamSql =
+    s"""WITH ev AS (SELECT vec_id AS eval_id, embedding FROM embeddings
+       |  WHERE vec_id < ${CorpusOps.EvalIdBound}),
+       |c AS (SELECT d.vec_id, ev.eval_id,
+       |   floor(list_cosine_similarity(CAST(d.embedding AS DOUBLE[]),
+       |     CAST(ev.embedding AS DOUBLE[])) * 1e6 + 0.5)/1e6 AS cos
+       |  FROM embeddings d CROSS JOIN ev WHERE d.vec_id >= ${CorpusOps.EvalIdBound}),
+       |r AS (SELECT vec_id, eval_id, cos,
+       |   row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, eval_id) AS rk FROM c)
+       |SELECT vec_id, cos AS max_cos, eval_id AS nearest_eval_id,
+       | CAST(cos >= ${CorpusOps.EmbedContamMin} AS INT) AS contaminated
+       |FROM r WHERE rk = 1 ORDER BY vec_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "c29_embed_contam" -> EmbedContamSql,
+    "d9_stream_contam" -> EmbedContamSql,
     "c27_lm_perplexity" ->
       // mirrors LmScore.ngramLm: bigram counts per doc, add-one
       // smoothing over |distinct w2|, 1e-4-quantized ln per distinct

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
@@ -391,6 +391,83 @@ object CorpusOps {
         col("doc_id"),
         coalesce(col("n_shared"), lit(0L)).as("n_shared"),
         (coalesce(col("n_shared"), lit(0L)) > 0).cast(IntegerType).as("contaminated"))
+  }
+
+  // ---------------------------------------------------------------- c29
+  /** Cosine threshold above which a corpus embedding counts as a
+    * semantic duplicate of an eval item. Shared with the SQL oracle. */
+  val EmbedContamMin = 0.3
+
+  /** c29: embedding-space decontamination — the SEMANTIC complement of
+    * c17's lexical check. For every corpus embedding (id ≥
+    * [[EvalIdBound]]), the maximum cosine against the held-out eval
+    * set and the nearest eval item (min-id on ties), flagged at
+    * [[EmbedContamMin]]. Catches paraphrased/translated benchmark
+    * leakage that shares no 5-gram with the original.
+    *
+    * Scale shape: the eval set is bounded by contract (it is a
+    * benchmark), so it rides a broadcast into a compiled typed kernel
+    * that keeps the per-row argmax LOCAL — one narrow map over the
+    * embeddings scan, no N×E explode, no shuffle at all (the c5/c26
+    * shared cosine arithmetic: double dot over float inputs,
+    * floor(x·1e6+0.5)/1e6 — exactly DuckDB's
+    * list_cosine_similarity-over-DOUBLE[] + the shared rounding). The
+    * oracle formulation is the N×E window argmax; the hash match
+    * certifies the kernel against it. */
+  def embedContamination(spark: SparkSession, embeddings: DataFrame): DataFrame = {
+    import spark.implicits._
+    val eval = collectEvalSet(spark, embeddings)
+    contamScore(
+      embeddings.filter(col("vec_id") >= EvalIdBound)
+        .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])],
+      eval)
+  }
+
+  /** The frozen eval set: a bounded driver-side collect by contract
+    * (it is a benchmark). Shared by batch c29 and streaming d9. */
+  private[graft] def collectEvalSet(
+      spark: SparkSession, embeddings: DataFrame): Array[(Long, Array[Float])] = {
+    import spark.implicits._
+    val eval = embeddings.filter(col("vec_id") < EvalIdBound)
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      .collect().sortBy(_._1)
+    require(eval.nonEmpty, s"no eval embeddings below id $EvalIdBound")
+    eval
+  }
+
+  /** The scoring kernel behind c29 (batch) and d9 (streaming): eval
+    * rides a broadcast into a typed local argmax — works unchanged on
+    * a streaming Dataset because it is stateless and narrow. */
+  private[graft] def contamScore(
+      corpus: org.apache.spark.sql.Dataset[(Long, Array[Float])],
+      eval: Array[(Long, Array[Float])]): DataFrame = {
+    import graft.functions.VectorFunctions.dot
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(eval)
+    corpus
+      .mapPartitions { it =>
+        val ev = bc.value
+        it.map { case (id, v) =>
+          val nv = math.sqrt(dot(v, v))
+          var bestCos = Double.NegativeInfinity
+          var bestId = -1L
+          var i = 0
+          while (i < ev.length) {
+            val (eid, evec) = ev(i)
+            val c = dot(v, evec) / (nv * math.sqrt(dot(evec, evec)))
+            val cr = math.floor(c * 1e6 + 0.5) / 1e6
+            // strict >: ev is id-sorted, so the FIRST maximum (min id)
+            // wins ties, mirroring the oracle's (cos DESC, eval_id) rank
+            if (cr > bestCos) { bestCos = cr; bestId = eid }
+            i += 1
+          }
+          (id, bestCos, bestId)
+        }
+      }
+      .toDF("vec_id", "max_cos", "nearest_eval_id")
+      .withColumn("contaminated",
+        (col("max_cos") >= lit(EmbedContamMin)).cast(IntegerType))
   }
 
   // ---------------------------------------------------------------- c22

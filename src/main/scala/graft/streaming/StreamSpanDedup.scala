@@ -31,7 +31,12 @@ import graft.ops.Dedup
   * past retention are pruned on the data path when touched and dropped
   * via EventTimeTimeout when not. At 100 TB/day the state shards by
   * span key across executors and the per-batch work is the c24 kernel
-  * scan plus one keyed shuffle.
+  * scan plus one keyed shuffle. Span state is VOLUMINOUS (~n_tokens
+  * rows per live doc): deploy with the RocksDB state store
+  * (`spark.sql.streaming.stateStore.providerClass`) — the default
+  * HDFSBacked provider keeps every state row on-heap and OOMs around
+  * ~16M live spans per 32-thread JVM (measured: 500k×40-token docs in
+  * one batch; the same probe completes on RocksDB — see ScaleProbe).
   *
   * Determinism + oracle: with the default single-file source the
   * AvailableNow drain runs ONE batch, the watermark never advances

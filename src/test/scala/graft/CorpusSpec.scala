@@ -224,6 +224,27 @@ class CorpusSpec extends AnyFunSuite {
     assert(again == out.map(_.getAs[Long]("doc_id")).toSet)
   }
 
+  test("embed contamination: exact copy flagged, orthogonal clean, ties pick min eval id") {
+    val ev = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),
+      (1L, Array(0f, 1f, 0f, 0f)),
+      (20L, Array(1f, 0f, 0f, 0f)),   // exact copy of eval 0
+      (21L, Array(0f, 0f, 1f, 0f)),   // orthogonal to both
+      (22L, Array(1f, 1f, 0f, 0f)))   // cos .707107 to BOTH -> tie
+      .toDF("vec_id", "embedding")
+    val out = CorpusOps.embedContamination(spark, ev).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r).toMap
+    assert(out.keySet == Set(20L, 21L, 22L), "eval rows must not appear")
+    assert(out(20L).getAs[Double]("max_cos") == 1.0)
+    assert(out(20L).getAs[Long]("nearest_eval_id") == 0L)
+    assert(out(20L).getAs[Int]("contaminated") == 1)
+    assert(out(21L).getAs[Double]("max_cos") == 0.0)
+    assert(out(21L).getAs[Int]("contaminated") == 0)
+    assert(out(22L).getAs[Double]("max_cos") == 0.707107)
+    assert(out(22L).getAs[Long]("nearest_eval_id") == 0L, "tie must pick min eval id")
+    assert(out(22L).getAs[Int]("contaminated") == 1)
+  }
+
   test("ngram LM: exact tiny-case NLL; common transitions score below rare ones") {
     import graft.ops.LmScore
     // one doc "x y x y x": c2=2 for both bigram types, c1=2, V=2

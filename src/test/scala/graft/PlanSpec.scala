@@ -177,6 +177,17 @@ class PlanSpec extends AnyFunSuite {
       s"c25 grew a corpus-sized doc-length join:\n$p")
   }
 
+  test("c29 embed contamination: broadcast-kernel argmax, zero exchanges") {
+    // the operator body (before the harness orderBy) must be a pure
+    // narrow map: eval rides the task broadcast, no N×E explode
+    val p = plan(ops.CorpusOps.embedContamination(spark,
+      Tables.embeddings(spark, sf)))
+    assert(p.contains("MapPartitions"), s"c29 lost its typed kernel:\n$p")
+    assert(!p.contains("Exchange"), s"c29 shuffles:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"c29 joined instead of broadcasting into the kernel:\n$p")
+  }
+
   test("c27/c28 LM scoring: typed count kernels, model joins keyed, one one-row cross each") {
     for ((name, df) <- Seq(
         "c27" -> operators.PipelineQueries.ngramLm(spark, sf),

@@ -331,4 +331,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(got(3200L) == p.bands.toLong,
       s"with a long retention doc 3200 shares all ${p.bands} band buckets with doc 1: $got")
   }
+
+  test("d9 streaming decontam: multi-batch equals single-batch equals batch c29") {
+    // stateless gate: splitting the corpus across triggers must change
+    // NOTHING (no state, no order dependence); eval rows in the stream
+    // are dropped, eval comes from the frozen static source
+    val dir = java.nio.file.Files.createTempDirectory("d9_multi")
+    def vec(seed: Int) = Array.tabulate(4)(i => if (i == seed % 4) 1f else 0.1f)
+    val evalRows = (0L until 3L).map(i => (i, vec(i.toInt), 0))
+    val corpusRows = (20L to 27L).map(i => (i, vec(i.toInt), 1))
+    val static = (evalRows ++ corpusRows).toDF("vec_id", "embedding", "label")
+    def writeEmb(name: String, mtimeMs: Long, rows: Seq[(Long, Array[Float], Int)]): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("emb_part")
+      rows.toDF("vec_id", "embedding", "label")
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.head
+      val dest = dir.resolve(name)
+      java.nio.file.Files.copy(part, dest)
+      java.nio.file.Files.setLastModifiedTime(dest,
+        java.nio.file.attribute.FileTime.fromMillis(mtimeMs))
+    }
+    // eval rows arrive IN the stream too (first file) — must be ignored
+    writeEmb("f1.parquet", 1000000L, evalRows ++ corpusRows.take(3))
+    writeEmb("f2.parquet", 1010000L, corpusRows.slice(3, 6))
+    writeEmb("f3.parquet", 1020000L, corpusRows.drop(6))
+    val multi = graft.streaming.StreamContam.streamingEmbedContamFromDir(
+        spark, dir.toString, static, maxFilesPerTrigger = Some(1))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getInt(3)))
+    val batch = graft.ops.CorpusOps.embedContamination(spark, static)
+      .orderBy("vec_id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getInt(3)))
+    assert(multi.toSeq == batch.toSeq,
+      s"stream(3 triggers) != batch: ${multi.toSeq} vs ${batch.toSeq}")
+    assert(multi.length == corpusRows.length)
+  }
 }
