@@ -110,6 +110,11 @@ object ScaleProbe {
     val (_, tNgramLm) = time(force(graft.ops.LmScore.ngramLm(docsOnDisk)))
     val (_, tDsir) = time(force(graft.ops.LmScore.dsirWeight(docsMultiSrc)))
 
+    // --- c30 training-order shuffle: ONE corpus shuffle (the point of
+    // the op) + 256 parallel bucket windows + broadcast offset join —
+    // must scale like a repartition, never like a global sort ---
+    val (_, tShard) = time(force(graft.ops.CorpusOps.shuffleShard(docsOnDisk)))
+
     // --- c24 substring-span dedup: ~33 windows/doc explode to
     // 128-bit span keys; the 10% planted near-dups share two long
     // runs each (the 20-token prefix and 19-token suffix around the
@@ -208,7 +213,7 @@ object ScaleProbe {
       s""""c12_scrub_s":$tScrub,"c15_pack_s":$tPack,"c16_filter_s":$tFilter,""" +
       s""""c17_contam_s":$tContam,"c18_stats_s":$tStats,""" +
       s""""c21_repetition_s":$tRepet,"c22_domainmix_s":$tMix,""" +
-      s""""c27_ngramlm_s":$tNgramLm,"c28_dsir_s":$tDsir,""" +
+      s""""c27_ngramlm_s":$tNgramLm,"c28_dsir_s":$tDsir,"c30_shard_s":$tShard,""" +
       s""""c24_spans_s":$tSpans,"c25_bm25_s":$tBm25,"c26_hybrid_s":$tHybrid,""" +
       s""""c20_canon_s":$tCanon,"c20_mega_family":$megaN,""" +
       s""""index_build_s":$tBuild,""" +

@@ -67,6 +67,7 @@ object SparkEntry {
     "c27_lm_perplexity" -> (PipelineQueries.ngramLm(_, _)),
     "c28_dsir_weight" -> (PipelineQueries.dsirWeight(_, _)),
     "c29_embed_contam" -> (PipelineQueries.embedContamination(_, _)),
+    "c30_shuffle_shard" -> (PipelineQueries.shuffleShard(_, _)),
     "d1_sessionize"  -> (PipelineQueries.sessionize(_, _)),
     "d2_window_agg"  -> (PipelineQueries.windowAgg(_, _)),
     "d3_stream_agg"  -> (PipelineQueries.streamingAgg(_, _)),

@@ -130,6 +130,9 @@ object PipelineQueries {
     CorpusOps.embedContamination(spark, Tables.embeddings(spark, dir))
       .orderBy("vec_id")
 
+  def shuffleShard(spark: SparkSession, dir: String): DataFrame =
+    CorpusOps.shuffleShard(Tables.documents(spark, dir)).orderBy("doc_id")
+
   def ngramLm(spark: SparkSession, dir: String): DataFrame =
     graft.ops.LmScore.ngramLm(Tables.documents(spark, dir)).orderBy("doc_id")
 
@@ -259,6 +262,17 @@ object PipelineQueries {
   val oracles: Map[String, String] = Map(
     "c29_embed_contam" -> EmbedContamSql,
     "d9_stream_contam" -> EmbedContamSql,
+    "c30_shuffle_shard" ->
+      // the straight global row_number — certifies the bucket-offset
+      // decomposition; floor of the power-of-two division, never a
+      // double->int cast (DuckDB rounds, Spark truncates)
+      s"""WITH k AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents),
+         |r AS (SELECT doc_id,
+         |  CAST(row_number() OVER (ORDER BY h, doc_id) - 1 AS BIGINT) AS rank FROM k)
+         |SELECT doc_id, rank,
+         | CAST(floor(rank / CAST(${CorpusOps.ShardSize} AS DOUBLE)) AS INT) AS shard,
+         | CAST(rank % ${CorpusOps.ShardSize} AS INT) AS shard_pos
+         |FROM r ORDER BY doc_id""".stripMargin,
     "c27_lm_perplexity" ->
       // mirrors LmScore.ngramLm: bigram counts per doc, add-one
       // smoothing over |distinct w2|, 1e-4-quantized ln per distinct

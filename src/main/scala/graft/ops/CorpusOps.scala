@@ -470,6 +470,60 @@ object CorpusOps {
         (col("max_cos") >= lit(EmbedContamMin)).cast(IntegerType))
   }
 
+  // ---------------------------------------------------------------- c30
+  /** Docs per training shard. */
+  val ShardSize = 64L
+
+  /** c30: training-order shuffle + sharding — the final stage before
+    * the trainer: a deterministic global shuffle (decorrelates the
+    * crawl/source order) and assignment into fixed-size shards. Order
+    * key is md5 of the doc id, so the permutation is reproducible
+    * across runs and engines and re-running on a grown corpus only
+    * interleaves NEW docs (old relative order is preserved).
+    *
+    * The exact global rank is computed WITHOUT a single-task global
+    * window: the first two hex chars of the key split the corpus into
+    * 256 order-contiguous buckets; per-bucket counts (an O(256)
+    * aggregate) prefix-sum into bucket offsets on the driver, broadcast
+    * back, and a per-bucket window supplies the within-bucket
+    * row_number — 256-way parallel, one corpus shuffle (which IS the
+    * training-order shuffle the op exists to perform). Same
+    * distributed-prefix-sum shape as c15. The decomposition is
+    * prefix-length-agnostic: on a 1000-executor cluster widen the
+    * bucket prefix to 3-4 hex chars (4096/65536 order-contiguous
+    * buckets) so window parallelism matches the cluster — the offset
+    * table stays a trivial broadcast either way. The DuckDB oracle is
+    * the straight global row_number; the hash match certifies the
+    * bucket-offset decomposition equals it exactly. */
+  def shuffleShard(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val keyed = docs.select(
+      col("doc_id"),
+      md5(col("doc_id").cast("string")).as("h"))
+      .withColumn("bucket", substring(col("h"), 1, 2))
+    // O(256) rows: count per bucket -> exclusive prefix sum, driver-side
+    // (a bounded plan-time collect, the c26 pattern), broadcast back
+    val counts = keyed.groupBy("bucket").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = counts.scanLeft(("", 0L)) { case ((_, acc), (b, n)) => (b, acc + n) }
+    val offDf = {
+      import keyed.sparkSession.implicits._
+      counts.map(_._1).zip(offsets.map(_._2)).toSeq.toDF("bucket", "boff")
+    }
+    val byBucket = Window.partitionBy("bucket").orderBy(col("h"), col("doc_id"))
+    keyed.join(broadcast(offDf), "bucket")
+      .withColumn("rank",
+        col("boff") + row_number().over(byBucket).cast(LongType) - lit(1L))
+      .select(
+        col("doc_id"),
+        col("rank"),
+        // floor of an exact power-of-two division, NOT a double->int
+        // cast (DuckDB rounds on that cast, Spark truncates)
+        floor(col("rank") / lit(ShardSize)).cast(IntegerType).as("shard"),
+        (col("rank") % lit(ShardSize)).cast(IntegerType).as("shard_pos"))
+  }
+
   // ---------------------------------------------------------------- c22
   /** Domain-mixture weights: relative target proportions per source,
     * derived from the trailing digits of the source label (src7 →

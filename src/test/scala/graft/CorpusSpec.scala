@@ -224,6 +224,33 @@ class CorpusSpec extends AnyFunSuite {
     assert(again == out.map(_.getAs[Long]("doc_id")).toSet)
   }
 
+  test("shuffle shard: exact permutation, full shards, growth preserves relative order") {
+    val d = docs((0L until 200L).map(i => i -> s"doc $i"): _*)
+    val out = CorpusOps.shuffleShard(d).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("rank"),
+        r.getAs[Int]("shard"), r.getAs[Int]("shard_pos")))
+    // ranks are exactly 0..N-1 (the bucket-offset decomposition is a
+    // permutation, no gap/dup at any bucket boundary)
+    assert(out.map(_._2).sorted.toSeq == (0L until 200L).toSeq)
+    // shard/pos are rank arithmetic; all but the last shard are full
+    out.foreach { case (_, r, s, p) =>
+      assert(s == (r / CorpusOps.ShardSize).toInt && p == (r % CorpusOps.ShardSize).toInt)
+    }
+    val sizes = out.groupBy(_._3).view.mapValues(_.length).toMap
+    assert(sizes.filter(_._1 < 3).values.forall(_ == CorpusOps.ShardSize.toInt), sizes.toString)
+    // deterministic, and the shuffle decorrelates: rank order != id order
+    assert(CorpusOps.shuffleShard(d).collect().map(_.getAs[Long]("rank")).toSeq ==
+      out.map(_._2).toSeq)
+    assert(out.sortBy(_._2).map(_._1).toSeq != (0L until 200L).toSeq)
+    // growing the corpus only INTERLEAVES: old docs keep relative order
+    val grown = CorpusOps.shuffleShard(
+      docs((0L until 300L).map(i => i -> s"doc $i"): _*)).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("rank")))
+    val oldOrder = out.sortBy(_._2).map(_._1).toSeq
+    val grownOrder = grown.sortBy(_._2).map(_._1).filter(_ < 200L).toSeq
+    assert(grownOrder == oldOrder, "growth must not reorder existing docs")
+  }
+
   test("embed contamination: exact copy flagged, orthogonal clean, ties pick min eval id") {
     val ev = Seq(
       (0L, Array(1f, 0f, 0f, 0f)),

@@ -177,6 +177,15 @@ class PlanSpec extends AnyFunSuite {
       s"c25 grew a corpus-sized doc-length join:\n$p")
   }
 
+  test("c30 shuffle shard: bucket-parallel rank, no global range sort") {
+    val p = plan(ops.CorpusOps.shuffleShard(Tables.documents(spark, sf)))
+    // the global rank must come from the 256-way bucket window + the
+    // broadcast offset join — a rangepartitioning exchange would mean
+    // the plan regressed to a single-ordering global sort
+    assert(!p.contains("rangepartitioning"), s"c30 globally range-sorts:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"offset join not broadcast:\n$p")
+  }
+
   test("c29 embed contamination: broadcast-kernel argmax, zero exchanges") {
     // the operator body (before the harness orderBy) must be a pure
     // narrow map: eval rides the task broadcast, no N×E explode
