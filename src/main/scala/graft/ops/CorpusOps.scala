@@ -448,6 +448,9 @@ object CorpusOps {
     corpus
       .mapPartitions { it =>
         val ev = bc.value
+        // eval norms once per task, not once per (corpus row × eval
+        // item) — the inner loop then does one dot per pair
+        val evNorm = ev.map { case (_, evec) => math.sqrt(dot(evec, evec)) }
         it.map { case (id, v) =>
           val nv = math.sqrt(dot(v, v))
           var bestCos = Double.NegativeInfinity
@@ -455,7 +458,7 @@ object CorpusOps {
           var i = 0
           while (i < ev.length) {
             val (eid, evec) = ev(i)
-            val c = dot(v, evec) / (nv * math.sqrt(dot(evec, evec)))
+            val c = dot(v, evec) / (nv * evNorm(i))
             val cr = math.floor(c * 1e6 + 0.5) / 1e6
             // strict >: ev is id-sorted, so the FIRST maximum (min id)
             // wins ties, mirroring the oracle's (cos DESC, eval_id) rank
@@ -507,10 +510,8 @@ object CorpusOps {
     val counts = keyed.groupBy("bucket").agg(count(lit(1)).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
     val offsets = counts.scanLeft(("", 0L)) { case ((_, acc), (b, n)) => (b, acc + n) }
-    val offDf = {
-      import keyed.sparkSession.implicits._
+    val offDf =
       counts.map(_._1).zip(offsets.map(_._2)).toSeq.toDF("bucket", "boff")
-    }
     val byBucket = Window.partitionBy("bucket").orderBy(col("h"), col("doc_id"))
     keyed.join(broadcast(offDf), "bucket")
       .withColumn("rank",

@@ -73,14 +73,21 @@ object LmScore {
         if (text == null) Iterator.empty
         else {
           val w = text.split(" ", -1)
-          val m = new scala.collection.mutable.HashMap[(String, String), Int]
+          // tokens cannot contain the separator, so the joined string
+          // is an identity key (the same argument c24's oracle makes
+          // for md5-of-join) — no per-token Tuple2 boxing; the one
+          // split-back below runs per DISTINCT gram, not per token
+          val m = new scala.collection.mutable.HashMap[String, Int]
           var i = 0
           while (i < w.length - 1) {
-            val k = (w(i), w(i + 1))
+            val k = w(i) + " " + w(i + 1)
             m.update(k, m.getOrElse(k, 0) + 1)
             i += 1
           }
-          m.iterator.map { case ((w1, w2), c) => (id, w1, w2, c) }
+          m.iterator.map { case (k, c) =>
+            val cut = k.indexOf(' ')
+            (id, k.substring(0, cut), k.substring(cut + 1), c)
+          }
         }
       }
       .toDF("doc_id", "w1", "w2", "cnt")

@@ -109,6 +109,48 @@ object EventOps {
     df.sparkSession.table(name)
   }
 
+  /** Shared durable drain for the per-doc streaming rollups (d6, d8):
+    * run `src` to completion under AvailableNow, writing `perBatch`'s
+    * per-doc rollup of each microbatch to its own
+    * `batch_id=<n>` partition with overwrite — which makes
+    * foreachBatch's at-least-once retries idempotent — then return
+    * `reSum` over everything written, ordered by doc_id. `reSum` is a
+    * guard over O(docs) rows, a no-op while the one-trigger-per-doc
+    * invariant holds (every doc lands in exactly one batch partition).
+    *
+    * A production run passes `sinkDir` on shared storage: the
+    * checkpoint then lives UNDER the sink, so a re-invocation resumes
+    * incrementally (only new input files are processed) instead of
+    * re-ingesting the corpus and appending duplicate rows. Without
+    * `sinkDir` the drain uses local scratch (fresh temp checkpoint
+    * each call), materializes the small per-doc result, and deletes
+    * the scratch so repeated harness runs don't accumulate files. */
+  private[streaming] def drainPerDoc(
+      src: DataFrame,
+      sinkDir: Option[String],
+      scratchTag: String)(
+      perBatch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row] => DataFrame)(
+      reSum: DataFrame => DataFrame): DataFrame = {
+    val spark = src.sparkSession
+    def drainAndRead(outDir: String, durable: Boolean): DataFrame = {
+      val writer = src.writeStream
+        .outputMode("append")
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          perBatch(batch).write.mode("overwrite").parquet(s"$outDir/data/batch_id=$id")
+        }
+        .trigger(Trigger.AvailableNow())
+      val q = (if (durable) writer.option("checkpointLocation", s"$outDir/_checkpoint")
+               else writer)
+        .start()
+      q.awaitTermination()
+      reSum(spark.read.parquet(s"$outDir/data")).orderBy("doc_id")
+    }
+    sinkDir match {
+      case Some(out) => drainAndRead(out, durable = true)
+      case None => graft.Scratch.materialize(scratchTag)(drainAndRead(_, durable = false))
+    }
+  }
+
   /** round-half-away-from-zero, matching SQL round() in both Spark and
     * DuckDB (Scala math.round is half-toward-positive-infinity, which
     * diverges on negative values). */

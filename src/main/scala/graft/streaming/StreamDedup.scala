@@ -130,38 +130,12 @@ object StreamDedup {
     // batch) rows — the materialized output is O(docs) total, never
     // O(docs × bands).
     //
-    // A production run passes `sinkDir` on shared storage: the
-    // checkpoint then lives UNDER the sink, so a re-invocation resumes
-    // incrementally (only new input files are processed) instead of
-    // re-ingesting the corpus and appending duplicate rows. Each batch
-    // writes its own batch_id=<n> partition with overwrite, which makes
-    // foreachBatch's at-least-once retries idempotent. Without sinkDir
-    // the drain uses local scratch (fresh temp checkpoint each call),
-    // materializes the (small, per-doc) result, and deletes the
-    // scratch so repeated harness runs don't accumulate temp files.
-    def drainAndRead(outDir: String, durable: Boolean): DataFrame = {
-      val writer = perBand.writeStream
-        .outputMode("append")
-        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
-          batch.groupBy("doc_id").agg(sum("n_prior").as("n_prior_candidates"))
-            .write.mode("overwrite").parquet(s"$outDir/data/batch_id=$id")
-        }
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      val q = (if (durable) writer.option("checkpointLocation", s"$outDir/_checkpoint")
-               else writer)
-        .start()
-      q.awaitTermination()
-      // the rollup re-sums over O(docs) rows purely as a guard (a no-op
-      // while the one-trigger-per-doc invariant holds: every doc lands
-      // in exactly one batch partition, and retries overwrite it)
-      spark.read.parquet(s"$outDir/data")
-        .groupBy("doc_id")
+    // Durability/idempotence contract lives in EventOps.drainPerDoc.
+    EventOps.drainPerDoc(perBand, sinkDir, "d6_out") { batch =>
+      batch.groupBy("doc_id").agg(sum("n_prior").as("n_prior_candidates"))
+    } { written =>
+      written.groupBy("doc_id")
         .agg(sum("n_prior_candidates").as("n_prior_candidates"))
-        .orderBy("doc_id")
-    }
-    sinkDir match {
-      case Some(out) => drainAndRead(out, durable = true)
-      case None => graft.Scratch.materialize("d6_out")(drainAndRead(_, durable = false))
     }
   }
 }

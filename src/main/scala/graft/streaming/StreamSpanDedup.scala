@@ -95,8 +95,8 @@ object StreamSpanDedup {
             // expire on the data path too: a span last seen before
             // (watermark - retention) no longer counts as held, and the
             // current batch's first arrival becomes the new holder
-            var holder = state.getOption
-              .filter(_.tsMs + retentionMs >= wm).map(_.holder)
+            val prior = state.getOption.filter(_.tsMs + retentionMs >= wm)
+            var holder = prior.map(_.holder)
             // doc_id order = event-time order (deterministic whatever
             // the shuffle delivers)
             val batch = rows.toArray.sortBy(r => (r._3, r._4))
@@ -105,7 +105,12 @@ object StreamSpanDedup {
               if (holder.isEmpty) holder = Some(id)
               (id, p, if (dup) 1 else 0)
             }
-            val maxTsMs = batch.map(_._5.getTime).max
+            // last-seen never regresses: an in-watermark but
+            // earlier-event-time copy must not pull the expiry forward
+            // past the span's true latest sighting
+            val maxTsMs = math.max(
+              batch.map(_._5.getTime).max,
+              prior.map(_.tsMs).getOrElse(Long.MinValue))
             state.update(SpanState(holder.get, maxTsMs))
             state.setTimeoutTimestamp(maxTsMs + retentionMs)
             out.iterator
@@ -115,41 +120,25 @@ object StreamSpanDedup {
 
     // per-doc rollup INSIDE each batch: every doc's windows emit in the
     // trigger that ingested it, so coverage (the same telescoping
-    // interval union as c24) is complete here
-    def drainAndRead(outDir: String, durable: Boolean): DataFrame = {
-      val writer = flagged.writeStream
-        .outputMode("append")
-        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
-          val byDoc = Window.partitionBy("doc_id").orderBy("p")
-          val counts = batch.groupBy("doc_id").agg(
-            count(lit(1)).cast("int").as("n_windows"),
-            sum("dup").cast("int").as("n_dup_windows"))
-          val cov = batch.filter(col("dup") === 1)
-            .withColumn("c", least(lit(Dedup.SpanK),
-              coalesce(lead(col("p"), 1).over(byDoc),
-                col("p") + Dedup.SpanK) - col("p")))
-            .groupBy("doc_id").agg(sum("c").cast("long").as("dup_tokens"))
-          counts.join(cov, Seq("doc_id"), "left")
-            .na.fill(0L, Seq("dup_tokens"))
-            .write.mode("overwrite").parquet(s"$outDir/data/batch_id=$id")
-        }
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      val q = (if (durable) writer.option("checkpointLocation", s"$outDir/_checkpoint")
-               else writer)
-        .start()
-      q.awaitTermination()
-      // re-sum guard over O(docs) rows, a no-op while the
-      // one-trigger-per-doc invariant holds (mirrors d6)
-      spark.read.parquet(s"$outDir/data")
-        .groupBy("doc_id")
+    // interval union as c24) is complete here. Durability/idempotence
+    // contract lives in EventOps.drainPerDoc.
+    EventOps.drainPerDoc(flagged, sinkDir, "d8_out") { batch =>
+      val byDoc = Window.partitionBy("doc_id").orderBy("p")
+      val counts = batch.groupBy("doc_id").agg(
+        count(lit(1)).cast("int").as("n_windows"),
+        sum("dup").cast("int").as("n_dup_windows"))
+      val cov = batch.filter(col("dup") === 1)
+        .withColumn("c", least(lit(Dedup.SpanK),
+          coalesce(lead(col("p"), 1).over(byDoc),
+            col("p") + Dedup.SpanK) - col("p")))
+        .groupBy("doc_id").agg(sum("c").cast("long").as("dup_tokens"))
+      counts.join(cov, Seq("doc_id"), "left")
+        .na.fill(0L, Seq("dup_tokens"))
+    } { written =>
+      written.groupBy("doc_id")
         .agg(sum("n_windows").cast("int").as("n_windows"),
           sum("n_dup_windows").cast("int").as("n_dup_windows"),
           sum("dup_tokens").cast("long").as("dup_tokens"))
-        .orderBy("doc_id")
-    }
-    sinkDir match {
-      case Some(out) => drainAndRead(out, durable = true)
-      case None => graft.Scratch.materialize("d8_out")(drainAndRead(_, durable = false))
     }
   }
 }

@@ -314,6 +314,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(got(3200L) == ((5, 5, 12L)), s"span went cold despite 2900's copy: $got")
   }
 
+  test("d8 last-seen never regresses: an earlier-event-time copy must not pull expiry forward") {
+    val dir = java.nio.file.Files.createTempDirectory("d8_regress")
+    val s = (1 to 12).map(i => s"s$i").mkString(" ")
+    // holder 3000, then an in-watermark but EARLIER-event-time copy
+    // (2950). The span's true last sighting stays 3000s -> expiry
+    // 3600s. A regression to 2950s would expire it at 3550s.
+    writeDocsFile(dir, "f1.parquet", 1000000L, Seq(3000L -> s))
+    writeDocsFile(dir, "f2.parquet", 1010000L, Seq(2950L -> s))
+    // unrelated doc advances the watermark to 3590s — inside the
+    // buggy/true expiry gap (3550s, 3600s]
+    writeDocsFile(dir, "f3.parquet", 1020000L,
+      Seq(3650L -> (1 to 12).map(i => s"w$i").mkString(" ")))
+    writeDocsFile(dir, "f4.parquet", 1030000L, Seq(3595L -> s))
+    val got = graft.streaming.StreamSpanDedup
+      .streamingSpanDedupFromDir(spark, dir.toString,
+        retentionSec = 600L, maxFilesPerTrigger = Some(1))
+      .as[(Long, Int, Int, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(2950L) == ((5, 5, 12L)), s"in-watermark copy not flagged: $got")
+    assert(got(3595L) == ((5, 5, 12L)),
+      s"span expired early — last-seen regressed to the older copy: $got")
+  }
+
   test("d6 without eviction: the same late near-dup IS counted") {
     val dir = java.nio.file.Files.createTempDirectory("d6_noevict")
     val base = "the quick brown fox jumps over the lazy dog again and again today " * 4
