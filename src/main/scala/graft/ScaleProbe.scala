@@ -115,6 +115,25 @@ object ScaleProbe {
     // must scale like a repartition, never like a global sort ---
     val (_, tShard) = time(force(graft.ops.CorpusOps.shuffleShard(docsOnDisk)))
 
+    // --- c31 boilerplate: O(tokens/SegTok) segment rows shuffle as
+    // 8-byte hashes; the random probe vocab makes ~zero at-threshold
+    // segments, so this measures the worst case (full frequency table,
+    // near-empty join-back). c32: bounded bucket collect + broadcast
+    // offsets + per-bucket windows — must scale like one shuffle. ---
+    val (_, tBoiler) = time(force(graft.ops.CorpusOps.boilerplate(docsOnDisk)))
+    val (_, tBudget) = time(force(graft.ops.CorpusOps.budgetSelect(docsOnDisk)))
+
+    // --- c33 in its production shape: train the LR on a 10% hash
+    // sample (L-BFGS treeAggregates over the sample only), score the
+    // FULL corpus as a narrow map with the broadcast model ---
+    val (_, tQuality) = time(force(graft.ops.QualityModel.qualityClassifier(
+      docsMultiSrc, trainFraction = 10)))
+
+    // --- c34 BPE: the corpus scan builds a 5000-row word-freq table;
+    // all 20 merge rounds then iterate over THAT — round cost must be
+    // vocabulary-sized, independent of the corpus ---
+    val (_, tBpe) = time(force(graft.ops.BpeTrain.bpeTrain(spark, docsOnDisk)))
+
     // --- c24 substring-span dedup: ~33 windows/doc explode to
     // 128-bit span keys; the 10% planted near-dups share two long
     // runs each (the 20-token prefix and 19-token suffix around the
@@ -214,6 +233,8 @@ object ScaleProbe {
       s""""c17_contam_s":$tContam,"c18_stats_s":$tStats,""" +
       s""""c21_repetition_s":$tRepet,"c22_domainmix_s":$tMix,""" +
       s""""c27_ngramlm_s":$tNgramLm,"c28_dsir_s":$tDsir,"c30_shard_s":$tShard,""" +
+      s""""c31_boiler_s":$tBoiler,"c32_budget_s":$tBudget,"c33_quality_s":$tQuality,""" +
+      s""""c34_bpe_s":$tBpe,""" +
       s""""c24_spans_s":$tSpans,"c25_bm25_s":$tBm25,"c26_hybrid_s":$tHybrid,""" +
       s""""c20_canon_s":$tCanon,"c20_mega_family":$megaN,""" +
       s""""index_build_s":$tBuild,""" +

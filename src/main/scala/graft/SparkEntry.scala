@@ -68,6 +68,10 @@ object SparkEntry {
     "c28_dsir_weight" -> (PipelineQueries.dsirWeight(_, _)),
     "c29_embed_contam" -> (PipelineQueries.embedContamination(_, _)),
     "c30_shuffle_shard" -> (PipelineQueries.shuffleShard(_, _)),
+    "c31_boilerplate" -> (PipelineQueries.boilerplate(_, _)),
+    "c32_budget_select" -> (PipelineQueries.budgetSelect(_, _)),
+    "c33_quality_classifier" -> (PipelineQueries.qualityClassifier(_, _)),
+    "c34_bpe_train" -> (PipelineQueries.bpeTrain(_, _)),
     "d1_sessionize"  -> (PipelineQueries.sessionize(_, _)),
     "d2_window_agg"  -> (PipelineQueries.windowAgg(_, _)),
     "d3_stream_agg"  -> (PipelineQueries.streamingAgg(_, _)),

@@ -133,6 +133,19 @@ object PipelineQueries {
   def shuffleShard(spark: SparkSession, dir: String): DataFrame =
     CorpusOps.shuffleShard(Tables.documents(spark, dir)).orderBy("doc_id")
 
+  def boilerplate(spark: SparkSession, dir: String): DataFrame =
+    CorpusOps.boilerplate(Tables.documents(spark, dir)).orderBy("doc_id")
+
+  def budgetSelect(spark: SparkSession, dir: String): DataFrame =
+    CorpusOps.budgetSelect(Tables.documents(spark, dir)).orderBy("doc_id")
+
+  def qualityClassifier(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.QualityModel.qualityClassifier(Tables.documents(spark, dir))
+      .orderBy("doc_id")
+
+  def bpeTrain(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.BpeTrain.bpeTrain(spark, Tables.documents(spark, dir))
+
   def ngramLm(spark: SparkSession, dir: String): DataFrame =
     graft.ops.LmScore.ngramLm(Tables.documents(spark, dir)).orderBy("doc_id")
 
@@ -262,6 +275,45 @@ object PipelineQueries {
   val oracles: Map[String, String] = Map(
     "c29_embed_contam" -> EmbedContamSql,
     "d9_stream_contam" -> EmbedContamSql,
+    "c31_boilerplate" ->
+      // mirrors CorpusOps.boilerplate: position-free segment frequency
+      // over SegTok-token segments (trailing remainder its own
+      // segment); the oracle groups by segment TEXT where Spark groups
+      // by its xxhash64 — identical counts absent a 2^-64 collision
+      s"""WITH base AS (SELECT doc_id, string_split(text, ' ') AS w
+         |  FROM documents WHERE text IS NOT NULL),
+         |seg AS (
+         |  SELECT doc_id,
+         |    array_to_string(w[((s-1)*${CorpusOps.SegTok}+1):(LEAST(s*${CorpusOps.SegTok}, len(w)))], ' ') AS seg,
+         |    LEAST(s*${CorpusOps.SegTok}, len(w)) - (s-1)*${CorpusOps.SegTok} AS seglen
+         |  FROM base CROSS JOIN
+         |    UNNEST(generate_series(1, CAST(ceil(len(w)/CAST(${CorpusOps.SegTok} AS DOUBLE)) AS BIGINT))) AS t(s)),
+         |freq AS (SELECT seg, count(DISTINCT doc_id) AS ndocs FROM seg GROUP BY seg),
+         |perdoc AS (
+         |  SELECT seg.doc_id,
+         |    CAST(count(*) AS INT) AS n_segments,
+         |    CAST(sum(CASE WHEN ndocs >= ${CorpusOps.BoilMinDocs} THEN 1 ELSE 0 END) AS INT) AS n_boiler_segments,
+         |    CAST(sum(CASE WHEN ndocs >= ${CorpusOps.BoilMinDocs} THEN 0 ELSE seglen END) AS BIGINT) AS tokens_kept
+         |  FROM seg JOIN freq USING (seg) GROUP BY 1)
+         |SELECT d.doc_id, n_segments, n_boiler_segments, tokens_kept
+         |FROM documents d LEFT JOIN perdoc USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "c32_budget_select" ->
+      // the straight global ordered window — certifies the
+      // bucket-offset decomposition; score arithmetic mirrors
+      // CorpusOps.budgetSelect token-for-token ((1e4*cnt)/ntok, one
+      // floor(+0.5), identical IEEE doubles from identical ints)
+      s"""WITH m AS (SELECT doc_id,
+         |    CAST(floor(1e4 * len(list_filter(string_split(text,' '),
+         |        x -> x IN (${graft.ops.TextAnalysis.markerSqlList("en")})))
+         |      / len(string_split(text,' ')) + 0.5) AS INT) AS score_tenk,
+         |    CAST(len(string_split(text,' ')) AS INT) AS n_tokens
+         |  FROM documents WHERE text IS NOT NULL),
+         |r AS (SELECT doc_id, score_tenk, n_tokens,
+         |    CAST(sum(n_tokens) OVER (ORDER BY score_tenk DESC, doc_id) AS BIGINT) AS cum_tokens
+         |  FROM m)
+         |SELECT d.doc_id, score_tenk, n_tokens, cum_tokens,
+         |  CAST(cum_tokens <= ${CorpusOps.TokenBudget} AS INT) AS selected
+         |FROM documents d LEFT JOIN r USING (doc_id) ORDER BY doc_id""".stripMargin,
     "c30_shuffle_shard" ->
       // the straight global row_number — certifies the bucket-offset
       // decomposition; floor of the power-of-two division, never a

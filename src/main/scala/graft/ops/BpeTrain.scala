@@ -1,0 +1,122 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** c34: BPE tokenizer training (Sennrich et al. 2016) — the
+  * vocabulary-learning step a training-data pipeline runs before
+  * token counting and packing. Architected the way production
+  * trainers (HuggingFace tokenizers, SentencePiece) actually split
+  * the work:
+  *
+  * 1. ONE distributed corpus scan builds the word-frequency table
+  *    (groupBy word — the only corpus-sized job; at 100 TB this is
+  *    where all the data moves).
+  * 2. A frequency floor ([[MinWordFreq]]) bounds the table: rare
+  *    words cannot influence any merge ahead of common ones, and the
+  *    floor is what caps the collect on a web-scale vocab (the same
+  *    min_frequency knob every production trainer exposes).
+  * 3. The bounded vocab table COLLECTS to the driver (the c26/c30
+  *    bounded-collect pattern — vocabulary-sized, never
+  *    corpus-sized) and the merge loop runs in memory: count
+  *    adjacent pairs weighted by word freq, take the argmax (ties
+  *    broken lexicographically — training is deterministic on any
+  *    cluster layout), apply, repeat. Driving 30k merge rounds
+  *    through per-round Spark jobs would pay 30k scheduling floors
+  *    to rescan a table that fits in memory; the collect is the
+  *    scale-CORRECT design, not a shortcut.
+  *
+  * Output: the learned merge table (rank, left, right, merged,
+  * pair_freq) — deterministic, golden-snapshot pinned (a merge rule
+  * table is not SQL-expressible: each argmax depends on all prior
+  * merges). The companion spec replays Sennrich's low/lower/lowest
+  * example, including two tie rounds.
+  */
+object BpeTrain {
+  /** Merge rounds to learn. Production raises this (30k–50k); each
+    * round is an in-memory pass over the bounded vocab. */
+  val NumMerges = 20
+  /** Words below this corpus frequency are dropped before training —
+    * bounds the collected vocab at web scale. */
+  val MinWordFreq = 2L
+  /** Word-end marker appended to a word's final symbol. */
+  val EndMark = "</w>"
+
+  def bpeTrain(spark: SparkSession, docs: DataFrame,
+      numMerges: Int = NumMerges): DataFrame = {
+    import spark.implicits._
+    // 1+2. corpus scan -> word-frequency table, floored (the ONLY
+    // corpus-sized job), then the bounded vocab collect
+    val vocab: Array[(Array[String], Long)] = docs
+      .filter(col("text").isNotNull)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .filter(col("freq") >= MinWordFreq)
+      .as[(String, Long)].collect()
+      .map { case (w, f) =>
+        val syms = w.toCharArray.map(_.toString)
+        syms(syms.length - 1) += EndMark
+        (syms, f)
+      }
+
+    // 3. in-memory merge loop over the vocab
+    val words = vocab.map(_._1).toBuffer
+    val freqs = vocab.map(_._2)
+    val merges = Array.newBuilder[(Int, String, String, String, Long)]
+    var r = 0
+    var done = false
+    while (r < numMerges && !done) {
+      val pairFreq = new scala.collection.mutable.HashMap[(String, String), Long]
+      var wi = 0
+      while (wi < words.length) {
+        val syms = words(wi); val f = freqs(wi)
+        var i = 0
+        while (i < syms.length - 1) {
+          val k = (syms(i), syms(i + 1))
+          pairFreq.update(k, pairFreq.getOrElse(k, 0L) + f)
+          i += 1
+        }
+        wi += 1
+      }
+      // deterministic argmax: freq DESC, then (left, right) ASC
+      val best = pairFreq.foldLeft(Option.empty[((String, String), Long)]) {
+        case (acc, (k, f)) =>
+          acc match {
+            case Some((bk, bf)) if bf > f || (bf == f &&
+              (bk._1 < k._1 || (bk._1 == k._1 && bk._2 <= k._2))) => acc
+            case _ => Some((k, f))
+          }
+      }
+      best match {
+        case Some(((a, b), f)) if f >= 2 =>
+          merges += ((r + 1, a, b, a + b, f))
+          wi = 0
+          while (wi < words.length) {
+            val syms = words(wi)
+            var hit = false
+            var i = 0
+            while (!hit && i < syms.length - 1) {
+              hit = syms(i) == a && syms(i + 1) == b; i += 1
+            }
+            if (hit) {
+              val out = Array.newBuilder[String]
+              i = 0
+              while (i < syms.length) {
+                if (i < syms.length - 1 && syms(i) == a && syms(i + 1) == b) {
+                  out += a + b; i += 2
+                } else { out += syms(i); i += 1 }
+              }
+              words(wi) = out.result()
+            }
+            wi += 1
+          }
+        case _ => done = true // nothing left worth merging
+      }
+      r += 1
+    }
+    merges.result().toSeq
+      .toDF("rank", "left", "right", "merged", "pair_freq")
+      .orderBy("rank")
+  }
+}

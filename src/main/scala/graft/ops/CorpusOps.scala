@@ -525,6 +525,108 @@ object CorpusOps {
         (col("rank") % lit(ShardSize)).cast(IntegerType).as("shard_pos"))
   }
 
+  // ---------------------------------------------------------------- c31
+  /** Tokens per boilerplate segment (the "line" unit of CCNet-style
+    * line dedup, re-expressed over the corpus' space-separated text). */
+  val SegTok = 3
+  /** A segment appearing in at least this many DISTINCT docs is
+    * boilerplate. */
+  val BoilMinDocs = 2
+
+  /** c31: boilerplate removal — CCNet-style frequency dedup at segment
+    * granularity. The text splits into consecutive [[SegTok]]-token
+    * segments (trailing remainder is its own shorter segment); a
+    * segment whose text occurs in ≥ [[BoilMinDocs]] distinct docs — at
+    * ANY position, position-free like CCNet's line hash — is
+    * boilerplate and is dropped from the doc's kept-token budget.
+    * Distinct from c24 (window-level span FLAGGING with both holders
+    * marked) and c21 (WITHIN-doc repetition): this is the cross-doc
+    * frequency REMOVAL rule a crawl pipeline runs to strip headers,
+    * footers and navigation chrome.
+    *
+    * Scale shape: segmentation is a codegen'd transform+explode
+    * (O(tokens/SegTok) rows); the frequency table groups by the
+    * segment's xxhash64 — the shuffle carries 8-byte longs, never
+    * segment text (c17's argument; collisions conflate two segments
+    * with probability ~n²/2⁶⁴ and can only OVER-count a frequency,
+    * never resurrect boilerplate). Only segments at/over threshold
+    * join back (the boilerplate subset is small — AQE broadcasts it
+    * when it fits, a keyed shuffle join otherwise). Null-text docs
+    * re-enter through the trailing left join with NULL metrics (c21
+    * pattern). */
+  def boilerplate(docs: DataFrame): DataFrame = {
+    val w = split(col("text"), " ")
+    val nseg = ceil(size(w) / lit(SegTok.toDouble)).cast(IntegerType)
+    val seg = docs.filter(col("text").isNotNull)
+      .select(
+        col("doc_id"),
+        explode(transform(sequence(lit(1), nseg), s =>
+          struct(
+            xxhash64(concat_ws(" ", slice(w, (s - lit(1)) * SegTok + lit(1), lit(SegTok)))).as("g"),
+            least(lit(SegTok), size(w) - (s - lit(1)) * SegTok).as("seglen")))).as("s"))
+      .select(col("doc_id"), col("s.g").as("g"), col("s.seglen").as("seglen"))
+    val boiler = seg.groupBy("g")
+      .agg(countDistinct("doc_id").as("ndocs"))
+      .filter(col("ndocs") >= BoilMinDocs)
+    val perDoc = seg.join(boiler, Seq("g"), "left")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).cast(IntegerType).as("n_segments"),
+        sum(when(col("ndocs").isNotNull, 1).otherwise(0)).cast(IntegerType)
+          .as("n_boiler_segments"),
+        sum(when(col("ndocs").isNotNull, 0).otherwise(col("seglen")))
+          .cast(LongType).as("tokens_kept"))
+    docs.select("doc_id").join(perDoc, Seq("doc_id"), "left")
+  }
+
+  // ---------------------------------------------------------------- c32
+  /** c32 token budget: keep the best-scoring docs until the selected
+    * set's cumulative token count reaches this. Splits sf0.01 (~27k
+    * total tokens) roughly in half. Shared with the SQL oracle. */
+  val TokenBudget = 12000L
+
+  /** c32: quality-ordered budget selection — the data-mixing step that
+    * picks the best documents until a token budget is exhausted: order
+    * by (quality DESC, doc_id), keep while the inclusive cumulative
+    * token count stays ≤ [[TokenBudget]]. Quality here is the
+    * stopword ratio in 1e-4 units (a stand-in for any per-doc score —
+    * c27's NLL or a classifier margin slot in unchanged).
+    *
+    * Scale shape: NO global sort. The score is quantized to ≤ 10⁴+1
+    * integer buckets, so bucket-level (count, token-sum) aggregates
+    * are a bounded collect; the driver prefix-sums them in descending
+    * score order and broadcasts the bucket token offsets back; the
+    * within-bucket cumulative sum is a window PARTITIONED BY bucket
+    * (all buckets in parallel, each a corpus/buckets-sized partition).
+    * Same decomposition family as c15/c30; the oracle is the straight
+    * global ordered window, and the hash match certifies the
+    * decomposition equals it. */
+  def budgetSelect(docs: DataFrame, budget: Long = TokenBudget): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val t = split(col("text"), " ")
+    val nTok = size(t)
+    val markerCnt = size(filter(t, x => x.isin(TextAnalysis.markers("en"): _*)))
+    val m = docs.filter(col("text").isNotNull).select(
+      col("doc_id"),
+      floor(lit(1e4) * markerCnt.cast(DoubleType) / nTok.cast(DoubleType) + lit(0.5))
+        .cast(IntegerType).as("score_tenk"),
+      nTok.cast(IntegerType).as("n_tokens"))
+    // bounded: one row per distinct quantized score (≤ 10001)
+    val buckets = m.groupBy("score_tenk").agg(sum("n_tokens").as("toks"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(-_._1)
+    val offs = buckets.scanLeft((0, 0L)) { case ((_, acc), (b, n)) => (b, acc + n) }
+    val offDf = buckets.map(_._1).zip(offs.map(_._2)).toSeq.toDF("score_tenk", "boff")
+    val inBucket = Window.partitionBy("score_tenk").orderBy("doc_id")
+    val ranked = m.join(broadcast(offDf), "score_tenk")
+      .withColumn("cum_tokens",
+        (col("boff") + sum("n_tokens").over(inBucket)).cast(LongType))
+      .withColumn("selected",
+        (col("cum_tokens") <= lit(budget)).cast(IntegerType))
+      .select("doc_id", "score_tenk", "n_tokens", "cum_tokens", "selected")
+    docs.select("doc_id").join(ranked, Seq("doc_id"), "left")
+  }
+
   // ---------------------------------------------------------------- c22
   /** Domain-mixture weights: relative target proportions per source,
     * derived from the trailing digits of the source label (src7 →

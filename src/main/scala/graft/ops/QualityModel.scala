@@ -1,0 +1,70 @@
+package graft.ops
+
+import org.apache.spark.ml.classification.LogisticRegression
+import org.apache.spark.ml.feature.HashingTF
+import org.apache.spark.ml.functions.vector_to_array
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, IntegerType}
+
+/** c33: trained quality classifier — the fastText/GPT-3-style quality
+  * filter: a linear classifier trained to tell a curated reference
+  * slice from the raw crawl, whose score then gates every document.
+  * The reference slice here is the c28 target-source set (the same
+  * curated-vs-raw weak label DSIR uses), features are a hashed
+  * bag-of-words, and the model is MLlib logistic regression — i.e.
+  * the learned counterpart of c28's closed-form unigram ratio.
+  *
+  * Scale shape: HashingTF is a narrow map (no vocabulary is ever
+  * collected — the hashing trick is exactly what makes bag-of-words
+  * work at 100 TB); LR training is MLlib's distributed L-BFGS, one
+  * treeAggregate over the training set per iteration. Production
+  * trains on a bounded sample (`trainFraction` selects docs by a
+  * deterministic hash, never a random split) and SCORES the full
+  * corpus with the broadcast model — training cost is O(sample),
+  * scoring is a narrow map. Scoring emits the class-1 probability
+  * rounded to 1e-6 (golden-stable) and a keep flag at
+  * [[QualityModel.KeepMin]].
+  *
+  * No DuckDB oracle (L-BFGS is not SQL-expressible) — rows-only +
+  * golden snapshot, like b2's k-means; the spec pins separation on
+  * planted clean/junk corpora.
+  */
+object QualityModel {
+  /** Hashed feature space. 2^10 is plenty for the synthetic vocab;
+    * production raises it (the hashing trick is size-agnostic). */
+  val NumFeatures = 1024
+  /** Class-1 (curated-like) probability at/above which a doc is kept. */
+  val KeepMin = 0.5
+
+  /** c33: train on the weak curated-vs-raw label, score every doc. */
+  def qualityClassifier(
+      docs: DataFrame,
+      targetSources: Seq[String] = LmScore.DsirTargetSources,
+      trainFraction: Int = 1): DataFrame = {
+    val labeled = docs
+      .filter(col("text").isNotNull)
+      .select(
+        col("doc_id"),
+        split(col("text"), " ").as("toks"),
+        col("source").isin(targetSources: _*).cast(DoubleType).as("label"))
+    val tf = new HashingTF()
+      .setInputCol("toks").setOutputCol("features")
+      .setNumFeatures(NumFeatures)
+    val feat = tf.transform(labeled)
+    // deterministic hash sample, never randomSplit: the trained model
+    // must not depend on partitioning or a sampler's RNG stream
+    val train = if (trainFraction <= 1) feat
+      else feat.filter(pmod(xxhash64(col("doc_id")), lit(trainFraction)) === 0)
+    val lr = new LogisticRegression()
+      .setMaxIter(25).setRegParam(0.01).setTol(1e-8)
+    val model = lr.fit(train)
+    model.transform(feat)
+      .select(
+        col("doc_id"),
+        col("label").cast(IntegerType).as("label"),
+        round(element_at(vector_to_array(col("probability")), 2), 6)
+          .as("quality_score"))
+      .withColumn("keep", (col("quality_score") >= lit(KeepMin)).cast(IntegerType))
+  }
+}

@@ -251,6 +251,108 @@ class CorpusSpec extends AnyFunSuite {
     assert(grownOrder == oldOrder, "growth must not reorder existing docs")
   }
 
+  test("boilerplate: position-free cross-doc segments removed, within-doc repeats kept") {
+    val d = docs(
+      1L -> "a b c d e f g h",  // segs: (a b c)(d e f)(g h)
+      2L -> "x y z a b c",      // (x y z)(a b c) — shares "a b c" at a DIFFERENT position
+      3L -> "p q r p q r",      // within-doc repeat only: one doc holds it -> kept
+      4L -> (null: String))
+    val out = CorpusOps.boilerplate(d).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((Option(r.getAs[Integer]("n_segments")),
+          Option(r.getAs[Integer]("n_boiler_segments")),
+          Option(r.getAs[java.lang.Long]("tokens_kept"))))).toMap
+    // "a b c" occurs in 2 distinct docs -> boilerplate in both; the
+    // trailing "g h" remainder is its own 2-token segment
+    assert(out(1L) == ((Some(3), Some(1), Some(5L))), out.toString)
+    assert(out(2L) == ((Some(2), Some(1), Some(3L))), out.toString)
+    assert(out(3L) == ((Some(2), Some(0), Some(6L))), out.toString)
+    assert(out(4L) == ((None, None, None)), s"null text must carry NULL metrics: $out")
+  }
+
+  test("budget select: quality-desc order, doc_id ties, inclusive boundary") {
+    val d = docs(
+      1L -> "the the the the", // score 10000, 4 tokens
+      2L -> "the x",           // score 5000, 2 tokens
+      3L -> "x y z w",         // score 0, 4 tokens
+      4L -> "the y",           // score 5000, 2 tokens (ties doc 2's bucket)
+      5L -> (null: String))
+    val out = CorpusOps.budgetSelect(d, budget = 7L).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((Option(r.getAs[Integer]("score_tenk")), Option(r.getAs[java.lang.Long]("cum_tokens")),
+          Option(r.getAs[Integer]("selected"))))).toMap
+    // order: doc1 (cum 4) -> doc2 (6) -> doc4 (8, over) -> doc3 (12)
+    assert(out(1L) == ((Some(10000), Some(4L), Some(1))), out.toString)
+    assert(out(2L) == ((Some(5000), Some(6L), Some(1))), out.toString)
+    assert(out(4L) == ((Some(5000), Some(8L), Some(0))),
+      s"tie must break by doc_id inside the score bucket: $out")
+    assert(out(3L) == ((Some(0), Some(12L), Some(0))), out.toString)
+    assert(out(5L) == ((None, None, None)), s"null text must carry NULL metrics: $out")
+    // inclusive boundary: budget exactly at doc4's cum selects it
+    val at = CorpusOps.budgetSelect(d, budget = 8L).collect()
+      .map(r => r.getAs[Long]("doc_id") -> Option(r.getAs[Integer]("selected"))).toMap
+    assert(at(4L) == Some(1), at.toString)
+  }
+
+  test("quality classifier: separates curated-like from junk-like vocabulary") {
+    // curated sources speak "clean" vocabulary, raw sources "junk";
+    // two held-out docs (61, 62) carry each vocabulary under a RAW
+    // source label — the classifier must score them by CONTENT
+    val clean = (1 to 12).map(i => s"clean$i").mkString(" ")
+    val junk = (1 to 12).map(i => s"junk$i").mkString(" ")
+    val d = (0L until 60L).map { i =>
+        if (i < 30) (i, clean, "src0") else (i, junk, "src9")
+      } :+ ((61L, clean, "src9")) :+ ((62L, junk, "src9"))
+    val out = graft.ops.QualityModel.qualityClassifier(
+        d.toDF("doc_id", "text", "source"))
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Int]("label"), r.getAs[Double]("quality_score"),
+          r.getAs[Int]("keep")))).toMap
+    assert(out(0L)._1 == 1 && out(59L)._1 == 0, out.toString)
+    // content beats the label: held-out clean text scores high and is
+    // kept, held-out junk low and dropped
+    assert(out(61L)._2 > 0.9 && out(61L)._3 == 1, s"clean held-out rejected: $out")
+    assert(out(62L)._2 < 0.1 && out(62L)._3 == 0, s"junk held-out kept: $out")
+    // determinism: the exact same input scores identically
+    val again = graft.ops.QualityModel.qualityClassifier(
+        d.toDF("doc_id", "text", "source"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("quality_score")).toMap
+    assert(again == out.map { case (k, v) => k -> v._2 }, "re-train diverged")
+  }
+
+  test("bpe train: replays the classic low/lower/lowest merges deterministically") {
+    // word freqs: low ×5, lower ×2, lowest ×2, newest ×6
+    val d = docs(
+      1L -> (Seq.fill(5)("low") ++ Seq.fill(2)("lower")).mkString(" "),
+      2L -> (Seq.fill(2)("lowest") ++ Seq.fill(6)("newest")).mkString(" "))
+    val out = graft.ops.BpeTrain.bpeTrain(spark, d, numMerges = 6)
+      .collect()
+      .map(r => (r.getAs[Int]("rank"), r.getAs[String]("left"),
+        r.getAs[String]("right"), r.getAs[String]("merged"),
+        r.getAs[Long]("pair_freq")))
+    // hand-computed: (w,e) 10 [lower+lowest+newest] beats (l,o) 9;
+    // round 3 is a TIE — (s,t</w>) 8 vs (we,s) 8 — broken
+    // lexicographically on the left symbol ("s" < "we")
+    assert(out(0) == ((1, "w", "e", "we", 10L)), out.mkString(";"))
+    assert(out(1) == ((2, "l", "o", "lo", 9L)), out.mkString(";"))
+    assert(out(2) == ((3, "s", "t</w>", "st</w>", 8L)), out.mkString(";"))
+    assert(out(3) == ((4, "we", "st</w>", "west</w>", 8L)), out.mkString(";"))
+    // round 5 ties again — (e,west</w>) 6 vs (n,e) 6 -> "e" < "n"
+    assert(out(4) == ((5, "e", "west</w>", "ewest</w>", 6L)), out.mkString(";"))
+    assert(out(5) == ((6, "n", "ewest</w>", "newest</w>", 6L)), out.mkString(";"))
+    // determinism across re-runs (ties, if any, break lexicographically)
+    val again = graft.ops.BpeTrain.bpeTrain(spark, d, numMerges = 6).collect()
+      .map(r => (r.getAs[Int]("rank"), r.getAs[String]("merged")))
+    assert(again.toSeq == out.map(r => (r._1, r._4)).toSeq, "re-train diverged")
+  }
+
+  test("bpe train: merges stop when no pair repeats") {
+    val d = docs(1L -> "ab cd") // every pair unique -> freq 1 < 2
+    val out = graft.ops.BpeTrain.bpeTrain(spark, d).collect()
+    assert(out.isEmpty, out.mkString(";"))
+  }
+
   test("embed contamination: exact copy flagged, orthogonal clean, ties pick min eval id") {
     val ev = Seq(
       (0L, Array(1f, 0f, 0f, 0f)),

@@ -177,6 +177,24 @@ class PlanSpec extends AnyFunSuite {
       s"c25 grew a corpus-sized doc-length join:\n$p")
   }
 
+  test("c31 boilerplate: hashed segment shuffle, no cartesian, no UDF") {
+    val p = plan(ops.CorpusOps.boilerplate(Tables.documents(spark, sf)))
+    // the frequency table must key on xxhash64 of the segment (8-byte
+    // shuffle rows), and nothing may fall off the codegen path
+    assert(p.contains("xxhash64"), s"segment hashing lost:\n$p")
+    assert(!p.contains("CartesianProduct"), s"c31 planned a cartesian:\n$p")
+    assert(!p.contains("UDF"), s"c31 fell back to a UDF:\n$p")
+  }
+
+  test("c32 budget select: bucket-parallel cumsum, no global range sort") {
+    val p = plan(ops.CorpusOps.budgetSelect(Tables.documents(spark, sf)))
+    // the global ordered cumsum must come from the per-score-bucket
+    // window + the broadcast offset join — rangepartitioning would mean
+    // the plan regressed to a single-ordering global sort
+    assert(!p.contains("rangepartitioning"), s"c32 globally range-sorts:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"offset join not broadcast:\n$p")
+  }
+
   test("c30 shuffle shard: bucket-parallel rank, no global range sort") {
     val p = plan(ops.CorpusOps.shuffleShard(Tables.documents(spark, sf)))
     // the global rank must come from the 256-way bucket window + the

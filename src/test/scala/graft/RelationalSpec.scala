@@ -36,7 +36,8 @@ class RelationalSpec extends AnyFunSuite {
       "b13_stream_index", "b14_search_filtered", "b15_index_lifecycle",
       "b16_search_quantized",
       "c2_dedup_minhash", "c3_dedup_simhash", "c9_doc_fingerprint",
-      "c11_media_embed", "c23_semdedup", "d6_stream_dedup")
+      "c11_media_embed", "c23_semdedup", "c33_quality_classifier",
+      "c34_bpe_train", "d6_stream_dedup")
     assert(rowsOnly.subsetOf(expectedRowsOnly), s"unexpected rows-only: ${rowsOnly -- expectedRowsOnly}")
   }
 
