@@ -39,6 +39,11 @@ object BpeTrain {
   /** Words below this corpus frequency are dropped before training —
     * bounds the collected vocab at web scale. */
   val MinWordFreq = 2L
+  /** Training stops when no remaining pair reaches this frequency —
+    * a merge seen once is noise, not a rule. Distinct from the word
+    * floor above: a pair can sum to 2 from two freq-1 words only if
+    * MinWordFreq admits them. */
+  val MinPairFreq = 2L
   /** Word-end marker appended to a word's final symbol. */
   val EndMark = "</w>"
 
@@ -89,7 +94,7 @@ object BpeTrain {
           }
       }
       best match {
-        case Some(((a, b), f)) if f >= 2 =>
+        case Some(((a, b), f)) if f >= MinPairFreq =>
           merges += ((r + 1, a, b, a + b, f))
           wi = 0
           while (wi < words.length) {

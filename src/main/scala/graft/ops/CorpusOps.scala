@@ -509,9 +509,7 @@ object CorpusOps {
     // (a bounded plan-time collect, the c26 pattern), broadcast back
     val counts = keyed.groupBy("bucket").agg(count(lit(1)).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
-    val offsets = counts.scanLeft(("", 0L)) { case ((_, acc), (b, n)) => (b, acc + n) }
-    val offDf =
-      counts.map(_._1).zip(offsets.map(_._2)).toSeq.toDF("bucket", "boff")
+    val offDf = exclusiveOffsets(counts.toSeq).toDF("bucket", "boff")
     val byBucket = Window.partitionBy("bucket").orderBy(col("h"), col("doc_id"))
     keyed.join(broadcast(offDf), "bucket")
       .withColumn("rank",
@@ -585,40 +583,73 @@ object CorpusOps {
     * total tokens) roughly in half. Shared with the SQL oracle. */
   val TokenBudget = 12000L
 
+  /** Rows a single score bucket may hold before it is sub-split for
+    * the within-bucket window (c32). 2^20 keeps any one window
+    * partition ~1M rows while the (bucket, sub) offset table stays a
+    * bounded collect: only FAT buckets sub-split, and the corpus can
+    * hold at most corpus/SubRange of those sub rows in total. */
+  val SubRange = 1L << 20
+
+  /** Exclusive prefix sums of `counts` in the given order — the
+    * driver-side half of the c30/c32 bucket-offset decomposition. */
+  private[graft] def exclusiveOffsets[K](counts: Seq[(K, Long)]): Seq[(K, Long)] =
+    counts.map(_._1).zip(
+      counts.scanLeft(0L) { case (acc, (_, n)) => acc + n })
+
   /** c32: quality-ordered budget selection — the data-mixing step that
     * picks the best documents until a token budget is exhausted: order
     * by (quality DESC, doc_id), keep while the inclusive cumulative
     * token count stays ≤ [[TokenBudget]]. Quality here is the
     * stopword ratio in 1e-4 units (a stand-in for any per-doc score —
-    * c27's NLL or a classifier margin slot in unchanged).
+    * c27's NLL or a c33 classifier margin slot in unchanged).
     *
-    * Scale shape: NO global sort. The score is quantized to ≤ 10⁴+1
-    * integer buckets, so bucket-level (count, token-sum) aggregates
-    * are a bounded collect; the driver prefix-sums them in descending
-    * score order and broadcasts the bucket token offsets back; the
-    * within-bucket cumulative sum is a window PARTITIONED BY bucket
-    * (all buckets in parallel, each a corpus/buckets-sized partition).
-    * Same decomposition family as c15/c30; the oracle is the straight
-    * global ordered window, and the hash match certifies the
-    * decomposition equals it. */
-  def budgetSelect(docs: DataFrame, budget: Long = TokenBudget): DataFrame = {
+    * Scale shape: NO global sort, and no skew trap either. The score
+    * quantizes to ≤ 10⁴+1 integer buckets whose (count, token-sum)
+    * aggregate is a bounded collect — but UNLIKE c30's uniform
+    * md5-prefix buckets, score buckets are data-dependent: a corpus
+    * where one score dominates would funnel that bucket's window
+    * through one task. So buckets fatter than [[SubRange]] rows
+    * sub-split by doc_id range ([[SubRange]]-wide, order-contiguous
+    * because doc_id is the tie ordering), the driver prefix-sums
+    * token offsets over (score DESC, sub ASC) — the sub rows stay
+    * bounded at corpus/SubRange because only fat buckets split — and
+    * the window partitions by (bucket, sub): every partition ≲
+    * SubRange rows whatever the score distribution. The oracle is the
+    * straight global ordered window; the hash match certifies the
+    * two-level decomposition equals it. */
+  def budgetSelect(docs: DataFrame, budget: Long = TokenBudget,
+      subRange: Long = SubRange): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val t = split(col("text"), " ")
     val nTok = size(t)
-    val markerCnt = size(filter(t, x => x.isin(TextAnalysis.markers("en"): _*)))
+    val markerCnt = TextAnalysis.markerCount(t, "en")
     val m = docs.filter(col("text").isNotNull).select(
       col("doc_id"),
       floor(lit(1e4) * markerCnt.cast(DoubleType) / nTok.cast(DoubleType) + lit(0.5))
         .cast(IntegerType).as("score_tenk"),
       nTok.cast(IntegerType).as("n_tokens"))
-    // bounded: one row per distinct quantized score (≤ 10001)
-    val buckets = m.groupBy("score_tenk").agg(sum("n_tokens").as("toks"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(-_._1)
-    val offs = buckets.scanLeft((0, 0L)) { case ((_, acc), (b, n)) => (b, acc + n) }
-    val offDf = buckets.map(_._1).zip(offs.map(_._2)).toSeq.toDF("score_tenk", "boff")
-    val inBucket = Window.partitionBy("score_tenk").orderBy("doc_id")
-    val ranked = m.join(broadcast(offDf), "score_tenk")
+    // pass 1 — bounded: one row per distinct quantized score (≤ 10001)
+    val bucketRows = m.groupBy("score_tenk")
+      .agg(count(lit(1)).as("cnt"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1))
+    val fatScores = bucketRows.filter(_._2 > subRange).map(_._1).toSet
+    // pass 2 — (bucket, sub) token sums; sub is 0 except in fat
+    // buckets, so this stays ≤ 10001 + corpus/subRange rows
+    val withSub = m.withColumn("sub",
+      if (fatScores.isEmpty) lit(0L)
+      else when(col("score_tenk").isin(fatScores.toSeq: _*),
+        floor(col("doc_id") / lit(subRange)).cast(LongType))
+        .otherwise(lit(0L)))
+    val combos = withSub.groupBy("score_tenk", "sub")
+      .agg(sum("n_tokens").as("toks"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2))
+      .sortBy { case ((s, sub), _) => (-s, sub) }
+    val offDf = exclusiveOffsets(combos.toSeq)
+      .map { case ((s, sub), off) => (s, sub, off) }
+      .toDF("score_tenk", "sub", "boff")
+    val inBucket = Window.partitionBy("score_tenk", "sub").orderBy("doc_id")
+    val ranked = withSub.join(broadcast(offDf), Seq("score_tenk", "sub"))
       .withColumn("cum_tokens",
         (col("boff") + sum("n_tokens").over(inBucket)).cast(LongType))
       .withColumn("selected",

@@ -47,7 +47,10 @@ object QualityModel {
       .select(
         col("doc_id"),
         split(col("text"), " ").as("toks"),
-        col("source").isin(targetSources: _*).cast(DoubleType).as("label"))
+        // a NULL source is simply non-target (c28's semantics) — isin
+        // alone would yield a NULL label and crash lr.fit
+        coalesce(col("source").isin(targetSources: _*), lit(false))
+          .cast(DoubleType).as("label"))
     val tf = new HashingTF()
       .setInputCol("toks").setOutputCol("features")
       .setNumFeatures(NumFeatures)
@@ -59,12 +62,15 @@ object QualityModel {
     val lr = new LogisticRegression()
       .setMaxIter(25).setRegParam(0.01).setTol(1e-8)
     val model = lr.fit(train)
-    model.transform(feat)
+    val scored = model.transform(feat)
       .select(
         col("doc_id"),
         col("label").cast(IntegerType).as("label"),
         round(element_at(vector_to_array(col("probability")), 2), 6)
           .as("quality_score"))
       .withColumn("keep", (col("quality_score") >= lit(KeepMin)).cast(IntegerType))
+    // null-text docs re-enter with NULL metrics (the c21 contract every
+    // sibling op follows) — a downstream gate must still see the doc
+    docs.select("doc_id").join(scored, Seq("doc_id"), "left")
   }
 }

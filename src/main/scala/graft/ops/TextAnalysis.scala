@@ -21,7 +21,7 @@ object TextAnalysis {
     markers(lang).map(w => s"'$w'").mkString(", ")
 
   private def toks(c: Column): Column = split(c, " ")
-  private def markerCount(tokens: Column, lang: String): Column =
+  private[graft] def markerCount(tokens: Column, lang: String): Column =
     size(filter(tokens, t => t.isin(markers(lang): _*)))
 
   /** c6: language ID via marker-word counts + CJK char count, argmax

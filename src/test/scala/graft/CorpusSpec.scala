@@ -294,6 +294,22 @@ class CorpusSpec extends AnyFunSuite {
     assert(at(4L) == Some(1), at.toString)
   }
 
+  test("budget select: a fat score bucket sub-splits without changing the cumsum") {
+    // 64 one-score docs of 2 tokens each; subRange=16 forces the fat
+    // bucket through the (bucket, sub) two-level path — the exact
+    // global cumsum must survive the decomposition
+    val d = docs((0L until 64L).map(i => i -> "x y"): _*)
+    val out = CorpusOps.budgetSelect(d, budget = 100L, subRange = 16L)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cum_tokens"),
+        r.getAs[Int]("selected")))
+      .sortBy(_._1)
+    out.foreach { case (id, cum, sel) =>
+      assert(cum == 2L * (id + 1), s"cumsum broke at sub boundary: ($id, $cum)")
+      assert(sel == (if (cum <= 100L) 1 else 0), s"($id, $cum, $sel)")
+    }
+  }
+
   test("quality classifier: separates curated-like from junk-like vocabulary") {
     // curated sources speak "clean" vocabulary, raw sources "junk";
     // two held-out docs (61, 62) carry each vocabulary under a RAW
@@ -302,22 +318,32 @@ class CorpusSpec extends AnyFunSuite {
     val junk = (1 to 12).map(i => s"junk$i").mkString(" ")
     val d = (0L until 60L).map { i =>
         if (i < 30) (i, clean, "src0") else (i, junk, "src9")
-      } :+ ((61L, clean, "src9")) :+ ((62L, junk, "src9"))
+      } :+ ((61L, clean, "src9")) :+ ((62L, junk, "src9")) :+
+      ((63L, null: String, "src9")) :+ ((64L, junk, null: String))
     val out = graft.ops.QualityModel.qualityClassifier(
         d.toDF("doc_id", "text", "source"))
       .collect()
       .map(r => r.getAs[Long]("doc_id") ->
-        ((r.getAs[Int]("label"), r.getAs[Double]("quality_score"),
-          r.getAs[Int]("keep")))).toMap
-    assert(out(0L)._1 == 1 && out(59L)._1 == 0, out.toString)
+        ((Option(r.getAs[Integer]("label")).map(_.toInt),
+          Option(r.getAs[java.lang.Double]("quality_score")).map(_.toDouble),
+          Option(r.getAs[Integer]("keep")).map(_.toInt)))).toMap
+    assert(out(0L)._1 == Some(1) && out(59L)._1 == Some(0), out.toString)
+    // null text re-enters with NULL metrics; null source = non-target,
+    // scored normally (its junk text drops it)
+    assert(out(63L) == ((None, None, None)), s"null text must carry NULL metrics: $out")
+    assert(out(64L)._1 == Some(0) && out(64L)._3 == Some(0),
+      s"null source must train as non-target, not crash: $out")
     // content beats the label: held-out clean text scores high and is
     // kept, held-out junk low and dropped
-    assert(out(61L)._2 > 0.9 && out(61L)._3 == 1, s"clean held-out rejected: $out")
-    assert(out(62L)._2 < 0.1 && out(62L)._3 == 0, s"junk held-out kept: $out")
+    assert(out(61L)._2.exists(_ > 0.9) && out(61L)._3 == Some(1),
+      s"clean held-out rejected: $out")
+    assert(out(62L)._2.exists(_ < 0.1) && out(62L)._3 == Some(0),
+      s"junk held-out kept: $out")
     // determinism: the exact same input scores identically
     val again = graft.ops.QualityModel.qualityClassifier(
         d.toDF("doc_id", "text", "source"))
-      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("quality_score")).toMap
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        Option(r.getAs[java.lang.Double]("quality_score")).map(_.toDouble)).toMap
     assert(again == out.map { case (k, v) => k -> v._2 }, "re-train diverged")
   }
 
