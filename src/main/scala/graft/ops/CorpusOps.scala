@@ -531,6 +531,47 @@ object CorpusOps {
     * boilerplate. */
   val BoilMinDocs = 2
 
+  private val M61 = (1L << 61) - 1
+  private val SegB1 = 1000003L
+  private val SegB2 = 998244353L
+
+  /** Compiled two-lane segment hashes: one (lane1, lane2, seglen) per
+    * consecutive [[SegTok]]-token segment (trailing remainder its own
+    * shorter segment). Char-wise polynomial over the segment's joined
+    * text in two Mersenne-61 lanes — 122 key bits, identity up to a
+    * ~2⁻¹²² collision (c24's argument: tokens cannot contain the
+    * separator, so joined-text equality IS token-sequence equality).
+    * A kernel, not a `transform` lambda: concat/hash work inside SQL
+    * higher-order functions runs INTERPRETED per element — the exact
+    * regression c24/c25 already fixed (measured here too: 18.9 s →
+    * kernel at sf1). */
+  private[graft] def segmentHashes(toks: Array[String]): Array[(Long, Long, Int)] = {
+    val nseg = (toks.length + SegTok - 1) / SegTok
+    val out = new Array[(Long, Long, Int)](nseg)
+    var s = 0
+    while (s < nseg) {
+      val start = s * SegTok
+      val end = math.min(start + SegTok, toks.length)
+      var h1 = 1L
+      var h2 = 1L
+      var i = start
+      while (i < end) {
+        var j = -1 // -1 emits the joining space before non-first tokens
+        if (i == start) j = 0
+        while (j < toks(i).length) {
+          val c = if (j < 0) ' ' else toks(i).charAt(j)
+          h1 = Dedup.mulModM61(h1, SegB1) + c; if (h1 >= M61) h1 -= M61
+          h2 = Dedup.mulModM61(h2, SegB2) + c; if (h2 >= M61) h2 -= M61
+          j += 1
+        }
+        i += 1
+      }
+      out(s) = (h1, h2, end - start)
+      s += 1
+    }
+    out
+  }
+
   /** c31: boilerplate removal — CCNet-style frequency dedup at segment
     * granularity. The text splits into consecutive [[SegTok]]-token
     * segments (trailing remainder is its own shorter segment); a
@@ -542,37 +583,36 @@ object CorpusOps {
     * frequency REMOVAL rule a crawl pipeline runs to strip headers,
     * footers and navigation chrome.
     *
-    * Scale shape: segmentation is a codegen'd transform+explode
-    * (O(tokens/SegTok) rows); the frequency table groups by the
-    * segment's xxhash64 — the shuffle carries 8-byte longs, never
-    * segment text (c17's argument; collisions conflate two segments
-    * with probability ~n²/2⁶⁴ and can only OVER-count a frequency,
-    * never resurrect boilerplate). Only segments at/over threshold
-    * join back (the boilerplate subset is small — AQE broadcasts it
-    * when it fits, a keyed shuffle join otherwise). Null-text docs
-    * re-enter through the trailing left join with NULL metrics (c21
-    * pattern). */
+    * Scale shape: segmentation is the compiled [[segmentHashes]]
+    * kernel (O(tokens/SegTok) rows, 16-byte two-lane keys — segment
+    * text never shuffles); with [[BoilMinDocs]] = 2, "occurs in ≥ 2
+    * distinct docs" is exactly `max(doc_id) ≠ min(doc_id)` over the
+    * key, so the dup test is a key-window — ONE shuffle, no frequency
+    * table, no join-back rescan (c24's shape; a higher threshold
+    * would swap the window for a countDistinct + join). Null-text
+    * docs re-enter through the trailing left join with NULL metrics
+    * (c21 pattern). */
   def boilerplate(docs: DataFrame): DataFrame = {
-    val w = split(col("text"), " ")
-    val nseg = ceil(size(w) / lit(SegTok.toDouble)).cast(IntegerType)
+    // the key-window dup test below encodes "≥ 2 distinct docs" as
+    // min != max — raising the threshold needs a countDistinct + join
+    require(BoilMinDocs == 2, s"boilerplate(): min/max window encodes exactly 2, got $BoilMinDocs")
+    val spark = docs.sparkSession
+    import spark.implicits._
     val seg = docs.filter(col("text").isNotNull)
-      .select(
-        col("doc_id"),
-        explode(transform(sequence(lit(1), nseg), s =>
-          struct(
-            xxhash64(concat_ws(" ", slice(w, (s - lit(1)) * SegTok + lit(1), lit(SegTok)))).as("g"),
-            least(lit(SegTok), size(w) - (s - lit(1)) * SegTok).as("seglen")))).as("s"))
-      .select(col("doc_id"), col("s.g").as("g"), col("s.seglen").as("seglen"))
-    val boiler = seg.groupBy("g")
-      .agg(countDistinct("doc_id").as("ndocs"))
-      .filter(col("ndocs") >= BoilMinDocs)
-    val perDoc = seg.join(boiler, Seq("g"), "left")
+      .select(col("doc_id").cast(LongType), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        segmentHashes(text.split(" ", -1)).map { case (h1, h2, len) => (id, h1, h2, len) }
+      }
+      .toDF("doc_id", "h1", "h2", "seglen")
+    val byKey = Window.partitionBy("h1", "h2")
+    val perDoc = seg
+      .withColumn("boiler",
+        (min("doc_id").over(byKey) =!= max("doc_id").over(byKey)).cast(IntegerType))
       .groupBy("doc_id")
       .agg(
         count(lit(1)).cast(IntegerType).as("n_segments"),
-        sum(when(col("ndocs").isNotNull, 1).otherwise(0)).cast(IntegerType)
-          .as("n_boiler_segments"),
-        sum(when(col("ndocs").isNotNull, 0).otherwise(col("seglen")))
+        sum("boiler").cast(IntegerType).as("n_boiler_segments"),
+        sum(when(col("boiler") === 1, 0).otherwise(col("seglen")))
           .cast(LongType).as("tokens_kept"))
     docs.select("doc_id").join(perDoc, Seq("doc_id"), "left")
   }

@@ -177,13 +177,14 @@ class PlanSpec extends AnyFunSuite {
       s"c25 grew a corpus-sized doc-length join:\n$p")
   }
 
-  test("c31 boilerplate: hashed segment shuffle, no cartesian, no UDF") {
+  test("c31 boilerplate: typed segment kernel, dup test is a key-window") {
     val p = plan(ops.CorpusOps.boilerplate(Tables.documents(spark, sf)))
-    // the frequency table must key on xxhash64 of the segment (8-byte
-    // shuffle rows), and nothing may fall off the codegen path
-    assert(p.contains("xxhash64"), s"segment hashing lost:\n$p")
+    // segment hashes come from the compiled typed kernel (MapPartitions,
+    // not an interpreted transform-lambda or scalar UDF), and the dup
+    // test is the min/max key-window — no frequency-table join-back
+    assert(p.contains("MapPartitions"), s"c31 lost its typed segment kernel:\n$p")
+    assert(!p.contains("ScalaUDF"), s"c31 fell back to a scalar UDF:\n$p")
     assert(!p.contains("CartesianProduct"), s"c31 planned a cartesian:\n$p")
-    assert(!p.contains("UDF"), s"c31 fell back to a UDF:\n$p")
   }
 
   test("c32 budget select: bucket-parallel cumsum, no global range sort") {

@@ -8,8 +8,11 @@ window), c24 (substring-span dedup: the 10x replicas keep their text,
 so EVERY span is cross-doc duplicated — the adversarial shape), c25
 (BM25 over 10x the postings), c27 (bigram-LM train + score: ~5M
 bigram occurrences unnested on the DuckDB side), c28 (DSIR unigram
-log-ratios over the same volume) — on the 10x-replicated tables of
-tools/make_sf1.py.
+log-ratios over the same volume), c31 (segment-frequency boilerplate:
+the 10x replicas make EVERY segment cross-doc boilerplate — the
+adversarial all-boiler shape), c32 (budget selection: global ordered
+window vs the bucket-offset decomposition) — on the 10x-replicated
+tables of tools/make_sf1.py.
 
 Writes results/sf1_spotcheck.json and rewrites the marker-delimited
 sf1 section of BASELINE.md (idempotent; make_baseline.py re-appends
@@ -17,7 +20,7 @@ the section from the json on a full regeneration).
 
 Usage:
   python3 tools/make_sf1.py                     # build /tmp/sf1 once
-  SPARK_GRAFT_BENCH_ONLY=e1_q1_agg,e3_q5_multijoin,c17_contamination,d1_sessionize,c24_substring_dedup,c25_bm25_search,c27_lm_perplexity,c28_dsir_weight \
+  SPARK_GRAFT_BENCH_ONLY=e1_q1_agg,e3_q5_multijoin,c17_contamination,d1_sessionize,c24_substring_dedup,c25_bm25_search,c27_lm_perplexity,c28_dsir_weight,c31_boilerplate,c32_budget_select \
     SPARK_GRAFT_SF_DIR=/tmp/sf1 sbt "runMain graft.Bench" | grep '"metric"' > /tmp/sf1_bench.json
   python3 tools/sf1_spotcheck.py <oracle_sql.json> [/tmp/sf1] [/tmp/sf1_bench.json]
 """
@@ -25,7 +28,7 @@ import duckdb, glob, json, os, sys, time
 
 QUERIES = ["e1_q1_agg", "e3_q5_multijoin", "c17_contamination", "d1_sessionize",
            "c24_substring_dedup", "c25_bm25_search", "c27_lm_perplexity",
-           "c28_dsir_weight"]
+           "c28_dsir_weight", "c31_boilerplate", "c32_budget_select"]
 RUNS = 3
 BEGIN = "<!-- sf1-spotcheck:begin -->"
 END = "<!-- sf1-spotcheck:end -->"
