@@ -72,6 +72,7 @@ object SparkEntry {
     "c32_budget_select" -> (PipelineQueries.budgetSelect(_, _)),
     "c33_quality_classifier" -> (PipelineQueries.qualityClassifier(_, _)),
     "c34_bpe_train" -> (PipelineQueries.bpeTrain(_, _)),
+    "c36_frame_sample" -> (PipelineQueries.frameSample(_, _)),
     "d1_sessionize"  -> (PipelineQueries.sessionize(_, _)),
     "d2_window_agg"  -> (PipelineQueries.windowAgg(_, _)),
     "d3_stream_agg"  -> (PipelineQueries.streamingAgg(_, _)),
@@ -89,6 +90,8 @@ object SparkEntry {
     "e6_json_extract" -> (Relational.jsonExtract(_, _)),
     "e7_rollup"      -> (Relational.rollupAgg(_, _)),
     "e8_source_roundtrip" -> (Relational.sourceRoundtrip(_, _)),
+    "e9_asof_join"   -> (Relational.asofJoin(_, _)),
+    "e10_pivot"      -> (Relational.pivotAgg(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -181,5 +184,29 @@ object SparkEntry {
         |   || COALESCE(md5(source), '0000000000000000000000000000NULL')
         |   || COALESCE(md5(CAST(n_chars AS VARCHAR)), '0000000000000000000000000000NULL')) AS json_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // DuckDB's native ASOF JOIN certifies the union-tag + running-last
+    // window formulation IS the as-of join (inclusive on ties)
+    "e9_asof_join" ->
+      """SELECT e.event_id, e.user_id, epoch_us(e.ts) AS purchase_us,
+        | v.event_id AS click_event_id, epoch_us(v.ts) AS click_us,
+        | epoch_us(e.ts) - epoch_us(v.ts) AS gap_us,
+        | v.value AS click_value
+        |FROM (SELECT * FROM events WHERE event_type='purchase') e
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type='click') v
+        |  ON e.user_id = v.user_id AND e.ts >= v.ts
+        |ORDER BY e.event_id""".stripMargin,
+    "e10_pivot" ->
+      """SELECT source,
+        | CAST(COUNT(*) FILTER (WHERE lang='en') AS BIGINT) AS en_docs,
+        | CAST(COALESCE(SUM(n_chars) FILTER (WHERE lang='en'), 0) AS BIGINT) AS en_chars,
+        | CAST(COUNT(*) FILTER (WHERE lang='de') AS BIGINT) AS de_docs,
+        | CAST(COALESCE(SUM(n_chars) FILTER (WHERE lang='de'), 0) AS BIGINT) AS de_chars,
+        | CAST(COUNT(*) FILTER (WHERE lang='fr') AS BIGINT) AS fr_docs,
+        | CAST(COALESCE(SUM(n_chars) FILTER (WHERE lang='fr'), 0) AS BIGINT) AS fr_chars,
+        | CAST(COUNT(*) FILTER (WHERE lang='es') AS BIGINT) AS es_docs,
+        | CAST(COALESCE(SUM(n_chars) FILTER (WHERE lang='es'), 0) AS BIGINT) AS es_chars,
+        | CAST(COUNT(*) FILTER (WHERE lang='zh') AS BIGINT) AS zh_docs,
+        | CAST(COALESCE(SUM(n_chars) FILTER (WHERE lang='zh'), 0) AS BIGINT) AS zh_chars
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
   )
 }

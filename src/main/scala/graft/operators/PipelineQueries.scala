@@ -53,6 +53,9 @@ object PipelineQueries {
   def multimodalMeta(spark: SparkSession, dir: String): DataFrame =
     Multimodal.metaQuery(spark, Tables.documents(spark, dir))
 
+  def frameSample(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.frameQuery(spark, Tables.documents(spark, dir))
+
   /** c11: media payloads → stub-encoder embeddings → exact top-3
     * self-search. The full multimodal → similarity bridge: identical
     * payloads surface as rank-1/2 neighbors. Rows-only (the histogram
@@ -275,6 +278,18 @@ object PipelineQueries {
   val oracles: Map[String, String] = Map(
     "c29_embed_contam" -> EmbedContamSql,
     "d9_stream_contam" -> EmbedContamSql,
+    // mirrors Multimodal.frameQuery: every 4th 16-char frame,
+    // fingerprinted; char slices so substring semantics agree across
+    // engines (md5 hashes the frame's UTF-8 bytes on both)
+    "c36_frame_sample" ->
+      """SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+        | md5(substring(text, frame_idx*16+1, 16)) AS frame_md5,
+        | CAST(length(substring(text, frame_idx*16+1, 16)) AS INT) AS frame_len
+        |FROM (SELECT doc_id, text,
+        |  unnest(generate_series(0,
+        |    greatest(CAST(floor((length(text)+15)/16.0) AS BIGINT)-1, 0), 4)) AS frame_idx
+        | FROM documents WHERE text IS NOT NULL)
+        |ORDER BY doc_id, frame_idx""".stripMargin,
     "c31_boilerplate" ->
       // mirrors CorpusOps.boilerplate: position-free segment frequency
       // over SegTok-token segments (trailing remainder its own

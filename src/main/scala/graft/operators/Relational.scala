@@ -147,6 +147,69 @@ object Relational {
     * Scratch is local and
     * deleted after materializing the (small) fingerprint result
     * ([[graft.Scratch]]). */
+  /** e9: AS-OF join — each purchase enriched with the user's most
+    * recent click at-or-before the purchase time (the canonical
+    * event-attribution query; the operator Spark lacks natively).
+    *
+    * Spark-first shape: NOT a join at all. A time-inequality join
+    * (`e.ts >= v.ts` + "latest wins") would plan as a broadcast
+    * nested loop or an O(N·M) range join; instead both sides UNION
+    * into one stream tagged 0=click / 1=purchase, shuffle ONCE on
+    * user_id, and a running `last(..., ignoreNulls)` window ordered
+    * by (ts, tag) carries the latest click forward — clicks sort
+    * before purchases at equal ts, which makes the match inclusive,
+    * exactly DuckDB's `ASOF JOIN ON e.ts >= v.ts`. One exchange, one
+    * sort, linear scan; per-user state in the window frame is a
+    * single row. At 100 TB this is the only as-of shape that scales:
+    * cost is that of one groupBy on the key, independent of how many
+    * clicks precede each purchase.
+    *
+    * Purchases with no prior click survive with NULL click columns
+    * (ASOF LEFT JOIN parity). Timestamps leave as exact epoch
+    * micros (BIGINT both engines); click_value is the raw stored
+    * double — no arithmetic, bit-exact. */
+  def asofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"),
+        when(col("event_type") === "click", 0).otherwise(1).as("tag"))
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("tag"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    def lastClick(c: Column): Column =
+      last(when(col("tag") === 0, c), ignoreNulls = true).over(w)
+    ev
+      .withColumn("click_event_id", lastClick(col("event_id")))
+      .withColumn("click_us", lastClick(unix_micros(col("ts"))))
+      .withColumn("click_value", lastClick(col("value")))
+      .filter(col("tag") === 1)
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("purchase_us"),
+        col("click_event_id"), col("click_us"),
+        (unix_micros(col("ts")) - col("click_us")).as("gap_us"),
+        col("click_value"))
+      .orderBy("event_id")
+  }
+
+  /** e10: pivot — per-source document counts and char totals pivoted
+    * across languages (the OLAP reshape surface). The pivot value
+    * list is EXPLICIT: `pivot(col)` without values runs a distinct
+    * scan on the driver and produces an unbounded-width schema —
+    * with the list pinned the plan is a single groupBy(source) with
+    * conditional aggregates, one shuffle on a low-cardinality key,
+    * output width fixed at 100 TB. Missing (source, lang) cells
+    * coalesce to 0 on both engines. */
+  def pivotAgg(spark: SparkSession, dir: String): DataFrame = {
+    val langs = Seq("en", "de", "fr", "es", "zh")
+    val p = Tables.documents(spark, dir)
+      .groupBy("source")
+      .pivot("lang", langs)
+      .agg(count(lit(1)).as("docs"), sum(col("n_chars")).as("chars"))
+    p.select(col("source") +: langs.flatMap(l => Seq(
+        coalesce(col(s"${l}_docs"), lit(0L)).as(s"${l}_docs"),
+        coalesce(col(s"${l}_chars"), lit(0L)).as(s"${l}_chars"))): _*)
+      .orderBy("source")
+  }
+
   def sourceRoundtrip(spark: SparkSession, dir: String): DataFrame =
     graft.Scratch.materialize("e8_roundtrip") { tmp =>
       val docs = Tables.documents(spark, dir)

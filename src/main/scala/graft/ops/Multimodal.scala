@@ -90,6 +90,39 @@ object Multimodal {
       }).toDF("vec_id", "embedding")
   }
 
+  /** c36 query: deterministic frame sampling — the video/audio
+    * "decode + frame-sample" plumbing with the decode step expressed
+    * over fixed-size units of the payload (every [[stride]]-th
+    * [[width]]-unit frame, each fingerprinted). Frames are CHARACTER
+    * slices here so the oracle is expressible in ANSI SQL on both
+    * engines (DuckDB 1.0 has no BLOB substring); the byte-frame
+    * variant is [[sampleFrames]], spec-pinned. A real media decoder
+    * replaces the slice with a codec call — the plan shape (scan →
+    * sequence + explode → per-frame project) is exactly what ships:
+    * 100% codegen, NO udf, NO shuffle — frame explosion is a narrow
+    * map, so at 100 TB this runs at scan speed with output
+    * partitioning inherited from the input files. Null payloads are
+    * excluded (nothing to decode); empty payloads produce one empty
+    * frame (the header frame a decoder would still emit). */
+  def frameQuery(spark: SparkSession, docs: DataFrame,
+      width: Int = 16, stride: Int = 4): DataFrame = {
+    // last frame index via integer arithmetic shared with the oracle:
+    // ceil(len/width) - 1, floored at 0 (floor() on an exact small
+    // quotient — identical in IEEE on both engines)
+    val lastFrame = greatest(
+      floor((length(col("text")) + lit(width - 1)) / lit(width)).cast(IntegerType) - 1,
+      lit(0))
+    val frame = col("text").substr(
+      col("frame_idx") * lit(width) + lit(1), lit(width))
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(0), lastFrame, lit(stride))).as("frame_idx"))
+      .select(col("doc_id"), col("frame_idx"),
+        md5(encode(frame, "UTF-8")).as("frame_md5"),
+        length(frame).as("frame_len"))
+      .orderBy("doc_id", "frame_idx")
+  }
+
   /** c10 query: binary plumbing with SQL-checkable outputs (payload
     * length, md5, stub metadata — all deterministic). */
   def metaQuery(spark: SparkSession, docs: DataFrame): DataFrame =

@@ -322,6 +322,29 @@ class OpsSpec extends AnyFunSuite {
     assert(frames == 1 + 4) // 1 frame for 4B doc; ceil(100/16)=7 frames -> idx 0,2,4,6
   }
 
+  test("c36 frame sampling: stride/boundary arithmetic, multibyte frames, null/empty docs") {
+    val d = Seq(
+      (1L, Option("a" * 40)),       // ceil(40/16)=3 frames -> last idx 2, stride 4 -> [0]
+      (2L, Option("b" * 100)),      // 7 frames -> idx 0, 4
+      (3L, Option("")),             // empty -> one empty frame
+      (4L, None: Option[String]),   // null -> excluded
+      (5L, Option("漢" * 20))       // 20 chars multibyte -> 2 frames -> idx 0
+    ).toDF("doc_id", "text")
+    val out = Multimodal.frameQuery(spark, d)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getInt(3)))
+    val byDoc = out.groupBy(_._1)
+    assert(byDoc(1L).map(_._2).toSeq == Seq(0))
+    assert(byDoc(2L).map(_._2).toSeq.sorted == Seq(0, 4))
+    assert(byDoc(3L).map(t => (t._2, t._4)).toSeq == Seq((0, 0)), "empty doc: one empty frame")
+    assert(!byDoc.contains(4L), "null payload must be excluded")
+    // frame content is CHARACTER-sliced: doc 2's frame 4 covers chars 65-80
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def hex(s: String) = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(byDoc(2L).find(_._2 == 4).get._3 == hex("b" * 16))
+    assert(byDoc(5L).head._3 == hex("漢" * 16), "multibyte frame must slice by chars, hash by UTF-8 bytes")
+    assert(byDoc(5L).head._4 == 16)
+  }
+
   test("doc repetition flags duplicate-2gram and top-word stuffing, not normal prose") {
     val d = docs(
       1L -> "the quick brown fox jumps over a lazy dog near the river bank today",

@@ -231,4 +231,56 @@ class PlanSpec extends AnyFunSuite {
         s"$name nested-loops corpus rows:\n$p")
     }
   }
+
+  test("c36 frame sampling is a codegen narrow map (no hash shuffle, no UDF, no join)") {
+    val p = plan(operators.PipelineQueries.frameSample(spark, sf))
+    assert(!p.contains("Join") && !p.contains("ScalaUDF"),
+      s"c36 frame explode regressed:\n$p")
+    // the only exchange allowed is the harness-surface orderBy's range
+    // partitioning; the explode itself must stay narrow
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"c36 frame sampling shuffles:\n$p")
+  }
+
+  test("e9 as-of join plans as union + ONE keyed shuffle, never a join") {
+    val p = plan(operators.Relational.asofJoin(spark, sf))
+    // the scale property: a time-inequality join would be a BNLJ or
+    // cartesian; the union-tag window form has no join node at all
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"),
+      s"e9 planned a join:\n$p")
+    assert("hashpartitioning\\(user_id".r.findAllIn(p).length >= 1 &&
+      "Exchange hashpartitioning".r.findAllIn(p).length == 1,
+      s"e9 should shuffle exactly once, on user_id:\n$p")
+  }
+
+  test("e10 pivot: explicit value list runs NO plan-time distinct job") {
+    val jobs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.add(Option(j.properties)
+          .map(_.getProperty("callSite.short", "")).getOrElse(""))
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val df = operators.Relational.pivotAgg(spark, sf)
+      df.queryExecution.executedPlan // force planning
+      // listener events are async; the distinct-values scan (if any)
+      // would have run synchronously during pivot() above, so a short
+      // drain is enough for its JobStart to surface. The parquet
+      // file-listing job is legitimate; a pivot-values scan shows up
+      // as a collect/takeAsList at pivot's call site.
+      Thread.sleep(500)
+      val scans = jobs.toArray(Array.empty[String])
+        .filter(s => s.contains("collect") || s.contains("take") || s.contains("pivot"))
+      assert(scans.isEmpty,
+        s"building the pivot plan ran a distinct-values scan: ${scans.mkString(", ")}")
+      val p = plan(df)
+      // Spark's pivot plans as partial agg on (source,lang) then
+      // pivotfirst re-agg on source — two keyed exchanges, no join
+      assert("Exchange hashpartitioning".r.findAllIn(p).length <= 2 &&
+        !p.contains("Join") && !p.contains("CartesianProduct"),
+        s"e10 pivot plan shape regressed:\n$p")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
 }

@@ -44,4 +44,49 @@ class RelationalSpec extends AnyFunSuite {
   test("entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("e9 as-of equals the naive latest-click-at-or-before join") {
+    import org.apache.spark.sql.functions._
+    val got = operators.Relational.asofJoin(spark, sf)
+      .select("event_id", "click_event_id", "gap_us").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    val ev = Tables.events(spark, sf)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("p_us"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("c_id"),
+        unix_micros(col("ts")).as("c_us"))
+    // the formulation e9 deliberately avoids: inequality join + argmax
+    val expected = purchases
+      .join(clicks, col("user_id") === col("c_user") && col("c_us") <= col("p_us"), "left")
+      .groupBy("event_id", "p_us")
+      .agg(max(struct(col("c_us"), col("c_id"))).as("best"))
+      .select(col("event_id"), col("best.c_id"),
+        (col("p_us") - col("best.c_us")).as("gap"))
+      .collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    assert(got == expected)
+    assert(got.exists(_._2 == -1L), "sf0.001 should exercise the no-prior-click arm")
+  }
+
+  test("e10 pivot cells match direct filtered aggregates") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf)
+    val p = operators.Relational.pivotAgg(spark, sf)
+    val langs = Seq("en", "de", "fr", "es", "zh")
+    // cell-level check for one source
+    val src = docs.select("source").orderBy("source").first().getString(0)
+    val row = p.filter(col("source") === src).first()
+    for (l <- langs) {
+      val exp = docs.filter(col("source") === src && col("lang") === l)
+        .agg(count(lit(1)), coalesce(sum("n_chars"), lit(0L))).first()
+      assert(row.getLong(row.fieldIndex(s"${l}_docs")) == exp.getLong(0), s"$src/$l docs")
+      assert(row.getLong(row.fieldIndex(s"${l}_chars")) == exp.getLong(1), s"$src/$l chars")
+    }
+    // grand total across cells == corpus size (langs are exhaustive here)
+    val total = p.collect().map(r => langs.map(l => r.getLong(r.fieldIndex(s"${l}_docs"))).sum).sum
+    assert(total == docs.count())
+  }
 }
