@@ -72,6 +72,7 @@ object SparkEntry {
     "c32_budget_select" -> (PipelineQueries.budgetSelect(_, _)),
     "c33_quality_classifier" -> (PipelineQueries.qualityClassifier(_, _)),
     "c34_bpe_train" -> (PipelineQueries.bpeTrain(_, _)),
+    "c35_bpe_encode" -> (PipelineQueries.bpeEncode(_, _)),
     "c36_frame_sample" -> (PipelineQueries.frameSample(_, _)),
     "d1_sessionize"  -> (PipelineQueries.sessionize(_, _)),
     "d2_window_agg"  -> (PipelineQueries.windowAgg(_, _)),

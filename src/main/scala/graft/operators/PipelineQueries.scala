@@ -149,6 +149,10 @@ object PipelineQueries {
   def bpeTrain(spark: SparkSession, dir: String): DataFrame =
     graft.ops.BpeTrain.bpeTrain(spark, Tables.documents(spark, dir))
 
+  def bpeEncode(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.BpeTrain.bpeEncode(spark, Tables.documents(spark, dir))
+      .orderBy("doc_id")
+
   def ngramLm(spark: SparkSession, dir: String): DataFrame =
     graft.ops.LmScore.ngramLm(Tables.documents(spark, dir)).orderBy("doc_id")
 

@@ -124,4 +124,106 @@ object BpeTrain {
       .toDF("rank", "left", "right", "merged", "pair_freq")
       .orderBy("rank")
   }
+
+  /** Encode one word (symbol array, EndMark already applied) with a
+    * rank table: repeatedly merge the lowest-rank adjacent pair,
+    * left-to-right within a round — exactly the apply loop of the HF
+    * tokenizers / SentencePiece BPE decoders, and the inverse of the
+    * training loop above (training emits rules in the order encode
+    * must prefer them). */
+  private[ops] def encodeWord(
+      syms0: Array[String], ranks: collection.Map[(String, String), Int]): Array[String] = {
+    var syms = syms0
+    var continue = syms.length > 1
+    while (continue) {
+      var bestRank = Int.MaxValue
+      var i = 0
+      while (i < syms.length - 1) {
+        val r = ranks.getOrElse((syms(i), syms(i + 1)), Int.MaxValue)
+        if (r < bestRank) bestRank = r
+        i += 1
+      }
+      if (bestRank == Int.MaxValue) continue = false
+      else {
+        val out = Array.newBuilder[String]
+        i = 0
+        while (i < syms.length) {
+          if (i < syms.length - 1 &&
+              ranks.getOrElse((syms(i), syms(i + 1)), Int.MaxValue) == bestRank) {
+            out += syms(i) + syms(i + 1); i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        syms = out.result()
+        continue = syms.length > 1
+      }
+    }
+    syms
+  }
+
+  /** How many leading tokens c35 carries per doc (enough to pin the
+    * encoding without shipping the whole token stream). */
+  val HeadTokens = 12
+
+  /** c35: BPE ENCODE — apply the trained merge table to the corpus,
+    * the distributed counterpart of [[bpeTrain]] and the step a
+    * pipeline runs on every document before packing (c15) and
+    * sharding (c30). Train is bounded and driver-side; encode is the
+    * corpus-sized job and stays a NARROW MAP: the merge table (30k
+    * rows in production) rides a broadcast into a typed kernel, no
+    * shuffle, no explode — at 100 TB this runs at scan speed.
+    *
+    * Per partition the kernel memoizes word → token-count+tokens
+    * (vocabulary-bounded corpora re-encode the same words endlessly;
+    * the cache is capped so adversarial unique-word shards cannot
+    * OOM). Output per doc: word count, BPE token count, and the
+    * first [[HeadTokens]] tokens ('|'-joined) — enough for the golden
+    * snapshot to pin the actual encoding, not just its size. NULL
+    * text propagates NULL metrics (the c21 contract). Not
+    * SQL-expressible (each merge depends on all prior merges);
+    * golden + spec-pinned. */
+  def bpeEncode(spark: SparkSession, docs: DataFrame,
+      numMerges: Int = NumMerges): DataFrame = {
+    import spark.implicits._
+    val ranks: Map[(String, String), Int] =
+      bpeTrain(spark, docs, numMerges)
+        .select("left", "right", "rank").as[(String, String, Int)]
+        .collect().map { case (a, b, r) => (a, b) -> r }.toMap
+    val bc = spark.sparkContext.broadcast(ranks)
+    docs.select(col("doc_id"), col("text"))
+      .as[(Long, Option[String])]
+      .mapPartitions { it =>
+        val r = bc.value
+        val memo = new scala.collection.mutable.HashMap[String, Array[String]]
+        it.map { case (id, txt) =>
+          txt match {
+            case None => (id, None, None, None)
+            case Some(t) =>
+              val words = t.split(" ").filter(_.nonEmpty)
+              var nTok = 0
+              val head = Array.newBuilder[String]
+              var headLeft = HeadTokens
+              var wi = 0
+              while (wi < words.length) {
+                val w = words(wi)
+                val toks = memo.getOrElse(w, {
+                  val syms = w.toCharArray.map(_.toString)
+                  syms(syms.length - 1) += EndMark
+                  val enc = encodeWord(syms, r)
+                  if (memo.size < 65536) memo.update(w, enc)
+                  enc
+                })
+                nTok += toks.length
+                var ti = 0
+                while (headLeft > 0 && ti < toks.length) {
+                  head += toks(ti); headLeft -= 1; ti += 1
+                }
+                wi += 1
+              }
+              (id, Some(words.length), Some(nTok),
+                Some(head.result().mkString("|")))
+          }
+        }
+      }
+      .toDF("doc_id", "n_words", "n_bpe_tokens", "head_tokens")
+  }
 }

@@ -373,6 +373,35 @@ class CorpusSpec extends AnyFunSuite {
     assert(again.toSeq == out.map(r => (r._1, r._4)).toSeq, "re-train diverged")
   }
 
+  test("bpe encode: applies the trained merges in rank order (hand-computed tokens)") {
+    // same fixture as the train spec; merges learned: 1 (w,e) 2 (l,o)
+    // 3 (s,t</w>) 4 (we,st</w>) 5 (e,west</w>) 6 (n,ewest</w>)
+    val d = docs(
+      1L -> (Seq.fill(5)("low") ++ Seq.fill(2)("lower")).mkString(" "),
+      2L -> (Seq.fill(2)("lowest") ++ Seq.fill(6)("newest")).mkString(" "))
+    val out = graft.ops.BpeTrain.bpeEncode(spark, d, numMerges = 6)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getString(3)))).toMap
+    // low -> lo|w</w>; lower -> lo|we|r</w> (rank-1 (w,e) before rank-2 (l,o))
+    assert(out(1L) == ((7, 5 * 2 + 2 * 3,
+      Seq.fill(5)("lo|w</w>").mkString("|") + "|lo|we")), out(1L).toString)
+    // lowest -> lo|west</w> (merges 1,2,3,4); newest -> newest</w> (1,3,4,5,6)
+    assert(out(2L) == ((8, 2 * 2 + 6 * 1,
+      Seq.fill(2)("lo|west</w>").mkString("|") +
+        "|" + Seq.fill(6)("newest</w>").mkString("|"))), out(2L).toString)
+  }
+
+  test("bpe encode: null text propagates null metrics; unseen words still split") {
+    val d = Seq((1L, Option("low low lower lower")), (2L, None: Option[String]),
+      (3L, Option("zq"))).toDF("doc_id", "text")
+    val out = graft.ops.BpeTrain.bpeEncode(spark, d, numMerges = 3).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(2L).isNullAt(1) && out(2L).isNullAt(2) && out(2L).isNullAt(3))
+    // "zq" is below MinWordFreq (never in the vocab) but encodes anyway:
+    // chars with no applicable merge
+    assert(out(3L).getString(3) == "z|q</w>", out(3L).toString)
+  }
+
   test("bpe train: merges stop when no pair repeats") {
     val d = docs(1L -> "ab cd") // every pair unique -> freq 1 < 2
     val out = graft.ops.BpeTrain.bpeTrain(spark, d).collect()

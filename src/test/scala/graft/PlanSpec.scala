@@ -242,6 +242,14 @@ class PlanSpec extends AnyFunSuite {
       s"c36 frame sampling shuffles:\n$p")
   }
 
+  test("c35 bpe encode: broadcast merge table into a narrow typed kernel (no shuffle)") {
+    val p = plan(ops.BpeTrain.bpeEncode(spark,
+      Tables.documents(spark, sf), numMerges = 4))
+    assert(p.contains("MapPartitions"), s"c35 lost its typed kernel:\n$p")
+    assert(!p.contains("Exchange") && !p.contains("Join"),
+      s"c35 encode must be a narrow map:\n$p")
+  }
+
   test("e9 as-of join plans as union + ONE keyed shuffle, never a join") {
     val p = plan(operators.Relational.asofJoin(spark, sf))
     // the scale property: a time-inequality join would be a BNLJ or

@@ -37,7 +37,7 @@ class RelationalSpec extends AnyFunSuite {
       "b16_search_quantized",
       "c2_dedup_minhash", "c3_dedup_simhash", "c9_doc_fingerprint",
       "c11_media_embed", "c23_semdedup", "c33_quality_classifier",
-      "c34_bpe_train", "d6_stream_dedup")
+      "c34_bpe_train", "c35_bpe_encode", "d6_stream_dedup")
     assert(rowsOnly.subsetOf(expectedRowsOnly), s"unexpected rows-only: ${rowsOnly -- expectedRowsOnly}")
   }
 
