@@ -83,6 +83,7 @@ object SparkEntry {
     "d7_stream_gate" -> (PipelineQueries.streamingCorpusGate(_, _)),
     "d8_stream_spans" -> (PipelineQueries.streamingSpanDedup(_, _)),
     "d9_stream_contam" -> (PipelineQueries.streamingEmbedContam(_, _)),
+    "d10_stream_asof" -> (PipelineQueries.streamingAsof(_, _)),
     "e1_q1_agg"      -> (Relational.q1Agg(_, _)),
     "e2_q3_join"     -> (Relational.q3Join(_, _)),
     "e3_q5_multijoin" -> (Relational.q5MultiJoin(_, _)),
@@ -94,6 +95,16 @@ object SparkEntry {
     "e9_asof_join"   -> (Relational.asofJoin(_, _)),
     "e10_pivot"      -> (Relational.pivotAgg(_, _)),
   )
+
+  private val AsofSql =
+    """SELECT e.event_id, e.user_id, epoch_us(e.ts) AS purchase_us,
+      | v.event_id AS click_event_id, epoch_us(v.ts) AS click_us,
+      | epoch_us(e.ts) - epoch_us(v.ts) AS gap_us,
+      | v.value AS click_value
+      |FROM (SELECT * FROM events WHERE event_type='purchase') e
+      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type='click') v
+      |  ON e.user_id = v.user_id AND e.ts >= v.ts
+      |ORDER BY e.event_id""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -186,16 +197,11 @@ object SparkEntry {
         |   || COALESCE(md5(CAST(n_chars AS VARCHAR)), '0000000000000000000000000000NULL')) AS json_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
     // DuckDB's native ASOF JOIN certifies the union-tag + running-last
-    // window formulation IS the as-of join (inclusive on ties)
-    "e9_asof_join" ->
-      """SELECT e.event_id, e.user_id, epoch_us(e.ts) AS purchase_us,
-        | v.event_id AS click_event_id, epoch_us(v.ts) AS click_us,
-        | epoch_us(e.ts) - epoch_us(v.ts) AS gap_us,
-        | v.value AS click_value
-        |FROM (SELECT * FROM events WHERE event_type='purchase') e
-        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type='click') v
-        |  ON e.user_id = v.user_id AND e.ts >= v.ts
-        |ORDER BY e.event_id""".stripMargin,
+    // window formulation IS the as-of join (inclusive on ties); d10
+    // shares it verbatim, so the hash check certifies batch/stream
+    // equivalence of the as-of operator under the single-batch drain
+    "e9_asof_join" -> AsofSql,
+    "d10_stream_asof" -> AsofSql,
     "e10_pivot" ->
       """SELECT source,
         | CAST(COUNT(*) FILTER (WHERE lang='en') AS BIGINT) AS en_docs,

@@ -183,6 +183,9 @@ object PipelineQueries {
   def streamingSpanDedup(spark: SparkSession, dir: String): DataFrame =
     graft.streaming.StreamSpanDedup.streamingSpanDedup(spark, dir)
 
+  def streamingAsof(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamAsof.streamingAsof(spark, dir)
+
   def streamingEmbedContam(spark: SparkSession, dir: String): DataFrame =
     graft.streaming.StreamContam.streamingEmbedContam(spark, dir)
 

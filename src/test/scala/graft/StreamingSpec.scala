@@ -389,4 +389,88 @@ class StreamingSpec extends AnyFunSuite {
       s"stream(3 triggers) != batch: ${multi.toSeq} vs ${batch.toSeq}")
     assert(multi.length == corpusRows.length)
   }
+
+  /** events-schema parquet writer for the d10 tests; ts in SECONDS
+    * since epoch for readability. */
+  private def writeEventsFile(
+      dir: java.nio.file.Path, name: String, mtimeMs: Long,
+      rows: Seq[(Long, Long, Long, String, Double)]): org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.functions.{col, lit, timestamp_seconds}
+    val tmp = java.nio.file.Files.createTempDirectory("ev_part")
+    val df = rows.toDF("event_id", "sec", "user_id", "event_type", "value")
+      .select(col("event_id"), timestamp_seconds(col("sec")).as("ts"),
+        col("user_id"), col("event_type"), col("value"),
+        lit("{}").as("props"))
+    df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = java.nio.file.Files.list(tmp).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.head
+    val dest = dir.resolve(name)
+    java.nio.file.Files.copy(part, dest)
+    java.nio.file.Files.setLastModifiedTime(dest,
+      java.nio.file.attribute.FileTime.fromMillis(mtimeMs))
+    df.schema
+  }
+
+  test("d10 streaming as-of: ordered multi-trigger equals the batch rule; " +
+      "out-of-order purchase resolves against the click list, not just the newest click") {
+    val dir = java.nio.file.Files.createTempDirectory("d10_multi")
+    def us(sec: Long) = sec * 1000000L
+    // (event_id, sec, user_id, type, value)
+    val schema = writeEventsFile(dir, "f1.parquet", 1000000L, Seq(
+      (101L, 10L, 1L, "click", 1.5),     // u1 first click
+      (102L, 20L, 1L, "purchase", 9.0),  // -> 101
+      (301L, 5L, 3L, "click", 3.0),      // u3 old click
+      (201L, 15L, 2L, "purchase", 7.0))) // u2: no click ever -> NULLs
+    writeEventsFile(dir, "f2.parquet", 1010000L, Seq(
+      (103L, 30L, 1L, "click", 2.5),
+      (302L, 50L, 3L, "click", 3.5)))    // u3 newer click
+    writeEventsFile(dir, "f3.parquet", 1020000L, Seq(
+      (104L, 40L, 1L, "purchase", 9.5),  // -> 103 (newest click wins)
+      (303L, 45L, 3L, "purchase", 8.0))) // ts 45 < click 302's 50: must
+                                         // resolve to 301@5, which a
+                                         // latest-click-only state lost
+    val out = graft.streaming.StreamAsof.streamingAsofFromDir(
+        spark, dir.toString, schema, maxFilesPerTrigger = Some(1))
+      .collect().map(r => r.getLong(0) -> ((
+        if (r.isNullAt(3)) -1L else r.getLong(3),
+        if (r.isNullAt(5)) -1L else r.getLong(5),
+        if (r.isNullAt(6)) -1.0 else r.getDouble(6)))).toMap
+    assert(out(102L) == ((101L, us(10), 1.5)), out.toString)
+    assert(out(201L) == ((-1L, -1L, -1.0)), out.toString)
+    assert(out(104L) == ((103L, us(10), 2.5)), out.toString)
+    assert(out(303L) == ((301L, us(40), 3.0)),
+      s"out-of-order purchase must resolve to the OLDER click: $out")
+  }
+
+  test("d10 click retention: a click idle past retention no longer attributes") {
+    val dir = java.nio.file.Files.createTempDirectory("d10_evict")
+    // u1 clicks at t=5 (not 0: a row with ts == the initial watermark is
+    // dropped as late); an unrelated user's event at t=1000 advances the
+    // watermark (delay 1s) to ~999 in batch 2, far past 5 + 10s retention
+    val schema = writeEventsFile(dir, "f1.parquet", 1000000L, Seq(
+      (1L, 5L, 1L, "click", 1.0),
+      (2L, 1000L, 9L, "click", 0.5)))
+    writeEventsFile(dir, "f2.parquet", 1010000L, Seq(
+      (3L, 1005L, 1L, "purchase", 5.0)))
+    val pruned = graft.streaming.StreamAsof.streamingAsofFromDir(
+        spark, dir.toString, schema,
+        retentionSec = 10L, watermarkDelay = "1 seconds",
+        maxFilesPerTrigger = Some(1))
+      .collect().map(r => r.getLong(0) -> r.isNullAt(3)).toMap
+    assert(pruned(3L), s"retention-expired click still attributed: $pruned")
+    // control: with generous retention the same layout attributes
+    val dir2 = java.nio.file.Files.createTempDirectory("d10_keep")
+    val schema2 = writeEventsFile(dir2, "f1.parquet", 1000000L, Seq(
+      (1L, 5L, 1L, "click", 1.0),
+      (2L, 1000L, 9L, "click", 0.5)))
+    writeEventsFile(dir2, "f2.parquet", 1010000L, Seq(
+      (3L, 1005L, 1L, "purchase", 5.0)))
+    val kept = graft.streaming.StreamAsof.streamingAsofFromDir(
+        spark, dir2.toString, schema2,
+        retentionSec = 100000L, watermarkDelay = "1 seconds",
+        maxFilesPerTrigger = Some(1))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
+    assert(kept(3L) == 1L, s"in-retention click lost: $kept")
+  }
 }
