@@ -134,6 +134,39 @@ object ScaleProbe {
     // vocabulary-sized, independent of the corpus ---
     val (_, tBpe) = time(force(graft.ops.BpeTrain.bpeTrain(spark, docsOnDisk)))
 
+    // --- c35 BPE encode: the corpus-sized half of the tokenizer —
+    // must scale like the other narrow maps (broadcast merge table,
+    // memoized kernel; the 5000-token vocab keeps the memo hot) ---
+    val (_, tBpeEnc) = time(force(
+      graft.ops.BpeTrain.bpeEncode(spark, docsOnDisk)))
+
+    // --- c36 frame sampling: ~16 frames per ~280-char doc explode in
+    // a codegen narrow map — scan-speed scaling, no shuffle ---
+    val (_, tFrames) = time(force(
+      graft.ops.Multimodal.frameQuery(spark, docsOnDisk)))
+
+    // --- e9 as-of join over synthetic events (4 events/doc, ~50
+    // events/user): ONE keyed shuffle + window, cost independent of
+    // clicks-per-purchase — the property that makes as-of survive
+    // 100×. d10 runs the SAME semantics as a stream (one drain);
+    // its state is the per-user click list. ---
+    val nEvents = 4L * nDocs
+    val events = spark.range(nEvents).select(
+      col("id").as("event_id"),
+      timestamp_seconds(lit(1000000L) + (col("id") * 7919) % 2592000).as("ts"),
+      pmod(xxhash64(col("id")), lit(nEvents / 50)).as("user_id"),
+      when(col("id") % 3 === 0, "purchase").otherwise("click").as("event_type"),
+      (col("id") % 100).cast("double").as("value"),
+      lit("{}").as("props"))
+    val eventsDir = java.nio.file.Files.createTempDirectory("probe_events")
+    events.write.mode("overwrite").parquet(eventsDir.toString)
+    val eventsOnDisk = spark.read.parquet(eventsDir.toString)
+    val (_, tAsof) = time(force(
+      graft.operators.Relational.asofEnrich(eventsOnDisk)))
+    val (_, tStreamAsof) = time(force(
+      graft.streaming.StreamAsof.streamingAsofFromDir(spark,
+        eventsDir.toString, eventsOnDisk.schema)))
+
     // --- c24 substring-span dedup: ~33 windows/doc explode to
     // 128-bit span keys; the 10% planted near-dups share two long
     // runs each (the 20-token prefix and 19-token suffix around the
@@ -234,7 +267,8 @@ object ScaleProbe {
       s""""c21_repetition_s":$tRepet,"c22_domainmix_s":$tMix,""" +
       s""""c27_ngramlm_s":$tNgramLm,"c28_dsir_s":$tDsir,"c30_shard_s":$tShard,""" +
       s""""c31_boiler_s":$tBoiler,"c32_budget_s":$tBudget,"c33_quality_s":$tQuality,""" +
-      s""""c34_bpe_s":$tBpe,""" +
+      s""""c34_bpe_s":$tBpe,"c35_bpe_encode_s":$tBpeEnc,"c36_frames_s":$tFrames,""" +
+      s""""e9_asof_s":$tAsof,"d10_stream_asof_s":$tStreamAsof,""" +
       s""""c24_spans_s":$tSpans,"c25_bm25_s":$tBm25,"c26_hybrid_s":$tHybrid,""" +
       s""""c20_canon_s":$tCanon,"c20_mega_family":$megaN,""" +
       s""""index_build_s":$tBuild,""" +

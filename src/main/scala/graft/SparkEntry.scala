@@ -94,6 +94,9 @@ object SparkEntry {
     "e8_source_roundtrip" -> (Relational.sourceRoundtrip(_, _)),
     "e9_asof_join"   -> (Relational.asofJoin(_, _)),
     "e10_pivot"      -> (Relational.pivotAgg(_, _)),
+    "e11_semi_join"  -> (Relational.semiJoin(_, _)),
+    "e12_anti_join"  -> (Relational.antiJoin(_, _)),
+    "e13_cube"       -> (Relational.cubeAgg(_, _)),
   )
 
   private val AsofSql =
@@ -202,6 +205,30 @@ object SparkEntry {
     // equivalence of the as-of operator under the single-batch drain
     "e9_asof_join" -> AsofSql,
     "d10_stream_asof" -> AsofSql,
+    "e11_semi_join" ->
+      """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
+        |FROM orders o
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate <  TIMESTAMP '1997-01-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |    WHERE l.l_orderkey = o.o_orderkey
+        |      AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "e12_anti_join" ->
+      """SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_customers,
+        | CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS sum_acctbal
+        |FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey
+        |    AND o.o_totalprice > 400000)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "e13_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+        | SUM(CAST(floor(l_quantity*1e6+0.5) AS BIGINT))/1e6 AS sum_qty,
+        | CAST(COUNT(*) AS BIGINT) AS n
+        |FROM lineitem
+        |GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
     "e10_pivot" ->
       """SELECT source,
         | CAST(COUNT(*) FILTER (WHERE lang='en') AS BIGINT) AS en_docs,

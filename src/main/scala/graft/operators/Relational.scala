@@ -168,12 +168,21 @@ object Relational {
     * (ASOF LEFT JOIN parity). Timestamps leave as exact epoch
     * micros (BIGINT both engines); click_value is the raw stored
     * double — no arithmetic, bit-exact. */
-  def asofJoin(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(spark, dir)
+  def asofJoin(spark: SparkSession, dir: String): DataFrame =
+    asofEnrich(Tables.events(spark, dir)).orderBy("event_id")
+
+  /** The e9 operator body over any events-shaped input (probe reuse). */
+  def asofEnrich(events: DataFrame): DataFrame = {
+    val ev = events
       .filter(col("event_type").isin("click", "purchase"))
       .select(col("user_id"), col("ts"), col("event_id"), col("value"),
         when(col("event_type") === "click", 0).otherwise(1).as("tag"))
-    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("tag"))
+    // event_id tie-break: two clicks at the SAME ts would otherwise
+    // resolve by shuffle order (the test data has no such ties, but
+    // the operator must be deterministic on any input; d10's in-batch
+    // sort uses the same total order)
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("tag"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, 0)
     def lastClick(c: Column): Column =
       last(when(col("tag") === 0, c), ignoreNulls = true).over(w)
@@ -187,7 +196,6 @@ object Relational {
         col("click_event_id"), col("click_us"),
         (unix_micros(col("ts")) - col("click_us")).as("gap_us"),
         col("click_value"))
-      .orderBy("event_id")
   }
 
   /** e10: pivot — per-source document counts and char totals pivoted
@@ -209,6 +217,57 @@ object Relational {
         coalesce(col(s"${l}_chars"), lit(0L)).as(s"${l}_chars"))): _*)
       .orderBy("source")
   }
+
+  /** e11: LEFT SEMI join (TPC-H Q4 shape) — orders with at least one
+    * slow lineitem (shipped >60 days after the order date), counted
+    * by priority. Semi join is its own physical operator class: the
+    * probe side short-circuits on first match and never duplicates
+    * rows, so the output is bounded by the orders side no matter how
+    * many lineitems match — the EXISTS semantics a rewrite through
+    * join+distinct would pay a dedup shuffle for. Joins on the order
+    * key (one co-partitioned shuffle pair at scale) with the date
+    * predicate evaluated inside the join. */
+  def semiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast(TimestampType) &&
+              col("o_orderdate") <  lit("1997-01-01").cast(TimestampType))
+    val l = Tables.lineitem(spark, dir).select("l_orderkey", "l_shipdate")
+    // timestamp + interval, NOT date_add (which truncates to DATE and
+    // would drop o_orderdate's time-of-day vs the oracle's INTERVAL)
+    o.join(l, col("l_orderkey") === col("o_orderkey") &&
+        col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"), "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** e12: LEFT ANTI join (TPC-H Q22 shape) — customers who never
+    * placed a large order (>400k), per market segment. Anti join is
+    * the NOT EXISTS operator: one co-partitioned shuffle on the key,
+    * output bounded by the probe side, no null-padding round-trip a
+    * left join + IS NULL filter would plan. Money sum decimal-cast
+    * per row (order-independent, oracle-exact). */
+  def antiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_totalprice") > 400000.0)
+      .select("o_custkey")
+    Tables.customer(spark, dir)
+      .join(o, col("o_custkey") === col("c_custkey"), "left_anti")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_customers"),
+        sum(money(col("c_acctbal"))).cast(DoubleType).as("sum_acctbal"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** e13: CUBE subtotals — e7's rollup plus the column-wise marginals
+    * (the full OLAP cube surface over returnflag × linestatus). */
+  def cubeAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .cube("l_returnflag", "l_linestatus")
+      .agg(
+        (sum(floor(col("l_quantity") * lit(1e6) + lit(0.5)).cast(LongType)) / lit(1e6)).as("sum_qty"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
 
   def sourceRoundtrip(spark: SparkSession, dir: String): DataFrame =
     graft.Scratch.materialize("e8_roundtrip") { tmp =>

@@ -250,6 +250,16 @@ class PlanSpec extends AnyFunSuite {
       s"c35 encode must be a narrow map:\n$p")
   }
 
+  test("e11/e12 plan as true semi/anti join operators (no dedup, no null-pad filter)") {
+    val ps = plan(operators.Relational.semiJoin(spark, sf))
+    assert(ps.contains("LeftSemi"), s"e11 lost the semi join:\n$ps")
+    val pa = plan(operators.Relational.antiJoin(spark, sf))
+    assert(pa.contains("LeftAnti"), s"e12 lost the anti join:\n$pa")
+    // the rewrites these operators avoid: join+distinct / left-join+filter
+    assert(!ps.contains("Distinct") && !pa.contains("Distinct"),
+      "semi/anti rewritten through a dedup")
+  }
+
   test("e9 as-of join plans as union + ONE keyed shuffle, never a join") {
     val p = plan(operators.Relational.asofJoin(spark, sf))
     // the scale property: a time-inequality join would be a BNLJ or
