@@ -134,6 +134,14 @@ object ScaleProbe {
     // vocabulary-sized, independent of the corpus ---
     val (_, tBpe) = time(force(graft.ops.BpeTrain.bpeTrain(spark, docsOnDisk)))
 
+    // --- c37 KMV sketch over the 8-source relabelling (each source
+    // sees ~the full 5000-word vocab > k, so every sketch is in the
+    // estimate regime): map-side partial sketches, shuffle is
+    // O(sources·k) longs whatever the corpus size ---
+    val (_, tKmv) = time(force(graft.ops.Sketches.kmvDistinct(
+      spark, docsOnDisk.withColumn(
+        "source", concat(lit("src"), (col("doc_id") % 8).cast("int"))))))
+
     // --- c35 BPE encode: the corpus-sized half of the tokenizer —
     // must scale like the other narrow maps (broadcast merge table,
     // memoized kernel; the 5000-token vocab keeps the memo hot) ---
@@ -268,6 +276,7 @@ object ScaleProbe {
       s""""c27_ngramlm_s":$tNgramLm,"c28_dsir_s":$tDsir,"c30_shard_s":$tShard,""" +
       s""""c31_boiler_s":$tBoiler,"c32_budget_s":$tBudget,"c33_quality_s":$tQuality,""" +
       s""""c34_bpe_s":$tBpe,"c35_bpe_encode_s":$tBpeEnc,"c36_frames_s":$tFrames,""" +
+      s""""c37_kmv_s":$tKmv,""" +
       s""""e9_asof_s":$tAsof,"d10_stream_asof_s":$tStreamAsof,""" +
       s""""c24_spans_s":$tSpans,"c25_bm25_s":$tBm25,"c26_hybrid_s":$tHybrid,""" +
       s""""c20_canon_s":$tCanon,"c20_mega_family":$megaN,""" +

@@ -153,6 +153,9 @@ object PipelineQueries {
     graft.ops.BpeTrain.bpeEncode(spark, Tables.documents(spark, dir))
       .orderBy("doc_id")
 
+  def kmvDistinct(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Sketches.kmvDistinct(spark, Tables.documents(spark, dir))
+
   def ngramLm(spark: SparkSession, dir: String): DataFrame =
     graft.ops.LmScore.ngramLm(Tables.documents(spark, dir)).orderBy("doc_id")
 
@@ -285,6 +288,28 @@ object PipelineQueries {
   val oracles: Map[String, String] = Map(
     "c29_embed_contam" -> EmbedContamSql,
     "d9_stream_contam" -> EmbedContamSql,
+    // mirrors Sketches.kmvDistinct: the k smallest distinct 60-bit
+    // md5-prefix hashes per source ARE the sketch — the oracle
+    // recomputes them exactly (order-independent min-k), so the hash
+    // check certifies a distributed APPROXIMATE operator bit-exactly
+    "c37_kmv_distinct" ->
+      s"""WITH toks AS (
+         |  SELECT DISTINCT source,
+         |    CAST('0x' || substring(md5(t), 1, 15) AS BIGINT) AS h
+         |  FROM (SELECT source, unnest(string_split(text, ' ')) AS t
+         |        FROM documents WHERE text IS NOT NULL)
+         |  WHERE t <> ''),
+         |ranked AS (
+         |  SELECT source, h,
+         |    row_number() OVER (PARTITION BY source ORDER BY h) AS rk
+         |  FROM toks)
+         |SELECT source, CAST(COUNT(*) AS INT) AS sketch_k,
+         | MAX(h) AS kth_hash,
+         | CAST(CASE WHEN COUNT(*) < ${graft.ops.Sketches.KmvK} THEN COUNT(*)
+         |   ELSE floor(${graft.ops.Sketches.KmvK - 1} * 1152921504606846976.0
+         |     / CAST(MAX(h) AS DOUBLE)) END AS BIGINT) AS est_distinct
+         |FROM ranked WHERE rk <= ${graft.ops.Sketches.KmvK}
+         |GROUP BY source ORDER BY source""".stripMargin,
     // mirrors Multimodal.frameQuery: every 4th 16-char frame,
     // fingerprinted; char slices so substring semantics agree across
     // engines (md5 hashes the frame's UTF-8 bytes on both)

@@ -345,6 +345,43 @@ class OpsSpec extends AnyFunSuite {
     assert(byDoc(5L).head._4 == 16)
   }
 
+  test("c37 kmv aggregator: capped sorted buffer, dedupe, exact min-k union on merge") {
+    val agg = new graft.ops.Sketches.KmvAgg(4)
+    var b = agg.zero
+    for (h <- Seq(50L, 10L, 30L, 10L, 70L, 20L)) b = agg.reduce(b, h)
+    assert(b.toSeq == Seq(10L, 20L, 30L, 50L), b.toSeq.toString) // capped at 4, dup 10 once, 70 rejected
+    val other = Array(5L, 20L, 25L, 60L)
+    assert(agg.merge(b, other).toSeq == Seq(5L, 10L, 20L, 25L), "min-k union with cross-side dedupe")
+    assert(agg.merge(agg.zero, other).toSeq == other.toSeq)
+    assert(agg.merge(b, agg.zero).toSeq == b.toSeq)
+  }
+
+  test("c37 kmv estimate: exact below k, ~unbiased above k, partition-order-independent") {
+    val mkDocs = (rows: Seq[(Long, String, String)]) =>
+      rows.toDF("doc_id", "text", "source")
+    // small source: 30 distinct words < k -> exact
+    val small = (1 to 30).map(i => s"s$i").mkString(" ")
+    // big source: 20000 distinct words spread over docs -> estimated
+    val bigDocs = (0 until 40).map { d =>
+      (100L + d, (0 until 500).map(i => s"w${d * 500 + i}").mkString(" "), "big")
+    }
+    val docs = mkDocs((1L, small, "small") +: bigDocs)
+    val rows = graft.ops.Sketches.kmvDistinct(spark, docs).collect()
+    val out = rows.map(r => r.getString(0) ->
+      ((r.getInt(1), r.getLong(3)))).toMap
+    assert(out("small") == ((30, 30L)), out.toString)
+    val (heldBig, estBig) = out("big")
+    assert(heldBig == graft.ops.Sketches.KmvK)
+    assert(math.abs(estBig - 20000.0) / 20000.0 < 0.15,
+      s"KMV estimate off by >15%: $estBig vs 20000")
+    // order independence: reversed input, different partitioning
+    val first = rows.map(r => r.getString(0) -> r.getLong(2)).toMap
+    val again = graft.ops.Sketches.kmvDistinct(spark,
+        mkDocs(((1L, small, "small") +: bigDocs).reverse).repartition(7))
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(again == first, "sketch depends on row order/partitioning")
+  }
+
   test("doc repetition flags duplicate-2gram and top-word stuffing, not normal prose") {
     val d = docs(
       1L -> "the quick brown fox jumps over a lazy dog near the river bank today",

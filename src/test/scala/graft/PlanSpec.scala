@@ -250,6 +250,16 @@ class PlanSpec extends AnyFunSuite {
       s"c35 encode must be a narrow map:\n$p")
   }
 
+  test("c37 kmv sketch aggregates partially map-side (one keyed exchange, no distinct shuffle)") {
+    val p = plan(operators.PipelineQueries.kmvDistinct(spark, sf))
+    // partial + final object-hash aggregate around ONE exchange on the
+    // group key; the whole point is the distinct set never shuffles
+    assert(p.contains("ObjectHashAggregate"), s"c37 lost the typed aggregator:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
+      s"c37 must shuffle only the per-partition sketches:\n$p")
+    assert(!p.contains("Join"), s"c37 planned a join:\n$p")
+  }
+
   test("e11/e12 plan as true semi/anti join operators (no dedup, no null-pad filter)") {
     val ps = plan(operators.Relational.semiJoin(spark, sf))
     assert(ps.contains("LeftSemi"), s"e11 lost the semi join:\n$ps")
