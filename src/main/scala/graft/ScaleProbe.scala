@@ -141,6 +141,12 @@ object ScaleProbe {
     val (_, tKmv) = time(force(graft.ops.Sketches.kmvDistinct(
       spark, docsOnDisk.withColumn(
         "source", concat(lit("src"), (col("doc_id") % 8).cast("int"))))))
+    // d11: the same sketch as a stream over the on-disk corpus — ONE
+    // source value, i.e. every row converges on one state key: the
+    // adversarial group-skew shape, absorbed because the map-side
+    // kernel emits per-doc deduped hashes and the state is O(k)
+    val (_, tStreamKmv) = time(force(
+      graft.streaming.StreamKmv.streamingKmvFromDir(spark, docsDir.toString)))
 
     // --- c35 BPE encode: the corpus-sized half of the tokenizer —
     // must scale like the other narrow maps (broadcast merge table,
@@ -276,7 +282,7 @@ object ScaleProbe {
       s""""c27_ngramlm_s":$tNgramLm,"c28_dsir_s":$tDsir,"c30_shard_s":$tShard,""" +
       s""""c31_boiler_s":$tBoiler,"c32_budget_s":$tBudget,"c33_quality_s":$tQuality,""" +
       s""""c34_bpe_s":$tBpe,"c35_bpe_encode_s":$tBpeEnc,"c36_frames_s":$tFrames,""" +
-      s""""c37_kmv_s":$tKmv,""" +
+      s""""c37_kmv_s":$tKmv,"d11_stream_kmv_s":$tStreamKmv,""" +
       s""""e9_asof_s":$tAsof,"d10_stream_asof_s":$tStreamAsof,""" +
       s""""c24_spans_s":$tSpans,"c25_bm25_s":$tBm25,"c26_hybrid_s":$tHybrid,""" +
       s""""c20_canon_s":$tCanon,"c20_mega_family":$megaN,""" +

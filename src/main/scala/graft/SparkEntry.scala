@@ -85,6 +85,7 @@ object SparkEntry {
     "d8_stream_spans" -> (PipelineQueries.streamingSpanDedup(_, _)),
     "d9_stream_contam" -> (PipelineQueries.streamingEmbedContam(_, _)),
     "d10_stream_asof" -> (PipelineQueries.streamingAsof(_, _)),
+    "d11_stream_kmv" -> (PipelineQueries.streamingKmv(_, _)),
     "e1_q1_agg"      -> (Relational.q1Agg(_, _)),
     "e2_q3_join"     -> (Relational.q3Join(_, _)),
     "e3_q5_multijoin" -> (Relational.q5MultiJoin(_, _)),

@@ -189,6 +189,9 @@ object PipelineQueries {
   def streamingAsof(spark: SparkSession, dir: String): DataFrame =
     graft.streaming.StreamAsof.streamingAsof(spark, dir)
 
+  def streamingKmv(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamKmv.streamingKmv(spark, dir)
+
   def streamingEmbedContam(spark: SparkSession, dir: String): DataFrame =
     graft.streaming.StreamContam.streamingEmbedContam(spark, dir)
 
@@ -285,31 +288,36 @@ object PipelineQueries {
        | CAST(cos >= ${CorpusOps.EmbedContamMin} AS INT) AS contaminated
        |FROM r WHERE rk = 1 ORDER BY vec_id""".stripMargin
 
+  private val KmvSql =
+    s"""WITH toks AS (
+       |  SELECT DISTINCT source,
+       |    CAST('0x' || substring(md5(t), 1, 15) AS BIGINT) AS h
+       |  FROM (SELECT source, unnest(string_split(text, ' ')) AS t
+       |        FROM documents WHERE text IS NOT NULL)
+       |  WHERE t <> ''),
+       |ranked AS (
+       |  SELECT source, h,
+       |    row_number() OVER (PARTITION BY source ORDER BY h) AS rk
+       |  FROM toks)
+       |SELECT source, CAST(COUNT(*) AS INT) AS sketch_k,
+       | MAX(h) AS kth_hash,
+       | CAST(CASE WHEN COUNT(*) < ${graft.ops.Sketches.KmvK} THEN COUNT(*)
+       |   ELSE floor(${graft.ops.Sketches.KmvK - 1} * 1152921504606846976.0
+       |     / CAST(MAX(h) AS DOUBLE)) END AS BIGINT) AS est_distinct
+       |FROM ranked WHERE rk <= ${graft.ops.Sketches.KmvK}
+       |GROUP BY source ORDER BY source""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "c29_embed_contam" -> EmbedContamSql,
     "d9_stream_contam" -> EmbedContamSql,
     // mirrors Sketches.kmvDistinct: the k smallest distinct 60-bit
     // md5-prefix hashes per source ARE the sketch — the oracle
     // recomputes them exactly (order-independent min-k), so the hash
-    // check certifies a distributed APPROXIMATE operator bit-exactly
-    "c37_kmv_distinct" ->
-      s"""WITH toks AS (
-         |  SELECT DISTINCT source,
-         |    CAST('0x' || substring(md5(t), 1, 15) AS BIGINT) AS h
-         |  FROM (SELECT source, unnest(string_split(text, ' ')) AS t
-         |        FROM documents WHERE text IS NOT NULL)
-         |  WHERE t <> ''),
-         |ranked AS (
-         |  SELECT source, h,
-         |    row_number() OVER (PARTITION BY source ORDER BY h) AS rk
-         |  FROM toks)
-         |SELECT source, CAST(COUNT(*) AS INT) AS sketch_k,
-         | MAX(h) AS kth_hash,
-         | CAST(CASE WHEN COUNT(*) < ${graft.ops.Sketches.KmvK} THEN COUNT(*)
-         |   ELSE floor(${graft.ops.Sketches.KmvK - 1} * 1152921504606846976.0
-         |     / CAST(MAX(h) AS DOUBLE)) END AS BIGINT) AS est_distinct
-         |FROM ranked WHERE rk <= ${graft.ops.Sketches.KmvK}
-         |GROUP BY source ORDER BY source""".stripMargin,
+    // check certifies a distributed APPROXIMATE operator bit-exactly.
+    // d11 shares it: KMV reduce is order-independent, so the stream's
+    // final sketch equals the batch sketch under ANY arrival order
+    "c37_kmv_distinct" -> KmvSql,
+    "d11_stream_kmv" -> KmvSql,
     // mirrors Multimodal.frameQuery: every 4th 16-char frame,
     // fingerprinted; char slices so substring semantics agree across
     // engines (md5 hashes the frame's UTF-8 bytes on both)

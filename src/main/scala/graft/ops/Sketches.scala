@@ -38,9 +38,16 @@ object Sketches {
   val KmvK = 1024
   private val TwoPow60 = 1152921504606846976.0 // 2^60, exact in double
 
+  /** The classic KMV estimator: exact below k, (k−1)/u_(k) at k.
+    * Shared by batch c37 and streaming d11 so the estimate arithmetic
+    * cannot drift from the oracle's. */
+  def estimate(held: Int, kth: Long, k: Int): Long =
+    if (held < k) held.toLong
+    else math.floor((k - 1).toDouble * TwoPow60 / kth.toDouble).toLong
+
   /** Top 60 bits of md5(word) — first 15 hex chars as an unsigned
     * value, always positive in a signed long. */
-  private[ops] def hash60(md: java.security.MessageDigest, w: String): Long = {
+  private[graft] def hash60(md: java.security.MessageDigest, w: String): Long = {
     md.reset()
     val d = md.digest(w.getBytes("UTF-8"))
     val be = java.nio.ByteBuffer.wrap(d, 0, 8).getLong
@@ -115,10 +122,7 @@ object Sketches {
       .map { case (src, sketch) =>
         val held = sketch.length
         val kth = if (held == 0) 0L else sketch(held - 1)
-        val est =
-          if (held < k) held.toLong
-          else math.floor((k - 1).toDouble * TwoPow60 / kth.toDouble).toLong
-        (src, held, kth, est)
+        (src, held, kth, estimate(held, kth, k))
       }
       .toDF("source", "sketch_k", "kth_hash", "est_distinct")
       .orderBy("source")

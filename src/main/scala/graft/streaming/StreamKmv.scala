@@ -1,0 +1,77 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.ops.Sketches
+
+/** d11: c37's KMV cardinality sketch as a streaming aggregation —
+  * live per-source vocabulary tracking at ingest (the "how big is
+  * this crawl's vocabulary getting" dashboard number, maintained
+  * without ever holding a distinct set).
+  *
+  * Why KMV is the RIGHT sketch for streams: reduce is
+  * order-independent and the state is the bounded min-k array, so
+  * the sketch after any prefix of the stream is EXACTLY the batch
+  * sketch of the rows seen — no watermark subtleties, no
+  * arrival-order caveats at all (stronger than d7/d8/d10, whose
+  * stream semantics need an ordered-arrival argument). Each trigger
+  * emits the source's current (held, kth, estimate); the state is
+  * O(k) longs per source, forever — no eviction needed.
+  *
+  * Under the single-file AvailableNow drain there is one emission
+  * per source and it equals batch c37 row-for-row, so d11 shares
+  * c37's DuckDB oracle: the hash check certifies batch/stream
+  * equivalence of the sketch. Multi-trigger runs emit a row per
+  * (source, trigger); StreamingSpec pins that the LAST emission
+  * still equals the batch sketch — the order-independence property
+  * in executable form. */
+object StreamKmv {
+  /** d11 entry: stream the documents table of `dir`. */
+  def streamingKmv(spark: SparkSession, dir: String): DataFrame =
+    streamingKmvFromDir(spark, EventOps.symlinkedDir(dir, "documents.parquet"))
+
+  def streamingKmvFromDir(
+      spark: SparkSession,
+      srcDir: String,
+      k: Int = Sketches.KmvK,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    import spark.implicits._
+    val agg = new Sketches.KmvAgg(k)
+    val reader = spark.readStream.schema(StreamDedup.docsSchema)
+    val raw = maxFilesPerTrigger.fold(reader)(n =>
+      reader.option("maxFilesPerTrigger", n)).parquet(srcDir)
+
+    val pairs = raw
+      .filter(col("text").isNotNull)
+      .select(col("source"), col("text")).as[(String, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { case (src, text) =>
+          val seen = new scala.collection.mutable.HashSet[Long]
+          text.split(" ").iterator.filter(_.nonEmpty).flatMap { w =>
+            val h = Sketches.hash60(md, w)
+            if (seen.add(h)) Iterator.single((src, h)) else Iterator.empty
+          }
+        }
+      }
+
+    val sketched = pairs
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (src: String, rows: Iterator[(String, Long)],
+         state: GroupState[Array[Long]]) =>
+          var sketch = state.getOption.getOrElse(agg.zero)
+          rows.foreach { case (_, h) => sketch = agg.reduce(sketch, h) }
+          state.update(sketch)
+          val held = sketch.length
+          val kth = if (held == 0) 0L else sketch(held - 1)
+          Iterator.single((src, held, kth, Sketches.estimate(held, kth, k)))
+      }
+      .toDF("source", "sketch_k", "kth_hash", "est_distinct")
+
+    EventOps.drainToTable(sketched, "append").orderBy("source")
+  }
+}

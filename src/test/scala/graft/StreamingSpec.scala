@@ -390,6 +390,50 @@ class StreamingSpec extends AnyFunSuite {
     assert(multi.length == corpusRows.length)
   }
 
+  test("d11 streaming kmv: last emission per source equals the batch sketch under any split") {
+    val dir = java.nio.file.Files.createTempDirectory("d11_multi")
+    def words(lo: Int, hi: Int) = (lo until hi).map(i => s"tok$i").mkString(" ")
+    // 'big' spans all three files (sketch accumulates across triggers,
+    // words deliberately out of id order); 'small' finishes early
+    val all: Seq[(Long, String, String)] = Seq(
+      (1L, words(4000, 6000), "big"),
+      (2L, words(0, 2000), "big"),
+      (3L, "alpha beta gamma", "small"),
+      (4L, words(2000, 4000), "big"),
+      (5L, words(1000, 3000), "big")) // overlap: dedupe across triggers
+    def writeF(name: String, mtime: Long, rows: Seq[(Long, String, String)]): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("d11_part")
+      rows.map { case (id, t, s) => (id, t, "en", s, t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.head
+      val dest = dir.resolve(name)
+      java.nio.file.Files.copy(part, dest)
+      java.nio.file.Files.setLastModifiedTime(dest,
+        java.nio.file.attribute.FileTime.fromMillis(mtime))
+    }
+    writeF("f1.parquet", 1000000L, all.take(2))
+    writeF("f2.parquet", 1010000L, all.slice(2, 4))
+    writeF("f3.parquet", 1020000L, all.drop(4))
+    // multi-trigger emits one row per (source, trigger); the LAST row
+    // per source must equal the batch sketch — KMV's order-independence
+    val multi = graft.streaming.StreamKmv.streamingKmvFromDir(
+        spark, dir.toString, maxFilesPerTrigger = Some(1))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    val last = multi.groupBy(_._1).map { case (s, rows) =>
+      // per-source sketches only grow; the final state is the row with
+      // the largest held count and, at equal held, the smallest kth
+      s -> rows.sortBy(r => (r._2, -r._3)).last
+    }
+    val batch = graft.ops.Sketches.kmvDistinct(spark,
+        all.toDF("doc_id", "text", "source"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(last == batch, s"stream-final != batch: $last vs $batch")
+    assert(multi.count(_._1 == "big") == 3, "big should emit once per trigger")
+  }
+
   /** events-schema parquet writer for the d10 tests; ts in SECONDS
     * since epoch for readability. */
   private def writeEventsFile(
