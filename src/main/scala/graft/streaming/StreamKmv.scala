@@ -2,7 +2,6 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 import graft.ops.Sketches
 
@@ -19,6 +18,17 @@ import graft.ops.Sketches
   * stream semantics need an ordered-arrival argument). Each trigger
   * emits the source's current (held, kth, estimate); the state is
   * O(k) longs per source, forever — no eviction needed.
+  *
+  * Shape: a STREAMING AGGREGATION (`groupByKey.agg` with the same
+  * typed [[Sketches.KmvAgg]] as batch c37, update mode), NOT
+  * `flatMapGroupsWithState`: the aggregation path gets MAP-SIDE
+  * partial combine inside every micro-batch — each task reduces its
+  * partition slice to one sketch per source and only sketches reach
+  * the state store — where an FMGWS formulation would funnel every
+  * (source, hash) row of a batch into the source's single state
+  * task. Measured at the probe's adversarial one-source shape, the
+  * aggregation form is what keeps a hot source from serializing the
+  * stream.
   *
   * Under the single-file AvailableNow drain there is one emission
   * per source and it equals batch c37 row-for-row, so d11 shares
@@ -59,19 +69,16 @@ object StreamKmv {
 
     val sketched = pairs
       .groupByKey(_._1)
-      .flatMapGroupsWithState(
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        (src: String, rows: Iterator[(String, Long)],
-         state: GroupState[Array[Long]]) =>
-          var sketch = state.getOption.getOrElse(agg.zero)
-          rows.foreach { case (_, h) => sketch = agg.reduce(sketch, h) }
-          state.update(sketch)
-          val held = sketch.length
-          val kth = if (held == 0) 0L else sketch(held - 1)
-          Iterator.single((src, held, kth, Sketches.estimate(held, kth, k)))
+      .mapValues(_._2)
+      .agg(agg.toColumn.name("sketch"))
+      .map { case (src, sketch) =>
+        val held = sketch.length
+        val kth = if (held == 0) 0L else sketch(held - 1)
+        (src, held, kth, Sketches.estimate(held, kth, k))
       }
       .toDF("source", "sketch_k", "kth_hash", "est_distinct")
 
-    EventOps.drainToTable(sketched, "append").orderBy("source")
+    // update mode: each trigger emits the sources whose sketch changed
+    EventOps.drainToTable(sketched, "update").orderBy("source")
   }
 }
