@@ -86,6 +86,7 @@ object SparkEntry {
     "d9_stream_contam" -> (PipelineQueries.streamingEmbedContam(_, _)),
     "d10_stream_asof" -> (PipelineQueries.streamingAsof(_, _)),
     "d11_stream_kmv" -> (PipelineQueries.streamingKmv(_, _)),
+    "d12_stream_join" -> (PipelineQueries.streamingIntervalJoin(_, _)),
     "e1_q1_agg"      -> (Relational.q1Agg(_, _)),
     "e2_q3_join"     -> (Relational.q3Join(_, _)),
     "e3_q5_multijoin" -> (Relational.q5MultiJoin(_, _)),
@@ -110,6 +111,18 @@ object SparkEntry {
       |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type='click') v
       |  ON e.user_id = v.user_id AND e.ts >= v.ts
       |ORDER BY e.event_id""".stripMargin
+
+  // inner equi+range join: a pure function of the input set, so the
+  // stream-stream form hash-matches under any trigger schedule
+  private val StreamJoinSql =
+    s"""SELECT p.event_id, p.user_id, epoch_us(p.ts) AS purchase_us,
+      | c.event_id AS click_event_id, epoch_us(c.ts) AS click_us,
+      | epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+      |FROM (SELECT * FROM events WHERE event_type='purchase') p
+      |JOIN (SELECT * FROM events WHERE event_type='click') c
+      |  ON p.user_id = c.user_id AND c.ts <= p.ts
+      | AND c.ts >= p.ts - INTERVAL ${graft.streaming.StreamJoin.WindowHours} HOUR
+      |ORDER BY p.event_id, c.event_id""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -207,6 +220,7 @@ object SparkEntry {
     // equivalence of the as-of operator under the single-batch drain
     "e9_asof_join" -> AsofSql,
     "d10_stream_asof" -> AsofSql,
+    "d12_stream_join" -> StreamJoinSql,
     "e11_semi_join" ->
       """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
         |FROM orders o

@@ -192,6 +192,9 @@ object PipelineQueries {
   def streamingKmv(spark: SparkSession, dir: String): DataFrame =
     graft.streaming.StreamKmv.streamingKmv(spark, dir)
 
+  def streamingIntervalJoin(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamJoin.streamingIntervalJoin(spark, dir)
+
   def streamingEmbedContam(spark: SparkSession, dir: String): DataFrame =
     graft.streaming.StreamContam.streamingEmbedContam(spark, dir)
 

@@ -1,0 +1,83 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** d12: stream-STREAM interval join — every purchase paired with ALL
+  * of the user's clicks in the preceding 12 hours, both sides live
+  * streams. This is the one streaming operator class the d-layer
+  * didn't yet exercise: Spark's symmetric hash join
+  * (`StreamingSymmetricHashJoinExec`), where BOTH inputs buffer in
+  * the state store and rows join as either side arrives. d10 answers
+  * "the latest click" with custom state; d12 answers "all clicks in
+  * the attribution window" with the engine's own join operator — the
+  * fan-out form a marketing-attribution pipeline actually runs.
+  *
+  * State bounding is the textbook watermark construction: both sides
+  * carry event-time watermarks AND the join condition carries the
+  * time-range predicate (`c_ts ∈ [p_ts − 12 h, p_ts]`), which is
+  * what lets Spark compute each side's state-eviction bound — clicks
+  * older than (watermark − 12 h) can never match a future purchase
+  * and are dropped from the store. Without the range predicate the
+  * state would grow forever; PlanSpec-style pinning is replaced here
+  * by the StreamingSpec multi-trigger equivalence test (the join
+  * plan only materializes inside a started streaming query).
+  *
+  * Determinism + oracle: an inner equi+range join is a pure function
+  * of the input SET — arrival order and trigger slicing change
+  * nothing (append mode, no dedup, no "first wins"). d12 therefore
+  * hash-matches its DuckDB oracle under ANY drain schedule, and the
+  * StreamingSpec split-arrival test is the executable form of that
+  * claim (clicks and purchases of the same pair arriving in
+  * DIFFERENT triggers still join — the state store holds the early
+  * side until the late side arrives). */
+object StreamJoin {
+  /** Attribution window: clicks this far before the purchase count. */
+  val WindowHours = 12L
+
+  /** d12 entry: stream the events table of `dir` on both sides. */
+  def streamingIntervalJoin(spark: SparkSession, dir: String): DataFrame = {
+    Tables.enableNanosAsLong(spark)
+    streamingIntervalJoinFromDir(spark,
+      EventOps.symlinkedDir(dir, "events.parquet"),
+      spark.read.parquet(s"$dir/events.parquet").schema)
+  }
+
+  def streamingIntervalJoinFromDir(
+      spark: SparkSession,
+      srcDir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      watermarkDelay: String = "60 seconds",
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    Tables.enableNanosAsLong(spark)
+    def side(): DataFrame = {
+      val reader = spark.readStream.schema(schema)
+      Tables.nanosToTimestamp(maxFilesPerTrigger.fold(reader)(n =>
+        reader.option("maxFilesPerTrigger", n)).parquet(srcDir))
+    }
+    val purchases = side()
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", watermarkDelay)
+    val clicks = side()
+      .filter(col("event_type") === "click")
+      .select(col("event_id").as("click_event_id"),
+        col("user_id").as("c_user"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", watermarkDelay)
+
+    val joined = purchases.join(clicks,
+        col("user_id") === col("c_user") &&
+        col("c_ts") <= col("p_ts") &&
+        col("c_ts") >= col("p_ts") - expr(s"INTERVAL $WindowHours HOURS"))
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("p_ts")).as("purchase_us"),
+        col("click_event_id"),
+        unix_micros(col("c_ts")).as("click_us"),
+        (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("gap_us"))
+
+    EventOps.drainToTable(joined, "append")
+      .orderBy("event_id", "click_event_id")
+  }
+}

@@ -455,6 +455,25 @@ class StreamingSpec extends AnyFunSuite {
     df.schema
   }
 
+  test("d12 stream-stream join: sides arriving in different triggers still pair; " +
+      "a click arriving AFTER its purchase joins symmetrically") {
+    val dir = java.nio.file.Files.createTempDirectory("d12_split")
+    val schema = writeEventsFile(dir, "f1.parquet", 1000000L, Seq(
+      (101L, 100L, 1L, "click", 1.0)))     // click first, alone in trigger 1
+    writeEventsFile(dir, "f2.parquet", 1010000L, Seq(
+      (201L, 200L, 1L, "purchase", 9.0),   // joins 101 ACROSS triggers
+      (202L, 210L, 2L, "purchase", 5.0)))  // no clicks: inner join drops it
+    writeEventsFile(dir, "f3.parquet", 1020000L, Seq(
+      (102L, 155L, 1L, "click", 2.0)))     // click arrives AFTER the purchase
+    val out = graft.streaming.StreamJoin.streamingIntervalJoinFromDir(
+        spark, dir.toString, schema, maxFilesPerTrigger = Some(1))
+      .collect().map(r => (r.getLong(0), r.getLong(3), r.getLong(5))).toSet
+    assert(out == Set(
+      (201L, 101L, 100L * 1000000L),
+      (201L, 102L, 45L * 1000000L)),
+      s"cross-trigger pairs wrong: $out")
+  }
+
   test("d10 streaming as-of: ordered multi-trigger equals the batch rule; " +
       "out-of-order purchase resolves against the click list, not just the newest click") {
     val dir = java.nio.file.Files.createTempDirectory("d10_multi")
