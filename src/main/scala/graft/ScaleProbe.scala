@@ -19,6 +19,15 @@ object ScaleProbe {
   }
   private def force(df: DataFrame): Unit =
     df.queryExecution.toRdd.foreach(_ => ())
+  /** Probe corpora are multi-GB at 100×: delete them when the JVM
+    * exits instead of leaking them under /tmp run after run. */
+  private def tempDir(prefix: String): java.nio.file.Path = {
+    val d = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      org.apache.commons.io.FileUtils.deleteQuietly(d.toFile); ()
+    }))
+    d
+  }
 
   def main(args: Array[String]): Unit = {
     val nDocs = sys.env.getOrElse("SPARK_GRAFT_PROBE_DOCS", "100000").toInt
@@ -58,7 +67,7 @@ object ScaleProbe {
           (id, toks.mkString(" "))
         }
       }.toDF("doc_id", "text")
-    val docsDir = java.nio.file.Files.createTempDirectory("probe_docs")
+    val docsDir = tempDir("probe_docs")
     docs.withColumn("lang", lit("en")).withColumn("source", lit("synth"))
       .withColumn("n_chars", length(col("text")).cast("long"))
       .write.mode("overwrite").parquet(docsDir.toString)
@@ -172,7 +181,7 @@ object ScaleProbe {
       when(col("id") % 3 === 0, "purchase").otherwise("click").as("event_type"),
       (col("id") % 100).cast("double").as("value"),
       lit("{}").as("props"))
-    val eventsDir = java.nio.file.Files.createTempDirectory("probe_events")
+    val eventsDir = tempDir("probe_events")
     events.write.mode("overwrite").parquet(eventsDir.toString)
     val eventsOnDisk = spark.read.parquet(eventsDir.toString)
     val (_, tAsof) = time(force(
@@ -228,7 +237,7 @@ object ScaleProbe {
             (rnd.nextGaussian() * 0.3 + math.sin(c * dim + d)).toFloat))
         }
       }.toDF("vec_id", "embedding")
-    val vecsDir = java.nio.file.Files.createTempDirectory("probe_vecs")
+    val vecsDir = tempDir("probe_vecs")
     vecs.write.mode("overwrite").parquet(vecsDir.toString)
     val vecsOnDisk = spark.read.parquet(vecsDir.toString)
 

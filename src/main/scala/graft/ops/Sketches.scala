@@ -94,26 +94,31 @@ object Sketches {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
   }
 
-  /** c37 query: per-source distinct-token estimate. Output pins the
-    * whole sketch decision: held size, the k-th (max held) hash, and
-    * the integer estimate. */
-  def kmvDistinct(spark: SparkSession, docs: DataFrame, k: Int = KmvK): DataFrame = {
-    import spark.implicits._
-    val pairs = docs
-      .filter(col("text").isNotNull)
-      .select(col("source"), col("text"))
-      .as[(String, String)]
-      .mapPartitions { it =>
-        val md = java.security.MessageDigest.getInstance("MD5")
-        it.flatMap { case (src, text) =>
-          // per-doc local dedupe: repeated words emit one pair
-          val seen = new scala.collection.mutable.HashSet[Long]
-          text.split(" ").iterator.filter(_.nonEmpty).flatMap { w =>
-            val h = hash60(md, w)
-            if (seen.add(h)) Iterator.single((src, h)) else Iterator.empty
-          }
+  /** (source, text) → deduped (source, hash60) pairs — the kernel
+    * both batch c37 and streaming d11 run, SHARED so the two paths
+    * cannot drift (their oracle equivalence depends on byte-identical
+    * tokenize/hash/dedupe semantics). */
+  def tokenHashPairs(
+      ds: org.apache.spark.sql.Dataset[(String, String)]): org.apache.spark.sql.Dataset[(String, Long)] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.flatMap { case (src, text) =>
+        // per-doc local dedupe: repeated words emit one pair
+        val seen = new scala.collection.mutable.HashSet[Long]
+        text.split(" ").iterator.filter(_.nonEmpty).flatMap { w =>
+          val h = hash60(md, w)
+          if (seen.add(h)) Iterator.single((src, h)) else Iterator.empty
         }
       }
+    }
+  }
+
+  /** (source, hash) pairs → per-source (held, kth, estimate) rows —
+    * the aggregation + projection shared by c37 and d11. */
+  def sketchBySource(
+      pairs: org.apache.spark.sql.Dataset[(String, Long)], k: Int): DataFrame = {
+    import pairs.sparkSession.implicits._
     val agg = new KmvAgg(k)
     pairs
       .groupByKey(_._1)
@@ -125,6 +130,17 @@ object Sketches {
         (src, held, kth, estimate(held, kth, k))
       }
       .toDF("source", "sketch_k", "kth_hash", "est_distinct")
-      .orderBy("source")
+  }
+
+  /** c37 query: per-source distinct-token estimate. Output pins the
+    * whole sketch decision: held size, the k-th (max held) hash, and
+    * the integer estimate. */
+  def kmvDistinct(spark: SparkSession, docs: DataFrame, k: Int = KmvK): DataFrame = {
+    import spark.implicits._
+    val pairs = tokenHashPairs(docs
+      .filter(col("text").isNotNull)
+      .select(col("source"), col("text"))
+      .as[(String, String)])
+    sketchBySource(pairs, k).orderBy("source")
   }
 }

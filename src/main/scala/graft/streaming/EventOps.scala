@@ -88,7 +88,7 @@ object EventOps {
     * encoding this testdata generation shipped — raw long nanos or
     * TIMESTAMP micros (see Tables.nanosToTimestamp, which consumers
     * apply when they need a real timestamp). */
-  private[streaming] def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+  private def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     Tables.enableNanosAsLong(spark)
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     spark.readStream.schema(schema)

@@ -48,35 +48,16 @@ object StreamKmv {
       k: Int = Sketches.KmvK,
       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     import spark.implicits._
-    val agg = new Sketches.KmvAgg(k)
     val reader = spark.readStream.schema(StreamDedup.docsSchema)
     val raw = maxFilesPerTrigger.fold(reader)(n =>
       reader.option("maxFilesPerTrigger", n)).parquet(srcDir)
 
-    val pairs = raw
-      .filter(col("text").isNotNull)
-      .select(col("source"), col("text")).as[(String, String)]
-      .mapPartitions { it =>
-        val md = java.security.MessageDigest.getInstance("MD5")
-        it.flatMap { case (src, text) =>
-          val seen = new scala.collection.mutable.HashSet[Long]
-          text.split(" ").iterator.filter(_.nonEmpty).flatMap { w =>
-            val h = Sketches.hash60(md, w)
-            if (seen.add(h)) Iterator.single((src, h)) else Iterator.empty
-          }
-        }
-      }
-
-    val sketched = pairs
-      .groupByKey(_._1)
-      .mapValues(_._2)
-      .agg(agg.toColumn.name("sketch"))
-      .map { case (src, sketch) =>
-        val held = sketch.length
-        val kth = if (held == 0) 0L else sketch(held - 1)
-        (src, held, kth, Sketches.estimate(held, kth, k))
-      }
-      .toDF("source", "sketch_k", "kth_hash", "est_distinct")
+    // SAME kernel + aggregation as batch c37 (shared code — the
+    // oracle-equivalence claim depends on it)
+    val sketched = Sketches.sketchBySource(
+      Sketches.tokenHashPairs(raw
+        .filter(col("text").isNotNull)
+        .select(col("source"), col("text")).as[(String, String)]), k)
 
     // update mode: each trigger emits the sources whose sketch changed
     EventOps.drainToTable(sketched, "update").orderBy("source")

@@ -286,20 +286,29 @@ class PlanSpec extends AnyFunSuite {
     val listener = new org.apache.spark.scheduler.SparkListener {
       override def onJobStart(
           j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
-        jobs.add(Option(j.properties)
-          .map(_.getProperty("callSite.short", "")).getOrElse(""))
+        jobs.add(Option(j.properties).fold("")(p =>
+          p.getProperty("spark.job.description", "") + " " +
+          p.getProperty("callSite.short", "")))
     }
     spark.sparkContext.addSparkListener(listener)
     try {
       val df = operators.Relational.pivotAgg(spark, sf)
       df.queryExecution.executedPlan // force planning
-      // listener events are async; the distinct-values scan (if any)
-      // would have run synchronously during pivot() above, so a short
-      // drain is enough for its JobStart to surface. The parquet
-      // file-listing job is legitimate; a pivot-values scan shows up
-      // as a collect/takeAsList at pivot's call site.
-      Thread.sleep(500)
-      val scans = jobs.toArray(Array.empty[String])
+      // listener events are async but delivered FIFO: run a sentinel
+      // job and spin until ITS JobStart arrives — at that point every
+      // earlier JobStart (including a plan-time distinct scan, had one
+      // run) has been delivered too. No sleep race in either
+      // direction. The parquet file-listing job is legitimate; a
+      // pivot-values scan shows up as a collect/takeAsList call site.
+      spark.sparkContext.setJobDescription("e10-sentinel")
+      try spark.range(1).count() finally spark.sparkContext.setJobDescription(null)
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (!jobs.toArray(Array.empty[String]).exists(_.contains("e10-sentinel"))
+          && System.nanoTime() < deadline) Thread.sleep(20)
+      val seen = jobs.toArray(Array.empty[String])
+      val sentinelAt = seen.indexWhere(_.contains("e10-sentinel"))
+      assert(sentinelAt >= 0, "sentinel job event never arrived")
+      val scans = seen.take(sentinelAt)
         .filter(s => s.contains("collect") || s.contains("take") || s.contains("pivot"))
       assert(scans.isEmpty,
         s"building the pivot plan ran a distinct-values scan: ${scans.mkString(", ")}")
