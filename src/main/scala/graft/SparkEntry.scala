@@ -87,6 +87,7 @@ object SparkEntry {
     "d10_stream_asof" -> (PipelineQueries.streamingAsof(_, _)),
     "d11_stream_kmv" -> (PipelineQueries.streamingKmv(_, _)),
     "d12_stream_join" -> (PipelineQueries.streamingIntervalJoin(_, _)),
+    "d13_stream_dropdup" -> (PipelineQueries.streamingDropDup(_, _)),
     "e1_q1_agg"      -> (Relational.q1Agg(_, _)),
     "e2_q3_join"     -> (Relational.q3Join(_, _)),
     "e3_q5_multijoin" -> (Relational.q5MultiJoin(_, _)),
@@ -100,6 +101,8 @@ object SparkEntry {
     "e11_semi_join"  -> (Relational.semiJoin(_, _)),
     "e12_anti_join"  -> (Relational.antiJoin(_, _)),
     "e13_cube"       -> (Relational.cubeAgg(_, _)),
+    "e14_moving_agg" -> (Relational.movingAgg(_, _)),
+    "e15_setops"     -> (Relational.setOps(_, _)),
   )
 
   private val AsofSql =
@@ -221,6 +224,33 @@ object SparkEntry {
     "e9_asof_join" -> AsofSql,
     "d10_stream_asof" -> AsofSql,
     "d12_stream_join" -> StreamJoinSql,
+    // dedup over a key set is a pure function of which keys exist, so
+    // the native streaming dedup matches batch DISTINCT under any
+    // trigger slicing
+    "d13_stream_dropdup" ->
+      """SELECT DISTINCT user_id, event_type FROM events
+        |ORDER BY user_id, event_type""".stripMargin,
+    "e14_moving_agg" ->
+      """SELECT event_id, user_id,
+        | CAST(SUM(CAST(floor(value*1e6+0.5) AS BIGINT)) OVER w AS BIGINT) AS sum_micro,
+        | CAST(COUNT(*) OVER w AS INT) AS n_frame,
+        | CAST(SUM(CAST(floor(value*1e6+0.5) AS BIGINT)) OVER w AS DOUBLE)
+        |   / (1e6 * (COUNT(*) OVER w)) AS avg_value
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+    "e15_setops" ->
+      """SELECT 'both' AS op, user_id
+        |FROM (SELECT user_id FROM events WHERE event_type='click'
+        |      INTERSECT
+        |      SELECT user_id FROM events WHERE event_type='purchase')
+        |UNION ALL
+        |SELECT 'click_only' AS op, user_id
+        |FROM (SELECT user_id FROM events WHERE event_type='click'
+        |      EXCEPT
+        |      SELECT user_id FROM events WHERE event_type='purchase')
+        |ORDER BY op, user_id""".stripMargin,
     "e11_semi_join" ->
       """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
         |FROM orders o

@@ -195,6 +195,9 @@ object PipelineQueries {
   def streamingIntervalJoin(spark: SparkSession, dir: String): DataFrame =
     graft.streaming.StreamJoin.streamingIntervalJoin(spark, dir)
 
+  def streamingDropDup(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamDropDup.streamingDropDup(spark, dir)
+
   def streamingEmbedContam(spark: SparkSession, dir: String): DataFrame =
     graft.streaming.StreamContam.streamingEmbedContam(spark, dir)
 

@@ -269,6 +269,44 @@ object Relational {
         count(lit(1)).as("n"))
       .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
 
+  /** e14: sliding window FRAME — per-user 7-row moving aggregate over
+    * the event stream (rows between 6 preceding and current). The
+    * frame surface is distinct from e4's rank/topk windows: the
+    * aggregate is computed over a moving ROWS frame. Oracle-exact
+    * arithmetic: engines disagree on frame-sum evaluation order
+    * (incremental add/subtract vs segment trees), so the frame sums
+    * INTEGER micro-units (order-independent) and the average is one
+    * trailing double division identical on both engines. One shuffle
+    * on user_id; frame state is 7 rows per partition cursor. */
+  def movingAgg(spark: SparkSession, dir: String): DataFrame = {
+    val frame = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(-6, Window.currentRow)
+    Tables.events(spark, dir)
+      .withColumn("v_micro", floor(col("value") * lit(1e6) + lit(0.5)).cast(LongType))
+      .select(col("event_id"), col("user_id"),
+        sum(col("v_micro")).over(frame).as("sum_micro"),
+        count(lit(1)).over(frame).cast(IntegerType).as("n_frame"))
+      .withColumn("avg_value",
+        col("sum_micro").cast(DoubleType) / (lit(1e6) * col("n_frame")))
+      .orderBy("event_id")
+  }
+
+  /** e15: set operators — INTERSECT and EXCEPT over the clicking /
+    * purchasing user populations (the audience-segmentation shapes).
+    * Spark plans INTERSECT as a left-semi over distinct inputs and
+    * EXCEPT as a left-anti — one co-partitioned shuffle each, no
+    * join+distinct round-trip; both tagged into one result. */
+  def setOps(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    def users(t: String) = ev.filter(col("event_type") === t).select("user_id")
+    val clickers = users("click")
+    val purchasers = users("purchase")
+    clickers.intersect(purchasers).withColumn("op", lit("both"))
+      .unionByName(clickers.except(purchasers).withColumn("op", lit("click_only")))
+      .select(col("op"), col("user_id"))
+      .orderBy("op", "user_id")
+  }
+
   def sourceRoundtrip(spark: SparkSession, dir: String): DataFrame =
     graft.Scratch.materialize("e8_roundtrip") { tmp =>
       val docs = Tables.documents(spark, dir)

@@ -270,6 +270,13 @@ class PlanSpec extends AnyFunSuite {
       "semi/anti rewritten through a dedup")
   }
 
+  test("e15 set operators plan as semi/anti joins (no cartesian, no generic join)") {
+    val p = plan(operators.Relational.setOps(spark, sf))
+    assert(p.contains("LeftSemi"), s"INTERSECT lost its semi join:\n$p")
+    assert(p.contains("LeftAnti"), s"EXCEPT lost its anti join:\n$p")
+    assert(!p.contains("CartesianProduct"), s"set op planned a cartesian:\n$p")
+  }
+
   test("e9 as-of join plans as union + ONE keyed shuffle, never a join") {
     val p = plan(operators.Relational.asofJoin(spark, sf))
     // the scale property: a time-inequality join would be a BNLJ or

@@ -474,6 +474,21 @@ class StreamingSpec extends AnyFunSuite {
       s"cross-trigger pairs wrong: $out")
   }
 
+  test("d13 native streaming dedup: a key re-arriving in a later batch is suppressed") {
+    val dir = java.nio.file.Files.createTempDirectory("d13_multi")
+    val schema = writeEventsFile(dir, "f1.parquet", 1000000L, Seq(
+      (1L, 100L, 1L, "click", 1.0),
+      (2L, 110L, 2L, "view", 2.0)))
+    writeEventsFile(dir, "f2.parquet", 1010000L, Seq(
+      (3L, 200L, 1L, "click", 3.0),     // duplicate KEY across batches
+      (4L, 210L, 1L, "purchase", 4.0))) // new key, same user
+    val out = graft.streaming.StreamDropDup.streamingDropDupFromDir(
+        spark, dir.toString, schema, maxFilesPerTrigger = Some(1))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(out.toSet == Set((1L, "click"), (2L, "view"), (1L, "purchase")), out.toSeq.toString)
+    assert(out.length == 3, s"cross-batch duplicate emitted twice: ${out.toSeq}")
+  }
+
   test("d10 streaming as-of: ordered multi-trigger equals the batch rule; " +
       "out-of-order purchase resolves against the click list, not just the newest click") {
     val dir = java.nio.file.Files.createTempDirectory("d10_multi")
