@@ -189,6 +189,18 @@ object ScaleProbe {
     val (_, tStreamAsof) = time(force(
       graft.streaming.StreamAsof.streamingAsofFromDir(spark,
         eventsDir.toString, eventsOnDisk.schema)))
+    // d12: stream-stream interval join over the same events — the
+    // single AvailableNow batch keeps the watermark at 0, so BOTH
+    // sides buffer fully in the state store: this measures the
+    // operator's worst case (state = the whole table on each side)
+    val (_, tStreamJoin) = time(force(
+      graft.streaming.StreamJoin.streamingIntervalJoinFromDir(spark,
+        eventsDir.toString, eventsOnDisk.schema)))
+    // d13: native streaming dedup — state is one row per distinct
+    // (user, type) key, bounded by the key domain
+    val (_, tStreamDrop) = time(force(
+      graft.streaming.StreamDropDup.streamingDropDupFromDir(spark,
+        eventsDir.toString, eventsOnDisk.schema)))
 
     // --- c24 substring-span dedup: ~33 windows/doc explode to
     // 128-bit span keys; the 10% planted near-dups share two long
@@ -293,6 +305,7 @@ object ScaleProbe {
       s""""c34_bpe_s":$tBpe,"c35_bpe_encode_s":$tBpeEnc,"c36_frames_s":$tFrames,""" +
       s""""c37_kmv_s":$tKmv,"d11_stream_kmv_s":$tStreamKmv,""" +
       s""""e9_asof_s":$tAsof,"d10_stream_asof_s":$tStreamAsof,""" +
+      s""""d12_stream_join_s":$tStreamJoin,"d13_stream_dropdup_s":$tStreamDrop,""" +
       s""""c24_spans_s":$tSpans,"c25_bm25_s":$tBm25,"c26_hybrid_s":$tHybrid,""" +
       s""""c20_canon_s":$tCanon,"c20_mega_family":$megaN,""" +
       s""""index_build_s":$tBuild,""" +
