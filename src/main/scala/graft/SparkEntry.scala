@@ -75,6 +75,7 @@ object SparkEntry {
     "c35_bpe_encode" -> (PipelineQueries.bpeEncode(_, _)),
     "c36_frame_sample" -> (PipelineQueries.frameSample(_, _)),
     "c37_kmv_distinct" -> (PipelineQueries.kmvDistinct(_, _)),
+    "c38_pipeline_profile" -> (PipelineQueries.pipelineProfile(_, _)),
     "d1_sessionize"  -> (PipelineQueries.sessionize(_, _)),
     "d2_window_agg"  -> (PipelineQueries.windowAgg(_, _)),
     "d3_stream_agg"  -> (PipelineQueries.streamingAgg(_, _)),

@@ -156,6 +156,23 @@ object PipelineQueries {
   def kmvDistinct(spark: SparkSession, dir: String): DataFrame =
     graft.ops.Sketches.kmvDistinct(spark, Tables.documents(spark, dir))
 
+  /** c38: stage COMPOSITION — the per-source corpus profile (c18) of
+    * the POST-GATE corpus (docs c16 keeps): the "what survived the
+    * gate" report every pipeline run ends with. The gate's keep set
+    * attaches back by LEFT SEMI join on doc_id (co-partitioned key
+    * shuffle — the keep set is corpus-sized, never broadcast), then
+    * the c18 histogram profile runs over survivors only. The oracle
+    * composes c16's and c18's formulations verbatim, so the hash
+    * check certifies the two operators COMPOSE exactly — stage
+    * boundaries introduce no drift. */
+  def pipelineProfile(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val kept = CorpusOps.corpusFilter(docs)
+      .filter(col("kept") === 1).select("doc_id")
+    CorpusOps.corpusStats(docs.join(kept, Seq("doc_id"), "left_semi"))
+      .orderBy("source")
+  }
+
   def ngramLm(spark: SparkSession, dir: String): DataFrame =
     graft.ops.LmScore.ngramLm(Tables.documents(spark, dir)).orderBy("doc_id")
 
@@ -324,6 +341,38 @@ object PipelineQueries {
     // final sketch equals the batch sketch under ANY arrival order
     "c37_kmv_distinct" -> KmvSql,
     "d11_stream_kmv" -> KmvSql,
+    // c16's gate CTE + c18's profile, composed verbatim: a hash match
+    // certifies the stages compose exactly
+    "c38_pipeline_profile" ->
+      """WITH m AS (SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+        |  CASE WHEN length(text) = 0 THEN 0.0
+        |   ELSE ROUND(CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
+        |    / length(text), 6) END AS punct_ratio,
+        |  ROUND(CAST(list_sum(list_transform(string_split(text, ' '), x -> length(x))) AS DOUBLE)
+        |    / len(string_split(text, ' ')), 6) AS mean_token_len,
+        |  MIN(doc_id) OVER (PARTITION BY md5(text)) AS keep_id
+        | FROM documents),
+        |r AS (SELECT doc_id,
+        |  CASE WHEN doc_id <> keep_id THEN 'duplicate'
+        |       WHEN n_tokens < 15 THEN 'too_short'
+        |       WHEN punct_ratio > 0.10 THEN 'punctuation'
+        |       WHEN mean_token_len < 2.0 OR mean_token_len > 10.0 THEN 'token_len'
+        |       ELSE 'keep' END AS reason
+        | FROM m),
+        |survivors AS (SELECT d.source, d.text FROM documents d
+        |  JOIN r USING (doc_id) WHERE r.reason = 'keep'),
+        |t AS (SELECT source,
+        |  CAST(len(string_split(text, ' ')) AS INT) AS n_tok,
+        |  CAST(length(text) AS INT) AS n_chars FROM survivors)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(min(n_tok) AS INT) AS min_tokens,
+        | CAST(max(n_tok) AS INT) AS max_tokens,
+        | ROUND(avg(n_tok), 6) AS mean_tokens,
+        | quantile_cont(n_tok, 0.5) AS p50_tokens,
+        | quantile_cont(n_tok, 0.9) AS p90_tokens,
+        | CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM t GROUP BY source ORDER BY source""".stripMargin,
     // mirrors Multimodal.frameQuery: every 4th 16-char frame,
     // fingerprinted; char slices so substring semantics agree across
     // engines (md5 hashes the frame's UTF-8 bytes on both)
