@@ -76,6 +76,8 @@ object SparkEntry {
     "c36_frame_sample" -> (PipelineQueries.frameSample(_, _)),
     "c37_kmv_distinct" -> (PipelineQueries.kmvDistinct(_, _)),
     "c38_pipeline_profile" -> (PipelineQueries.pipelineProfile(_, _)),
+    "c39_bloom_contain" -> (PipelineQueries.bloomContain(_, _)),
+    "c40_weighted_sample" -> (PipelineQueries.weightedSample(_, _)),
     "d1_sessionize"  -> (PipelineQueries.sessionize(_, _)),
     "d2_window_agg"  -> (PipelineQueries.windowAgg(_, _)),
     "d3_stream_agg"  -> (PipelineQueries.streamingAgg(_, _)),
@@ -87,6 +89,7 @@ object SparkEntry {
     "d9_stream_contam" -> (PipelineQueries.streamingEmbedContam(_, _)),
     "d10_stream_asof" -> (PipelineQueries.streamingAsof(_, _)),
     "d11_stream_kmv" -> (PipelineQueries.streamingKmv(_, _)),
+    "d14_stream_bloom" -> (PipelineQueries.streamingBloom(_, _)),
     "d12_stream_join" -> (PipelineQueries.streamingIntervalJoin(_, _)),
     "d13_stream_dropdup" -> (PipelineQueries.streamingDropDup(_, _)),
     "e1_q1_agg"      -> (Relational.q1Agg(_, _)),

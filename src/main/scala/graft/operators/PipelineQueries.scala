@@ -156,6 +156,13 @@ object PipelineQueries {
   def kmvDistinct(spark: SparkSession, dir: String): DataFrame =
     graft.ops.Sketches.kmvDistinct(spark, Tables.documents(spark, dir))
 
+  def bloomContain(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Sketches.bloomContain(spark, Tables.documents(spark, dir))
+
+  def weightedSample(spark: SparkSession, dir: String): DataFrame =
+    CorpusOps.weightedSample(Tables.documents(spark, dir))
+      .orderBy("source", "smp_rank")
+
   /** c38: stage COMPOSITION — the per-source corpus profile (c18) of
     * the POST-GATE corpus (docs c16 keeps): the "what survived the
     * gate" report every pipeline run ends with. The gate's keep set
@@ -208,6 +215,9 @@ object PipelineQueries {
 
   def streamingKmv(spark: SparkSession, dir: String): DataFrame =
     graft.streaming.StreamKmv.streamingKmv(spark, dir)
+
+  def streamingBloom(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamBloom.streamingBloom(spark, dir)
 
   def streamingIntervalJoin(spark: SparkSession, dir: String): DataFrame =
     graft.streaming.StreamJoin.streamingIntervalJoin(spark, dir)
@@ -330,6 +340,36 @@ object PipelineQueries {
        |FROM ranked WHERE rk <= ${graft.ops.Sketches.KmvK}
        |GROUP BY source ORDER BY source""".stripMargin
 
+  private val BloomSql =
+    // 5-token shingles: same CTE as the c17 oracle (the Spark side
+    // shares CorpusOps.shingles, the pre-filter/verifier contract)
+    s"""WITH sh AS (SELECT doc_id, source,
+       |  list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 3),
+       |    i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' ||
+       |         string_split(text, ' ')[i+2] || ' ' || string_split(text, ' ')[i+3] || ' ' ||
+       |         string_split(text, ' ')[i+4])) AS s
+       | FROM documents),
+       |cg AS (SELECT DISTINCT source, unnest(s) AS g FROM sh WHERE doc_id >= 20),
+       |ev AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id < 20),
+       |ix AS (SELECT unnest([0, 1, 2, 3]) AS i),
+       |srcpos AS (SELECT DISTINCT source,
+       |  CAST('0x' || substring(md5(g), 1 + 4*i, 4) AS INT) AS p FROM cg CROSS JOIN ix),
+       |evpos AS (SELECT DISTINCT g,
+       |  CAST('0x' || substring(md5(g), 1 + 4*i, 4) AS INT) AS p FROM ev CROSS JOIN ix),
+       |need AS (SELECT g, count(*) AS need FROM evpos GROUP BY g),
+       |have AS (SELECT sp.source, e.g, count(*) AS have
+       |  FROM evpos e JOIN srcpos sp USING (p) GROUP BY sp.source, e.g),
+       |hits AS (SELECT h.source, count(*) AS eval_hits FROM have h
+       |  JOIN need n USING (g) WHERE h.have = n.need GROUP BY h.source)
+       |SELECT b.source, b.bits_set, b.bitmap_md5,
+       | CAST(COALESCE(h.eval_hits, 0) AS INT) AS eval_hits,
+       | CAST((SELECT count(*) FROM need) AS INT) AS eval_total
+       |FROM (SELECT source, CAST(count(*) AS INT) AS bits_set,
+       |        md5(string_agg(CAST(p AS VARCHAR), ',' ORDER BY p)) AS bitmap_md5
+       |      FROM srcpos GROUP BY source) b
+       |LEFT JOIN hits h USING (source)
+       |ORDER BY b.source""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "c29_embed_contam" -> EmbedContamSql,
     "d9_stream_contam" -> EmbedContamSql,
@@ -341,6 +381,32 @@ object PipelineQueries {
     // final sketch equals the batch sketch under ANY arrival order
     "c37_kmv_distinct" -> KmvSql,
     "d11_stream_kmv" -> KmvSql,
+    // mirrors Sketches.bloomContain: the distinct 16-bit md5-slice
+    // positions of a source's shingles ARE the Bloom bitmap — the
+    // oracle recomputes the exact bit set, fingerprints it
+    // (string_agg over ascending positions = the operator's md5 of
+    // the same), and replays the eval-membership probe (a shingle
+    // tests positive iff ALL its distinct positions are set). OR is
+    // order-independent, so d14's streaming form shares the oracle.
+    "c39_bloom_contain" -> BloomSql,
+    "d14_stream_bloom" -> BloomSql,
+    // mirrors CorpusOps.weightedSample: Efraimidis–Spirakis keys with
+    // the ln micro-quantized BEFORE the weight division (the lone
+    // transcendental; the division itself is one correctly-rounded
+    // IEEE op, so both engines order identical doubles)
+    "c40_weighted_sample" ->
+      s"""WITH t AS (SELECT source, doc_id,
+         |  CAST(len(string_split(text, ' ')) AS INT) AS w,
+         |  CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+         | FROM documents WHERE text IS NOT NULL),
+         |k AS (SELECT source, doc_id, w,
+         |  CAST(floor(ln((CAST(h AS DOUBLE) + 0.5) / 1152921504606846976.0) * 1000000)
+         |    AS DOUBLE) / w AS key FROM t),
+         |r AS (SELECT source, doc_id, w,
+         |  row_number() OVER (PARTITION BY source ORDER BY key DESC, doc_id) AS rk FROM k)
+         |SELECT source, CAST(rk AS INT) AS smp_rank, doc_id, w AS n_tokens
+         |FROM r WHERE rk <= ${graft.ops.CorpusOps.WeightedSampleK}
+         |ORDER BY source, smp_rank""".stripMargin,
     // c16's gate CTE + c18's profile, composed verbatim: a hash match
     // certifies the stages compose exactly
     "c38_pipeline_profile" ->

@@ -93,6 +93,101 @@ object CorpusOps {
       .filter(col("bucket") < thr)
   }
 
+  // ---------------------------------------------------------------- c40
+  /** Sample size per source for [[weightedSample]]. */
+  val WeightedSampleK = 16
+  private val TwoPow60 = 1152921504606846976.0 // 2^60, exact in double
+
+  /** c40: deterministic WEIGHTED sampling without replacement — the
+    * Efraimidis–Spirakis (2006) one-pass reservoir algorithm (take the
+    * k largest u_i^(1/w_i)), the standard way a trainer samples docs
+    * proportional to token count. c14 samples uniformly per stratum;
+    * this is the weighted form: a 500-token doc is ~20× likelier in
+    * the sample than a 25-token one, and the whole draw is a pure
+    * function of doc_id (no `rand()` — a re-run, a retried task, or a
+    * grown corpus reproduces the same per-doc keys, the c13/c14/c30
+    * determinism contract).
+    *
+    * Cross-engine exactness: u = (h + 0.5)/2^60 from the md5 of the
+    * doc id (exact in both engines), the E-S key ln(u)/w ordered as
+    * floor(ln(u)·10⁶)/w — ln is the lone transcendental and is
+    * quantized to integer micros first (the c25/c27 rule), and the
+    * final division of that integer by the integer weight is a single
+    * correctly-rounded IEEE op, so both engines order by bit-identical
+    * doubles; ties (same quantized key) break by doc_id.
+    *
+    * Scale shape: the corpus side is a NARROW map (md5 → ln → divide);
+    * the per-source top-k runs in a typed bounded-heap [[Aggregator]]
+    * with MAP-SIDE partial combine — each task reduces its slice to
+    * ≤ k rows per source and the shuffle carries O(sources · k), never
+    * the corpus (the b1 top-k shape, not a global or per-source window
+    * sort; a window formulation would funnel each source through one
+    * task — exactly the c15/c32 skew trap). */
+  final class TopKByKeyAgg(k: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[
+        (Long, Int, Double), Array[(Double, Long, Int)], Array[(Double, Long, Int)]] {
+    // sample order: key DESC, doc_id ASC
+    private def before(k1: Double, d1: Long, k2: Double, d2: Long): Boolean =
+      k1 > k2 || (k1 == k2 && d1 < d2)
+    def zero: Array[(Double, Long, Int)] = Array.empty
+    def reduce(b: Array[(Double, Long, Int)], x: (Long, Int, Double)): Array[(Double, Long, Int)] = {
+      val (id, w, key) = x
+      if (b.length == k && !before(key, id, b(k - 1)._1, b(k - 1)._2)) b
+      else {
+        var at = 0
+        while (at < b.length && before(b(at)._1, b(at)._2, key, id)) at += 1
+        val n = math.min(k, b.length + 1)
+        val out = new Array[(Double, Long, Int)](n)
+        System.arraycopy(b, 0, out, 0, at)
+        out(at) = (key, id, w)
+        System.arraycopy(b, at, out, at + 1, n - at - 1)
+        out
+      }
+    }
+    def merge(a: Array[(Double, Long, Int)], b: Array[(Double, Long, Int)]): Array[(Double, Long, Int)] = {
+      val n = math.min(k, a.length + b.length)
+      val out = new Array[(Double, Long, Int)](n)
+      var i = 0; var j = 0; var m = 0
+      while (m < n) {
+        val takeA = j >= b.length ||
+          (i < a.length && before(a(i)._1, a(i)._2, b(j)._1, b(j)._2))
+        if (takeA) { out(m) = a(i); i += 1 } else { out(m) = b(j); j += 1 }
+        m += 1
+      }
+      out
+    }
+    def finish(b: Array[(Double, Long, Int)]): Array[(Double, Long, Int)] = b
+    def bufferEncoder: org.apache.spark.sql.Encoder[Array[(Double, Long, Int)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[(Double, Long, Int)]]()
+    def outputEncoder: org.apache.spark.sql.Encoder[Array[(Double, Long, Int)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[(Double, Long, Int)]]()
+  }
+
+  /** c40 query: per-source token-weighted sample of k docs. */
+  def weightedSample(docs: DataFrame, k: Int = WeightedSampleK): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // all codegen up to the aggregation: w = token count, h = 60-bit
+    // md5 prefix of the doc id, key = floor(ln(u)·1e6)/w
+    val keyed = docs.filter(col("text").isNotNull)
+      .select(col("source"), col("doc_id").cast(LongType).as("doc_id"),
+        size(split(col("text"), " ")).as("w"),
+        conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+          .cast(LongType).as("h"))
+      .select(col("source"), col("doc_id"), col("w"),
+        (floor(log((col("h").cast("double") + lit(0.5)) / lit(TwoPow60)) * lit(1e6))
+          .cast("double") / col("w")).as("key"))
+    val agg = new TopKByKeyAgg(k)
+    keyed.as[(String, Long, Int, Double)]
+      .groupByKey(_._1)
+      .mapValues(t => (t._2, t._3, t._4))
+      .agg(agg.toColumn.name("top"))
+      .flatMap { case (src, top) =>
+        top.iterator.zipWithIndex.map { case ((_, id, w), i) => (src, i + 1, id, w) }
+      }
+      .toDF("source", "smp_rank", "doc_id", "n_tokens")
+  }
+
   // ---------------------------------------------------------------- c15
   /** Token budget per packed training chunk. */
   val PackBudget = 256
@@ -338,7 +433,7 @@ object CorpusOps {
     * happens AFTER the explode, in a codegen'd projection — an
     * xxhash64 inside this lambda would run on the interpreted
     * higher-order-function path (measurably ~2× slower). */
-  private def shingles: org.apache.spark.sql.Column = {
+  private[graft] def shingles: org.apache.spark.sql.Column = {
     val t = split(col("text"), " ")
     val k = ContamShingle
     when(size(t) >= k,

@@ -143,4 +143,165 @@ object Sketches {
       .as[(String, String)])
     sketchBySource(pairs, k).orderBy("source")
   }
+
+  // ---------------------------------------------------------------- c39
+
+  /** c39: per-source BLOOM FILTER of contamination shingles — the
+    * MEMBERSHIP sketch next to c37's cardinality sketch (the two
+    * canonical mergeable sketches a 100 TB pipeline maintains). This
+    * is how production pipelines actually use Blooms: a cheap
+    * set-membership PRE-FILTER in front of an exact check — here each
+    * source's Bloom is probed with the held-out eval set's shingles
+    * (c17's exact contamination check is the verify stage behind it;
+    * the shingle definition is SHARED with c17 so the pre-filter can
+    * never disagree with the verifier about what a shingle is).
+    *
+    * Portability is the same trick as c37: bit positions are 16-bit
+    * md5-hex slices (4 hashes into 2^16 bits), so a DuckDB oracle
+    * reproduces the exact bitmap — the driver hash certifies bits_set,
+    * an md5 fingerprint of the full bitmap (ascending set-bit
+    * positions), and the eval-probe verdicts, i.e. the complete
+    * sketch, not a summary of it.
+    *
+    * Scale shape: positions are computed in a codegen projection
+    * (explode → md5 → conv slices — no UDF, no typed lambda on the
+    * corpus path); the typed [[BloomAgg]] gets MAP-SIDE partial
+    * combine, so each task reduces its slice to one 8 KB bitmap per
+    * source and the shuffle carries O(sources · 1024 longs) — never
+    * the corpus. Merge is bitwise OR: closed under union,
+    * order-independent (the property that lets d14's streaming form
+    * share this oracle), and exactly the 1000-executor combine. */
+  val BloomBits = 65536 // 2^16 = one 16-bit md5 slice per hash, 8 KB/source
+  val BloomHashes = 4
+
+  /** Bitwise-OR Bloom buffer. Zero is the empty array (so idle groups
+    * cost nothing to encode); the real 1024-long bitmap allocates on
+    * first insert. reduce/merge mutate in place — typed aggregation
+    * buffers are owned by the operator between encodes. */
+  final class BloomAgg(bits: Int) extends Aggregator[Int, Array[Long], Array[Long]] {
+    private val words = bits / 64
+    def zero: Array[Long] = Array.emptyLongArray
+    def reduce(b: Array[Long], p: Int): Array[Long] = {
+      val buf = if (b.length == 0) new Array[Long](words) else b
+      buf(p >>> 6) |= 1L << (p & 63)
+      buf
+    }
+    def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      if (a.length == 0) b
+      else if (b.length == 0) a
+      else {
+        var i = 0
+        while (i < a.length) { a(i) |= b(i); i += 1 }
+        a
+      }
+    }
+    def finish(b: Array[Long]): Array[Long] =
+      if (b.length == 0) new Array[Long](words) else b
+    def bufferEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    def outputEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  }
+
+  /** The [[BloomHashes]] bit positions of one shingle: consecutive
+    * 16-bit big-endian slices of md5 — the driver-side mirror of the
+    * codegen `conv(substring(md5(s), 1+4i, 4), 16, 10)` projection
+    * (16 bits = 4 hex chars, so no modulo is needed against 2^16). */
+  private[graft] def bloomPositions(md: java.security.MessageDigest, s: String): Array[Int] = {
+    md.reset()
+    val d = md.digest(s.getBytes("UTF-8"))
+    Array.tabulate(BloomHashes)(i => ((d(2 * i) & 0xff) << 8) | (d(2 * i + 1) & 0xff))
+  }
+
+  /** Corpus docs (doc_id ≥ the eval bound) → (source, bit position)
+    * pairs, all codegen: c17's shared shingle expression → explode →
+    * md5 → four 16-bit hex slices. SHARED by batch c39 and streaming
+    * d14 (their oracle equivalence depends on byte-identical shingle
+    * and position derivation). */
+  def bloomShinglePositions(docs: DataFrame): org.apache.spark.sql.Dataset[(String, Int)] = {
+    import docs.sparkSession.implicits._
+    val sh = docs
+      .filter(col("doc_id") >= CorpusOps.EvalIdBound)
+      .select(col("source"), CorpusOps.shingles.as("sh"))
+      .select(col("source"), explode_outer(col("sh")).as("gs"))
+      .where(col("gs").isNotNull)
+      .select(col("source"), md5(col("gs")).as("h"))
+    sh.select(col("source"), explode(array(
+        (0 until BloomHashes).map(i =>
+          conv(substring(col("h"), 1 + 4 * i, 4), 16, 10).cast("int")): _*)).as("p"))
+      .as[(String, Int)]
+  }
+
+  /** The frozen eval probe: distinct positions per distinct eval
+    * shingle (docs below the id bound), collected bounded by contract
+    * — the eval set is a benchmark, like c17/c29's. */
+  def collectEvalProbe(docs: DataFrame): Array[Array[Int]] = {
+    val evalShingles = docs
+      .filter(col("doc_id") < CorpusOps.EvalIdBound)
+      .select(CorpusOps.shingles.as("sh"))
+      .select(explode_outer(col("sh")).as("gs"))
+      .where(col("gs").isNotNull)
+      .distinct()
+      .collect()
+      .map(_.getString(0))
+    require(evalShingles.length <= 1000000,
+      s"eval shingle set too large to broadcast (${evalShingles.length}); " +
+        "the eval set is a benchmark and must stay bounded")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    evalShingles.map(s => bloomPositions(md, s).distinct.sorted)
+  }
+
+  /** (source, position) pairs + the frozen eval probe → one row per
+    * source: bits_set, an md5 fingerprint of the exact bitmap
+    * (ascending set-bit positions, comma-joined — DuckDB reproduces it
+    * with string_agg), and the eval-probe verdict counts. Shared by
+    * batch c39 and streaming d14. */
+  def bloomBySource(
+      pairs: org.apache.spark.sql.Dataset[(String, Int)],
+      evalProbe: Array[Array[Int]]): DataFrame = {
+    import pairs.sparkSession.implicits._
+    val agg = new BloomAgg(BloomBits)
+    val evalTotal = evalProbe.length
+    pairs
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(agg.toColumn.name("bloom"))
+      .map { case (src, bloom) =>
+        var bitsSet = 0
+        var w = 0
+        while (w < bloom.length) { bitsSet += java.lang.Long.bitCount(bloom(w)); w += 1 }
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val sb = new java.lang.StringBuilder
+        var p = 0
+        while (p < BloomBits) {
+          if ((bloom(p >>> 6) & (1L << (p & 63))) != 0) {
+            if (sb.length > 0) sb.append(',')
+            sb.append(p)
+          }
+          p += 1
+        }
+        val fp = md.digest(sb.toString.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        var hits = 0
+        var i = 0
+        while (i < evalProbe.length) {
+          val ps = evalProbe(i)
+          var j = 0
+          var all = true
+          while (all && j < ps.length) {
+            if ((bloom(ps(j) >>> 6) & (1L << (ps(j) & 63))) == 0) all = false
+            j += 1
+          }
+          if (all) hits += 1
+          i += 1
+        }
+        (src, bitsSet, fp, hits, evalTotal)
+      }
+      .toDF("source", "bits_set", "bitmap_md5", "eval_hits", "eval_total")
+  }
+
+  /** c39 query: per-source shingle Bloom + eval-set membership probe. */
+  def bloomContain(spark: SparkSession, docs: DataFrame): DataFrame =
+    bloomBySource(bloomShinglePositions(docs), collectEvalProbe(docs))
+      .orderBy("source")
 }

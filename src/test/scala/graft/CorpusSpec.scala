@@ -72,6 +72,43 @@ class CorpusSpec extends AnyFunSuite {
     assert(kept.getOrElse("zh", 0L) < 40, kept.toString)
   }
 
+  test("c40 topk-by-key aggregator: key-desc order, doc-id tiebreak, cap, merge") {
+    val agg = new CorpusOps.TopKByKeyAgg(3)
+    var b = agg.zero
+    for (x <- Seq((1L, 1, -5.0), (2L, 1, -1.0), (3L, 1, -3.0), (4L, 1, -0.5), (5L, 1, -1.0)))
+      b = agg.reduce(b, x)
+    // sample order is key DESC then doc_id ASC; -3.0 and -5.0 fall off the cap
+    assert(b.toSeq == Seq((-0.5, 4L, 1), (-1.0, 2L, 1), (-1.0, 5L, 1)), b.toSeq.toString)
+    val other = Array((-0.7, 9L, 2), (-6.0, 10L, 2))
+    assert(agg.merge(b, other).toSeq == Seq((-0.5, 4L, 1), (-0.7, 9L, 2), (-1.0, 2L, 1)),
+      "merge must interleave by the same order and re-cap")
+    assert(agg.merge(agg.zero, other).toSeq == other.toSeq)
+    assert(agg.merge(b, agg.zero).toSeq == b.toSeq)
+  }
+
+  test("c40 weighted sample: weight-biased, deterministic under reorder, k per source") {
+    val heavyText = Seq.fill(400)("tok").mkString(" ") // w = 400
+    val lightText = "tok tok tok tok"                  // w = 4
+    val rows = (100L until 200L).map(i => (i, heavyText, "s")) ++
+      (200L until 300L).map(i => (i, lightText, "s")) ++
+      (300L until 305L).map(i => (i, lightText, "tiny")) // fewer docs than k
+    val out = CorpusOps.weightedSample(rows.toDF("doc_id", "text", "source"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getInt(3)))
+    val s = out.filter(_._1 == "s")
+    assert(s.length == CorpusOps.WeightedSampleK)
+    assert(s.map(_._2).sorted.toSeq == (1 to CorpusOps.WeightedSampleK), "ranks must be 1..k")
+    // total weight 40000 (heavy) vs 400 (light): expected lights in the
+    // sample ~0.16, so demanding >=14 heavy picks has huge margin
+    assert(s.count(_._3 < 200L) >= 14, s"weighting not biased to heavy docs: ${s.toSeq}")
+    // a source smaller than k yields the whole source
+    assert(out.count(_._1 == "tiny") == 5)
+    // determinism: same rows, reversed and repartitioned, same sample
+    val again = CorpusOps.weightedSample(rows.reverse.toDF("doc_id", "text", "source")
+        .repartition(7))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getInt(3)))
+    assert(again.sortBy(r => (r._1, r._2)).toSeq == out.sortBy(r => (r._1, r._2)).toSeq)
+  }
+
   test("pack chunks: offsets stay inside the budget and bins advance with the cumsum") {
     val words = (1 to 100).map(i => s"w$i").mkString(" ") // 100 tokens per doc
     val d = (0L until 10L).map(i => (i, words, s"shard${i % 2}"))

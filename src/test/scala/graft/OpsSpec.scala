@@ -382,6 +382,49 @@ class OpsSpec extends AnyFunSuite {
     assert(again == first, "sketch depends on row order/partitioning")
   }
 
+  test("c39 bloom aggregator: lazy empty zero, in-place OR merge, full-size finish") {
+    val agg = new graft.ops.Sketches.BloomAgg(128) // 2 words
+    assert(agg.zero.isEmpty, "zero must be the empty array (idle groups encode nothing)")
+    val a = agg.reduce(agg.zero, 5)
+    val b = agg.reduce(agg.zero, 70)
+    assert(a.length == 2 && (a(0) & (1L << 5)) != 0)
+    assert((b(1) & (1L << 6)) != 0)
+    val m = agg.merge(agg.reduce(a, 127), b)
+    assert((m(0) & (1L << 5)) != 0 && (m(1) & (1L << 6)) != 0 && (m(1) & (1L << 63)) != 0)
+    assert(agg.merge(agg.zero, b).sameElements(b) && agg.merge(b, agg.zero).sameElements(b))
+    val empty = agg.finish(agg.zero)
+    assert(empty.length == 2 && empty.forall(_ == 0L), "finish must widen zero to the real bitmap")
+  }
+
+  test("c39 shingle positions: codegen md5-slice path equals the driver mirror") {
+    val text = "one two three four five six" // two 5-token shingles
+    val d = Seq((25L, text, "s")).toDF("doc_id", "text", "source")
+    val fromSpark = graft.ops.Sketches.bloomShinglePositions(d)
+      .collect().map(_._2).sorted.toSeq
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val fromDriver = Seq("one two three four five", "two three four five six")
+      .flatMap(s => graft.ops.Sketches.bloomPositions(md, s)).sorted
+    assert(fromSpark == fromDriver,
+      s"conv(substring(md5)) projection diverged from the driver mirror: $fromSpark vs $fromDriver")
+  }
+
+  test("c39 bloom membership: contaminated source hits all eval shingles, clean source none") {
+    val evalText = "alpha bravo charlie delta echo foxtrot golf hotel" // 4 eval shingles
+    val d = Seq(
+      (1L, evalText, "evalsrc"), // below EvalIdBound: probe only, no corpus row
+      (30L, "lead in words here " + evalText + " and a tail", "dirty"),
+      (31L, "uno dos tres cuatro cinco seis siete ocho nueve diez", "clean"))
+      .toDF("doc_id", "text", "source")
+    val out = graft.ops.Sketches.bloomContain(spark, d).collect()
+      .map(r => r.getString(0) -> ((r.getInt(1), r.getInt(3), r.getInt(4)))).toMap
+    assert(out.keySet == Set("dirty", "clean"), "eval-only sources must not emit a sketch")
+    assert(out("dirty")._3 == 4 && out("clean")._3 == 4)
+    assert(out("dirty")._2 == 4, s"verbatim containment must hit every eval shingle: $out")
+    assert(out("clean")._2 == 0, s"disjoint vocabulary must miss (FP odds ~1e-12): $out")
+    // bits_set is bounded by 4 hashes x distinct shingles, and positive
+    assert(out("clean")._1 > 0 && out("clean")._1 <= 4 * 6)
+  }
+
   test("doc repetition flags duplicate-2gram and top-word stuffing, not normal prose") {
     val d = docs(
       1L -> "the quick brown fox jumps over a lazy dog near the river bank today",

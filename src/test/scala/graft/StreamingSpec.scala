@@ -434,6 +434,47 @@ class StreamingSpec extends AnyFunSuite {
     assert(multi.count(_._1 == "big") == 3, "big should emit once per trigger")
   }
 
+  test("d14 streaming bloom: last emission per source equals the batch sketch under any split") {
+    val dir = java.nio.file.Files.createTempDirectory("d14_multi")
+    val evalRow = (1L, "alpha bravo charlie delta echo foxtrot", "eval") // 2 eval shingles
+    val corpus: Seq[(Long, String, String)] = Seq(
+      (30L, "alpha bravo charlie delta echo plus tail words", "dirty"), // 1 of 2
+      (31L, "uno dos tres cuatro cinco seis siete", "clean"),
+      (32L, "see alpha bravo charlie delta echo foxtrot done", "dirty"), // completes both
+      (33L, "mas palabras distintas aqui para los shingles", "clean"),
+      (34L, "golf hotel india juliet kilo lima mike", "dirty"))
+    def writeF(name: String, mtime: Long, rows: Seq[(Long, String, String)]): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("d14_part")
+      rows.map { case (id, t, s) => (id, t, "en", s, t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.head
+      val dest = dir.resolve(name)
+      java.nio.file.Files.copy(part, dest)
+      java.nio.file.Files.setLastModifiedTime(dest,
+        java.nio.file.attribute.FileTime.fromMillis(mtime))
+    }
+    // one dirty doc per trigger: its bitmap grows every time
+    writeF("f1.parquet", 1000000L, corpus.take(2))
+    writeF("f2.parquet", 1010000L, corpus.slice(2, 4))
+    writeF("f3.parquet", 1020000L, corpus.drop(4))
+    val static = (evalRow +: corpus).toDF("doc_id", "text", "source")
+    val multi = graft.streaming.StreamBloom.streamingBloomFromDir(
+        spark, static, dir.toString, maxFilesPerTrigger = Some(1))
+      .collect().map(r =>
+        (r.getString(0), r.getInt(1), r.getString(2), r.getInt(3), r.getInt(4)))
+    // bitmaps only grow: the final state per source is its max-bits row
+    val last = multi.groupBy(_._1).map { case (s, rows) => s -> rows.maxBy(_._2) }
+    val batch = graft.ops.Sketches.bloomContain(spark, static)
+      .collect().map(r => r.getString(0) ->
+        ((r.getString(0), r.getInt(1), r.getString(2), r.getInt(3), r.getInt(4)))).toMap
+    assert(last == batch, s"stream-final != batch: $last vs $batch")
+    assert(multi.count(_._1 == "dirty") == 3, "dirty grows (and must emit) every trigger")
+    assert(last("dirty")._4 == 2 && last("clean")._4 == 0,
+      "eval probe must be frozen from the batch registry before the stream starts")
+  }
+
   /** events-schema parquet writer for the d10 tests; ts in SECONDS
     * since epoch for readability. */
   private def writeEventsFile(
