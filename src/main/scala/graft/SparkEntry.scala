@@ -78,6 +78,7 @@ object SparkEntry {
     "c38_pipeline_profile" -> (PipelineQueries.pipelineProfile(_, _)),
     "c39_bloom_contain" -> (PipelineQueries.bloomContain(_, _)),
     "c40_weighted_sample" -> (PipelineQueries.weightedSample(_, _)),
+    "c41_heavy_hitters" -> (PipelineQueries.heavyHitters(_, _)),
     "d1_sessionize"  -> (PipelineQueries.sessionize(_, _)),
     "d2_window_agg"  -> (PipelineQueries.windowAgg(_, _)),
     "d3_stream_agg"  -> (PipelineQueries.streamingAgg(_, _)),
@@ -90,6 +91,7 @@ object SparkEntry {
     "d10_stream_asof" -> (PipelineQueries.streamingAsof(_, _)),
     "d11_stream_kmv" -> (PipelineQueries.streamingKmv(_, _)),
     "d14_stream_bloom" -> (PipelineQueries.streamingBloom(_, _)),
+    "d15_stream_cms" -> (PipelineQueries.streamingCms(_, _)),
     "d12_stream_join" -> (PipelineQueries.streamingIntervalJoin(_, _)),
     "d13_stream_dropdup" -> (PipelineQueries.streamingDropDup(_, _)),
     "e1_q1_agg"      -> (Relational.q1Agg(_, _)),

@@ -163,6 +163,9 @@ object PipelineQueries {
     CorpusOps.weightedSample(Tables.documents(spark, dir))
       .orderBy("source", "smp_rank")
 
+  def heavyHitters(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Sketches.heavyHitters(spark, Tables.documents(spark, dir))
+
   /** c38: stage COMPOSITION — the per-source corpus profile (c18) of
     * the POST-GATE corpus (docs c16 keeps): the "what survived the
     * gate" report every pipeline run ends with. The gate's keep set
@@ -218,6 +221,9 @@ object PipelineQueries {
 
   def streamingBloom(spark: SparkSession, dir: String): DataFrame =
     graft.streaming.StreamBloom.streamingBloom(spark, dir)
+
+  def streamingCms(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamCms.streamingCms(spark, dir)
 
   def streamingIntervalJoin(spark: SparkSession, dir: String): DataFrame =
     graft.streaming.StreamJoin.streamingIntervalJoin(spark, dir)
@@ -370,6 +376,39 @@ object PipelineQueries {
        |LEFT JOIN hits h USING (source)
        |ORDER BY b.source""".stripMargin
 
+  private val CmsSql =
+    s"""WITH occ AS (SELECT source, unnest(string_split(text, ' ')) AS w
+       |  FROM documents WHERE text IS NOT NULL),
+       |occf AS (SELECT source, w FROM occ WHERE w <> ''),
+       |cand AS (SELECT w AS token, row_number() OVER (ORDER BY cnt DESC, w) AS rank
+       |  FROM (SELECT w, count(*) AS cnt FROM occf GROUP BY w)
+       |  ORDER BY cnt DESC, w LIMIT ${graft.ops.Sketches.HeavyK}),
+       |ix AS (SELECT unnest([0, 1, 2, 3]) AS i),
+       |cells AS (SELECT source, i,
+       |    CAST('0x' || substring(md5(w), 1 + 4*i, 4) AS INT) % ${graft.ops.Sketches.CmsWidth} AS p,
+       |    count(*) AS cnt
+       |  FROM occf CROSS JOIN ix GROUP BY 1, 2, 3),
+       |srcs AS (SELECT DISTINCT source FROM occf),
+       |dense AS (SELECT s.source, r.i, c.p, COALESCE(x.cnt, 0) AS cnt
+       |  FROM srcs s CROSS JOIN ix r CROSS JOIN range(${graft.ops.Sketches.CmsWidth}) c(p)
+       |  LEFT JOIN cells x ON x.source = s.source AND x.i = r.i AND x.p = c.p),
+       |fp AS (SELECT source, md5(string_agg(CAST(cnt AS VARCHAR), ',' ORDER BY i, p)) AS cms_md5
+       |  FROM dense GROUP BY source),
+       |cpos AS (SELECT token, rank, i,
+       |    CAST('0x' || substring(md5(token), 1 + 4*i, 4) AS INT) % ${graft.ops.Sketches.CmsWidth} AS p
+       |  FROM cand CROSS JOIN ix),
+       |est AS (SELECT s.source, c.token, c.rank,
+       |    CAST(min(COALESCE(x.cnt, 0)) AS BIGINT) AS est_count
+       |  FROM srcs s CROSS JOIN cpos c
+       |  LEFT JOIN cells x ON x.source = s.source AND x.i = c.i AND x.p = c.p
+       |  GROUP BY 1, 2, 3),
+       |tru AS (SELECT source, w AS token, count(*) AS true_count FROM occf GROUP BY 1, 2)
+       |SELECT e.source, CAST(e.rank AS INT) AS hh_rank, e.token, e.est_count,
+       |  CAST(COALESCE(t.true_count, 0) AS BIGINT) AS true_count, f.cms_md5
+       |FROM est e JOIN fp f USING (source)
+       |LEFT JOIN tru t ON t.source = e.source AND t.token = e.token
+       |ORDER BY e.source, hh_rank""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "c29_embed_contam" -> EmbedContamSql,
     "d9_stream_contam" -> EmbedContamSql,
@@ -390,6 +429,14 @@ object PipelineQueries {
     // order-independent, so d14's streaming form shares the oracle.
     "c39_bloom_contain" -> BloomSql,
     "d14_stream_bloom" -> BloomSql,
+    // mirrors Sketches.heavyHitters: candidates = exact global top-8
+    // tokens (count desc, token asc); the dense (source, row, pos)
+    // cell grid IS the CMS matrix — the oracle fingerprints all
+    // depth*width cells (zeros included, row-major) and replays the
+    // min-over-rows estimates. Elementwise add is order-independent,
+    // so d15's streaming form shares the oracle.
+    "c41_heavy_hitters" -> CmsSql,
+    "d15_stream_cms" -> CmsSql,
     // mirrors CorpusOps.weightedSample: Efraimidis–Spirakis keys with
     // the ln micro-quantized BEFORE the weight division (the lone
     // transcendental; the division itself is one correctly-rounded

@@ -304,4 +304,169 @@ object Sketches {
   def bloomContain(spark: SparkSession, docs: DataFrame): DataFrame =
     bloomBySource(bloomShinglePositions(docs), collectEvalProbe(docs))
       .orderBy("source")
+
+  // ---------------------------------------------------------------- c41
+
+  /** c41: per-source COUNT-MIN SKETCH + heavy-hitter report — the
+    * FREQUENCY sketch that completes the mergeable-sketch triad
+    * (c37 KMV = cardinality, c39 Bloom = membership, this = counts):
+    * estimate how often each heavy token occurs in each source without
+    * a per-source wordcount table. The report is the classic two-pass
+    * heavy-hitter protocol: a candidate pass fixes the tokens worth
+    * asking about (global exact top-[[HeavyK]]), then every source
+    * answers from its sketch — est ≥ true always (CMS only
+    * over-counts), and the exact per-source count rides along so the
+    * report shows the collision error explicitly.
+    *
+    * Portability is the c37/c39 trick again: row-i position of a token
+    * is the i-th 16-bit md5 slice mod [[CmsWidth]] (both exact in
+    * DuckDB), so the oracle rebuilds the full matrix, fingerprints it
+    * (md5 over all [[CmsDepth]]·[[CmsWidth]] cells in row-major order,
+    * zeros included), and replays the min-over-rows estimates — the
+    * driver hash certifies the COMPLETE sketch state plus the report
+    * derived from it.
+    *
+    * Scale shape: occurrences explode in a codegen projection (split →
+    * md5 → conv slices — no UDF on the corpus path); the typed
+    * [[CmsAgg]] gets map-side partial combine, so each task reduces
+    * its slice to one 32 KB matrix per source and the shuffle carries
+    * O(sources · depth·width) — never the corpus. Merge is elementwise
+    * add: closed under union, order-independent (d15's streaming form
+    * shares this oracle for exactly that reason), and precisely the
+    * 1000-executor combine. The candidate pass is a plain wordcount
+    * (shuffle on token) + limit — the one exact global step, and the
+    * part a 100 TB run already has (token counts are c8's output). */
+  val CmsDepth = 4    // independent rows; P(all collide) ~ (load)^4
+  val CmsWidth = 1024 // counters per row; 32 KB per source at depth 4
+  val HeavyK = 8      // candidate tokens in the report
+
+  /** Elementwise-add CMS buffer. Zero is the empty array (idle groups
+    * encode nothing); the real depth·width matrix allocates on first
+    * insert. Input is the FLAT index row·width+pos. */
+  final class CmsAgg(depth: Int, width: Int) extends Aggregator[Int, Array[Long], Array[Long]] {
+    private val cells = depth * width
+    def zero: Array[Long] = Array.emptyLongArray
+    def reduce(b: Array[Long], idx: Int): Array[Long] = {
+      val buf = if (b.length == 0) new Array[Long](cells) else b
+      buf(idx) += 1
+      buf
+    }
+    def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      if (a.length == 0) b
+      else if (b.length == 0) a
+      else {
+        var i = 0
+        while (i < a.length) { a(i) += b(i); i += 1 }
+        a
+      }
+    }
+    def finish(b: Array[Long]): Array[Long] =
+      if (b.length == 0) new Array[Long](cells) else b
+    def bufferEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    def outputEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  }
+
+  /** The [[CmsDepth]] FLAT indices of one token: i-th 16-bit
+    * big-endian md5 slice mod [[CmsWidth]], offset into row i — the
+    * driver-side mirror of the codegen
+    * `conv(substring(md5(w), 1+4i, 4), 16, 10) % width + i·width`. */
+  private[graft] def cmsPositions(md: java.security.MessageDigest, w: String): Array[Int] = {
+    md.reset()
+    val d = md.digest(w.getBytes("UTF-8"))
+    Array.tabulate(CmsDepth) { i =>
+      ((((d(2 * i) & 0xff) << 8) | (d(2 * i + 1) & 0xff)) % CmsWidth) + i * CmsWidth
+    }
+  }
+
+  /** Docs → (source, flat CMS index) pairs, one per token OCCURRENCE
+    * (frequency semantics — no per-doc dedupe, unlike c37), all
+    * codegen. SHARED by batch c41 and streaming d15. */
+  def cmsFlatPositions(docs: DataFrame): org.apache.spark.sql.Dataset[(String, Int)] = {
+    import docs.sparkSession.implicits._
+    val occ = docs
+      .filter(col("text").isNotNull)
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .where(col("w") =!= "")
+      .select(col("source"), md5(col("w")).as("h"))
+    occ.select(col("source"), explode(array(
+        (0 until CmsDepth).map(i =>
+          (conv(substring(col("h"), 1 + 4 * i, 4), 16, 10).cast("int") % CmsWidth
+            + lit(i * CmsWidth)).cast("int")): _*)).as("p"))
+      .as[(String, Int)]
+  }
+
+  /** The frozen candidate registry: the exact global top-[[HeavyK]]
+    * tokens (count desc, token asc — total order) with their exact
+    * per-source counts. Driver state is O(sources · HeavyK); the
+    * candidate pass itself is a distributed wordcount. d15 freezes
+    * this from the batch table before its stream starts (the d9/d14
+    * benchmark-registry pattern). */
+  def collectHeavyRegistry(
+      docs: DataFrame): (Array[(String, Int)], Map[(String, String), Long]) = {
+    val occ = docs
+      .filter(col("text").isNotNull)
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .where(col("w") =!= "")
+    val cands = occ.groupBy("w").count()
+      .orderBy(col("count").desc, col("w"))
+      .limit(HeavyK)
+      .collect().map(_.getString(0))
+      .zipWithIndex.map { case (t, i) => (t, i + 1) }
+    val trueCounts = occ.filter(col("w").isin(cands.map(_._1).toSeq: _*))
+      .groupBy("source", "w").count()
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    (cands, trueCounts)
+  }
+
+  /** (source, flat index) pairs + the frozen registry → HeavyK rows
+    * per source: the sketch estimate next to the exact count, plus the
+    * md5 fingerprint of the complete matrix (row-major, zeros
+    * included — DuckDB reproduces it with string_agg over a dense
+    * cell grid). Shared by batch c41 and streaming d15. */
+  def cmsBySource(
+      pairs: org.apache.spark.sql.Dataset[(String, Int)],
+      cands: Array[(String, Int)],
+      trueCounts: Map[(String, String), Long]): DataFrame = {
+    import pairs.sparkSession.implicits._
+    val agg = new CmsAgg(CmsDepth, CmsWidth)
+    val candPos = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      cands.map { case (t, r) => (t, r, cmsPositions(md, t)) }
+    }
+    pairs
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(agg.toColumn.name("cms"))
+      .flatMap { case (src, cms) =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val sb = new java.lang.StringBuilder
+        var i = 0
+        while (i < cms.length) {
+          if (i > 0) sb.append(',')
+          sb.append(cms(i))
+          i += 1
+        }
+        val fp = md.digest(sb.toString.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        candPos.iterator.map { case (tok, rank, ps) =>
+          var est = Long.MaxValue
+          var j = 0
+          while (j < ps.length) {
+            if (cms(ps(j)) < est) est = cms(ps(j))
+            j += 1
+          }
+          (src, rank, tok, est, trueCounts.getOrElse((src, tok), 0L), fp)
+        }
+      }
+      .toDF("source", "hh_rank", "token", "est_count", "true_count", "cms_md5")
+  }
+
+  /** c41 query: per-source heavy-hitter report from the CMS. */
+  def heavyHitters(spark: SparkSession, docs: DataFrame): DataFrame = {
+    val (cands, trueCounts) = collectHeavyRegistry(docs)
+    cmsBySource(cmsFlatPositions(docs), cands, trueCounts)
+      .orderBy("source", "hh_rank")
+  }
 }

@@ -425,6 +425,51 @@ class OpsSpec extends AnyFunSuite {
     assert(out("clean")._1 > 0 && out("clean")._1 <= 4 * 6)
   }
 
+  test("c41 cms aggregator: lazy empty zero, in-place elementwise-add merge, full-size finish") {
+    val agg = new graft.ops.Sketches.CmsAgg(2, 4) // 8 cells
+    assert(agg.zero.isEmpty, "zero must be the empty array (idle groups encode nothing)")
+    var a = agg.reduce(agg.zero, 3)
+    a = agg.reduce(a, 3)
+    a = agg.reduce(a, 7)
+    assert(a.length == 8 && a(3) == 2L && a(7) == 1L)
+    val b = agg.reduce(agg.zero, 3)
+    val m = agg.merge(a, b)
+    assert(m(3) == 3L && m(7) == 1L, "merge must add counts elementwise")
+    assert(agg.merge(agg.zero, b).sameElements(b) && agg.merge(b, agg.zero).sameElements(b))
+    val empty = agg.finish(agg.zero)
+    assert(empty.length == 8 && empty.forall(_ == 0L))
+  }
+
+  test("c41 cms positions: codegen md5-slice path equals the driver mirror, occurrence semantics") {
+    val d = Seq((25L, "foo bar foo", "s")).toDF("doc_id", "text", "source")
+    val fromSpark = graft.ops.Sketches.cmsFlatPositions(d)
+      .collect().map(_._2).sorted.toSeq
+    val md = java.security.MessageDigest.getInstance("MD5")
+    // foo occurs TWICE: frequency sketches count occurrences, no dedupe
+    val fromDriver = Seq("foo", "bar", "foo")
+      .flatMap(w => graft.ops.Sketches.cmsPositions(md, w)).sorted
+    assert(fromSpark == fromDriver,
+      s"conv(substring(md5)) projection diverged from the driver mirror: $fromSpark vs $fromDriver")
+  }
+
+  test("c41 heavy hitters: exact candidate order, est==true without collisions, dense zeros") {
+    val d = Seq(
+      (30L, "apple apple apple banana banana cherry", "A"),
+      (31L, "apple banana banana banana date date date date", "B"))
+      .toDF("doc_id", "text", "source")
+    val out = graft.ops.Sketches.heavyHitters(spark, d).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getLong(3), r.getLong(4)))
+    // global: banana 5, then apple/date tied at 4 (token asc), cherry 1
+    val ranks = out.filter(_._1 == "A").sortBy(_._2).map(r => (r._2, r._3)).toSeq
+    assert(ranks == Seq((1, "banana"), (2, "apple"), (3, "date"), (4, "cherry")), ranks.toString)
+    assert(out.length == 8, "4 candidates x 2 sources, dense")
+    // 4 distinct tokens: a min-over-4-rows collision needs all four
+    // slices to collide (~1e-10) — estimates must be exact here
+    assert(out.forall(r => r._4 == r._5), s"est != true without collisions: ${out.toSeq}")
+    val bCherry = out.find(r => r._1 == "B" && r._3 == "cherry").get
+    assert(bCherry._4 == 0L && bCherry._5 == 0L, "absent candidate must report a dense zero row")
+  }
+
   test("doc repetition flags duplicate-2gram and top-word stuffing, not normal prose") {
     val d = docs(
       1L -> "the quick brown fox jumps over a lazy dog near the river bank today",

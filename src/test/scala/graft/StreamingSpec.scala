@@ -475,6 +475,52 @@ class StreamingSpec extends AnyFunSuite {
       "eval probe must be frozen from the batch registry before the stream starts")
   }
 
+  test("d15 streaming cms: last emission per source equals the batch report under any split") {
+    val dir = java.nio.file.Files.createTempDirectory("d15_multi")
+    // "tok" is the global top token and appears in EVERY file for both
+    // sources, so each source's rank-1 estimate strictly grows per
+    // trigger — the max-est rank-1 row identifies the final emission
+    val corpus: Seq[(Long, String, String)] = Seq(
+      (30L, "tok tok alpha beta", "A"),
+      (31L, "tok gamma", "B"),
+      (32L, "tok delta alpha", "A"),
+      (33L, "tok tok epsilon", "B"),
+      (34L, "tok zeta", "A"))
+    def writeF(name: String, mtime: Long, rows: Seq[(Long, String, String)]): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("d15_part")
+      rows.map { case (id, t, s) => (id, t, "en", s, t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.head
+      val dest = dir.resolve(name)
+      java.nio.file.Files.copy(part, dest)
+      java.nio.file.Files.setLastModifiedTime(dest,
+        java.nio.file.attribute.FileTime.fromMillis(mtime))
+    }
+    writeF("f1.parquet", 1000000L, corpus.take(2))
+    writeF("f2.parquet", 1010000L, corpus.slice(2, 4))
+    writeF("f3.parquet", 1020000L, corpus.drop(4))
+    val static = corpus.toDF("doc_id", "text", "source")
+    val multi = graft.streaming.StreamCms.streamingCmsFromDir(
+        spark, static, dir.toString, maxFilesPerTrigger = Some(1))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getString(5)))
+    val batch = graft.ops.Sketches.heavyHitters(spark, static).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getString(5)))
+    for (src <- Seq("A", "B")) {
+      // the emission whose rank-1 estimate is maximal is the final one;
+      // its fingerprint selects that emission's full row set
+      val finalFp = multi.filter(r => r._1 == src && r._2 == 1).maxBy(_._4)._6
+      val last = multi.filter(r => r._1 == src && r._6 == finalFp).sortBy(_._2).toSeq
+      assert(last == batch.filter(_._1 == src).sortBy(_._2).toSeq,
+        s"stream-final != batch for $src: $last")
+    }
+    assert(multi.count(r => r._1 == "A" && r._2 == 1) == 3,
+      "A's matrix grows (and must emit) every trigger")
+  }
+
   /** events-schema parquet writer for the d10 tests; ts in SECONDS
     * since epoch for readability. */
   private def writeEventsFile(
