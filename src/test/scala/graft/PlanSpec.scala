@@ -260,6 +260,29 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"), s"c37 planned a join:\n$p")
   }
 
+  test("c39/c41 sketch aggregations: map-side partial combine, one keyed exchange, no join") {
+    // bloom: the bitmap path (probe collect happens before the plan)
+    for ((name, df) <- Seq(
+        "c39" -> operators.PipelineQueries.bloomContain(spark, sf),
+        "c41" -> operators.PipelineQueries.heavyHitters(spark, sf))) {
+      val p = plan(df)
+      assert(p.contains("ObjectHashAggregate"), s"$name lost the typed aggregator:\n$p")
+      assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
+        s"$name must shuffle only per-partition sketches:\n$p")
+      assert(!p.contains("Join"), s"$name planned a join:\n$p")
+    }
+  }
+
+  test("c40 weighted sample: bounded-heap top-k, not a per-source window sort") {
+    val p = plan(operators.PipelineQueries.weightedSample(spark, sf))
+    assert(p.contains("ObjectHashAggregate"), s"c40 lost the typed top-k aggregator:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
+      s"c40 must shuffle only per-partition heaps:\n$p")
+    // the skew trap this operator exists to avoid: one window partition
+    // per source funneling the whole source through one task
+    assert(!p.contains("Window"), s"c40 planned a window sort:\n$p")
+  }
+
   test("e11/e12 plan as true semi/anti join operators (no dedup, no null-pad filter)") {
     val ps = plan(operators.Relational.semiJoin(spark, sf))
     assert(ps.contains("LeftSemi"), s"e11 lost the semi join:\n$ps")
