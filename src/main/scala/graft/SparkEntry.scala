@@ -109,6 +109,8 @@ object SparkEntry {
     "e13_cube"       -> (Relational.cubeAgg(_, _)),
     "e14_moving_agg" -> (Relational.movingAgg(_, _)),
     "e15_setops"     -> (Relational.setOps(_, _)),
+    "e16_unpivot"    -> (Relational.unpivotAgg(_, _)),
+    "e17_grouping_sets" -> (Relational.groupingSetsAgg(_, _)),
   )
 
   private val AsofSql =
@@ -274,6 +276,25 @@ object SparkEntry {
         |  WHERE o.o_custkey = c.c_custkey
         |    AND o.o_totalprice > 400000)
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "e16_unpivot" ->
+      """WITH a AS (SELECT l_returnflag, l_linestatus,
+        |  SUM(CAST(floor(l_quantity*1e6+0.5) AS BIGINT))/1e6 AS sum_qty,
+        |  SUM(CAST(floor(l_extendedprice*1e6+0.5) AS BIGINT))/1e6 AS sum_price,
+        |  SUM(CAST(floor(l_discount*1e6+0.5) AS BIGINT))/1e6 AS sum_disc,
+        |  SUM(CAST(floor(l_tax*1e6+0.5) AS BIGINT))/1e6 AS sum_tax
+        | FROM lineitem GROUP BY 1, 2)
+        |SELECT l_returnflag, l_linestatus, 'sum_qty' AS measure, sum_qty AS value FROM a
+        |UNION ALL SELECT l_returnflag, l_linestatus, 'sum_price', sum_price FROM a
+        |UNION ALL SELECT l_returnflag, l_linestatus, 'sum_disc', sum_disc FROM a
+        |UNION ALL SELECT l_returnflag, l_linestatus, 'sum_tax', sum_tax FROM a
+        |ORDER BY l_returnflag, l_linestatus, measure""".stripMargin,
+    "e17_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        | SUM(CAST(floor(l_quantity*1e6+0.5) AS BIGINT))/1e6 AS sum_qty,
+        | CAST(COUNT(*) AS BIGINT) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
     "e13_cube" ->
       """SELECT l_returnflag, l_linestatus,
         | SUM(CAST(floor(l_quantity*1e6+0.5) AS BIGINT))/1e6 AS sum_qty,

@@ -307,6 +307,52 @@ object Relational {
       .orderBy("op", "user_id")
   }
 
+  /** e16: UNPIVOT/melt — e10's inverse reshape: the wide per-group
+    * measure columns fold back into (measure, value) rows via Spark's
+    * NATIVE `Dataset.unpivot` (an `Expand` node: each input row fans
+    * out to one row per measure in-place — a narrow operator, no
+    * shuffle beyond the feeding aggregation, no union-of-scans
+    * re-reading the input once per measure, which is what the naive
+    * rewrite costs at 100 TB). Measures are micro-quantized long sums
+    * divided once at the end (the e7/e13/e14 rule), so melt order
+    * can't touch the arithmetic; the oracle is the UNION ALL
+    * formulation DuckDB evaluates over the same aggregate CTE. */
+  def unpivotAgg(spark: SparkSession, dir: String): DataFrame = {
+    def micro(c: org.apache.spark.sql.Column) =
+      sum(floor(c * lit(1e6) + lit(0.5)).cast(LongType)) / lit(1e6)
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        micro(col("l_quantity")).as("sum_qty"),
+        micro(col("l_extendedprice")).as("sum_price"),
+        micro(col("l_discount")).as("sum_disc"),
+        micro(col("l_tax")).as("sum_tax"))
+      .unpivot(
+        Array(col("l_returnflag"), col("l_linestatus")),
+        Array(col("sum_qty"), col("sum_price"), col("sum_disc"), col("sum_tax")),
+        "measure", "value")
+      .orderBy("l_returnflag", "l_linestatus", "measure")
+  }
+
+  /** e17: GROUPING SETS with an explicit non-hierarchical set list —
+    * the grouping surface rollup (prefix hierarchy, e7) and cube
+    * (every combination, e13) CANNOT express: just the two marginals
+    * ((returnflag), (linestatus)), no grand total, no pair cells.
+    * One `Expand` + one aggregation shuffle — each input row
+    * replicates once per set, so cost scales with |sets|, not 2^cols
+    * (the reason to say GROUPING SETS instead of cube + filter at
+    * 100 TB). Subtotal rows carry NULL in the off-set key, exactly as
+    * the DuckDB formulation. */
+  def groupingSetsAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        (sum(floor(col("l_quantity") * lit(1e6) + lit(0.5)).cast(LongType)) / lit(1e6)).as("sum_qty"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
   def sourceRoundtrip(spark: SparkSession, dir: String): DataFrame =
     graft.Scratch.materialize("e8_roundtrip") { tmp =>
       val docs = Tables.documents(spark, dir)

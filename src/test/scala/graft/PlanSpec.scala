@@ -293,6 +293,22 @@ class PlanSpec extends AnyFunSuite {
       "semi/anti rewritten through a dedup")
   }
 
+  test("e16 unpivot plans as one Expand over one scan (no union of per-measure rescans)") {
+    val p = plan(operators.Relational.unpivotAgg(spark, sf))
+    assert(p.contains("Expand"), s"e16 lost the native unpivot operator:\n$p")
+    assert("Scan parquet".r.findAllIn(p).length == 1,
+      s"e16 must read lineitem once, not once per measure:\n$p")
+    assert(!p.contains("Union"), s"e16 rewrote through a union of scans:\n$p")
+  }
+
+  test("e17 grouping sets plans as one Expand + one aggregation shuffle (no cube blowup)") {
+    val p = plan(operators.Relational.groupingSetsAgg(spark, sf))
+    assert(p.contains("Expand"), s"e17 lost the grouping-sets expand:\n$p")
+    assert("Scan parquet".r.findAllIn(p).length == 1,
+      s"e17 must read lineitem once, not once per set:\n$p")
+    assert(!p.contains("Union"), s"e17 rewrote through a union of aggregates:\n$p")
+  }
+
   test("e15 set operators plan as semi/anti joins (no cartesian, no generic join)") {
     val p = plan(operators.Relational.setOps(spark, sf))
     assert(p.contains("LeftSemi"), s"INTERSECT lost its semi join:\n$p")

@@ -89,4 +89,43 @@ class RelationalSpec extends AnyFunSuite {
     val total = p.collect().map(r => langs.map(l => r.getLong(r.fieldIndex(s"${l}_docs"))).sum).sum
     assert(total == docs.count())
   }
+
+  test("e16 unpivot melts exactly 4 measure rows per group, values equal the wide cells") {
+    import org.apache.spark.sql.functions._
+    val li = Tables.lineitem(spark, sf)
+    val melted = operators.Relational.unpivotAgg(spark, sf).collect()
+    val groups = li.select("l_returnflag", "l_linestatus").distinct().count()
+    assert(melted.length == 4 * groups, "one row per (group, measure)")
+    // one group, cell-for-cell against the direct aggregates
+    val (rf, ls) = (melted.head.getString(0), melted.head.getString(1))
+    val exp = li.filter(col("l_returnflag") === rf && col("l_linestatus") === ls)
+      .agg(
+        (sum(floor(col("l_quantity") * lit(1e6) + lit(0.5)).cast("long")) / lit(1e6)).as("sum_qty"),
+        (sum(floor(col("l_discount") * lit(1e6) + lit(0.5)).cast("long")) / lit(1e6)).as("sum_disc"))
+      .first()
+    val cell = melted.filter(r => r.getString(0) == rf && r.getString(1) == ls)
+      .map(r => r.getString(2) -> r.getDouble(3)).toMap
+    assert(cell.keySet == Set("sum_qty", "sum_price", "sum_disc", "sum_tax"))
+    assert(cell("sum_qty") == exp.getDouble(0) && cell("sum_disc") == exp.getDouble(1))
+  }
+
+  test("e17 grouping sets yields only the two marginals: one key NULL per row, no grand total") {
+    import org.apache.spark.sql.functions._
+    val li = Tables.lineitem(spark, sf)
+    val out = operators.Relational.groupingSetsAgg(spark, sf).collect()
+    // every row is exactly one marginal: one key set, the other NULL
+    assert(out.forall(r => r.isNullAt(0) ^ r.isNullAt(1)), "pair cells or grand total leaked in")
+    val rfRows = out.filter(!_.isNullAt(0))
+    val lsRows = out.filter(!_.isNullAt(1))
+    assert(rfRows.length == li.select("l_returnflag").distinct().count())
+    assert(lsRows.length == li.select("l_linestatus").distinct().count())
+    // a marginal row equals its direct groupBy aggregate
+    val rf = rfRows.head.getString(0)
+    val exp = li.filter(col("l_returnflag") === rf)
+      .agg(count(lit(1)).as("n")).first().getLong(0)
+    assert(rfRows.find(_.getString(0) == rf).get.getAs[Long]("n") == exp)
+    // both marginals partition the corpus: counts sum to |lineitem| twice
+    assert(rfRows.map(_.getAs[Long]("n")).sum == li.count())
+    assert(lsRows.map(_.getAs[Long]("n")).sum == li.count())
+  }
 }
