@@ -157,6 +157,31 @@ object ScaleProbe {
     val (_, tStreamKmv) = time(force(
       graft.streaming.StreamKmv.streamingKmvFromDir(spark, docsDir.toString)))
 
+    // --- c39/c41: the other two mergeable sketches over the same
+    // 8-source relabelling. The probe's docs 0..19 double as the
+    // frozen eval/candidate registries (bounded collects); the corpus
+    // passes are explode → md5 → typed agg with map-side combine, so
+    // the shuffles stay O(sources · sketch bytes) whatever nDocs is ---
+    val relabelled = docsOnDisk.withColumn(
+      "source", concat(lit("src"), (col("doc_id") % 8).cast("int")))
+    val (_, tBloom) = time(force(graft.ops.Sketches.bloomContain(spark, relabelled)))
+    val (_, tCms) = time(force(graft.ops.Sketches.heavyHitters(spark, relabelled)))
+    // d14/d15: the streaming forms over the on-disk corpus — ONE
+    // source value, the adversarial group-skew shape (every row
+    // converges on one state key), absorbed by map-side combine: only
+    // one bitmap / one matrix reaches the state store per batch
+    val (_, tStreamBloom) = time(force(
+      graft.streaming.StreamBloom.streamingBloomFromDir(
+        spark, docsOnDisk, docsDir.toString)))
+    val (_, tStreamCms) = time(force(
+      graft.streaming.StreamCms.streamingCmsFromDir(
+        spark, docsOnDisk, docsDir.toString)))
+
+    // --- c40 weighted sampling: narrow key map + bounded-heap top-k —
+    // the same one-source skew shape, absorbed because each task
+    // reduces its slice to ≤ k rows before the shuffle ---
+    val (_, tWsample) = time(force(graft.ops.CorpusOps.weightedSample(docsOnDisk)))
+
     // --- c35 BPE encode: the corpus-sized half of the tokenizer —
     // must scale like the other narrow maps (broadcast merge table,
     // memoized kernel; the 5000-token vocab keeps the memo hot) ---
@@ -304,6 +329,9 @@ object ScaleProbe {
       s""""c31_boiler_s":$tBoiler,"c32_budget_s":$tBudget,"c33_quality_s":$tQuality,""" +
       s""""c34_bpe_s":$tBpe,"c35_bpe_encode_s":$tBpeEnc,"c36_frames_s":$tFrames,""" +
       s""""c37_kmv_s":$tKmv,"d11_stream_kmv_s":$tStreamKmv,""" +
+      s""""c39_bloom_s":$tBloom,"d14_stream_bloom_s":$tStreamBloom,""" +
+      s""""c41_cms_s":$tCms,"d15_stream_cms_s":$tStreamCms,""" +
+      s""""c40_wsample_s":$tWsample,""" +
       s""""e9_asof_s":$tAsof,"d10_stream_asof_s":$tStreamAsof,""" +
       s""""d12_stream_join_s":$tStreamJoin,"d13_stream_dropdup_s":$tStreamDrop,""" +
       s""""c24_spans_s":$tSpans,"c25_bm25_s":$tBm25,"c26_hybrid_s":$tHybrid,""" +
