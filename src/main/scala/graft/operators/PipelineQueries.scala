@@ -346,14 +346,19 @@ object PipelineQueries {
        |FROM ranked WHERE rk <= ${graft.ops.Sketches.KmvK}
        |GROUP BY source ORDER BY source""".stripMargin
 
+  // the 5-token shingle list — the ONE copy shared by the c17 and
+  // c39/d14 oracles (their pre-filter/verifier contract: the Spark
+  // side shares CorpusOps.shingles the same way). Keep the [i]..[i+4]
+  // chain and the range bound (len - 3 = len - (k-2)) in sync with
+  // CorpusOps.ContamShingle.
+  private val ShingleListSql =
+    """list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 3),
+      |    i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' ||
+      |         string_split(text, ' ')[i+2] || ' ' || string_split(text, ' ')[i+3] || ' ' ||
+      |         string_split(text, ' ')[i+4]))""".stripMargin
+
   private val BloomSql =
-    // 5-token shingles: same CTE as the c17 oracle (the Spark side
-    // shares CorpusOps.shingles, the pre-filter/verifier contract)
-    s"""WITH sh AS (SELECT doc_id, source,
-       |  list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 3),
-       |    i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' ||
-       |         string_split(text, ' ')[i+2] || ' ' || string_split(text, ' ')[i+3] || ' ' ||
-       |         string_split(text, ' ')[i+4])) AS s
+    s"""WITH sh AS (SELECT doc_id, source, $ShingleListSql AS s
        | FROM documents),
        |cg AS (SELECT DISTINCT source, unnest(s) AS g FROM sh WHERE doc_id >= 20),
        |ev AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id < 20),
@@ -775,13 +780,8 @@ object PipelineQueries {
     // the hash check certifies batch/stream equivalence
     "d7_stream_gate" -> CorpusGateSql,
     "c17_contamination" ->
-      // 5-token shingles: keep the [i]..[i+4] chain and the range bound
-      // (len - 3 = len - (k-2)) in sync with CorpusOps.ContamShingle
-      """WITH sh AS (SELECT doc_id,
-        |  list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 3),
-        |    i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' ||
-        |         string_split(text, ' ')[i+2] || ' ' || string_split(text, ' ')[i+3] || ' ' ||
-        |         string_split(text, ' ')[i+4])) AS s
+      // 5-token shingles via the shared ShingleListSql fragment
+      s"""WITH sh AS (SELECT doc_id, $ShingleListSql AS s
         | FROM documents),
         |ev AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id < 20),
         |cg AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id >= 20),

@@ -96,7 +96,7 @@ object CorpusOps {
   // ---------------------------------------------------------------- c40
   /** Sample size per source for [[weightedSample]]. */
   val WeightedSampleK = 16
-  private val TwoPow60 = 1152921504606846976.0 // 2^60, exact in double
+  private def TwoPow60 = Sketches.TwoPow60 // shared 60-bit hash domain
 
   /** c40: deterministic WEIGHTED sampling without replacement — the
     * Efraimidis–Spirakis (2006) one-pass reservoir algorithm (take the

@@ -36,7 +36,9 @@ import org.apache.spark.sql.functions._
 object Sketches {
   /** Sketch size: 1024 min-values ⇒ ~3% relative error above k. */
   val KmvK = 1024
-  private val TwoPow60 = 1152921504606846976.0 // 2^60, exact in double
+  // 2^60, exact in double — the shared 60-bit md5-prefix hash domain
+  // (c37's estimator, c40's uniform draw, and their oracle SQL)
+  private[graft] val TwoPow60 = 1152921504606846976.0
 
   /** The classic KMV estimator: exact below k, (k−1)/u_(k) at k.
     * Shared by batch c37 and streaming d11 so the estimate arithmetic
@@ -174,33 +176,49 @@ object Sketches {
   val BloomBits = 65536 // 2^16 = one 16-bit md5 slice per hash, 8 KB/source
   val BloomHashes = 4
 
-  /** Bitwise-OR Bloom buffer. Zero is the empty array (so idle groups
-    * cost nothing to encode); the real 1024-long bitmap allocates on
-    * first insert. reduce/merge mutate in place — typed aggregation
-    * buffers are owned by the operator between encodes. */
-  final class BloomAgg(bits: Int) extends Aggregator[Int, Array[Long], Array[Long]] {
-    private val words = bits / 64
-    def zero: Array[Long] = Array.emptyLongArray
-    def reduce(b: Array[Long], p: Int): Array[Long] = {
+  /** Shared shape of the dense fixed-size Long-buffer sketch
+    * aggregators (c39's Bloom bitmap, c41's CMS matrix): zero is the
+    * SHARED empty array (idle groups cost nothing to encode, and it
+    * is never mutated — merge only writes when both sides are
+    * non-empty), the real buffer allocates lazily on first insert,
+    * merge combines cell-wise IN PLACE (typed aggregation buffers are
+    * owned by the operator between encodes), finish widens zero to
+    * the real buffer. Subclasses define only the buffer size, the
+    * insert, and the cell combine — the lazy-zero/in-place invariants
+    * live in one place. */
+  sealed abstract class DenseLongSketchAgg extends Aggregator[Int, Array[Long], Array[Long]] {
+    protected def words: Int
+    protected def insert(buf: Array[Long], x: Int): Unit
+    protected def combine(a: Long, b: Long): Long
+    final def zero: Array[Long] = Array.emptyLongArray
+    final def reduce(b: Array[Long], x: Int): Array[Long] = {
       val buf = if (b.length == 0) new Array[Long](words) else b
-      buf(p >>> 6) |= 1L << (p & 63)
+      insert(buf, x)
       buf
     }
-    def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    final def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
       if (a.length == 0) b
       else if (b.length == 0) a
       else {
         var i = 0
-        while (i < a.length) { a(i) |= b(i); i += 1 }
+        while (i < a.length) { a(i) = combine(a(i), b(i)); i += 1 }
         a
       }
     }
-    def finish(b: Array[Long]): Array[Long] =
+    final def finish(b: Array[Long]): Array[Long] =
       if (b.length == 0) new Array[Long](words) else b
-    def bufferEncoder: Encoder[Array[Long]] =
+    final def bufferEncoder: Encoder[Array[Long]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
-    def outputEncoder: Encoder[Array[Long]] =
+    final def outputEncoder: Encoder[Array[Long]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  }
+
+  /** Bitwise-OR Bloom bitmap buffer (8 KB at 2^16 bits). */
+  final class BloomAgg(bits: Int) extends DenseLongSketchAgg {
+    protected val words: Int = bits / 64
+    protected def insert(buf: Array[Long], p: Int): Unit =
+      buf(p >>> 6) |= 1L << (p & 63)
+    protected def combine(a: Long, b: Long): Long = a | b
   }
 
   /** The [[BloomHashes]] bit positions of one shingle: consecutive
@@ -262,6 +280,11 @@ object Sketches {
     import pairs.sparkSession.implicits._
     val agg = new BloomAgg(BloomBits)
     val evalTotal = evalProbe.length
+    // the probe is bounded (collectEvalProbe requires ≤1e6 shingles ≈
+    // up to ~16 MB) but not small: broadcast it once per executor
+    // instead of shipping it inside every task closure — and, for
+    // streaming d14, every micro-batch (the c29 eval-registry pattern)
+    val probeBc = pairs.sparkSession.sparkContext.broadcast(evalProbe)
     pairs
       .groupByKey(_._1)
       .mapValues(_._2)
@@ -282,10 +305,11 @@ object Sketches {
         }
         val fp = md.digest(sb.toString.getBytes("UTF-8"))
           .map("%02x".format(_)).mkString
+        val probe = probeBc.value
         var hits = 0
         var i = 0
-        while (i < evalProbe.length) {
-          val ps = evalProbe(i)
+        while (i < probe.length) {
+          val ps = probe(i)
           var j = 0
           var all = true
           while (all && j < ps.length) {
@@ -340,32 +364,12 @@ object Sketches {
   val CmsWidth = 1024 // counters per row; 32 KB per source at depth 4
   val HeavyK = 8      // candidate tokens in the report
 
-  /** Elementwise-add CMS buffer. Zero is the empty array (idle groups
-    * encode nothing); the real depth·width matrix allocates on first
-    * insert. Input is the FLAT index row·width+pos. */
-  final class CmsAgg(depth: Int, width: Int) extends Aggregator[Int, Array[Long], Array[Long]] {
-    private val cells = depth * width
-    def zero: Array[Long] = Array.emptyLongArray
-    def reduce(b: Array[Long], idx: Int): Array[Long] = {
-      val buf = if (b.length == 0) new Array[Long](cells) else b
-      buf(idx) += 1
-      buf
-    }
-    def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
-      if (a.length == 0) b
-      else if (b.length == 0) a
-      else {
-        var i = 0
-        while (i < a.length) { a(i) += b(i); i += 1 }
-        a
-      }
-    }
-    def finish(b: Array[Long]): Array[Long] =
-      if (b.length == 0) new Array[Long](cells) else b
-    def bufferEncoder: Encoder[Array[Long]] =
-      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
-    def outputEncoder: Encoder[Array[Long]] =
-      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  /** Elementwise-add CMS matrix buffer (32 KB at 4×1024). Input is
+    * the FLAT index row·width+pos. */
+  final class CmsAgg(depth: Int, width: Int) extends DenseLongSketchAgg {
+    protected val words: Int = depth * width
+    protected def insert(buf: Array[Long], idx: Int): Unit = buf(idx) += 1
+    protected def combine(a: Long, b: Long): Long = a + b
   }
 
   /** The [[CmsDepth]] FLAT indices of one token: i-th 16-bit
@@ -405,19 +409,27 @@ object Sketches {
     * benchmark-registry pattern). */
   def collectHeavyRegistry(
       docs: DataFrame): (Array[(String, Int)], Map[(String, String), Long]) = {
-    val occ = docs
+    // ONE corpus scan: the (source, token) counts serve both the global
+    // candidate ranking (summed over sources) and the exact per-source
+    // counts of the chosen candidates — persisted so the two bounded
+    // follow-up actions aggregate the table instead of re-exploding
+    // the corpus
+    val bySrc = docs
       .filter(col("text").isNotNull)
       .select(col("source"), explode(split(col("text"), " ")).as("w"))
       .where(col("w") =!= "")
-    val cands = occ.groupBy("w").count()
-      .orderBy(col("count").desc, col("w"))
-      .limit(HeavyK)
-      .collect().map(_.getString(0))
-      .zipWithIndex.map { case (t, i) => (t, i + 1) }
-    val trueCounts = occ.filter(col("w").isin(cands.map(_._1).toSeq: _*))
       .groupBy("source", "w").count()
-      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
-    (cands, trueCounts)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val cands = bySrc.groupBy("w").agg(sum("count").as("cnt"))
+        .orderBy(col("cnt").desc, col("w"))
+        .limit(HeavyK)
+        .collect().map(_.getString(0))
+        .zipWithIndex.map { case (t, i) => (t, i + 1) }
+      val trueCounts = bySrc.filter(col("w").isin(cands.map(_._1).toSeq: _*))
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      (cands, trueCounts)
+    } finally bySrc.unpersist(blocking = false)
   }
 
   /** (source, flat index) pairs + the frozen registry → HeavyK rows

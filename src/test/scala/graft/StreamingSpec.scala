@@ -17,13 +17,14 @@ class StreamingSpec extends AnyFunSuite {
     .getOrCreate()
   import spark.implicits._
 
-  /** Write one parquet file of documents-schema rows into `dir` with a
-    * given modification time (the file source processes oldest-first). */
-  private def writeDocsFile(
+  /** Write one parquet file of documents-schema rows — with explicit
+    * per-row sources — into `dir` with a given modification time (the
+    * file source processes oldest-first). */
+  private def writeSourcedDocsFile(
       dir: java.nio.file.Path, name: String, mtimeMs: Long,
-      rows: Seq[(Long, String)]): Unit = {
+      rows: Seq[(Long, String, String)]): Unit = {
     val tmp = java.nio.file.Files.createTempDirectory("docs_part")
-    rows.map { case (id, t) => (id, t, "en", "test", t.length.toLong) }
+    rows.map { case (id, t, s) => (id, t, "en", s, t.length.toLong) }
       .toDF("doc_id", "text", "lang", "source", "n_chars")
       .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
     val part = java.nio.file.Files.list(tmp).iterator().asScala
@@ -33,6 +34,13 @@ class StreamingSpec extends AnyFunSuite {
     java.nio.file.Files.setLastModifiedTime(dest,
       java.nio.file.attribute.FileTime.fromMillis(mtimeMs))
   }
+
+  /** The common single-source form. */
+  private def writeDocsFile(
+      dir: java.nio.file.Path, name: String, mtimeMs: Long,
+      rows: Seq[(Long, String)]): Unit =
+    writeSourcedDocsFile(dir, name, mtimeMs,
+      rows.map { case (id, t) => (id, t, "test") })
 
   test("d6 streaming near-dup matches a batch recomputation on one batch") {
     val dir = java.nio.file.Files.createTempDirectory("d6_batch_eq")
@@ -401,18 +409,8 @@ class StreamingSpec extends AnyFunSuite {
       (3L, "alpha beta gamma", "small"),
       (4L, words(2000, 4000), "big"),
       (5L, words(1000, 3000), "big")) // overlap: dedupe across triggers
-    def writeF(name: String, mtime: Long, rows: Seq[(Long, String, String)]): Unit = {
-      val tmp = java.nio.file.Files.createTempDirectory("d11_part")
-      rows.map { case (id, t, s) => (id, t, "en", s, t.length.toLong) }
-        .toDF("doc_id", "text", "lang", "source", "n_chars")
-        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val part = java.nio.file.Files.list(tmp).iterator().asScala
-        .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.head
-      val dest = dir.resolve(name)
-      java.nio.file.Files.copy(part, dest)
-      java.nio.file.Files.setLastModifiedTime(dest,
-        java.nio.file.attribute.FileTime.fromMillis(mtime))
-    }
+    def writeF(name: String, mtime: Long, rows: Seq[(Long, String, String)]): Unit =
+      writeSourcedDocsFile(dir, name, mtime, rows)
     writeF("f1.parquet", 1000000L, all.take(2))
     writeF("f2.parquet", 1010000L, all.slice(2, 4))
     writeF("f3.parquet", 1020000L, all.drop(4))
@@ -443,18 +441,8 @@ class StreamingSpec extends AnyFunSuite {
       (32L, "see alpha bravo charlie delta echo foxtrot done", "dirty"), // completes both
       (33L, "mas palabras distintas aqui para los shingles", "clean"),
       (34L, "golf hotel india juliet kilo lima mike", "dirty"))
-    def writeF(name: String, mtime: Long, rows: Seq[(Long, String, String)]): Unit = {
-      val tmp = java.nio.file.Files.createTempDirectory("d14_part")
-      rows.map { case (id, t, s) => (id, t, "en", s, t.length.toLong) }
-        .toDF("doc_id", "text", "lang", "source", "n_chars")
-        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val part = java.nio.file.Files.list(tmp).iterator().asScala
-        .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.head
-      val dest = dir.resolve(name)
-      java.nio.file.Files.copy(part, dest)
-      java.nio.file.Files.setLastModifiedTime(dest,
-        java.nio.file.attribute.FileTime.fromMillis(mtime))
-    }
+    def writeF(name: String, mtime: Long, rows: Seq[(Long, String, String)]): Unit =
+      writeSourcedDocsFile(dir, name, mtime, rows)
     // one dirty doc per trigger: its bitmap grows every time
     writeF("f1.parquet", 1000000L, corpus.take(2))
     writeF("f2.parquet", 1010000L, corpus.slice(2, 4))
@@ -486,18 +474,8 @@ class StreamingSpec extends AnyFunSuite {
       (32L, "tok delta alpha", "A"),
       (33L, "tok tok epsilon", "B"),
       (34L, "tok zeta", "A"))
-    def writeF(name: String, mtime: Long, rows: Seq[(Long, String, String)]): Unit = {
-      val tmp = java.nio.file.Files.createTempDirectory("d15_part")
-      rows.map { case (id, t, s) => (id, t, "en", s, t.length.toLong) }
-        .toDF("doc_id", "text", "lang", "source", "n_chars")
-        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val part = java.nio.file.Files.list(tmp).iterator().asScala
-        .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.head
-      val dest = dir.resolve(name)
-      java.nio.file.Files.copy(part, dest)
-      java.nio.file.Files.setLastModifiedTime(dest,
-        java.nio.file.attribute.FileTime.fromMillis(mtime))
-    }
+    def writeF(name: String, mtime: Long, rows: Seq[(Long, String, String)]): Unit =
+      writeSourcedDocsFile(dir, name, mtime, rows)
     writeF("f1.parquet", 1000000L, corpus.take(2))
     writeF("f2.parquet", 1010000L, corpus.slice(2, 4))
     writeF("f3.parquet", 1020000L, corpus.drop(4))
