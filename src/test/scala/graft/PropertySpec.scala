@@ -137,6 +137,65 @@ class PropertySpec extends AnyFunSuite {
     assert((hc._2, hc._3) != (hd._2, hd._3))
   }
 
+  test("bloom/cms aggregators: any partitioning of the insert stream folds to the same buffer") {
+    // the invariant the d14/d15 batch≡stream claims rest on: reduce is
+    // a fold whose merge is exactly "fold of the concatenation", for
+    // any split point and any insert order within the halves
+    val posGen = Gen.listOf(Gen.chooseNum(0, 127))
+    forAll2(posGen, Gen.chooseNum(0, 1000)) { (ps, cutRaw) =>
+      val aggs = Seq[graft.ops.Sketches.DenseLongSketchAgg](
+        new graft.ops.Sketches.BloomAgg(128),
+        new graft.ops.Sketches.CmsAgg(2, 64))
+      val cut = if (ps.isEmpty) 0 else cutRaw % (ps.length + 1)
+      val (l, r) = ps.splitAt(cut)
+      for (agg <- aggs) {
+        def fold(xs: Seq[Int]) = xs.foldLeft(agg.zero)(agg.reduce)
+        val whole = agg.finish(fold(ps))
+        val split = agg.finish(agg.merge(fold(l), fold(r)))
+        assert(whole.sameElements(split), s"split at $cut diverged for $agg")
+      }
+      // CMS conservation: every insert adds exactly one count
+      val cms = new graft.ops.Sketches.CmsAgg(2, 64)
+      assert(cms.finish(ps.foldLeft(cms.zero)(cms.reduce)).sum == ps.length.toLong)
+      // Bloom idempotence: re-inserting the stream changes nothing
+      val bl = new graft.ops.Sketches.BloomAgg(128)
+      def bfold(xs: Seq[Int]) = xs.foldLeft(bl.zero)(bl.reduce)
+      assert(bl.finish(bfold(ps ++ ps)).sameElements(bl.finish(bfold(ps))))
+    }
+  }
+
+  test("bloom/cms positions: in range, row-partitioned, deterministic on arbitrary strings") {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    forAll(Gen.asciiPrintableStr) { s =>
+      val bp = graft.ops.Sketches.bloomPositions(md, s)
+      assert(bp.length == graft.ops.Sketches.BloomHashes)
+      assert(bp.forall(p => p >= 0 && p < graft.ops.Sketches.BloomBits))
+      val cp = graft.ops.Sketches.cmsPositions(md, s)
+      assert(cp.length == graft.ops.Sketches.CmsDepth)
+      cp.zipWithIndex.foreach { case (p, i) =>
+        val w = graft.ops.Sketches.CmsWidth
+        assert(p >= i * w && p < (i + 1) * w, "flat index must land in its own row")
+      }
+      assert(bp.sameElements(graft.ops.Sketches.bloomPositions(md, s)))
+      assert(cp.sameElements(graft.ops.Sketches.cmsPositions(md, s)))
+    }
+  }
+
+  test("topk-by-key aggregator: any split merges to the global sorted top-k") {
+    val rowGen = Gen.listOf(Gen.zip(Gen.chooseNum(0L, 30L), Gen.chooseNum(-5.0, 0.0)))
+    forAll2(rowGen, Gen.chooseNum(0, 1000)) { (rows0, cutRaw) =>
+      val rows = rows0.map { case (id, k) => (id, 1, k) }
+      val agg = new graft.ops.CorpusOps.TopKByKeyAgg(4)
+      def fold(xs: Seq[(Long, Int, Double)]) = xs.foldLeft(agg.zero)(agg.reduce)
+      val cut = if (rows.isEmpty) 0 else cutRaw % (rows.length + 1)
+      val (l, r) = rows.splitAt(cut)
+      val merged = agg.merge(fold(l), fold(r)).toSeq
+      val expected = rows.map { case (id, w, k) => (k, id, w) }
+        .sortBy { case (k, id, _) => (-k, id) }.take(4)
+      assert(merged == expected, s"split at $cut: $merged vs $expected")
+    }
+  }
+
   test("repetition kernel matches a naive recomputation on arbitrary docs") {
     forAll(tokGen, n = 300) { toks =>
       val text = toks.mkString(" ")
