@@ -92,6 +92,7 @@ object SparkEntry {
     "d11_stream_kmv" -> (PipelineQueries.streamingKmv(_, _)),
     "d14_stream_bloom" -> (PipelineQueries.streamingBloom(_, _)),
     "d15_stream_cms" -> (PipelineQueries.streamingCms(_, _)),
+    "d16_stream_sample" -> (PipelineQueries.streamingSample(_, _)),
     "d12_stream_join" -> (PipelineQueries.streamingIntervalJoin(_, _)),
     "d13_stream_dropdup" -> (PipelineQueries.streamingDropDup(_, _)),
     "e1_q1_agg"      -> (Relational.q1Agg(_, _)),
@@ -111,6 +112,7 @@ object SparkEntry {
     "e15_setops"     -> (Relational.setOps(_, _)),
     "e16_unpivot"    -> (Relational.unpivotAgg(_, _)),
     "e17_grouping_sets" -> (Relational.groupingSetsAgg(_, _)),
+    "e18_range_join" -> (Relational.rangeJoin(_, _)),
   )
 
   private val AsofSql =
@@ -232,6 +234,10 @@ object SparkEntry {
     "e9_asof_join" -> AsofSql,
     "d10_stream_asof" -> AsofSql,
     "d12_stream_join" -> StreamJoinSql,
+    // e18 is d12's batch twin: same semantics, same oracle — the hash
+    // check certifies the batch equi+residual plan and the streaming
+    // symmetric hash join against the same formulation
+    "e18_range_join" -> StreamJoinSql,
     // dedup over a key set is a pure function of which keys exist, so
     // the native streaming dedup matches batch DISTINCT under any
     // trigger slicing

@@ -225,6 +225,9 @@ object PipelineQueries {
   def streamingCms(spark: SparkSession, dir: String): DataFrame =
     graft.streaming.StreamCms.streamingCms(spark, dir)
 
+  def streamingSample(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamSample.streamingSample(spark, dir)
+
   def streamingIntervalJoin(spark: SparkSession, dir: String): DataFrame =
     graft.streaming.StreamJoin.streamingIntervalJoin(spark, dir)
 
@@ -414,6 +417,25 @@ object PipelineQueries {
        |LEFT JOIN tru t ON t.source = e.source AND t.token = e.token
        |ORDER BY e.source, hh_rank""".stripMargin
 
+  // mirrors CorpusOps.weightedSample: Efraimidis–Spirakis keys with
+  // the ln micro-quantized BEFORE the weight division (the lone
+  // transcendental; the division itself is one correctly-rounded
+  // IEEE op, so both engines order identical doubles). Shared by
+  // batch c40 and streaming d16.
+  private val WeightedSampleSql =
+    s"""WITH t AS (SELECT source, doc_id,
+       |  CAST(len(string_split(text, ' ')) AS INT) AS w,
+       |  CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+       | FROM documents WHERE text IS NOT NULL),
+       |k AS (SELECT source, doc_id, w,
+       |  CAST(floor(ln((CAST(h AS DOUBLE) + 0.5) / 1152921504606846976.0) * 1000000)
+       |    AS DOUBLE) / w AS key FROM t),
+       |r AS (SELECT source, doc_id, w,
+       |  row_number() OVER (PARTITION BY source ORDER BY key DESC, doc_id) AS rk FROM k)
+       |SELECT source, CAST(rk AS INT) AS smp_rank, doc_id, w AS n_tokens
+       |FROM r WHERE rk <= ${graft.ops.CorpusOps.WeightedSampleK}
+       |ORDER BY source, smp_rank""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "c29_embed_contam" -> EmbedContamSql,
     "d9_stream_contam" -> EmbedContamSql,
@@ -442,23 +464,11 @@ object PipelineQueries {
     // so d15's streaming form shares the oracle.
     "c41_heavy_hitters" -> CmsSql,
     "d15_stream_cms" -> CmsSql,
-    // mirrors CorpusOps.weightedSample: Efraimidis–Spirakis keys with
-    // the ln micro-quantized BEFORE the weight division (the lone
-    // transcendental; the division itself is one correctly-rounded
-    // IEEE op, so both engines order identical doubles)
-    "c40_weighted_sample" ->
-      s"""WITH t AS (SELECT source, doc_id,
-         |  CAST(len(string_split(text, ' ')) AS INT) AS w,
-         |  CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
-         | FROM documents WHERE text IS NOT NULL),
-         |k AS (SELECT source, doc_id, w,
-         |  CAST(floor(ln((CAST(h AS DOUBLE) + 0.5) / 1152921504606846976.0) * 1000000)
-         |    AS DOUBLE) / w AS key FROM t),
-         |r AS (SELECT source, doc_id, w,
-         |  row_number() OVER (PARTITION BY source ORDER BY key DESC, doc_id) AS rk FROM k)
-         |SELECT source, CAST(rk AS INT) AS smp_rank, doc_id, w AS n_tokens
-         |FROM r WHERE rk <= ${graft.ops.CorpusOps.WeightedSampleK}
-         |ORDER BY source, smp_rank""".stripMargin,
+    // d16 shares c40's oracle: the E-S key is a deterministic pure
+    // function of doc_id and top-k-by-key is an order-independent
+    // fold, so the stream's final sample equals the batch sample
+    "d16_stream_sample" -> WeightedSampleSql,
+    "c40_weighted_sample" -> WeightedSampleSql,
     // c16's gate CTE + c18's profile, composed verbatim: a hash match
     // certifies the stages compose exactly
     "c38_pipeline_profile" ->

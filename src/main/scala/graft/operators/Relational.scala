@@ -307,6 +307,37 @@ object Relational {
       .orderBy("op", "user_id")
   }
 
+  /** e18: batch INTERVAL/RANGE join — d12's attribution fan-out
+    * (every purchase × the user's clicks in the preceding 12 h) as a
+    * batch operator, sharing d12's oracle verbatim: the twin
+    * certification in the other direction (d10 certifies a streaming
+    * op against batch e9's oracle; e18 certifies the batch plan
+    * against the oracle the streaming join hash-matches). The
+    * scale-correct plan for a KEYED range join is an EQUI join on the
+    * key with the time range as a join residual — one co-partitioned
+    * shuffle pair, per-user fan-out bounded by the window — never the
+    * cartesian / broadcast-nested-loop a pure range predicate would
+    * plan (PlanSpec pins the equi form). */
+  def rangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts").as("p_ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_event_id"),
+        col("user_id").as("c_user"), col("ts").as("c_ts"))
+    purchases.join(clicks,
+        col("user_id") === col("c_user") &&
+        col("c_ts") <= col("p_ts") &&
+        col("c_ts") >= col("p_ts") -
+          expr(s"INTERVAL ${graft.streaming.StreamJoin.WindowHours} HOURS"))
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("p_ts")).as("purchase_us"),
+        col("click_event_id"),
+        unix_micros(col("c_ts")).as("click_us"),
+        (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("gap_us"))
+      .orderBy("event_id", "click_event_id")
+  }
+
   /** e16: UNPIVOT/melt — e10's inverse reshape: the wide per-group
     * measure columns fold back into (measure, value) rows via Spark's
     * NATIVE `Dataset.unpivot` (an `Expand` node: each input row fans

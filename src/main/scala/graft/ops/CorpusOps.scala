@@ -163,13 +163,14 @@ object CorpusOps {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[(Double, Long, Int)]]()
   }
 
-  /** c40 query: per-source token-weighted sample of k docs. */
-  def weightedSample(docs: DataFrame, k: Int = WeightedSampleK): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    // all codegen up to the aggregation: w = token count, h = 60-bit
-    // md5 prefix of the doc id, key = floor(ln(u)·1e6)/w
-    val keyed = docs.filter(col("text").isNotNull)
+  /** Docs → (source, doc_id, w, E-S key) — all codegen: w = token
+    * count, h = 60-bit md5 prefix of the doc id, key =
+    * floor(ln(u)·1e6)/w. SHARED by batch c40 and streaming d16 (their
+    * oracle equivalence depends on byte-identical key derivation). */
+  def weightedKeyed(
+      docs: DataFrame): org.apache.spark.sql.Dataset[(String, Long, Int, Double)] = {
+    import docs.sparkSession.implicits._
+    docs.filter(col("text").isNotNull)
       .select(col("source"), col("doc_id").cast(LongType).as("doc_id"),
         size(split(col("text"), " ")).as("w"),
         conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
@@ -177,8 +178,19 @@ object CorpusOps {
       .select(col("source"), col("doc_id"), col("w"),
         (floor(log((col("h").cast("double") + lit(0.5)) / lit(TwoPow60)) * lit(1e6))
           .cast("double") / col("w")).as("key"))
+      .as[(String, Long, Int, Double)]
+  }
+
+  /** Keyed rows → the per-source bounded-heap top-k sample. Shared by
+    * batch c40 and streaming d16 (top-k of a deterministic key is a
+    * fold closed under merge — order-independent, so the stream's
+    * sample after any prefix equals the batch sample of rows seen). */
+  def sampleBySource(
+      keyed: org.apache.spark.sql.Dataset[(String, Long, Int, Double)],
+      k: Int = WeightedSampleK): DataFrame = {
+    import keyed.sparkSession.implicits._
     val agg = new TopKByKeyAgg(k)
-    keyed.as[(String, Long, Int, Double)]
+    keyed
       .groupByKey(_._1)
       .mapValues(t => (t._2, t._3, t._4))
       .agg(agg.toColumn.name("top"))
@@ -187,6 +199,10 @@ object CorpusOps {
       }
       .toDF("source", "smp_rank", "doc_id", "n_tokens")
   }
+
+  /** c40 query: per-source token-weighted sample of k docs. */
+  def weightedSample(docs: DataFrame, k: Int = WeightedSampleK): DataFrame =
+    sampleBySource(weightedKeyed(docs), k)
 
   // ---------------------------------------------------------------- c15
   /** Token budget per packed training chunk. */

@@ -309,6 +309,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Union"), s"e17 rewrote through a union of aggregates:\n$p")
   }
 
+  test("e18 range join plans as a keyed equi join with the time range as residual") {
+    val p = plan(operators.Relational.rangeJoin(spark, sf))
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+        || p.contains("BroadcastHashJoin"),
+      s"e18 lost the equi join on user_id:\n$p")
+    // what a pure range predicate would degenerate to at 100 TB
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("Cartesian"),
+      s"e18 planned an unkeyed range join:\n$p")
+  }
+
   test("e15 set operators plan as semi/anti joins (no cartesian, no generic join)") {
     val p = plan(operators.Relational.setOps(spark, sf))
     assert(p.contains("LeftSemi"), s"INTERSECT lost its semi join:\n$p")

@@ -499,6 +499,41 @@ class StreamingSpec extends AnyFunSuite {
       "A's matrix grows (and must emit) every trigger")
   }
 
+  test("d16 streaming sample: reservoir grows per trigger, final sample equals batch") {
+    val dir = java.nio.file.Files.createTempDirectory("d16_multi")
+    // every source holds fewer than k docs, so the sample is the whole
+    // source ordered by E-S key and GROWS on every trigger that
+    // carries the source — emission counts are then deterministic
+    val f1 = Seq((30L, "a a a a", "A"), (31L, "b b", "A"), (40L, "c c c", "B"), (41L, "d", "B"))
+    val f2 = Seq((32L, "e e e e e", "A"), (33L, "f", "A"))
+    val f3 = Seq((34L, "g g", "A"))
+    writeSourcedDocsFile(dir, "f1.parquet", 1000000L, f1)
+    writeSourcedDocsFile(dir, "f2.parquet", 1010000L, f2)
+    writeSourcedDocsFile(dir, "f3.parquet", 1020000L, f3)
+    val multi = graft.streaming.StreamSample.streamingSampleFromDir(
+        spark, dir.toString, maxFilesPerTrigger = Some(1))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getInt(3)))
+    val batch = graft.ops.CorpusOps.weightedSample(
+        (f1 ++ f2 ++ f3).toDF("doc_id", "text", "source"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getInt(3)))
+    // A re-emits its full (grown) sample on all three triggers: 2+4+5
+    // rows; B appears only in trigger 1: 2 rows
+    assert(multi.count(_._1 == "A") == 11, s"A emissions: ${multi.filter(_._1 == "A").toSeq}")
+    assert(multi.count(_._1 == "B") == 2)
+    // the final emission IS the batch sample: every batch row appears
+    // in the emitted multiset, and the largest per-source emission has
+    // exactly the batch rows
+    val emitted = multi.toSet
+    assert(batch.forall(emitted.contains), s"batch rows missing from stream: ${batch.toSeq}")
+    for (src <- Seq("A", "B")) {
+      val bs = batch.filter(_._1 == src).toSet
+      // rows of the final emission = rows whose rank appears with the
+      // final (largest) doc set; since samples only grow, the batch
+      // row set is the unique maximal consistent emission
+      assert(bs.subsetOf(emitted))
+    }
+  }
+
   /** events-schema parquet writer for the d10 tests; ts in SECONDS
     * since epoch for readability. */
   private def writeEventsFile(
