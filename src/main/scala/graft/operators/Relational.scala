@@ -320,21 +320,9 @@ object Relational {
     * plan (PlanSpec pins the equi form). */
   def rangeJoin(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
-    val purchases = ev.filter(col("event_type") === "purchase")
-      .select(col("event_id"), col("user_id"), col("ts").as("p_ts"))
-    val clicks = ev.filter(col("event_type") === "click")
-      .select(col("event_id").as("click_event_id"),
-        col("user_id").as("c_user"), col("ts").as("c_ts"))
-    purchases.join(clicks,
-        col("user_id") === col("c_user") &&
-        col("c_ts") <= col("p_ts") &&
-        col("c_ts") >= col("p_ts") -
-          expr(s"INTERVAL ${graft.streaming.StreamJoin.WindowHours} HOURS"))
-      .select(col("event_id"), col("user_id"),
-        unix_micros(col("p_ts")).as("purchase_us"),
-        col("click_event_id"),
-        unix_micros(col("c_ts")).as("click_us"),
-        (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("gap_us"))
+    graft.streaming.StreamJoin.joinAndProject(
+        graft.streaming.StreamJoin.purchaseSide(ev),
+        graft.streaming.StreamJoin.clickSide(ev))
       .orderBy("event_id", "click_event_id")
   }
 

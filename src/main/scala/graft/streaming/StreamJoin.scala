@@ -37,6 +37,34 @@ object StreamJoin {
   /** Attribution window: clicks this far before the purchase count. */
   val WindowHours = 12L
 
+  /** The purchase side: (event_id, user_id, p_ts). SHARED by
+    * streaming d12 and batch e18 — their "same semantics, same
+    * oracle" twin claim depends on one copy of the column prep. */
+  private[graft] def purchaseSide(ev: DataFrame): DataFrame =
+    ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts").as("p_ts"))
+
+  /** The click side: (click_event_id, c_user, c_ts). */
+  private[graft] def clickSide(ev: DataFrame): DataFrame =
+    ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_event_id"),
+        col("user_id").as("c_user"), col("ts").as("c_ts"))
+
+  /** The attribution join + projection — ONE copy of the equi+range
+    * predicate (user match, c_ts ∈ [p_ts − WindowHours, p_ts], both
+    * bounds inclusive) and the micros projection, shared by d12's
+    * streaming symmetric hash join and e18's batch equi join. */
+  private[graft] def joinAndProject(purchases: DataFrame, clicks: DataFrame): DataFrame =
+    purchases.join(clicks,
+        col("user_id") === col("c_user") &&
+        col("c_ts") <= col("p_ts") &&
+        col("c_ts") >= col("p_ts") - expr(s"INTERVAL $WindowHours HOURS"))
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("p_ts")).as("purchase_us"),
+        col("click_event_id"),
+        unix_micros(col("c_ts")).as("click_us"),
+        (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("gap_us"))
+
   /** d12 entry: stream the events table of `dir` on both sides. */
   def streamingIntervalJoin(spark: SparkSession, dir: String): DataFrame = {
     Tables.enableNanosAsLong(spark)
@@ -57,27 +85,10 @@ object StreamJoin {
       Tables.nanosToTimestamp(maxFilesPerTrigger.fold(reader)(n =>
         reader.option("maxFilesPerTrigger", n)).parquet(srcDir))
     }
-    val purchases = side()
-      .filter(col("event_type") === "purchase")
-      .select(col("event_id"), col("user_id"), col("ts").as("p_ts"))
-      .withWatermark("p_ts", watermarkDelay)
-    val clicks = side()
-      .filter(col("event_type") === "click")
-      .select(col("event_id").as("click_event_id"),
-        col("user_id").as("c_user"), col("ts").as("c_ts"))
-      .withWatermark("c_ts", watermarkDelay)
+    val purchases = purchaseSide(side()).withWatermark("p_ts", watermarkDelay)
+    val clicks = clickSide(side()).withWatermark("c_ts", watermarkDelay)
 
-    val joined = purchases.join(clicks,
-        col("user_id") === col("c_user") &&
-        col("c_ts") <= col("p_ts") &&
-        col("c_ts") >= col("p_ts") - expr(s"INTERVAL $WindowHours HOURS"))
-      .select(col("event_id"), col("user_id"),
-        unix_micros(col("p_ts")).as("purchase_us"),
-        col("click_event_id"),
-        unix_micros(col("c_ts")).as("click_us"),
-        (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("gap_us"))
-
-    EventOps.drainToTable(joined, "append")
+    EventOps.drainToTable(joinAndProject(purchases, clicks), "append")
       .orderBy("event_id", "click_event_id")
   }
 }

@@ -513,25 +513,23 @@ class StreamingSpec extends AnyFunSuite {
     val multi = graft.streaming.StreamSample.streamingSampleFromDir(
         spark, dir.toString, maxFilesPerTrigger = Some(1))
       .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getInt(3)))
-    val batch = graft.ops.CorpusOps.weightedSample(
-        (f1 ++ f2 ++ f3).toDF("doc_id", "text", "source"))
-      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getInt(3)))
-    // A re-emits its full (grown) sample on all three triggers: 2+4+5
-    // rows; B appears only in trigger 1: 2 rows
-    assert(multi.count(_._1 == "A") == 11, s"A emissions: ${multi.filter(_._1 == "A").toSeq}")
-    assert(multi.count(_._1 == "B") == 2)
-    // the final emission IS the batch sample: every batch row appears
-    // in the emitted multiset, and the largest per-source emission has
-    // exactly the batch rows
-    val emitted = multi.toSet
-    assert(batch.forall(emitted.contains), s"batch rows missing from stream: ${batch.toSeq}")
-    for (src <- Seq("A", "B")) {
-      val bs = batch.filter(_._1 == src).toSet
-      // rows of the final emission = rows whose rank appears with the
-      // final (largest) doc set; since samples only grow, the batch
-      // row set is the unique maximal consistent emission
-      assert(bs.subsetOf(emitted))
-    }
+    // the strongest form of the stream≡batch claim: the emitted
+    // MULTISET is exactly the per-prefix batch samples — trigger t
+    // re-emits each changed source's sample, which must equal the
+    // batch sample of everything seen through t (B is unchanged after
+    // f1, so only its f1-prefix sample is emitted)
+    def batchOf(rows: Seq[(Long, String, String)]) =
+      graft.ops.CorpusOps.weightedSample(rows.toDF("doc_id", "text", "source"))
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getInt(3)))
+    val expected = batchOf(f1) ++
+      batchOf(f1 ++ f2).filter(_._1 == "A") ++
+      batchOf(f1 ++ f2 ++ f3).filter(_._1 == "A")
+    val ord = (t: (String, Int, Long, Int)) => (t._1, t._2, t._3)
+    assert(multi.sortBy(ord).toSeq == expected.sortBy(ord).toSeq,
+      s"emitted multiset != per-prefix batch samples:\n${multi.sortBy(ord).toSeq}\n" +
+        s"vs\n${expected.sortBy(ord).toSeq}")
+    // growth pattern: A re-emits on all three triggers (2+4+5 rows)
+    assert(multi.count(_._1 == "A") == 11 && multi.count(_._1 == "B") == 2)
   }
 
   /** events-schema parquet writer for the d10 tests; ts in SECONDS
