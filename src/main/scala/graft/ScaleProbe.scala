@@ -181,6 +181,10 @@ object ScaleProbe {
     // the same one-source skew shape, absorbed because each task
     // reduces its slice to ≤ k rows before the shuffle ---
     val (_, tWsample) = time(force(graft.ops.CorpusOps.weightedSample(docsOnDisk)))
+    // d16: the live reservoir over the same one-source corpus — the
+    // state store holds k rows per source, never the batch
+    val (_, tStreamSample) = time(force(
+      graft.streaming.StreamSample.streamingSampleFromDir(spark, docsDir.toString)))
 
     // --- c35 BPE encode: the corpus-sized half of the tokenizer —
     // must scale like the other narrow maps (broadcast merge table,
@@ -226,6 +230,13 @@ object ScaleProbe {
     val (_, tStreamDrop) = time(force(
       graft.streaming.StreamDropDup.streamingDropDupFromDir(spark,
         eventsDir.toString, eventsOnDisk.schema)))
+    // e18: the same attribution join as a BATCH equi+residual plan —
+    // the cost of the operator class without d12's per-batch state
+    // store commits, on identical data
+    val (_, tRangeJoin) = time(force(
+      graft.streaming.StreamJoin.joinAndProject(
+        graft.streaming.StreamJoin.purchaseSide(eventsOnDisk),
+        graft.streaming.StreamJoin.clickSide(eventsOnDisk))))
 
     // --- c24 substring-span dedup: ~33 windows/doc explode to
     // 128-bit span keys; the 10% planted near-dups share two long
@@ -331,7 +342,8 @@ object ScaleProbe {
       s""""c37_kmv_s":$tKmv,"d11_stream_kmv_s":$tStreamKmv,""" +
       s""""c39_bloom_s":$tBloom,"d14_stream_bloom_s":$tStreamBloom,""" +
       s""""c41_cms_s":$tCms,"d15_stream_cms_s":$tStreamCms,""" +
-      s""""c40_wsample_s":$tWsample,""" +
+      s""""c40_wsample_s":$tWsample,"d16_stream_sample_s":$tStreamSample,""" +
+      s""""e18_range_join_s":$tRangeJoin,""" +
       s""""e9_asof_s":$tAsof,"d10_stream_asof_s":$tStreamAsof,""" +
       s""""d12_stream_join_s":$tStreamJoin,"d13_stream_dropdup_s":$tStreamDrop,""" +
       s""""c24_spans_s":$tSpans,"c25_bm25_s":$tBm25,"c26_hybrid_s":$tHybrid,""" +
