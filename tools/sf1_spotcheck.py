@@ -20,7 +20,7 @@ the section from the json on a full regeneration).
 
 Usage:
   python3 tools/make_sf1.py                     # build /tmp/sf1 once
-  SPARK_GRAFT_BENCH_ONLY=e1_q1_agg,e3_q5_multijoin,c17_contamination,d1_sessionize,c24_substring_dedup,c25_bm25_search,c27_lm_perplexity,c28_dsir_weight,c31_boilerplate,c32_budget_select \
+  SPARK_GRAFT_BENCH_ONLY=e1_q1_agg,e3_q5_multijoin,c17_contamination,d1_sessionize,c24_substring_dedup,c25_bm25_search,c27_lm_perplexity,c28_dsir_weight,c31_boilerplate,c32_budget_select,c39_bloom_contain,c41_heavy_hitters \
     SPARK_GRAFT_SF_DIR=/tmp/sf1 sbt "runMain graft.Bench" | grep '"metric"' > /tmp/sf1_bench.json
   python3 tools/sf1_spotcheck.py <oracle_sql.json> [/tmp/sf1] [/tmp/sf1_bench.json]
 """
@@ -28,7 +28,8 @@ import duckdb, glob, json, os, sys, time
 
 QUERIES = ["e1_q1_agg", "e3_q5_multijoin", "c17_contamination", "d1_sessionize",
            "c24_substring_dedup", "c25_bm25_search", "c27_lm_perplexity",
-           "c28_dsir_weight", "c31_boilerplate", "c32_budget_select"]
+           "c28_dsir_weight", "c31_boilerplate", "c32_budget_select",
+           "c39_bloom_contain", "c41_heavy_hitters"]
 RUNS = 3
 BEGIN = "<!-- sf1-spotcheck:begin -->"
 END = "<!-- sf1-spotcheck:end -->"
@@ -72,7 +73,7 @@ def sf1_section(spot):
              "",
              "At sf0.1 most oracle queries finish in DuckDB in <50 ms — the",
              "per-query ratios above measure Spark's per-job fixed cost, not",
-             "plan cost. This section re-times eight representative queries on",
+             "plan cost. This section re-times twelve representative queries on",
              f"10x-replicated tables (`tools/make_sf1.py`, ~sf1: "
              f"{spot.get('lineitem_rows', '~6M')} lineitem rows), where the",
              "data is large enough for the plans themselves to dominate.",
