@@ -206,7 +206,7 @@ object ScaleProbe {
     val events = spark.range(nEvents).select(
       col("id").as("event_id"),
       timestamp_seconds(lit(1000000L) + (col("id") * 7919) % 2592000).as("ts"),
-      pmod(xxhash64(col("id")), lit(nEvents / 50)).as("user_id"),
+      pmod(xxhash64(col("id")), lit(math.max(1L, nEvents / 50))).as("user_id"),
       when(col("id") % 3 === 0, "purchase").otherwise("click").as("event_type"),
       (col("id") % 100).cast("double").as("value"),
       lit("{}").as("props"))

@@ -116,6 +116,16 @@ object CorpusOps {
     * correctly-rounded IEEE op, so both engines order by bit-identical
     * doubles; ties (same quantized key) break by doc_id.
     *
+    * Residual boundary risk (accepted): quantization shrinks but does
+    * not eliminate the window where the JVM's and DuckDB's ln disagree
+    * by 1 ulp EXACTLY when ln(u)·1e6 lands on an integer boundary —
+    * floor would then flip the key by one micro and could swap a
+    * sample-set member across engines. Both ln implementations are
+    * correctly-rounded-or-±1ulp, so the exposure is ~2^-52-scale per
+    * doc; if a c40/d16 hash mismatch ever appears with identical row
+    * counts, diff the quantized keys first — this boundary is the
+    * expected culprit.
+    *
     * Scale shape: the corpus side is a NARROW map (md5 → ln → divide);
     * the per-source top-k runs in a typed bounded-heap [[Aggregator]]
     * with MAP-SIDE partial combine — each task reduces its slice to

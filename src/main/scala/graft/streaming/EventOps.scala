@@ -96,7 +96,18 @@ object EventOps {
   }
 
   /** Drain a streaming DataFrame synchronously into a uniquely-named
-    * memory table and return it as a batch DataFrame. */
+    * memory table and return it as a batch DataFrame.
+    *
+    * CONTRACT for `mode = "update"`: the memory sink APPENDS one row
+    * per (key, trigger) — the returned table equals the final state
+    * only under a single-trigger drain (the AvailableNow single-file
+    * default of every production query here). A caller that forces
+    * multiple triggers (maxFilesPerTrigger) receives a MULTISET with
+    * one row per key per emitting batch and must itself keep the last
+    * emission per key (StreamingSpec's multi-trigger assertions do
+    * exactly that). "append" and "complete" modes have no such
+    * caveat: append emits each result row once, complete rewrites the
+    * table every trigger. */
   private[streaming] def drainToTable(df: DataFrame, mode: String): DataFrame = {
     val name = s"graft_sink_${runId.incrementAndGet()}"
     val q = df.writeStream

@@ -91,8 +91,12 @@ object StreamAsof {
             batch.foreach { case (_, tag, eventId, _, tsUs, value) =>
               if (tag == 0) {
                 // batch clicks arrive ts-ascending, but a prior-state
-                // click can be newer: insert in order
-                val at = clicks.lastIndexWhere(_._1 <= tsUs) + 1
+                // click can be newer: insert in (ts, event_id) order —
+                // among equal-ts clicks the e9 total order picks the
+                // max event_id as "latest", so cross-batch arrival of a
+                // tied click must slot by event_id, not arrival
+                val at = clicks.lastIndexWhere(c =>
+                  c._1 < tsUs || (c._1 == tsUs && c._2 <= eventId)) + 1
                 clicks.insert(at, (tsUs, eventId, value))
               } else {
                 clicks.lastIndexWhere(_._1 <= tsUs) match {
