@@ -225,6 +225,43 @@ object ScaleProbe {
     val (_, tStreamJoin) = time(force(
       graft.streaming.StreamJoin.streamingIntervalJoinFromDir(spark,
         eventsDir.toString, eventsOnDisk.schema)))
+    // d12 LIVE MODE: the same join driven through many triggers with
+    // an ADVANCING watermark — the production regime. The events are
+    // rewritten time-ordered into window-sized files (one trigger
+    // each); with input spanning ~7+ attribution windows, eviction
+    // must hold max state rows to a small multiple of one window's
+    // events, not the table (the single-batch arm above IS the
+    // no-eviction ceiling: 2·nEvents rows buffered).
+    val d12LiveDir = tempDir("probe_events_live")
+    val winUs = graft.streaming.StreamJoin.WindowHours * 3600L
+    val nLiveFiles = 8
+    // ts spans [1000000, 1000000+2592000); slice into window-width files
+    val liveFiles = (0 until nLiveFiles).map { f =>
+      val lo = 1000000L + f * (2592000L / nLiveFiles)
+      val hi = 1000000L + (f + 1) * (2592000L / nLiveFiles)
+      events.filter(unix_seconds(col("ts")) >= lo && unix_seconds(col("ts")) < hi)
+    }
+    liveFiles.zipWithIndex.foreach { case (df, f) =>
+      val sub = java.nio.file.Paths.get(d12LiveDir.toString, f"f$f%02d.parquet")
+      val tmp = tempDir(s"probe_live_part_$f")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      import scala.jdk.CollectionConverters._
+      val part = java.nio.file.Files.list(tmp).iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.head
+      java.nio.file.Files.copy(part, sub)
+      java.nio.file.Files.setLastModifiedTime(sub,
+        java.nio.file.attribute.FileTime.fromMillis(1000000L + f * 1000L))
+    }
+    val tLive0 = System.nanoTime()
+    val (liveOut, liveState) = graft.streaming.StreamJoin
+      .streamingIntervalJoinWithStateMetrics(spark, d12LiveDir.toString,
+        eventsOnDisk.schema, maxFilesPerTrigger = Some(1))
+    liveOut.queryExecution.toRdd.foreach(_ => ())
+    val tStreamJoinLive = (System.nanoTime() - tLive0) / 1e9
+    val liveMax = if (liveState.isEmpty) 0L else liveState.max
+    println(f"[probe] d12 live: ${nLiveFiles}%d triggers, state max=$liveMax%d rows " +
+      f"(no-eviction ceiling ~${2 * nEvents}%d), wall=$tStreamJoinLive%.1f s")
+
     // d13: native streaming dedup — state is one row per distinct
     // (user, type) key, bounded by the key domain
     val (_, tStreamDrop) = time(force(
@@ -345,7 +382,9 @@ object ScaleProbe {
       s""""c40_wsample_s":$tWsample,"d16_stream_sample_s":$tStreamSample,""" +
       s""""e18_range_join_s":$tRangeJoin,""" +
       s""""e9_asof_s":$tAsof,"d10_stream_asof_s":$tStreamAsof,""" +
-      s""""d12_stream_join_s":$tStreamJoin,"d13_stream_dropdup_s":$tStreamDrop,""" +
+      s""""d12_stream_join_s":$tStreamJoin,"d12_live_s":$tStreamJoinLive,""" +
+      s""""d12_live_state_max":$liveMax,"d12_live_triggers":$nLiveFiles,""" +
+      s""""d13_stream_dropdup_s":$tStreamDrop,""" +
       s""""c24_spans_s":$tSpans,"c25_bm25_s":$tBm25,"c26_hybrid_s":$tHybrid,""" +
       s""""c20_canon_s":$tCanon,"c20_mega_family":$megaN,""" +
       s""""index_build_s":$tBuild,""" +

@@ -79,6 +79,8 @@ object SparkEntry {
     "c39_bloom_contain" -> (PipelineQueries.bloomContain(_, _)),
     "c40_weighted_sample" -> (PipelineQueries.weightedSample(_, _)),
     "c41_heavy_hitters" -> (PipelineQueries.heavyHitters(_, _)),
+    "c42_trigram_lm" -> (PipelineQueries.trigramBackoff(_, _)),
+    "c43_lang_classifier" -> (PipelineQueries.langClassifier(_, _)),
     "d1_sessionize"  -> (PipelineQueries.sessionize(_, _)),
     "d2_window_agg"  -> (PipelineQueries.windowAgg(_, _)),
     "d3_stream_agg"  -> (PipelineQueries.streamingAgg(_, _)),
@@ -113,17 +115,34 @@ object SparkEntry {
     "e16_unpivot"    -> (Relational.unpivotAgg(_, _)),
     "e17_grouping_sets" -> (Relational.groupingSetsAgg(_, _)),
     "e18_range_join" -> (Relational.rangeJoin(_, _)),
+    "e19_outer_join" -> (Relational.fullOuterJoin(_, _)),
   )
 
+  // Deterministic as-of formulation: DuckDB's native ASOF JOIN leaves
+  // the choice among equal-ts clicks unspecified, while the Spark side
+  // totally orders on (ts, tag, event_id). This window form mirrors
+  // that exact total order, so tied data can never flake the hash.
   private val AsofSql =
-    """SELECT e.event_id, e.user_id, epoch_us(e.ts) AS purchase_us,
-      | v.event_id AS click_event_id, epoch_us(v.ts) AS click_us,
-      | epoch_us(e.ts) - epoch_us(v.ts) AS gap_us,
-      | v.value AS click_value
-      |FROM (SELECT * FROM events WHERE event_type='purchase') e
-      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type='click') v
-      |  ON e.user_id = v.user_id AND e.ts >= v.ts
-      |ORDER BY e.event_id""".stripMargin
+    """WITH tagged AS (
+      |  SELECT user_id, ts, event_id, value,
+      |         CASE WHEN event_type='click' THEN 0 ELSE 1 END AS tag
+      |  FROM events WHERE event_type IN ('click','purchase')
+      |), enriched AS (
+      |  SELECT *,
+      |    LAST_VALUE(CASE WHEN tag=0 THEN event_id END IGNORE NULLS)
+      |      OVER w AS click_event_id,
+      |    LAST_VALUE(CASE WHEN tag=0 THEN epoch_us(ts) END IGNORE NULLS)
+      |      OVER w AS click_us,
+      |    LAST_VALUE(CASE WHEN tag=0 THEN value END IGNORE NULLS)
+      |      OVER w AS click_value
+      |  FROM tagged
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, tag, event_id
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |)
+      |SELECT event_id, user_id, epoch_us(ts) AS purchase_us,
+      | click_event_id, click_us,
+      | epoch_us(ts) - click_us AS gap_us, click_value
+      |FROM enriched WHERE tag=1 ORDER BY event_id""".stripMargin
 
   // inner equi+range join: a pure function of the input set, so the
   // stream-stream form hash-matches under any trigger schedule
@@ -238,6 +257,22 @@ object SparkEntry {
     // check certifies the batch equi+residual plan and the streaming
     // symmetric hash join against the same formulation
     "e18_range_join" -> StreamJoinSql,
+    "e19_outer_join" ->
+      """WITH a AS (
+        |  SELECT l_partkey,
+        |    SUM(CAST(floor(l_quantity*1e6+0.5) AS BIGINT))/1e6 AS qty95,
+        |    CAST(COUNT(*) AS BIGINT) AS n95
+        |  FROM lineitem WHERE year(l_shipdate)=1995 GROUP BY l_partkey
+        |), b AS (
+        |  SELECT l_partkey,
+        |    SUM(CAST(floor(l_quantity*1e6+0.5) AS BIGINT))/1e6 AS qty96,
+        |    CAST(COUNT(*) AS BIGINT) AS n96
+        |  FROM lineitem WHERE year(l_shipdate)=1996 GROUP BY l_partkey
+        |)
+        |SELECT COALESCE(a.l_partkey, b.l_partkey) AS partkey,
+        | a.qty95, a.n95, b.qty96, b.n96
+        |FROM a FULL OUTER JOIN b ON a.l_partkey = b.l_partkey
+        |ORDER BY partkey""".stripMargin,
     // dedup over a key set is a pure function of which keys exist, so
     // the native streaming dedup matches batch DISTINCT under any
     // trigger slicing

@@ -143,10 +143,17 @@ object SweepRef {
         synth(spark.range(nq).as[java.lang.Long], seedBase = 0x2545F4914F6CDD1DL)
           .as[(Long, Array[Float])].collect().sortBy(_._1)
 
-      // --- index build (B=4, K engages the routed centroid ranking) ---
+      // --- index build (B=4, K engages the routed centroid ranking).
+      // Random k-means init: the faiss-style IVF recipe — MLlib's
+      // k-means|| finishing step clusters O(initSteps·2K) candidates
+      // serially on the driver, which at K=4096/d=1536 dominated the
+      // whole build (round-8 build_s 1897); the recall delta is
+      // recorded in the meta sibling against the round-8 curve. ---
+      val initMode = sys.env.getOrElse("SPARK_GRAFT_SWEEP_INIT", "random")
       val t1 = System.nanoTime()
       val model = IVFIndex.build(spark, base,
-        IVFIndex.Params(k = kClusters, totalBits = 4, maxTrainRows = trainRows.toLong))
+        IVFIndex.Params(k = kClusters, totalBits = 4, maxTrainRows = trainRows.toLong,
+          kmeansInitMode = initMode))
       model.index.count() // materialize the cached index outside timing
       val tBuild = (System.nanoTime() - t1) / 1e9
       println(f"index built (K=$kClusters%d, B=4) in $tBuild%.1f s")
@@ -166,9 +173,13 @@ object SweepRef {
       // (exactly test_search.cpp:61-79 including its 6000/10000/15000
       // tail — get_nprobes drops rungs only via nprobe > ivf.k() and
       // the recall stop rule, which the filter + stop below reproduce)
-      val ladder = (Seq(5) ++ (10 until 200 by 10) ++ (200 until 400 by 40) ++
-        (400 to 1500 by 100) ++ (2000 to 4000 by 500) ++ Seq(6000, 10000, 15000))
-        .filter(_ <= kClusters)
+      // SPARK_GRAFT_SWEEP_LADDER overrides the ladder (e.g. "5" for a
+      // single-rung corpus-difficulty calibration trial)
+      val ladder = (sys.env.get("SPARK_GRAFT_SWEEP_LADDER") match {
+        case Some(s) => s.split(",").map(_.trim).filter(_.nonEmpty).map(_.toInt).toSeq
+        case None => Seq(5) ++ (10 until 200 by 10) ++ (200 until 400 by 40) ++
+          (400 to 1500 by 100) ++ (2000 to 4000 by 500) ++ Seq(6000, 10000, 15000)
+      }).filter(_ <= kClusters)
       def searchAt(np: Int) =
         if (highAcc) model.searchHighAcc(spark, base, queries, topk, np)
         else model.search(spark, queries, topk, np)
@@ -281,7 +292,7 @@ object SweepRef {
         val buildS = math.rint(tBuild * 10) / 10
         val gtS = math.rint(tGt * 10) / 10
         val meta =
-          s"""{"commit":"$commit","dim":$dim,"n_vecs":$nVecs,"k":$kClusters,"nq":$nq,"topk":$topk,"mode":"${if (highAcc) "highacc" else "plain"}","batch_nq":$batchNq,"batch_query_bits":14,"build_s":$buildS,"gt_s":$gtS}""" + "\n"
+          s"""{"commit":"$commit","dim":$dim,"n_vecs":$nVecs,"k":$kClusters,"nq":$nq,"topk":$topk,"mode":"${if (highAcc) "highacc" else "plain"}","batch_nq":$batchNq,"batch_query_bits":14,"build_s":$buildS,"gt_s":$gtS,"topics":$topics,"noise":$noise,"blend":$blend,"init_mode":"$initMode","calibration_target":"recall@5 within 0.05 of openai1536_exhaf4 row 1 (0.653)"}""" + "\n"
         Files.write(Paths.get(out + ".meta.json"), meta.getBytes(StandardCharsets.UTF_8))
       }
       // write the ladder-only CSV + its meta sibling now: a failure in
@@ -302,7 +313,7 @@ object SweepRef {
       // CSV rows); a held-out query stream, like the ladder's
       val batchRungs =
         if (batchNq <= 0) Seq.empty[Int]
-        else sys.env.getOrElse("SPARK_GRAFT_SWEEP_BATCH_RUNGS", "5,100")
+        else sys.env.getOrElse("SPARK_GRAFT_SWEEP_BATCH_RUNGS", "5,20,100,500,2000")
           .split(",").map(_.trim).filter(_.nonEmpty).map(_.toInt).toSeq
           .filter(np => rows.exists(_._1 == np))
       val batchQdf = synth(spark.range(batchNq.toLong.max(1L)).as[java.lang.Long]

@@ -37,6 +37,27 @@ object IVFIndex {
     * (v2 = bit-packed ex_code). Load fails fast on mismatch. */
   val FormatVersion = 2L
 
+  /** SPARK_GRAFT_SEARCH_PROFILE=1 prints per-chunk stage walls
+    * (driver ranking, broadcast, job) and cumulative kernel counters —
+    * the instrumentation behind SURVEY §6's chunk-cost breakdown. */
+  private[graft] val profileSearch =
+    sys.env.get("SPARK_GRAFT_SEARCH_PROFILE").contains("1")
+
+  /** Cumulative kernel counters (entries buffered / estimates /
+    * reranks), registered once per JVM when profiling. */
+  @transient @volatile private var profAccsV: (
+    org.apache.spark.util.LongAccumulator,
+    org.apache.spark.util.LongAccumulator,
+    org.apache.spark.util.LongAccumulator) = _
+  private[graft] def profAccs(spark: SparkSession) = synchronized {
+    if (profAccsV == null)
+      profAccsV = (
+        spark.sparkContext.longAccumulator("graft.search.entries"),
+        spark.sparkContext.longAccumulator("graft.search.estimates"),
+        spark.sparkContext.longAccumulator("graft.search.reranks"))
+    profAccsV
+  }
+
   /** Placement granularity of the cached index: entries are assigned
     * to `ceil(clusterSize / this)` blocks per cluster and the cache
     * partitions on (cluster_id, block), so the unit the partitioner
@@ -85,7 +106,16 @@ object IVFIndex {
       // LUTs — the reference's BQUERY=14 FastScan mechanism
       // (Searcher.hpp:16,122-172), trading a sliver of estimate
       // accuracy for a cheaper per-entry hot loop.
-      queryBits: Int = 0) {
+      queryBits: Int = 0,
+      // k-means init: "k-means||" (MLlib default — its driver-side
+      // finishing step clusters O(initSteps·2k) candidates serially,
+      // which at K=4096/d=1536 dominates the whole index build) or
+      // "random" (the faiss-style IVF recipe: random init + Lloyd on
+      // a bounded sample; measured recall delta on the reference-shape
+      // sweep is recorded in the sweep meta). Default keeps the MLlib
+      // behavior; large-K reference-shape builds pass "random".
+      kmeansInitMode: String = "k-means||",
+      kmeansMaxIter: Int = 12) {
     require(Set(3, 4, 5, 7, 8, 9).contains(totalBits), s"unsupported totalBits $totalBits")
     require(queryBits == 0 || (queryBits >= 4 && queryBits <= 16),
       s"queryBits must be 0 (exact) or in [4,16], got $queryBits")
@@ -133,13 +163,20 @@ object IVFIndex {
     }
     val train = sampled.toDF("vec")
       .withColumn("features", array_to_vector(col("vec")))
-    // 12 Lloyd iterations: recall is insensitive beyond ~10 on these
-    // corpora (verified by the recall specs), and train time is the
-    // dominant one-time build cost
+    // 12 Lloyd iterations by default: recall is insensitive beyond ~10
+    // on these corpora (verified by the recall specs), and train time
+    // is the dominant one-time build cost
+    val tKm = System.nanoTime()
     val km = new KMeans()
-      .setK(params.k).setSeed(params.seed).setMaxIter(12).setFeaturesCol("features")
+      .setK(params.k).setSeed(params.seed)
+      .setMaxIter(params.kmeansMaxIter)
+      .setInitMode(params.kmeansInitMode)
+      .setFeaturesCol("features")
     val centroids: Array[Array[Float]] =
       km.fit(train).clusterCenters.map(_.toArray.map(_.toFloat))
+    if (profileSearch)
+      println(f"[build-profile] kmeans k=${params.k}%d init=${params.kmeansInitMode}%s " +
+        f"iters=${params.kmeansMaxIter}%d wall=${(System.nanoTime() - tKm) / 1e9}%.1f s")
 
     buildWithCentroids(spark, data, centroids, dim, params)
   }
@@ -652,6 +689,20 @@ final class IVFModel(
     * a search happens). */
   lazy val router = new CentroidRouter(rotatedCentroids)
 
+  /** One broadcast of the rotated centroids per model lifetime, shared
+    * by every search call. The centroid table (K × dim floats — 25 MB
+    * at the reference shape) is invariant across a searchAll run's
+    * chunks; re-broadcasting it with every 2048-query chunk was pure
+    * per-chunk fixed cost. @transient: a model captured in a closure
+    * must not drag a driver-side broadcast handle with it. */
+  @transient private var centroidsBc:
+    org.apache.spark.broadcast.Broadcast[Array[Array[Float]]] = _
+  private[graft] def centroidsBroadcast(spark: SparkSession) = synchronized {
+    if (centroidsBc == null)
+      centroidsBc = spark.sparkContext.broadcast(rotatedCentroids)
+    centroidsBc
+  }
+
   /** Same model, same (cached) index, different query-side estimate
     * precision (Params.queryBits) — the knob costs nothing to flip. */
   def withQueryBits(bits: Int): IVFModel =
@@ -742,13 +793,16 @@ final class IVFModel(
     * to ~100k queries; past that, THIS is the path: queries arrive as a
     * DataFrame and stream through the driver `chunk` rows at a time
     * (toLocalIterator — one partition resident, never the full set),
-    * each chunk running the normal broadcast search. Per-chunk results
-    * (Q_chunk × k rows) are materialized eagerly so a chunk's broadcast
-    * is unreferenced before the next chunk runs, bounding live query
-    * state at O(chunk · dim) on driver and executors alike. Results are
-    * identical to one unchunked call: per-query results are independent
-    * and the estimate/prune trajectory is per-query (AnnSpec pins the
-    * equality).
+    * each chunk running the normal broadcast search. Chunks run
+    * through a TWO-DEEP pipeline (see the inline note): per-chunk
+    * results (Q_chunk × k rows) are materialized eagerly as each
+    * chunk's future completes, so at most two chunks' broadcasts are
+    * live at once — query state is bounded at O(2 · chunk · dim) on
+    * driver and executors alike, and chunk N+1's driver-side ranking
+    * overlaps chunk N's executor job instead of serializing behind
+    * it. Results are identical to one unchunked call: per-query
+    * results are independent and the estimate/prune trajectory is
+    * per-query (AnnSpec pins the equality).
     *
     * Default materialization is `localCheckpoint` — node-local blocks
     * with truncated lineage. On a cluster, losing an executor that
@@ -801,29 +855,62 @@ final class IVFModel(
       .select(col(idCol).cast(LongType).as("qid"), col(vecCol).as("qvec"))
       .as[(Long, Array[Float])]
       .toLocalIterator().asScala
+    // --- two-deep chunk pipeline: each chunk's (rank + submit +
+    // materialize) runs on a pool thread, so chunk N's executor job
+    // overlaps chunk N+1's driver-side query read, rotation, and
+    // centroid ranking — the per-chunk driver math was pure dead time
+    // on the executors before (measured as a large share of the chunk
+    // wall at d=1536/K=4096). At most 2 chunks are in flight, so live
+    // query state stays O(2 · chunk · dim) and results still append in
+    // submission order (FIFO await). ---
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    val pool = scala.concurrent.ExecutionContext.fromExecutorService(
+      java.util.concurrent.Executors.newFixedThreadPool(2, r => {
+        val t = new Thread(r, "graft-searchAll-chunk"); t.setDaemon(true); t
+      }))
     val parts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    val inFlight = scala.collection.mutable.Queue.empty[Future[DataFrame]]
+    var chunkCount = 0
     val buf = new scala.collection.mutable.ArrayBuffer[(Long, Array[Float])](
       math.min(chunk, 1 << 16))
-    def flush(): Unit = if (buf.nonEmpty) {
-      val res = search(spark, buf.toArray, k, nprobe)
-      parts += (outputDir match {
+    def runChunk(chunkQ: Array[(Long, Array[Float])], idx: Int): DataFrame = {
+      val w0 = System.nanoTime()
+      val res = search(spark, chunkQ, k, nprobe)
+      val out = outputDir match {
         case Some(dir) =>
-          val path = s"$dir/chunk-${parts.length}"
+          val path = s"$dir/chunk-$idx"
           res.write.mode("overwrite").parquet(path)
           spark.read.parquet(path)
         case None => res.localCheckpoint(true)
-      })
+      }
+      if (IVFIndex.profileSearch)
+        println(f"[search-profile] chunk=$idx%d nq=${chunkQ.length}%d " +
+          f"wall=${(System.nanoTime() - w0) / 1e9}%.2f s")
+      out
+    }
+    def flush(): Unit = if (buf.nonEmpty) {
+      val chunkQ = buf.toArray
       buf.clear()
+      val idx = chunkCount
+      chunkCount += 1
+      while (inFlight.length >= 2)
+        parts += Await.result(inFlight.dequeue(), Duration.Inf)
+      inFlight += Future(runChunk(chunkQ, idx))(pool)
     }
-    it.foreach { q =>
-      nQueries += 1
-      var h = qFingerprint ^ q._1
-      h *= 0x100000001b3L
-      qFingerprint = h
-      buf += q
-      if (buf.length == chunk) flush()
-    }
-    flush()
+    try {
+      it.foreach { q =>
+        nQueries += 1
+        var h = qFingerprint ^ q._1
+        h *= 0x100000001b3L
+        qFingerprint = h
+        buf += q
+        if (buf.length == chunk) flush()
+      }
+      flush()
+      while (inFlight.nonEmpty)
+        parts += Await.result(inFlight.dequeue(), Duration.Inf)
+    } finally pool.shutdown()
     // completion manifest: durable provenance for the chunk dirs. An
     // empty query set writes no chunks and therefore no manifest — the
     // dir stays unused, so a corrected re-run into it is still allowed.
@@ -850,16 +937,24 @@ final class IVFModel(
     import spark.implicits._
     val exBits = params.exBits
     val queryBits = params.queryBits
+    val t0 = System.nanoTime()
     // --- driver-side centroid ranking: flat scan for small K (the
     // reference's FlatInitializer), two-level routed ranking above
-    // the threshold (its HNSWInitializer role, IVF.hpp:155-160) ---
-    val qRot = queries.map { case (qid, v) => (qid, rotator.rotate(v)) }
-    val probes: Array[(Long, Array[Float], Array[Int])] = qRot.map { case (qid, qr) =>
+    // the threshold (its HNSWInitializer role, IVF.hpp:155-160).
+    // Rotation is O(dim²) per query and ranking O(K·dim) flat — at the
+    // reference shape (d=1536, K=4096) a 2048-query chunk costs ~10 Gflop
+    // of pure driver math, so both run across all driver cores. ---
+    if (rotatedCentroids.length >= IVFModel.RoutedRankingThreshold)
+      router // force the lazy NSW build once, outside the parallel loop
+    val probes = new Array[(Long, Array[Float], Array[Int])](queries.length)
+    java.util.stream.IntStream.range(0, queries.length).parallel().forEach { i =>
+      val (qid, v) = queries(i)
+      val qr = rotator.rotate(v)
       val ranked =
         if (rotatedCentroids.length >= IVFModel.RoutedRankingThreshold)
           router.rank(qr, nprobe)
         else CentroidRouter.rankFlat(rotatedCentroids, qr, nprobe)
-      (qid, qr, ranked)
+      probes(i) = (qid, qr, ranked)
     }
     // cluster → indices of the queries probing it, as a dense array
     // (cluster ids live in [0, K)) so the per-entry hot loop is
@@ -870,7 +965,16 @@ final class IVFModel(
       .groupBy(_._1)
       .foreach { case (c, xs) => probeArr(c) = xs.map(_._2).toArray }
     val probedClusters = probeArr.indices.filter(probeArr(_) != null)
-    val bc = spark.sparkContext.broadcast((probes, rotatedCentroids, probeArr))
+    val t1 = System.nanoTime()
+    // centroids ride the model-lifetime broadcast; only the per-call
+    // query state (probes + routing table) ships per chunk
+    val bcCent = centroidsBroadcast(spark)
+    val bc = spark.sparkContext.broadcast((probes, probeArr))
+    if (IVFIndex.profileSearch) {
+      val t2 = System.nanoTime()
+      println(f"[search-profile] nq=${queries.length}%d rank=${(t1 - t0) / 1e9}%.2f s " +
+        f"bc=${(t2 - t1) / 1e9}%.2f s probedClusters=${probedClusters.length}%d")
+    }
 
     // --- scan only probed clusters; estimate → prune → rerank → local top-k.
     // The scan is QUERY-MAJOR over per-cluster entry runs: entries are
@@ -889,18 +993,24 @@ final class IVFModel(
     // mapPartitions), i.e. at most the partition's share of the cached
     // index — the same rows the block-manager already holds
     // deserialized, with (cluster_id, block) capping partition skew. ---
+    val profile = IVFIndex.profileSearch
+    val accs = if (profile) IVFIndex.profAccs(spark) else null
     val candidates = idx
       .filter(col("cluster_id").isin(probedClusters.map(_.asInstanceOf[AnyRef]): _*))
       .mapPartitions { iter =>
-        val (qs, rotCents, byCluster) = bc.value
+        val (qs, byCluster) = bc.value
+        val rotCents = bcCent.value
         val heaps = Array.fill(qs.length)(new KnnExact.BoundedTopK(k))
         val dists = Array.fill(qs.length)(Double.MaxValue) // local distk
+        var nEntries = 0L; var nEst = 0L; var nRerank = 0L
         val byClusterRuns =
           new scala.collection.mutable.HashMap[Int, scala.collection.mutable.ArrayBuffer[Entry]]
         iter.foreach { e =>
-          if (byCluster(e.cluster_id) != null)
+          if (byCluster(e.cluster_id) != null) {
+            nEntries += 1
             byClusterRuns.getOrElseUpdate(
               e.cluster_id, scala.collection.mutable.ArrayBuffer.empty[Entry]) += e
+          }
         }
         byClusterRuns.foreach { case (cid, run) =>
           val queryIdxs = byCluster(cid)
@@ -919,15 +1029,20 @@ final class IVFModel(
                 else
                   RaBitQ.estimateLower(qc, e.sign_bits, e.x2, e.fac_ip, e.fac_err)
               if (lower <= distK) {
+                nRerank += 1
                 val ex = RaBitQ.rerankDist(qc, e.sign_bits, e.ex_code, e.x2, e.xipnorm, exBits)
                 heap.insert(ex, e.id)
                 distK = heap.worstOrElse(Double.MaxValue)
               }
               i += 1
             }
+            nEst += run.length
             dists(qi) = distK
             j += 1
           }
+        }
+        if (accs != null) {
+          accs._1.add(nEntries); accs._2.add(nEst); accs._3.add(nRerank)
         }
         heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
           h.drain().map { case (d, id) => (qs(qi)._1, id, d) }

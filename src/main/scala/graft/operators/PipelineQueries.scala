@@ -146,6 +146,10 @@ object PipelineQueries {
     graft.ops.QualityModel.qualityClassifier(Tables.documents(spark, dir))
       .orderBy("doc_id")
 
+  def langClassifier(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.QualityModel.langClassifier(Tables.documents(spark, dir))
+      .orderBy("doc_id")
+
   def bpeTrain(spark: SparkSession, dir: String): DataFrame =
     graft.ops.BpeTrain.bpeTrain(spark, Tables.documents(spark, dir))
 
@@ -188,6 +192,9 @@ object PipelineQueries {
 
   def dsirWeight(spark: SparkSession, dir: String): DataFrame =
     graft.ops.LmScore.dsirWeight(Tables.documents(spark, dir)).orderBy("doc_id")
+
+  def trigramBackoff(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.LmScore.trigramBackoff(Tables.documents(spark, dir)).orderBy("doc_id")
 
   def sessionize(spark: SparkSession, dir: String): DataFrame =
     EventOps.sessionize(spark, dir)
@@ -583,6 +590,43 @@ object PipelineQueries {
          | CAST(sc.sum_tenk AS DOUBLE) / CAST(CAST(sc.n_bigrams AS BIGINT) * 10000 AS DOUBLE) AS mean_nll,
          | CAST(CAST(sc.sum_tenk AS DOUBLE) / CAST(CAST(sc.n_bigrams AS BIGINT) * 10000 AS DOUBLE)
          |   > ${graft.ops.LmScore.NllFlagMax} AS INT) AS high_nll
+         |FROM documents d LEFT JOIN sc USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "c42_trigram_lm" ->
+      // mirrors LmScore.trigramBackoff: model tables from the 75%
+      // md5-bucket train slice, stupid-backoff CASE chain with the
+      // 9163-tenk penalty per level, exact-ratio quantized ln for
+      // observed grams, add-one base for unseen words, integer sums
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w,
+         |    substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '${graft.ops.LmScore.TrigramTrainMax}' AS trn
+         |  FROM documents WHERE text IS NOT NULL),
+         |g AS (SELECT doc_id, trn, w[i] AS w1, w[i+1] AS w2, w[i+2] AS w3
+         |      FROM (SELECT doc_id, trn, w, unnest(range(1, len(w) - 1)) AS i FROM t)),
+         |r AS (SELECT doc_id, trn, w1, w2, w3, CAST(count(*) AS BIGINT) AS cnt
+         |      FROM g GROUP BY 1, 2, 3, 4, 5),
+         |t3 AS (SELECT w1, w2, w3, CAST(sum(cnt) AS BIGINT) AS c3 FROM r WHERE trn GROUP BY 1, 2, 3),
+         |t2 AS (SELECT w1, w2, CAST(sum(c3) AS BIGINT) AS c2ctx FROM t3 GROUP BY 1, 2),
+         |b2 AS (SELECT w2, w3, CAST(sum(c3) AS BIGINT) AS cb FROM t3 GROUP BY 1, 2),
+         |b1 AS (SELECT w2, CAST(sum(cb) AS BIGINT) AS c1ctx FROM b2 GROUP BY 1),
+         |u AS (SELECT w3, CAST(sum(cb) AS BIGINT) AS cu FROM b2 GROUP BY 1),
+         |tot AS (SELECT CAST(sum(cu) AS BIGINT) AS nn, CAST(count(*) AS BIGINT) AS v FROM u),
+         |sc AS (SELECT doc_id, CAST(sum(cnt) AS INT) AS n_trigrams,
+         |  CAST(sum(CASE WHEN c3 IS NOT NULL THEN cnt ELSE 0 END) AS INT) AS n_hit3,
+         |  CAST(sum(CASE WHEN c3 IS NULL AND cb IS NOT NULL THEN cnt ELSE 0 END) AS INT) AS n_hit2,
+         |  CAST(sum(CASE WHEN c3 IS NULL AND cb IS NULL THEN cnt ELSE 0 END) AS INT) AS n_hit1,
+         |  CAST(sum(cnt * CASE
+         |    WHEN c3 IS NOT NULL THEN CAST(floor(ln(CAST(c2ctx AS DOUBLE)/c3) * 1e4 + 0.5) AS BIGINT)
+         |    WHEN cb IS NOT NULL THEN ${graft.ops.LmScore.BackoffTenk}
+         |      + CAST(floor(ln(CAST(c1ctx AS DOUBLE)/cb) * 1e4 + 0.5) AS BIGINT)
+         |    ELSE ${2 * graft.ops.LmScore.BackoffTenk}
+         |      + CAST(floor(ln(CAST(nn + v AS DOUBLE)/(COALESCE(cu, 0) + 1.0)) * 1e4 + 0.5) AS BIGINT)
+         |    END) AS BIGINT) AS sum_tenk
+         | FROM r LEFT JOIN t3 USING (w1, w2, w3) LEFT JOIN t2 USING (w1, w2)
+         |        LEFT JOIN b2 USING (w2, w3) LEFT JOIN b1 USING (w2)
+         |        LEFT JOIN u USING (w3) CROSS JOIN tot
+         | GROUP BY doc_id)
+         |SELECT d.doc_id, sc.n_trigrams, sc.n_hit3, sc.n_hit2, sc.n_hit1,
+         | CAST(sc.sum_tenk AS DOUBLE) / CAST(CAST(sc.n_trigrams AS BIGINT) * 10000 AS DOUBLE) AS mean_nll,
+         | CAST(substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 2) < '${graft.ops.LmScore.TrigramTrainMax}' AS INT) AS is_train
          |FROM documents d LEFT JOIN sc USING (doc_id) ORDER BY doc_id""".stripMargin,
     "c28_dsir_weight" ->
       // mirrors LmScore.dsirWeight: one unigram model table carrying

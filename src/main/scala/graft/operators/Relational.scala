@@ -372,6 +372,37 @@ object Relational {
         count(lit(1)).as("n"))
       .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
 
+  /** e19: FULL OUTER join — per-part shipped-quantity profile for
+    * 1995 vs 1996, null-padded on whichever side the part is missing
+    * (parts shipped in only one of the years are the outer rows; the
+    * one textbook join class the e-layer didn't yet certify — e2/e3
+    * inner, e11 semi, e12 anti, e9 as-of, e18 interval).
+    *
+    * Scale shape: each side is a partial-agg (map-side combine) on
+    * l_partkey, so both join children arrive HASH-PARTITIONED ON THE
+    * JOIN KEY and the full-outer sort-merge join adds NO third
+    * exchange (PlanSpec pins exactly two exchanges in the plan). The
+    * two year-slices read from one scan with the year predicate
+    * pushed to parquet row-group pruning; output is O(parts), never
+    * O(lineitems). Quantity sums are exact integer micros (microSum,
+    * the e1 rule), counts BIGINT, and the null pads survive to the
+    * output so the hash check certifies outer semantics bit-exactly. */
+  def fullOuterJoin(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    def yearAgg(y: Int, qty: String, n: String) =
+      l.filter(year(col("l_shipdate")) === y)
+        .groupBy("l_partkey")
+        .agg(microSum(col("l_quantity")).as(qty), count(lit(1)).as(n))
+    val a = yearAgg(1995, "qty95", "n95")
+    val b = yearAgg(1996, "qty96", "n96")
+      .withColumnRenamed("l_partkey", "r_partkey")
+    a.join(b, col("l_partkey") === col("r_partkey"), "full_outer")
+      .select(
+        coalesce(col("l_partkey"), col("r_partkey")).as("partkey"),
+        col("qty95"), col("n95"), col("qty96"), col("n96"))
+      .orderBy("partkey")
+  }
+
   def sourceRoundtrip(spark: SparkSession, dir: String): DataFrame =
     graft.Scratch.materialize("e8_roundtrip") { tmp =>
       val docs = Tables.documents(spark, dir)

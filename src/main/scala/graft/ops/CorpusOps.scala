@@ -782,14 +782,58 @@ object CorpusOps {
       subRange: Long = SubRange): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val t = split(col("text"), " ")
-    val nTok = size(t)
-    val markerCnt = TextAnalysis.markerCount(t, "en")
-    val m = docs.filter(col("text").isNotNull).select(
-      col("doc_id"),
-      floor(lit(1e4) * markerCnt.cast(DoubleType) / nTok.cast(DoubleType) + lit(0.5))
-        .cast(IntegerType).as("score_tenk"),
-      nTok.cast(IntegerType).as("n_tokens"))
+    // Scoring kernel, COMPILED and computed ONCE: the round-8 form
+    // expressed the score as size(filter(tokens, isin(markers))) —
+    // a higher-order lambda that evaluates INTERPRETED per token (the
+    // c21/c24 lesson) — and recomputed that projection's lineage in
+    // all three downstream jobs (bucket pass, combo pass, final
+    // window): the sf1 profile showed 3× the tokenise cost and 2.7 s
+    // vs DuckDB's 0.145. One typed pass + a persisted 16-byte-row
+    // projection leaves each later job an aggregate of cached ints.
+    val m = budgetScoreRows(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // eager checkpoint of the NARROW ranked rows (5 numeric cols)
+      // while the cache is live — the Dedup c2/c3 pattern — so the
+      // unpersist below can never force the final window job back
+      // through the tokenizer; the trailing doc_id pad join stays lazy
+      val rankedCp = budgetRanked(m, budget, subRange).localCheckpoint(true)
+      docs.select("doc_id").join(rankedCp, Seq("doc_id"), "left")
+    } finally m.unpersist(blocking = false)
+  }
+
+  /** The c32 scoring kernel: (doc_id, score_tenk, n_tokens), one
+    * compiled pass over the text. */
+  private[graft] def budgetScoreRows(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val markers = TextAnalysis.markers("en").toSet
+    docs
+      .filter(col("text").isNotNull)
+      .select(col("doc_id").cast(LongType), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val w = text.split(" ", -1)
+        var hits = 0
+        var i = 0
+        while (i < w.length) {
+          if (markers.contains(w(i))) hits += 1
+          i += 1
+        }
+        // floor(1e4·hits/nTok + 0.5): the identical IEEE double ops as
+        // the SQL oracle (integer inputs, one division, one floor)
+        val score = math.floor(1e4 * hits.toDouble / w.length.toDouble + 0.5).toInt
+        (id, score, w.length)
+      }
+      .toDF("doc_id", "score_tenk", "n_tokens")
+  }
+
+  /** The lazy two-level ranking over a (persisted) score table —
+    * separate from [[budgetSelect]] so PlanSpec can pin its shape
+    * (the eager checkpoint hides the plan from the public query). */
+  private[graft] def budgetRanked(
+      m: DataFrame, budget: Long, subRange: Long): DataFrame = {
+    val spark = m.sparkSession
+    import spark.implicits._
     // pass 1 — bounded: one row per distinct quantized score (≤ 10001)
     val bucketRows = m.groupBy("score_tenk")
       .agg(count(lit(1)).as("cnt"))
@@ -810,13 +854,12 @@ object CorpusOps {
       .map { case ((s, sub), off) => (s, sub, off) }
       .toDF("score_tenk", "sub", "boff")
     val inBucket = Window.partitionBy("score_tenk", "sub").orderBy("doc_id")
-    val ranked = withSub.join(broadcast(offDf), Seq("score_tenk", "sub"))
+    withSub.join(broadcast(offDf), Seq("score_tenk", "sub"))
       .withColumn("cum_tokens",
         (col("boff") + sum("n_tokens").over(inBucket)).cast(LongType))
       .withColumn("selected",
         (col("cum_tokens") <= lit(budget)).cast(IntegerType))
       .select("doc_id", "score_tenk", "n_tokens", "cum_tokens", "selected")
-    docs.select("doc_id").join(ranked, Seq("doc_id"), "left")
   }
 
   // ---------------------------------------------------------------- c22

@@ -136,6 +136,119 @@ object LmScore {
       .select("doc_id", "n_bigrams", "mean_nll", "high_nll")
   }
 
+  /** c42 backoff penalty −ln(0.4) in 1e-4-quantized "tenk" units:
+    * floor(0.9162907…·1e4 + 0.5) = 9163. One constant, not a per-row
+    * transcendental — shared verbatim with the SQL oracle. */
+  val BackoffTenk = 9163L
+
+  /** c42 train slice: md5 hash-bucket (the c13 mechanism) below this
+    * hex prefix — 192/256 = 75% of docs train the model, the held-out
+    * 25% contain genuinely unseen grams, so the backoff chain is
+    * exercised on real data, not just in a unit fixture. */
+  val TrigramTrainMax = "c0"
+
+  /** Per-doc aggregated trigram counts via one hash-map pass — the
+    * c27 kernel one order deeper. */
+  private[graft] def trigramRows(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast(LongType), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        if (text == null) Iterator.empty
+        else {
+          val w = text.split(" ", -1)
+          val m = new scala.collection.mutable.HashMap[String, Int]
+          var i = 0
+          while (i < w.length - 2) {
+            val k = w(i) + " " + w(i + 1) + " " + w(i + 2)
+            m.update(k, m.getOrElse(k, 0) + 1)
+            i += 1
+          }
+          m.iterator.map { case (k, c) =>
+            val cut1 = k.indexOf(' ')
+            val cut2 = k.indexOf(' ', cut1 + 1)
+            (id, k.substring(0, cut1), k.substring(cut1 + 1, cut2),
+              k.substring(cut2 + 1), c)
+          }
+        }
+      }
+      .toDF("doc_id", "w1", "w2", "w3", "cnt")
+  }
+
+  /** 1e-4-quantized NLL of an EXACT ratio (num ≥ 1 guaranteed by the
+    * caller's observed-gram predicate): floor(ln(den/num)·1e4 + 0.5). */
+  private def lnTenk(num: org.apache.spark.sql.Column,
+      den: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    floor(log(den.cast(DoubleType) / num) * 1e4 + lit(0.5)).cast(LongType)
+
+  /** c42: trigram LM with STUPID BACKOFF (Brants et al. 2007, "Large
+    * Language Models in Machine Translation") — c27's fluency score
+    * deepened toward the published CCNet/KenLM regime: score each
+    * trigram by the highest-order context observed in TRAINING, paying
+    * a fixed −ln(0.4) penalty per backoff level:
+    *
+    *   S(w3|w1w2) = c(w1w2w3)/c(w1w2·)          if the trigram trained
+    *              = 0.4 · c(w2w3)/c(w2·)         else if the bigram did
+    *              = 0.4² · (c(w3)+1)/(N+V)       else (add-one base)
+    *
+    * The model trains on the 75% md5-bucket slice ([[TrigramTrainMax]],
+    * the c13 split mechanism), so the held-out quarter of the corpus
+    * genuinely exercises every backoff level — the per-doc level-hit
+    * counters (n_hit3/n_hit2/n_hit1) put the backoff arithmetic
+    * itself under the oracle hash, not just the blended score.
+    *
+    * Scale shape = c27's: one compiled kernel pass emits per-doc
+    * aggregated trigram counts; every model table (t3/t2/b2/b1/u) is
+    * an O(model) aggregation of those rows; scoring joins back by gram
+    * key (AQE broadcasts the tables when they fit). All counts exact
+    * integers; one quantized ln per distinct gram (model rows only);
+    * backoff penalties are integer multiples of [[BackoffTenk]]; doc
+    * scores are integer sums — order- and engine-independent. */
+  def trigramBackoff(docs: DataFrame): DataFrame = {
+    val rows = trigramRows(docs)
+      .withColumn("trn",
+        substring(md5(col("doc_id").cast(StringType)), 1, 2) < lit(TrigramTrainMax))
+    val t3 = rows.filter(col("trn")).groupBy("w1", "w2", "w3").agg(sum("cnt").as("c3"))
+    val t2 = t3.groupBy("w1", "w2").agg(sum("c3").as("c2ctx"))
+    val b2 = t3.groupBy("w2", "w3").agg(sum("c3").as("cb"))
+    val b1 = b2.groupBy("w2").agg(sum("cb").as("c1ctx"))
+    val u = b2.groupBy("w3").agg(sum("cb").as("cu"))
+    val tot = u.agg(sum("cu").as("nn"), count(lit(1)).as("v"))
+    val scored = rows
+      .join(t3, Seq("w1", "w2", "w3"), "left")
+      .join(t2, Seq("w1", "w2"), "left")
+      .join(b2, Seq("w2", "w3"), "left")
+      .join(b1, Seq("w2"), "left")
+      .join(u, Seq("w3"), "left")
+      .crossJoin(broadcast(tot))
+      .withColumn("tenk",
+        when(col("c3").isNotNull, lnTenk(col("c3"), col("c2ctx")))
+          .when(col("cb").isNotNull,
+            lit(BackoffTenk) + lnTenk(col("cb"), col("c1ctx")))
+          .otherwise(lit(2 * BackoffTenk) +
+            nllTenk(coalesce(col("cu"), lit(0L)), col("nn") + col("v"))))
+      .groupBy("doc_id")
+      .agg(
+        sum("cnt").cast(IntegerType).as("n_trigrams"),
+        sum(when(col("c3").isNotNull, col("cnt")).otherwise(lit(0L)))
+          .cast(IntegerType).as("n_hit3"),
+        sum(when(col("c3").isNull && col("cb").isNotNull, col("cnt"))
+          .otherwise(lit(0L))).cast(IntegerType).as("n_hit2"),
+        sum(when(col("c3").isNull && col("cb").isNull, col("cnt"))
+          .otherwise(lit(0L))).cast(IntegerType).as("n_hit1"),
+        sum(col("cnt") * col("tenk")).as("sum_tenk"))
+    docs.select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .withColumn("mean_nll",
+        col("sum_tenk").cast(DoubleType) /
+          (col("n_trigrams").cast(LongType) * lit(10000L)).cast(DoubleType))
+      .withColumn("is_train",
+        (substring(md5(col("doc_id").cast(StringType)), 1, 2)
+          < lit(TrigramTrainMax)).cast(IntegerType))
+      .select("doc_id", "n_trigrams", "n_hit3", "n_hit2", "n_hit1",
+        "mean_nll", "is_train")
+  }
+
   /** Per-doc aggregated unigram counts with the target-slice flag. */
   private[graft] def unigramRows(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession

@@ -384,6 +384,38 @@ class CorpusSpec extends AnyFunSuite {
     assert(again == out.map { case (k, v) => k -> v._2 }, "re-train diverged")
   }
 
+  test("c43 lang classifier: reads character distributions, reproduces the heuristic on text alone") {
+    // three planted character distributions; labels come from the c6
+    // heuristic, but the MODEL sees only hashed char n-grams — perfect
+    // agreement on this separable fixture means it learned the
+    // distributions, not the marker list (which it never receives)
+    val en = (0L until 40L).map(i => (i, s"the and of to a in is item$i"))
+    val de = (0L until 40L).map(i => (100L + i, s"der die und das nicht ist ding$i"))
+    val zh = (0L until 40L).map(i => (200L + i, s"一二三四五 nr$i"))
+    val d = (en ++ de ++ zh :+ ((300L, null: String))).toDF("doc_id", "text")
+    val out = graft.ops.QualityModel.langClassifier(d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // null text: NULL metrics (the c21 contract)
+    assert(out(300L).isNullAt(out(300L).fieldIndex("pred_lang")))
+    val scored = out.view.filterKeys(_ != 300L).toMap
+    scored.values.foreach { r =>
+      assert(r.getAs[String]("pred_lang") == r.getAs[String]("heuristic_lang"),
+        s"model disagreed with heuristic on separable data: $r")
+      assert(r.getAs[Int]("agree") == 1)
+    }
+    // ...and the heuristic labels are what the plant intended
+    assert(scored(0L).getAs[String]("heuristic_lang") == "en")
+    assert(scored(100L).getAs[String]("heuristic_lang") == "de")
+    assert(scored(200L).getAs[String]("heuristic_lang") == "zh")
+    // determinism: retrain on identical input scores identically
+    val again = graft.ops.QualityModel.langClassifier(d).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        Option(r.getAs[java.lang.Double]("confidence")).map(_.toDouble)).toMap
+    assert(again == out.map { case (k, r) =>
+      k -> Option(r.getAs[java.lang.Double]("confidence")).map(_.toDouble) },
+      "re-train diverged")
+  }
+
   test("bpe train: replays the classic low/lower/lowest merges deterministically") {
     // word freqs: low ×5, lower ×2, lowest ×2, newest ×6
     val d = docs(
@@ -506,6 +538,47 @@ class CorpusSpec extends AnyFunSuite {
     assert(rows(2L).isNullAt(rows(2L).fieldIndex("n_bigrams")), "null text")
     assert(rows(2L).isNullAt(rows(2L).fieldIndex("high_nll")), "null text flag")
     assert(!rows(3L).isNullAt(rows(3L).fieldIndex("mean_nll")))
+  }
+
+  test("c42 trigram backoff: exact tenk per level on a hand-computed held-out doc") {
+    import graft.ops.LmScore
+    // doc 4 is a TRAIN bucket (md5("4")=a8 < c0), doc 0 is HELD OUT
+    // (md5("0")=cf). Model from doc 4 "a b c a b c" alone:
+    //   t3 (a,b,c)=2 (b,c,a)=1 (c,a,b)=1; t2 (a,b)=2 (b,c)=1 (c,a)=1
+    //   b2 (b,c)=2 (c,a)=1 (a,b)=1; b1 b=2 c=1 a=1
+    //   u  c=2 a=1 b=1 ⇒ N=4, V=3
+    // Held-out doc 0 "a b c x b c d" trigrams and exact tenk:
+    //   (a,b,c): level 3, ln(2/2)=0            → 0
+    //   (x,b,c): level 2, 9163 + ln(2/2)·1e4   → 9163
+    //   (c,x,b): level 1, 18326 + ln(7/2)·1e4  → 18326 + 12528
+    //   (b,c,x): level 1 unseen w3, 18326 + ln(7/1)·1e4 → 18326 + 19459
+    //   (b,c,d): level 1 unseen w3             → 18326 + 19459
+    val d = docs(4L -> "a b c a b c", 0L -> "a b c x b c d")
+    val out = LmScore.trigramBackoff(d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val h = out(0L)
+    assert(h.getAs[Int]("is_train") == 0 && out(4L).getAs[Int]("is_train") == 1)
+    assert(h.getAs[Int]("n_trigrams") == 5)
+    assert(h.getAs[Int]("n_hit3") == 1 && h.getAs[Int]("n_hit2") == 1
+      && h.getAs[Int]("n_hit1") == 3, h.toString)
+    val sumTenk = 0L + 9163L + (18326L + 12528L) + 2 * (18326L + 19459L)
+    assert(h.getAs[Double]("mean_nll") == sumTenk.toDouble / (5L * 10000L), h.toString)
+    // the train doc scores itself perfectly: every ratio is c/c = 1
+    assert(out(4L).getAs[Double]("mean_nll") == 0.0, out(4L).toString)
+    assert(out(4L).getAs[Int]("n_hit3") == 4)
+  }
+
+  test("c42 trigram backoff: null and short docs carry NULL metrics") {
+    import graft.ops.LmScore
+    val d = Seq((1L, "a b"), (2L, null.asInstanceOf[String]), (4L, "a b c d"))
+      .toDF("doc_id", "text")
+    val rows = LmScore.trigramBackoff(d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(rows(1L).isNullAt(rows(1L).fieldIndex("mean_nll")), "2-token doc")
+    assert(rows(2L).isNullAt(rows(2L).fieldIndex("n_trigrams")), "null text")
+    assert(!rows(4L).isNullAt(rows(4L).fieldIndex("mean_nll")))
+    // is_train is a pure function of doc_id, never NULL
+    rows.values.foreach(r => assert(!r.isNullAt(r.fieldIndex("is_train"))))
   }
 
   test("dsir: target-vocab docs keep, background-vocab docs drop, exact deltas") {

@@ -188,12 +188,20 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("c32 budget select: bucket-parallel cumsum, no global range sort") {
-    val p = plan(ops.CorpusOps.budgetSelect(Tables.documents(spark, sf)))
+    // pin the lazy ranking pipeline (the public query eagerly
+    // checkpoints it, which hides the plan); the compiled kernel
+    // replaces the round-8 interpreted HOF scoring
+    val m = ops.CorpusOps.budgetScoreRows(Tables.documents(spark, sf))
+    val p = plan(ops.CorpusOps.budgetRanked(m, ops.CorpusOps.TokenBudget,
+      ops.CorpusOps.SubRange))
     // the global ordered cumsum must come from the per-score-bucket
     // window + the broadcast offset join — rangepartitioning would mean
     // the plan regressed to a single-ordering global sort
     assert(!p.contains("rangepartitioning"), s"c32 globally range-sorts:\n$p")
     assert(p.contains("BroadcastHashJoin"), s"offset join not broadcast:\n$p")
+    assert(p.contains("MapPartitions") || p.contains("SerializeFromObject"),
+      s"c32 lost the compiled scoring kernel:\n$p")
+    assert(!p.contains("ScalaUDF"), s"c32 fell back to a scalar UDF:\n$p")
   }
 
   test("c30 shuffle shard: bucket-parallel rank, no global range sort") {
@@ -262,15 +270,24 @@ class PlanSpec extends AnyFunSuite {
 
   test("c39/c41 sketch aggregations: map-side partial combine, one keyed exchange, no join") {
     // bloom: the bitmap path (probe collect happens before the plan)
-    for ((name, df) <- Seq(
-        "c39" -> operators.PipelineQueries.bloomContain(spark, sf),
-        "c41" -> operators.PipelineQueries.heavyHitters(spark, sf))) {
-      val p = plan(df)
-      assert(p.contains("ObjectHashAggregate"), s"$name lost the typed aggregator:\n$p")
-      assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
-        s"$name must shuffle only per-partition sketches:\n$p")
-      assert(!p.contains("Join"), s"$name planned a join:\n$p")
-    }
+    val p39 = plan(operators.PipelineQueries.bloomContain(spark, sf))
+    assert(p39.contains("ObjectHashAggregate"), s"c39 lost the typed aggregator:\n$p39")
+    assert("Exchange hashpartitioning".r.findAllIn(p39).length == 1,
+      s"c39 must shuffle only per-partition sketches:\n$p39")
+    assert(!p39.contains("Join"), s"c39 planned a join:\n$p39")
+    // c41 single-scan form: ONE corpus wordcount (partial-agg exchange)
+    // feeds both registry and the weighted sketch; the public query
+    // checkpoints eagerly, so pin the lazy pipeline directly
+    val docs = Tables.documents(spark, sf)
+    val bySrc = graft.ops.Sketches.heavyWordCounts(docs)
+    val (cands, trueCounts) = graft.ops.Sketches.registryFrom(bySrc)
+    val p41 = plan(graft.ops.Sketches.heavyHittersFrom(bySrc, cands, trueCounts))
+    assert(p41.contains("ObjectHashAggregate"), s"c41 lost the typed aggregator:\n$p41")
+    assert("Exchange hashpartitioning".r.findAllIn(p41).length == 2,
+      s"c41 expected wordcount + sketch exchanges only:\n$p41")
+    assert("Scan parquet".r.findAllIn(p41).length == 1,
+      s"c41 must scan the corpus exactly once:\n$p41")
+    assert(!p41.contains("Join"), s"c41 planned a join:\n$p41")
   }
 
   test("c40 weighted sample: bounded-heap top-k, not a per-source window sort") {
@@ -317,6 +334,19 @@ class PlanSpec extends AnyFunSuite {
     // what a pure range predicate would degenerate to at 100 TB
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("Cartesian"),
       s"e18 planned an unkeyed range join:\n$p")
+  }
+
+  test("e19 full outer join reuses the aggregates' partitioning (exactly two exchanges)") {
+    val p = plan(operators.Relational.fullOuterJoin(spark, sf))
+    assert(p.contains("FullOuter"), s"e19 lost outer semantics:\n$p")
+    // one shuffle per year-aggregate; the join itself must add NO
+    // third exchange (children already hash-partitioned on the key)
+    // and the final orderBy adds the range exchange for output order
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashEx == 2,
+      s"e19 expected exactly 2 hash exchanges (one per agg), got $hashEx:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"e19 degenerated to an unkeyed join:\n$p")
   }
 
   test("e15 set operators plan as semi/anti joins (no cartesian, no generic join)") {

@@ -37,7 +37,8 @@ class RelationalSpec extends AnyFunSuite {
       "b16_search_quantized",
       "c2_dedup_minhash", "c3_dedup_simhash", "c9_doc_fingerprint",
       "c11_media_embed", "c23_semdedup", "c33_quality_classifier",
-      "c34_bpe_train", "c35_bpe_encode", "d6_stream_dedup")
+      "c34_bpe_train", "c35_bpe_encode", "c43_lang_classifier",
+      "d6_stream_dedup")
     assert(rowsOnly.subsetOf(expectedRowsOnly), s"unexpected rows-only: ${rowsOnly -- expectedRowsOnly}")
   }
 
@@ -88,6 +89,30 @@ class RelationalSpec extends AnyFunSuite {
     // grand total across cells == corpus size (langs are exhaustive here)
     val total = p.collect().map(r => langs.map(l => r.getLong(r.fieldIndex(s"${l}_docs"))).sum).sum
     assert(total == docs.count())
+  }
+
+  test("e19 full outer join null-pads one-year-only parts and unions both key sets") {
+    import org.apache.spark.sql.functions._
+    val li = Tables.lineitem(spark, sf)
+    def parts(y: Int) = li.filter(year(col("l_shipdate")) === y)
+      .select("l_partkey").distinct().collect().map(_.getLong(0)).toSet
+    val (p95, p96) = (parts(1995), parts(1996))
+    val out = operators.Relational.fullOuterJoin(spark, sf).collect()
+    assert(out.map(_.getLong(0)).toSet == (p95 ++ p96), "key set = union of both years")
+    // outer rows: the pad is on exactly the missing side
+    out.foreach { r =>
+      val k = r.getLong(0)
+      assert(r.isNullAt(r.fieldIndex("n95")) == !p95.contains(k), s"n95 pad wrong for $k")
+      assert(r.isNullAt(r.fieldIndex("n96")) == !p96.contains(k), s"n96 pad wrong for $k")
+    }
+    // at least one genuinely outer row on each side in this testdata
+    assert(out.exists(r => r.isNullAt(r.fieldIndex("n95"))), "no 1996-only part")
+    assert(out.exists(r => r.isNullAt(r.fieldIndex("n96"))), "no 1995-only part")
+    // one matched cell checked against the direct aggregate
+    val both = out.find(r => !r.isNullAt(r.fieldIndex("n95")) && !r.isNullAt(r.fieldIndex("n96"))).get
+    val exp = li.filter(year(col("l_shipdate")) === 1995 && col("l_partkey") === both.getLong(0))
+      .agg(count(lit(1))).first().getLong(0)
+    assert(both.getLong(both.fieldIndex("n95")) == exp)
   }
 
   test("e16 unpivot melts exactly 4 measure rows per group, values equal the wide cells") {

@@ -572,6 +572,39 @@ class StreamingSpec extends AnyFunSuite {
       s"cross-trigger pairs wrong: $out")
   }
 
+  test("d12 live mode: watermark eviction bounds join state at the attribution window") {
+    val dir = java.nio.file.Files.createTempDirectory("d12_live")
+    // 8 time-ordered files, one window-width (12 h = 43200 s) apart,
+    // 10 events each (5 clicks + 5 purchases per user-window). A
+    // batch's state may hold at most ~the last window's rows + the
+    // watermark delay; without eviction state would reach ~80 rows.
+    val win = graft.streaming.StreamJoin.WindowHours * 3600L
+    var schema: org.apache.spark.sql.types.StructType = null
+    for (f <- 0 until 8) {
+      val t0 = 1000L + f * win
+      schema = writeEventsFile(dir, f"f$f%02d.parquet", 1000000L + f * 1000L,
+        (0 until 10).map { i =>
+          val typ = if (i % 2 == 0) "click" else "purchase"
+          (f * 100L + i, t0 + i * 60L, 1L, typ, 1.0)
+        })
+    }
+    val (out, stateRows) = graft.streaming.StreamJoin
+      .streamingIntervalJoinWithStateMetrics(
+        spark, dir.toString, schema, maxFilesPerTrigger = Some(1))
+    // correctness: same-file pairs (purchase j=1,3,5,7,9 joins the
+    // even clicks before it: 1+2+3+4+5 = 15 per file) plus previous-
+    // file pairs exactly at the inclusive window edge (click i ≥ j:
+    // 4+3+2+1+0 = 10 per adjacent file pair); two files back is > 12 h
+    assert(out.count() == 8L * 15 + 7L * 10, out.count().toString)
+    // the metric claim: multi-trigger state PLATEAUS (eviction), it
+    // does not accumulate the stream. 8 windows arrived; a no-eviction
+    // run would end at 80 buffered rows — the plateau must stay near
+    // the ~2-window hold (watermark advances with one-batch lag).
+    assert(stateRows.length >= 4, s"expected multi-batch metrics: ${stateRows.toSeq}")
+    assert(stateRows.max <= 40,
+      s"state grew past the eviction bound: ${stateRows.toSeq}")
+  }
+
   test("d13 native streaming dedup: a key re-arriving in a later batch is suppressed") {
     val dir = java.nio.file.Files.createTempDirectory("d13_multi")
     val schema = writeEventsFile(dir, "f1.parquet", 1000000L, Seq(
