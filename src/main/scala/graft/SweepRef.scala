@@ -47,6 +47,45 @@ object SweepRef {
   private def env(name: String, dflt: Int): Int =
     sys.env.get(name).map(_.toInt).getOrElse(dflt)
 
+  /** The seeded Gaussian-mixture embedding generator — ONE copy,
+    * shared by the sweep and the SearchProfile harness so profile
+    * corpora are bit-identical to sweep corpora. */
+  private[graft] def synthDf(
+      bcCenters: org.apache.spark.broadcast.Broadcast[Array[Array[Float]]],
+      blend: Float,
+      noise: Float,
+      ids: org.apache.spark.sql.Dataset[java.lang.Long],
+      seedBase: Long): org.apache.spark.sql.DataFrame = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.mapPartitions { iter =>
+      val cs = bcCenters.value
+      iter.map { boxedId =>
+        val id = boxedId.longValue()
+        val rnd = new scala.util.Random(id ^ seedBase)
+        val a = rnd.nextInt(cs.length)
+        val b = (a + 1 + rnd.nextInt(cs.length - 1)) % cs.length
+        val w = rnd.nextDouble().toFloat * blend
+        val ca = cs(a); val cb = cs(b)
+        val v = Array.tabulate(ca.length)(d =>
+          (1 - w) * ca(d) + w * cb(d) + noise * rnd.nextGaussian().toFloat)
+        var n2 = 0.0
+        var i = 0
+        while (i < v.length) { n2 += v(i).toDouble * v(i); i += 1 }
+        val inv = (1.0 / math.sqrt(n2)).toFloat
+        i = 0
+        while (i < v.length) { v(i) *= inv; i += 1 }
+        (id, v)
+      }
+    }.toDF("vec_id", "embedding")
+  }
+
+  /** The deterministic topic centers for a given (topics, dim). */
+  private[graft] def topicCenters(topics: Int, dim: Int): Array[Array[Float]] = {
+    val rnd = new scala.util.Random(7L)
+    Array.fill(topics)(Array.fill(dim)(rnd.nextGaussian().toFloat))
+  }
+
   def main(args: Array[String]): Unit = {
     // the CSV rows are written with f"%.2f"-style interpolation; pin
     // the process locale so a comma-decimal default can never corrupt
@@ -103,32 +142,10 @@ object SweepRef {
     try {
       // --- synthetic corpus: seeded Gaussian-mixture embeddings ---
       // centers are computed once on the driver and broadcast (a few MB)
-      val centers: Array[Array[Float]] = {
-        val rnd = new scala.util.Random(7L)
-        Array.fill(topics)(Array.fill(dim)(rnd.nextGaussian().toFloat))
-      }
+      val centers: Array[Array[Float]] = SweepRef.topicCenters(topics, dim)
       val bcCenters = spark.sparkContext.broadcast(centers)
       def synth(ids: org.apache.spark.sql.Dataset[java.lang.Long], seedBase: Long) =
-        ids.mapPartitions { iter =>
-          val cs = bcCenters.value
-          iter.map { boxedId =>
-            val id = boxedId.longValue()
-            val rnd = new scala.util.Random(id ^ seedBase)
-            val a = rnd.nextInt(cs.length)
-            val b = (a + 1 + rnd.nextInt(cs.length - 1)) % cs.length
-            val w = rnd.nextDouble().toFloat * blend
-            val ca = cs(a); val cb = cs(b)
-            val v = Array.tabulate(ca.length)(d =>
-              (1 - w) * ca(d) + w * cb(d) + noise * rnd.nextGaussian().toFloat)
-            var n2 = 0.0
-            var i = 0
-            while (i < v.length) { n2 += v(i).toDouble * v(i); i += 1 }
-            val inv = (1.0 / math.sqrt(n2)).toFloat
-            i = 0
-            while (i < v.length) { v(i) *= inv; i += 1 }
-            (id, v)
-          }
-        }.toDF("vec_id", "embedding")
+        SweepRef.synthDf(bcCenters, blend, noise, ids, seedBase)
       val baseDir = Files.createTempDirectory("sweep_base").toString
       val t0 = System.nanoTime()
       synth(spark.range(nVecs).as[java.lang.Long]
@@ -144,16 +161,20 @@ object SweepRef {
           .as[(Long, Array[Float])].collect().sortBy(_._1)
 
       // --- index build (B=4, K engages the routed centroid ranking).
-      // Random k-means init: the faiss-style IVF recipe — MLlib's
-      // k-means|| finishing step clusters O(initSteps·2K) candidates
-      // serially on the driver, which at K=4096/d=1536 dominated the
-      // whole build (round-8 build_s 1897); the recall delta is
-      // recorded in the meta sibling against the round-8 curve. ---
-      val initMode = sys.env.getOrElse("SPARK_GRAFT_SWEEP_INIT", "random")
+      // k-means|| at ONE init round (default 2): the serial driver-side
+      // k-means++ finish over the collected candidates dominated the
+      // round-8 build (build_s 1897 at K=4096/d=1536), and rounds
+      // scale its candidate count. Random init was measured first and
+      // DISQUALIFIED: recall@5 collapsed 0.81 → 0.24 (dead centroids +
+      // catch-all cells on the micro-topic corpus) with ~6× the
+      // estimate volume per query — the cheap init costs more at
+      // search time than it saves at build time. ---
+      val initMode = sys.env.getOrElse("SPARK_GRAFT_SWEEP_INIT", "k-means||")
+      val initSteps = env("SPARK_GRAFT_SWEEP_INIT_STEPS", 1)
       val t1 = System.nanoTime()
       val model = IVFIndex.build(spark, base,
         IVFIndex.Params(k = kClusters, totalBits = 4, maxTrainRows = trainRows.toLong,
-          kmeansInitMode = initMode))
+          kmeansInitMode = initMode, kmeansInitSteps = initSteps))
       model.index.count() // materialize the cached index outside timing
       val tBuild = (System.nanoTime() - t1) / 1e9
       println(f"index built (K=$kClusters%d, B=4) in $tBuild%.1f s")
@@ -292,7 +313,7 @@ object SweepRef {
         val buildS = math.rint(tBuild * 10) / 10
         val gtS = math.rint(tGt * 10) / 10
         val meta =
-          s"""{"commit":"$commit","dim":$dim,"n_vecs":$nVecs,"k":$kClusters,"nq":$nq,"topk":$topk,"mode":"${if (highAcc) "highacc" else "plain"}","batch_nq":$batchNq,"batch_query_bits":14,"build_s":$buildS,"gt_s":$gtS,"topics":$topics,"noise":$noise,"blend":$blend,"init_mode":"$initMode","calibration_target":"recall@5 within 0.05 of openai1536_exhaf4 row 1 (0.653)"}""" + "\n"
+          s"""{"commit":"$commit","dim":$dim,"n_vecs":$nVecs,"k":$kClusters,"nq":$nq,"topk":$topk,"mode":"${if (highAcc) "highacc" else "plain"}","batch_nq":$batchNq,"batch_query_bits":14,"build_s":$buildS,"gt_s":$gtS,"topics":$topics,"noise":$noise,"blend":$blend,"init_mode":"$initMode","init_steps":$initSteps,"calibration_target":"recall@5 within 0.05 of openai1536_exhaf4 row 1 (0.653)"}""" + "\n"
         Files.write(Paths.get(out + ".meta.json"), meta.getBytes(StandardCharsets.UTF_8))
       }
       // write the ladder-only CSV + its meta sibling now: a failure in
@@ -330,7 +351,8 @@ object SweepRef {
       val batchQps: Map[Int, Double] = batchRungs.flatMap { np =>
         val qdf = batchQdf
         val w0 = System.nanoTime()
-        val n = batchModel.searchAll(spark, qdf, topk, np, chunk = 2048).count()
+        val n = batchModel.searchAll(spark, qdf, topk, np,
+          chunk = env("SPARK_GRAFT_SWEEP_BATCH_CHUNK", 4096)).count()
         val wall = (System.nanoTime() - w0) / 1e9
         if (n != batchNq.toLong * topk) {
           // short count (e.g. a skewed corpus whose nprobe-probe set

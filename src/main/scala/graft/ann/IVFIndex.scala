@@ -115,11 +115,80 @@ object IVFIndex {
       // sweep is recorded in the sweep meta). Default keeps the MLlib
       // behavior; large-K reference-shape builds pass "random".
       kmeansInitMode: String = "k-means||",
-      kmeansMaxIter: Int = 12) {
+      kmeansMaxIter: Int = 12,
+      // k-means|| init rounds: each round D²-samples ~2k candidates
+      // AND the collected candidate set feeds a SERIAL driver-side
+      // k-means++ finish whose cost grows with rounds·k — at K=4096,
+      // d=1536 that finish dominates the whole build, so large-K
+      // builds cut rounds first (recall delta measured in the sweep
+      // meta before committing a config).
+      kmeansInitSteps: Int = 2) {
     require(Set(3, 4, 5, 7, 8, 9).contains(totalBits), s"unsupported totalBits $totalBits")
     require(queryBits == 0 || (queryBits >= 4 && queryBits <= 16),
       s"queryBits must be 0 (exact) or in [4,16], got $queryBits")
     def exBits: Int = totalBits - 1
+  }
+
+  /** `kmeansInitMode = "spread"`: large-K k-means WITHOUT the serial
+    * driver finish. MLlib's k-means|| collects O(rounds·2K) candidates
+    * and runs a SINGLE-THREADED local k-means++ over them — at
+    * K=4096/d=1536 that one driver phase was measured at ~15 min of a
+    * 20-min build (the round-8 sweep's build_s 1897 bottleneck).
+    * Published alternative (Bahmani et al. 2012 observe the oversample
+    * already lands near every true cluster): ONE distributed D²
+    * round — distances to a single deterministic seed, candidates
+    * sampled with probability ∝ d² (expected ~4K of them) — then K
+    * picked from the candidates by seeded D²-weighted order on the
+    * driver (an O(cand) weighted pick, NO local Lloyd), and Lloyd
+    * itself runs DISTRIBUTED via the RDD-API `setInitialModel` path.
+    * The init is deliberately rougher than k-means++: the distributed
+    * Lloyd iterations do the refinement in parallel instead of the
+    * driver doing it serially. Recall parity is validated per-corpus
+    * (sweep meta records the init); the default stays "k-means||". */
+  private def spreadKMeans(
+      spark: SparkSession,
+      sampled: org.apache.spark.rdd.RDD[Array[Float]],
+      params: Params): Array[Array[Float]] = {
+    import org.apache.spark.mllib.clustering.{KMeans => MllibKMeans, KMeansModel => MllibKMeansModel}
+    import org.apache.spark.mllib.linalg.Vectors
+    val data = sampled.map(v => Vectors.dense(v.map(_.toDouble)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val seedVec = data.take(1).headOption.getOrElse(
+        throw new IllegalArgumentException("empty training sample"))
+      val bcSeed = spark.sparkContext.broadcast(seedVec)
+      val target = 4L * params.k
+      // Σd² first (one pass), then sample candidates ∝ d² (second
+      // pass) — both narrow; weights ride along for the driver pick
+      val sumD2 = data.map(v => Vectors.sqdist(v, bcSeed.value)).sum()
+      val frac = if (sumD2 > 0) target / sumD2 else 0.0
+      val cands: Array[(Double, org.apache.spark.mllib.linalg.Vector)] =
+        data.mapPartitionsWithIndex { (pi, it) =>
+          val rnd = new scala.util.Random(params.seed ^ (pi * 0x9E3779B97F4A7C15L))
+          it.flatMap { v =>
+            val d2 = Vectors.sqdist(v, bcSeed.value)
+            if (sumD2 <= 0 || rnd.nextDouble() < d2 * frac) Some((d2, v)) else None
+          }
+        }.collect()
+      // driver pick: K candidates by seeded D²-weighted order
+      // (Efraimidis-Spirakis keys — the c40 mechanism), topped up from
+      // the sample if the draw came in under K
+      val rnd = new scala.util.Random(params.seed)
+      val picked = cands
+        .map { case (d2, v) => (math.log(rnd.nextDouble()) / math.max(d2, 1e-12), v) }
+        .sortBy(_._1)(Ordering[Double].reverse)
+        .take(params.k).map(_._2)
+      val init =
+        if (picked.length >= params.k) picked
+        else picked ++ data.take(params.k * 2).distinct.take(params.k - picked.length)
+      require(init.length > 0, "spread init produced no centers")
+      val km = new MllibKMeans()
+        .setK(init.length)
+        .setMaxIterations(params.kmeansMaxIter)
+        .setSeed(params.seed)
+        .setInitialModel(new MllibKMeansModel(init))
+      km.run(data).clusterCenters.map(_.toArray.map(_.toFloat))
+    } finally data.unpersist(blocking = false)
   }
 
   /** Train centroids + assign + quantize. `df` must have (idCol: long,
@@ -161,19 +230,24 @@ object IVFIndex {
       }
       buf.iterator
     }
-    val train = sampled.toDF("vec")
-      .withColumn("features", array_to_vector(col("vec")))
     // 12 Lloyd iterations by default: recall is insensitive beyond ~10
     // on these corpora (verified by the recall specs), and train time
     // is the dominant one-time build cost
     val tKm = System.nanoTime()
-    val km = new KMeans()
-      .setK(params.k).setSeed(params.seed)
-      .setMaxIter(params.kmeansMaxIter)
-      .setInitMode(params.kmeansInitMode)
-      .setFeaturesCol("features")
     val centroids: Array[Array[Float]] =
-      km.fit(train).clusterCenters.map(_.toArray.map(_.toFloat))
+      if (params.kmeansInitMode == "spread")
+        spreadKMeans(spark, sampled, params)
+      else {
+        val train = sampled.toDF("vec")
+          .withColumn("features", array_to_vector(col("vec")))
+        val km = new KMeans()
+          .setK(params.k).setSeed(params.seed)
+          .setMaxIter(params.kmeansMaxIter)
+          .setInitMode(params.kmeansInitMode)
+          .setInitSteps(params.kmeansInitSteps)
+          .setFeaturesCol("features")
+        km.fit(train).clusterCenters.map(_.toArray.map(_.toFloat))
+      }
     if (profileSearch)
       println(f"[build-profile] kmeans k=${params.k}%d init=${params.kmeansInitMode}%s " +
         f"iters=${params.kmeansMaxIter}%d wall=${(System.nanoTime() - tKm) / 1e9}%.1f s")
@@ -218,24 +292,34 @@ object IVFIndex {
     // The quantize pass is persisted (disk-backed) so the per-cluster
     // count and the final layout don't each recompute it; the handle
     // is dropped once the index cache is materialized.
-    val n = spark.sessionState.conf.numShufflePartitions
     val quantized = entries.persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val blocks = quantized.groupBy("cluster_id").agg(
-        ceil(count(lit(1)) / lit(ClusterBlockRows.toDouble))
-          .cast("int").as("nblocks"))
-      val index = quantized
-        .join(broadcast(blocks), Seq("cluster_id"))
-        .withColumn("_blk", pmod(xxhash64(col("id")), col("nblocks").cast("long")).cast("int"))
-        .repartition(n, col("cluster_id"), col("_blk"))
-        .sortWithinPartitions("cluster_id", "id")
-        .select("id", "cluster_id", "sign_bits", "ex_code", "x2",
-          "fac_ip", "sum_xb", "fac_err", "xipnorm")
-        .as[Entry].cache()
+      val index = cachedBlockLayout(spark, quantized)
       index.queryExecution.toRdd.foreach(_ => ()) // materialize before unpersist
       new IVFModel(params, rotator, centroids, rotatedCentroids, index)
     } finally quantized.unpersist(blocking = false)
+  }
+
+  /** The deterministic cached (cluster_id, hashed-block) layout —
+    * ONE copy of the layout rule (see the comment above), reusable to
+    * re-cache an index read back from disk (e.g. the SearchProfile
+    * harness re-establishing the build-time layout after a load). */
+  private[graft] def cachedBlockLayout(
+      spark: SparkSession, entries: Dataset[Entry]): Dataset[Entry] = {
+    import spark.implicits._
+    val n = spark.sessionState.conf.numShufflePartitions
+    val blocks = entries.groupBy("cluster_id").agg(
+      ceil(count(lit(1)) / lit(ClusterBlockRows.toDouble))
+        .cast("int").as("nblocks"))
+    entries
+      .join(broadcast(blocks), Seq("cluster_id"))
+      .withColumn("_blk", pmod(xxhash64(col("id")), col("nblocks").cast("long")).cast("int"))
+      .repartition(n, col("cluster_id"), col("_blk"))
+      .sortWithinPartitions("cluster_id", "id")
+      .select("id", "cluster_id", "sign_bits", "ex_code", "x2",
+        "fac_ip", "sum_xb", "fac_err", "xipnorm")
+      .as[Entry].cache()
   }
 
   /** The per-vector assign + rotate + quantize kernel, shared by the
@@ -685,29 +769,61 @@ final class IVFModel(
     val index: Dataset[IVFIndex.Entry]) extends Serializable {
   import IVFIndex.Entry
 
-  /** Centroid router over the rotated centroids (lazy: only built when
-    * a search happens). */
-  lazy val router = new CentroidRouter(rotatedCentroids)
-
-  /** One broadcast of the rotated centroids per model lifetime, shared
-    * by every search call. The centroid table (K × dim floats — 25 MB
-    * at the reference shape) is invariant across a searchAll run's
-    * chunks; re-broadcasting it with every 2048-query chunk was pure
-    * per-chunk fixed cost. @transient: a model captured in a closure
-    * must not drag a driver-side broadcast handle with it. */
-  @transient private var centroidsBc:
-    org.apache.spark.broadcast.Broadcast[Array[Array[Float]]] = _
-  private[graft] def centroidsBroadcast(spark: SparkSession) = synchronized {
-    if (centroidsBc == null)
-      centroidsBc = spark.sparkContext.broadcast(rotatedCentroids)
-    centroidsBc
+  /** Search-time driver state (NSW router, centroid broadcast),
+    * SHARED across [[withQueryBits]] copies — both depend only on the
+    * rotated centroids, and rebuilding the router per copy cost a
+    * measured 14 s at K=4096/d=1536 (the first profile's chunk-0/1
+    * stall: the batch model's first two pipelined chunks serialized
+    * behind a redundant graph build). */
+  private final class SharedSearchState {
+    @volatile var router: CentroidRouter = _
+    @volatile var centroidsBc:
+      org.apache.spark.broadcast.Broadcast[Array[Array[Float]]] = _
+  }
+  @transient private var shared = new SharedSearchState
+  private def this(params: IVFIndex.Params, rotator: Rotator,
+      centroids: Array[Array[Float]], rotatedCentroids: Array[Array[Float]],
+      index: Dataset[IVFIndex.Entry], sharedState: AnyRef) = {
+    this(params, rotator, centroids, rotatedCentroids, index)
+    this.shared = sharedState.asInstanceOf[SharedSearchState]
+  }
+  // a deserialized copy (the model is Serializable) re-creates its own
+  // driver state on first use
+  private def sharedState: SharedSearchState = synchronized {
+    if (shared == null) shared = new SharedSearchState
+    shared
   }
 
-  /** Same model, same (cached) index, different query-side estimate
-    * precision (Params.queryBits) — the knob costs nothing to flip. */
+  /** Centroid router over the rotated centroids (built on first
+    * search, shared across queryBits copies). */
+  def router: CentroidRouter = {
+    val s = sharedState
+    if (s.router == null) s.synchronized {
+      if (s.router == null) s.router = new CentroidRouter(rotatedCentroids)
+    }
+    s.router
+  }
+
+  /** One broadcast of the rotated centroids per model lifetime, shared
+    * by every search call and every queryBits copy. The centroid table
+    * (K × dim floats — 25 MB at the reference shape) is invariant
+    * across a searchAll run's chunks; re-broadcasting it with every
+    * 2048-query chunk was pure per-chunk fixed cost. */
+  private[graft] def centroidsBroadcast(spark: SparkSession) = {
+    val s = sharedState
+    if (s.centroidsBc == null) s.synchronized {
+      if (s.centroidsBc == null)
+        s.centroidsBc = spark.sparkContext.broadcast(rotatedCentroids)
+    }
+    s.centroidsBc
+  }
+
+  /** Same model, same (cached) index, same shared router/broadcast,
+    * different query-side estimate precision (Params.queryBits) — the
+    * knob costs nothing to flip. */
   def withQueryBits(bits: Int): IVFModel =
     new IVFModel(params.copy(queryBits = bits), rotator, centroids,
-      rotatedCentroids, index)
+      rotatedCentroids, index, sharedState)
 
   /** Persist the index columnar, partitioned by cluster (the Spark
     * analogue of IVF::save, IVF.hpp:219-252). Partitioning by
@@ -884,9 +1000,12 @@ final class IVFModel(
           spark.read.parquet(path)
         case None => res.localCheckpoint(true)
       }
-      if (IVFIndex.profileSearch)
+      if (IVFIndex.profileSearch) {
+        val (aE, aS, aR) = IVFIndex.profAccs(spark)
         println(f"[search-profile] chunk=$idx%d nq=${chunkQ.length}%d " +
-          f"wall=${(System.nanoTime() - w0) / 1e9}%.2f s")
+          f"wall=${(System.nanoTime() - w0) / 1e9}%.2f s " +
+          f"cumEntries=${aE.value}%d cumEstimates=${aS.value}%d cumReranks=${aR.value}%d")
+      }
       out
     }
     def flush(): Unit = if (buf.nonEmpty) {
@@ -1012,34 +1131,64 @@ final class IVFModel(
               e.cluster_id, scala.collection.mutable.ArrayBuffer.empty[Entry]) += e
           }
         }
-        byClusterRuns.foreach { case (cid, run) =>
-          val queryIdxs = byCluster(cid)
-          var j = 0
-          while (j < queryIdxs.length) {
-            val qi = queryIdxs(j)
-            val qc = RaBitQ.prepareQuery(qs(qi)._2, rotCents(cid), queryBits)
-            var distK = dists(qi)
-            val heap = heaps(qi)
-            var i = 0
-            while (i < run.length) {
-              val e = run(i)
-              val lower =
-                if (queryBits > 0)
-                  RaBitQ.estimateLowerLut(qc, e.sign_bits, e.x2, e.fac_ip, e.fac_err)
-                else
-                  RaBitQ.estimateLower(qc, e.sign_bits, e.x2, e.fac_ip, e.fac_err)
-              if (lower <= distK) {
-                nRerank += 1
-                val ex = RaBitQ.rerankDist(qc, e.sign_bits, e.ex_code, e.x2, e.xipnorm, exBits)
-                heap.insert(ex, e.id)
-                distK = heap.worstOrElse(Double.MaxValue)
-              }
-              i += 1
+        // partition-owned prepare scratch: one residual + one LUT
+        // buffer reused across every (query, cluster) prepare — fresh
+        // allocation per prepare measured ~10 GB/chunk of GC load at
+        // the reference shape (see RaBitQ.prepareQueryInto)
+        var rBuf: Array[Float] = null
+        var lutBuf: Array[Int] = null
+        // scan order: per QUERY, its probed clusters in CENTROID-RANK
+        // order (probes(qi)._3 is already ranked) — the nearest
+        // cluster tightens the query's partition-local distK before
+        // the farther probes are scanned, which is where the prune
+        // does its work (cluster-major HashMap order left distK at
+        // MaxValue through most of a query's candidate volume;
+        // measured 61% rerank rate at the reference shape). The skip
+        // rule is order-safe: lower > distK_now ≥ distK_final implies
+        // the candidate cannot enter the final top-k (modulo the
+        // documented fac_err bound-violation caveat, same as layout).
+        // Per-(query, cluster) prepare count is unchanged, and the
+        // query residual stays cache-hot across its few cluster runs.
+        var qi = 0
+        while (qi < qs.length) {
+          val rankedCls = qs(qi)._3
+          var distK = dists(qi)
+          val heap = heaps(qi)
+          var c = 0
+          while (c < rankedCls.length) {
+            val cid = rankedCls(c)
+            byClusterRuns.get(cid) match {
+              case Some(run) =>
+                if (rBuf == null) {
+                  val d = rotCents(cid).length
+                  rBuf = new Array[Float](d)
+                  if (queryBits > 0) lutBuf = new Array[Int](((d + 63) >> 6) << 8)
+                }
+                val qc = RaBitQ.prepareQueryInto(
+                  qs(qi)._2, rotCents(cid), queryBits, rBuf, lutBuf)
+                var i = 0
+                while (i < run.length) {
+                  val e = run(i)
+                  val lower =
+                    if (queryBits > 0)
+                      RaBitQ.estimateLowerLut(qc, e.sign_bits, e.x2, e.fac_ip, e.fac_err)
+                    else
+                      RaBitQ.estimateLower(qc, e.sign_bits, e.x2, e.fac_ip, e.fac_err)
+                  if (lower <= distK) {
+                    nRerank += 1
+                    val ex = RaBitQ.rerankDist(qc, e.sign_bits, e.ex_code, e.x2, e.xipnorm, exBits)
+                    heap.insert(ex, e.id)
+                    distK = heap.worstOrElse(Double.MaxValue)
+                  }
+                  i += 1
+                }
+                nEst += run.length
+              case None =>
             }
-            nEst += run.length
-            dists(qi) = distK
-            j += 1
+            c += 1
           }
+          dists(qi) = distK
+          qi += 1
         }
         if (accs != null) {
           accs._1.add(nEntries); accs._2.add(nEst); accs._3.add(nRerank)

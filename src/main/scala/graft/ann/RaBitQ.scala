@@ -198,9 +198,28 @@ object RaBitQ {
   def prepareQuery(
       qRot: Array[Float],
       cRot: Array[Float],
-      queryBits: Int = 0): QueryCluster = {
+      queryBits: Int = 0): QueryCluster =
+    prepareQueryInto(qRot, cRot, queryBits, null, null)
+
+  /** [[prepareQuery]] with caller-owned scratch: `rBuf` (dim floats)
+    * and `lutBuf` (16·16·ceil(dim/64) ints) are filled in place when
+    * non-null. The search hot loop prepares once per (query, cluster,
+    * partition) — ~320k calls per 2048-query chunk at the reference
+    * shape, whose fresh 30 KB of arrays each (residual + LUT) put
+    * ~10 GB/chunk of allocation on the GC (measured as the dominant
+    * share of the 17 s chunk wall). Query-major scanning finishes
+    * each prepared query before the next, so one scratch pair per
+    * partition is safe. The returned QueryCluster aliases the
+    * buffers — callers must not retain it across prepares (the
+    * partition loop does not). */
+  def prepareQueryInto(
+      qRot: Array[Float],
+      cRot: Array[Float],
+      queryBits: Int,
+      rBuf: Array[Float],
+      lutBuf: Array[Int]): QueryCluster = {
     val d = qRot.length
-    val r = new Array[Float](d)
+    val r = if (rBuf != null && rBuf.length == d) rBuf else new Array[Float](d)
     var s = 0.0; var y2 = 0.0
     var i = 0
     while (i < d) {
@@ -208,7 +227,8 @@ object RaBitQ {
       r(i) = v.toFloat; s += v; y2 += v * v
       i += 1
     }
-    QueryCluster(r, s, y2, if (queryBits > 0) buildLut(r, queryBits) else null)
+    QueryCluster(r, s, y2,
+      if (queryBits > 0) buildLut(r, queryBits, lutBuf) else null)
   }
 
   /** Quantize the residual to `bits`-bit ints (reference
@@ -216,7 +236,8 @@ object RaBitQ {
     * the per-4-dim subset-sum LUTs (reference pack_LUT). Cost is
     * O(d·4) per (query, cluster), amortized over every entry of the
     * cluster scan. */
-  private[graft] def buildLut(r: Array[Float], bits: Int): QueryLut = {
+  private[graft] def buildLut(
+      r: Array[Float], bits: Int, lutBuf: Array[Int] = null): QueryLut = {
     val d = r.length
     var vl = Float.MaxValue; var vr = Float.MinValue
     var i = 0
@@ -225,7 +246,9 @@ object RaBitQ {
     val width = if (vr > vl) (vr - vl) / levels else 1.0f
     val words = (d + 63) >> 6
     val groups = words << 4 // 16 groups of 4 dims per 64-bit word
-    val lut = new Array[Int](groups << 4)
+    val lut =
+      if (lutBuf != null && lutBuf.length == (groups << 4)) lutBuf
+      else new Array[Int](groups << 4)
     var g = 0
     while (g < groups) {
       val base = g << 2

@@ -834,21 +834,26 @@ object CorpusOps {
       m: DataFrame, budget: Long, subRange: Long): DataFrame = {
     val spark = m.sparkSession
     import spark.implicits._
-    // pass 1 — bounded: one row per distinct quantized score (≤ 10001)
+    // pass 1 — bounded: one row per distinct quantized score (≤ 10001),
+    // carrying count AND token sum so the no-fat-bucket common path
+    // needs no second aggregation job
     val bucketRows = m.groupBy("score_tenk")
-      .agg(count(lit(1)).as("cnt"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1))
+      .agg(count(lit(1)).as("cnt"), sum("n_tokens").as("toks"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
     val fatScores = bucketRows.filter(_._2 > subRange).map(_._1).toSet
-    // pass 2 — (bucket, sub) token sums; sub is 0 except in fat
-    // buckets, so this stays ≤ 10001 + corpus/subRange rows
     val withSub = m.withColumn("sub",
       if (fatScores.isEmpty) lit(0L)
       else when(col("score_tenk").isin(fatScores.toSeq: _*),
         floor(col("doc_id") / lit(subRange)).cast(LongType))
         .otherwise(lit(0L)))
-    val combos = withSub.groupBy("score_tenk", "sub")
-      .agg(sum("n_tokens").as("toks"))
-      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2))
+    // pass 2 runs ONLY when a bucket actually sub-splits — (bucket,
+    // sub) token sums stay ≤ 10001 + corpus/subRange rows; otherwise
+    // pass 1's (score, toks) rows ARE the combos (sub ≡ 0)
+    val combos = (if (fatScores.isEmpty)
+        bucketRows.map { case (s, _, toks) => (s, 0L) -> toks }
+      else withSub.groupBy("score_tenk", "sub")
+        .agg(sum("n_tokens").as("toks"))
+        .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)))
       .sortBy { case ((s, sub), _) => (-s, sub) }
     val offDf = exclusiveOffsets(combos.toSeq)
       .map { case ((s, sub), off) => (s, sub, off) }
