@@ -130,7 +130,19 @@ object Bench {
         if (common.isEmpty || duckTot <= 0) ""
         else s""","spark_oracle_total_sec":$sparkTot,"duckdb_total_sec":$duckTot,"vs_baseline":${sparkTot / duckTot}"""
       }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries":$qs$vsBaseline,"sf":"${esc(sfDir)}"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries":$qs$vsBaseline,"sf":"${esc(sfDir)}"}"""
+    println(line)
+    // the same line, durably: the round-8 committed BENCH artifact
+    // truncated mid-list in log capture, losing the total and the a*/b*
+    // keys — this file is the self-contained copy of the LAST full run
+    // (subset runs must not overwrite the full-surface record)
+    if (only.isEmpty)
+      try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("results/bench_last.json"), line + "\n")
+      catch { case e: Exception =>
+        System.err.println(s"[bench] could not write results/bench_last.json: $e")
+      }
     spark.stop()
   }
 }
