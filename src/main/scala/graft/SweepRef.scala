@@ -114,8 +114,21 @@ object SweepRef {
     // sample. `blend` (v = (1−w)·c_a + w·c_b + noise·g, w ∈ [0,blend])
     // optionally smears points between topic pairs; the published run
     // uses 0.
+    //
+    // Round-9 difficulty calibration toward the reference's published
+    // operating point (recall@5 = 0.653, openai1536_exhaf4.csv row 1),
+    // measured at the full 1M shape: recall@5 is NON-MONOTONIC in
+    // noise because k-means regime-shifts — noise 0.35 → 0.807
+    // (rising curve), 0.40 → 0.884 FLAT, 0.45 → 0.892 FLAT (the
+    // catch-all collapse: a few giant cells hold the corpus, recall
+    // is high at any nprobe but at ~3× the rung wall), 0.50 → 0.354
+    // with the reference-family RISING curve. The 0.653 point falls
+    // inside the sharp 0.45→0.50 regime transition and is not
+    // reachable along this knob; the published run uses 0.50 — the
+    // rising-curve corpus on the HARD side of the reference's
+    // operating point (the r8 corpus was on the easy side at 0.807).
     val topics = env("SPARK_GRAFT_SWEEP_TOPICS", math.max(64, nVecs / 20))
-    val noise = sys.env.get("SPARK_GRAFT_SWEEP_NOISE").map(_.toFloat).getOrElse(0.35f)
+    val noise = sys.env.get("SPARK_GRAFT_SWEEP_NOISE").map(_.toFloat).getOrElse(0.50f)
     val blend = sys.env.get("SPARK_GRAFT_SWEEP_BLEND").map(_.toFloat).getOrElse(0f)
     // fail smoke-run misconfiguration in milliseconds, not after the
     // expensive synth+build+GT phases
@@ -313,7 +326,7 @@ object SweepRef {
         val buildS = math.rint(tBuild * 10) / 10
         val gtS = math.rint(tGt * 10) / 10
         val meta =
-          s"""{"commit":"$commit","dim":$dim,"n_vecs":$nVecs,"k":$kClusters,"nq":$nq,"topk":$topk,"mode":"${if (highAcc) "highacc" else "plain"}","batch_nq":$batchNq,"batch_query_bits":14,"build_s":$buildS,"gt_s":$gtS,"topics":$topics,"noise":$noise,"blend":$blend,"init_mode":"$initMode","init_steps":$initSteps,"calibration_target":"recall@5 within 0.05 of openai1536_exhaf4 row 1 (0.653)"}""" + "\n"
+          s"""{"commit":"$commit","dim":$dim,"n_vecs":$nVecs,"k":$kClusters,"nq":$nq,"topk":$topk,"mode":"${if (highAcc) "highacc" else "plain"}","batch_nq":$batchNq,"batch_query_bits":14,"build_s":$buildS,"gt_s":$gtS,"topics":$topics,"noise":$noise,"blend":$blend,"init_mode":"$initMode","init_steps":$initSteps,"calibration_target":"openai1536_exhaf4 row 1 recall@5=0.653; measured non-monotonic in noise (0.35:0.807R,0.40:0.884F,0.45:0.892F,0.50:0.354R; R=rising,F=flat-collapsed) - 0.653 falls inside the 0.45-0.50 regime jump; published run takes the rising-curve hard side"}""" + "\n"
         Files.write(Paths.get(out + ".meta.json"), meta.getBytes(StandardCharsets.UTF_8))
       }
       // write the ladder-only CSV + its meta sibling now: a failure in

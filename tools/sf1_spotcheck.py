@@ -29,7 +29,7 @@ import duckdb, glob, json, os, sys, time
 QUERIES = ["e1_q1_agg", "e3_q5_multijoin", "c17_contamination", "d1_sessionize",
            "c24_substring_dedup", "c25_bm25_search", "c27_lm_perplexity",
            "c28_dsir_weight", "c31_boilerplate", "c32_budget_select",
-           "c39_bloom_contain", "c41_heavy_hitters"]
+           "c39_bloom_contain", "c41_heavy_hitters", "c42_trigram_lm"]
 RUNS = 3
 BEGIN = "<!-- sf1-spotcheck:begin -->"
 END = "<!-- sf1-spotcheck:end -->"
