@@ -147,8 +147,39 @@ object LmScore {
     * exercised on real data, not just in a unit fixture. */
   val TrigramTrainMax = "c0"
 
+  private val M61 = (1L << 61) - 1
+  private val LaneB1 = 1000003L
+  private val LaneB2 = 1000033L
+  /** Two-lane M61 polynomial hash of a string — the c24 span-key
+    * mechanism: 122 key bits, so n-gram JOIN keys are two fixed-width
+    * longs instead of strings (collision odds ~n²/2^123, negligible
+    * at any corpus size; no string bytes on the model-join shuffles,
+    * and no gram string survives the kernel). Perf note from the sf1
+    * profile: this is the right shuffle shape at scale but was NOT
+    * the sf1 bottleneck — the model is tiny there (27k distinct
+    * training trigrams) and the cost is the kernel pass itself on the
+    * single input split (see the c24/c25 single-split note in
+    * SURVEY §6). */
+  private[graft] def lane(s: String, base: Long): Long = {
+    var h = 0L
+    var i = 0
+    while (i < s.length) {
+      h = Dedup.mulModM61(h, base) + s.charAt(i)
+      if (h >= M61) h -= M61
+      i += 1
+    }
+    h
+  }
+
   /** Per-doc aggregated trigram counts via one hash-map pass — the
-    * c27 kernel one order deeper. */
+    * c27 kernel one order deeper — emitted as HASHED keys for every
+    * model-table space the backoff chain joins on: the trigram
+    * (t3a/t3b), its (w1,w2) context (c2a/c2b), the (w2,w3) backoff
+    * bigram (b2a/b2b), its w2 context (b1a/b1b) and the w3 unigram
+    * (ua/ub). Tokens cannot contain the separator, so the joined
+    * string is an identity key per space (the c27/c24 argument); no
+    * string column survives past this kernel — the report never
+    * needs the grams back. */
   private[graft] def trigramRows(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
@@ -167,12 +198,20 @@ object LmScore {
           m.iterator.map { case (k, c) =>
             val cut1 = k.indexOf(' ')
             val cut2 = k.indexOf(' ', cut1 + 1)
-            (id, k.substring(0, cut1), k.substring(cut1 + 1, cut2),
-              k.substring(cut2 + 1), c)
+            val w12 = k.substring(0, cut2)       // "w1 w2"
+            val w23 = k.substring(cut1 + 1)      // "w2 w3"
+            val w2 = k.substring(cut1 + 1, cut2)
+            val w3 = k.substring(cut2 + 1)
+            (id, c, lane(k, LaneB1), lane(k, LaneB2),
+              lane(w12, LaneB1), lane(w12, LaneB2),
+              lane(w23, LaneB1), lane(w23, LaneB2),
+              lane(w2, LaneB1), lane(w2, LaneB2),
+              lane(w3, LaneB1), lane(w3, LaneB2))
           }
         }
       }
-      .toDF("doc_id", "w1", "w2", "w3", "cnt")
+      .toDF("doc_id", "cnt", "t3a", "t3b", "c2a", "c2b",
+        "b2a", "b2b", "b1a", "b1b", "ua", "ub")
   }
 
   /** 1e-4-quantized NLL of an EXACT ratio (num ≥ 1 guaranteed by the
@@ -219,9 +258,15 @@ object LmScore {
       .withColumn("trn",
         substring(md5(col("doc_id").cast(StringType)), 1, 2) < lit(TrigramTrainMax))
       .persist(lvl)
-    val t3 = rows.filter(col("trn")).groupBy("w1", "w2", "w3").agg(sum("cnt").as("c3"))
+    // t3 groups by the trigram key and CARRIES the derived-space keys
+    // (functionally determined by the trigram — same cardinality);
+    // b2 likewise carries the w2/w3 keys for its own fan-out
+    val t3 = rows.filter(col("trn"))
+      .groupBy("t3a", "t3b", "c2a", "c2b", "b2a", "b2b", "b1a", "b1b", "ua", "ub")
+      .agg(sum("cnt").as("c3"))
       .persist(lvl)
-    val b2 = t3.groupBy("w2", "w3").agg(sum("c3").as("cb"))
+    val b2 = t3.groupBy("b2a", "b2b", "b1a", "b1b", "ua", "ub")
+      .agg(sum("c3").as("cb"))
       .persist(lvl)
     try trigramScored(docs, rows, t3, b2).localCheckpoint(true)
     finally {
@@ -233,19 +278,20 @@ object LmScore {
 
   /** The lazy scoring pipeline over (persisted) kernel + model
     * tables — separate so PlanSpec-style inspection stays possible
-    * past the eager checkpoint. */
+    * past the eager checkpoint. All five model joins key on two-long
+    * hashed gram keys (see [[trigramRows]]). */
   private def trigramScored(
       docs: DataFrame, rows: DataFrame, t3: DataFrame, b2: DataFrame): DataFrame = {
-    val t2 = t3.groupBy("w1", "w2").agg(sum("c3").as("c2ctx"))
-    val b1 = b2.groupBy("w2").agg(sum("cb").as("c1ctx"))
-    val u = b2.groupBy("w3").agg(sum("cb").as("cu"))
+    val t2 = t3.groupBy("c2a", "c2b").agg(sum("c3").as("c2ctx"))
+    val b1 = b2.groupBy("b1a", "b1b").agg(sum("cb").as("c1ctx"))
+    val u = b2.groupBy("ua", "ub").agg(sum("cb").as("cu"))
     val tot = u.agg(sum("cu").as("nn"), count(lit(1)).as("v"))
     val scored = rows
-      .join(t3, Seq("w1", "w2", "w3"), "left")
-      .join(t2, Seq("w1", "w2"), "left")
-      .join(b2, Seq("w2", "w3"), "left")
-      .join(b1, Seq("w2"), "left")
-      .join(u, Seq("w3"), "left")
+      .join(t3.select("t3a", "t3b", "c3"), Seq("t3a", "t3b"), "left")
+      .join(t2, Seq("c2a", "c2b"), "left")
+      .join(b2.select("b2a", "b2b", "cb"), Seq("b2a", "b2b"), "left")
+      .join(b1, Seq("b1a", "b1b"), "left")
+      .join(u, Seq("ua", "ub"), "left")
       .crossJoin(broadcast(tot))
       .withColumn("tenk",
         when(col("c3").isNotNull, lnTenk(col("c3"), col("c2ctx")))
