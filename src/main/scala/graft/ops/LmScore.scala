@@ -171,47 +171,84 @@ object LmScore {
     h
   }
 
-  /** Per-doc aggregated trigram counts via one hash-map pass — the
-    * c27 kernel one order deeper — emitted as HASHED keys for every
-    * model-table space the backoff chain joins on: the trigram
-    * (t3a/t3b), its (w1,w2) context (c2a/c2b), the (w2,w3) backoff
-    * bigram (b2a/b2b), its w2 context (b1a/b1b) and the w3 unigram
-    * (ua/ub). Tokens cannot contain the separator, so the joined
-    * string is an identity key per space (the c27/c24 argument); no
-    * string column survives past this kernel — the report never
-    * needs the grams back. */
+  /** Per-doc aggregated trigram counts — the c27 kernel one order
+    * deeper — emitted as HASHED keys for every model-table space the
+    * backoff chain joins on: the trigram (t3a/t3b), its (w1,w2)
+    * context (c2a/c2b), the (w2,w3) backoff bigram (b2a/b2b), its w2
+    * context (b1a/b1b) and the w3 unigram (ua/ub). Tokens cannot
+    * contain the separator, so the separator-joined string is an
+    * identity key per space (the c27/c24 argument); no string column
+    * survives this kernel — the report never needs the grams back.
+    *
+    * Kernel shape (the sf1 profile's lesson): the typed pass hashes
+    * each TOKEN once and COMPOSES gram keys in O(1) M61 ops per
+    * occurrence via the polynomial identity
+    * lane(a + " " + b) = lane(a)·B^(len(b)+1) + lane(" " + b) —
+    * no per-trigram string concat, no per-doc string hashmap (an
+    * earlier form spent 7.5 s of the 8.9 s sf1 wall there, single
+    * input split). The per-doc dedup happens in the codegen
+    * aggregation below (map-side combine), which also gives the
+    * reduce side the session's full parallelism even when the input
+    * is one split. */
   private[graft] def trigramRows(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id").cast(LongType), col("text")).as[(Long, String)]
+    val occ = docs.select(col("doc_id").cast(LongType), col("text")).as[(Long, String)]
       .flatMap { case (id, text) =>
         if (text == null) Iterator.empty
         else {
           val w = text.split(" ", -1)
-          val m = new scala.collection.mutable.HashMap[String, Int]
-          var i = 0
-          while (i < w.length - 2) {
-            val k = w(i) + " " + w(i + 1) + " " + w(i + 2)
-            m.update(k, m.getOrElse(k, 0) + 1)
-            i += 1
-          }
-          m.iterator.map { case (k, c) =>
-            val cut1 = k.indexOf(' ')
-            val cut2 = k.indexOf(' ', cut1 + 1)
-            val w12 = k.substring(0, cut2)       // "w1 w2"
-            val w23 = k.substring(cut1 + 1)      // "w2 w3"
-            val w2 = k.substring(cut1 + 1, cut2)
-            val w3 = k.substring(cut2 + 1)
-            (id, c, lane(k, LaneB1), lane(k, LaneB2),
-              lane(w12, LaneB1), lane(w12, LaneB2),
-              lane(w23, LaneB1), lane(w23, LaneB2),
-              lane(w2, LaneB1), lane(w2, LaneB2),
-              lane(w3, LaneB1), lane(w3, LaneB2))
+          val n = w.length
+          if (n < 3) Iterator.empty
+          else {
+            // per-token state, computed once: lane hashes, the append
+            // multiplier B^(len+1), and the separator-prefixed lane
+            val h1 = new Array[Long](n); val h2 = new Array[Long](n)
+            val pa1 = new Array[Long](n); val pa2 = new Array[Long](n)
+            val sp1 = new Array[Long](n); val sp2 = new Array[Long](n)
+            var j = 0
+            while (j < n) {
+              val t = w(j)
+              var a = 0L; var b = 0L
+              var q1 = 1L; var q2 = 1L // B^len, accumulated per char
+              var i = 0
+              while (i < t.length) {
+                a = Dedup.mulModM61(a, LaneB1) + t.charAt(i); if (a >= M61) a -= M61
+                b = Dedup.mulModM61(b, LaneB2) + t.charAt(i); if (b >= M61) b -= M61
+                q1 = Dedup.mulModM61(q1, LaneB1)
+                q2 = Dedup.mulModM61(q2, LaneB2)
+                i += 1
+              }
+              h1(j) = a; h2(j) = b
+              pa1(j) = Dedup.mulModM61(q1, LaneB1) // B^(len+1)
+              pa2(j) = Dedup.mulModM61(q2, LaneB2)
+              // lane(" " + t) = ' '·B^len + lane(t)
+              sp1(j) = { val v = Dedup.mulModM61(' '.toLong, q1) + a; if (v >= M61) v - M61 else v }
+              sp2(j) = { val v = Dedup.mulModM61(' '.toLong, q2) + b; if (v >= M61) v - M61 else v }
+              j += 1
+            }
+            (0 until n - 2).iterator.map { i =>
+              def app(h: Long, k: Int, pa: Array[Long], sp: Array[Long]): Long = {
+                val v = Dedup.mulModM61(h, pa(k)) + sp(k)
+                if (v >= M61) v - M61 else v
+              }
+              val c2a = app(h1(i), i + 1, pa1, sp1)
+              val c2b = app(h2(i), i + 1, pa2, sp2)
+              val t3a = app(c2a, i + 2, pa1, sp1)
+              val t3b = app(c2b, i + 2, pa2, sp2)
+              val b2a = app(h1(i + 1), i + 2, pa1, sp1)
+              val b2b = app(h2(i + 1), i + 2, pa2, sp2)
+              (id, t3a, t3b, c2a, c2b, b2a, b2b,
+                h1(i + 1), h2(i + 1), h1(i + 2), h2(i + 2))
+            }
           }
         }
       }
-      .toDF("doc_id", "cnt", "t3a", "t3b", "c2a", "c2b",
+      .toDF("doc_id", "t3a", "t3b", "c2a", "c2b",
         "b2a", "b2b", "b1a", "b1b", "ua", "ub")
+    occ.groupBy("doc_id", "t3a", "t3b", "c2a", "c2b",
+        "b2a", "b2b", "b1a", "b1b", "ua", "ub")
+      .agg(count(lit(1)).as("cnt"))
   }
 
   /** 1e-4-quantized NLL of an EXACT ratio (num ≥ 1 guaranteed by the
