@@ -184,10 +184,13 @@ object SweepRef {
       // search time than it saves at build time. ---
       val initMode = sys.env.getOrElse("SPARK_GRAFT_SWEEP_INIT", "k-means||")
       val initSteps = env("SPARK_GRAFT_SWEEP_INIT_STEPS", 1)
+      val routedAssign =
+        sys.env.get("SPARK_GRAFT_SWEEP_ROUTED_ASSIGN").contains("1")
       val t1 = System.nanoTime()
       val model = IVFIndex.build(spark, base,
         IVFIndex.Params(k = kClusters, totalBits = 4, maxTrainRows = trainRows.toLong,
-          kmeansInitMode = initMode, kmeansInitSteps = initSteps))
+          kmeansInitMode = initMode, kmeansInitSteps = initSteps,
+          routedAssign = routedAssign))
       model.index.count() // materialize the cached index outside timing
       val tBuild = (System.nanoTime() - t1) / 1e9
       println(f"index built (K=$kClusters%d, B=4) in $tBuild%.1f s")
@@ -326,7 +329,7 @@ object SweepRef {
         val buildS = math.rint(tBuild * 10) / 10
         val gtS = math.rint(tGt * 10) / 10
         val meta =
-          s"""{"commit":"$commit","dim":$dim,"n_vecs":$nVecs,"k":$kClusters,"nq":$nq,"topk":$topk,"mode":"${if (highAcc) "highacc" else "plain"}","batch_nq":$batchNq,"batch_query_bits":14,"build_s":$buildS,"gt_s":$gtS,"topics":$topics,"noise":$noise,"blend":$blend,"init_mode":"$initMode","init_steps":$initSteps,"calibration_target":"openai1536_exhaf4 row 1 recall@5=0.653; measured non-monotonic in noise (0.35:0.807R,0.40:0.884F,0.45:0.892F,0.50:0.354R; R=rising,F=flat-collapsed) - 0.653 falls inside the 0.45-0.50 regime jump; published run takes the rising-curve hard side"}""" + "\n"
+          s"""{"commit":"$commit","dim":$dim,"n_vecs":$nVecs,"k":$kClusters,"nq":$nq,"topk":$topk,"mode":"${if (highAcc) "highacc" else "plain"}","batch_nq":$batchNq,"batch_query_bits":14,"build_s":$buildS,"gt_s":$gtS,"topics":$topics,"noise":$noise,"blend":$blend,"init_mode":"$initMode","init_steps":$initSteps,"routed_assign":$routedAssign,"calibration_target":"openai1536_exhaf4 row 1 recall@5=0.653; measured non-monotonic in noise (0.35:0.807R,0.40:0.884F,0.45:0.892F,0.50:0.354R; R=rising,F=flat-collapsed) - 0.653 falls inside the 0.45-0.50 regime jump; published run takes the rising-curve hard side"}""" + "\n"
         Files.write(Paths.get(out + ".meta.json"), meta.getBytes(StandardCharsets.UTF_8))
       }
       // write the ladder-only CSV + its meta sibling now: a failure in

@@ -122,7 +122,18 @@ object IVFIndex {
       // d=1536 that finish dominates the whole build, so large-K
       // builds cut rounds first (recall delta measured in the sweep
       // meta before committing a config).
-      kmeansInitSteps: Int = 2) {
+      kmeansInitSteps: Int = 2,
+      // Routed (NSW graph) cluster ASSIGNMENT during quantize — the
+      // reference's own behavior above its HNSW threshold
+      // (IVF.hpp:155-160): at K=4096/d=1536 the flat
+      // nearest-of-K-centroids scan is ~6.3 Mflop per vector and
+      // dominates the quantize pass. Approximate (beam ef=64), so a
+      // boundary vector can land in a near-but-not-nearest cell —
+      // search correctness is unaffected (cells are just probe
+      // targets; recall delta measured on the sweep before enabling
+      // there). Only engages when K ≥ RoutedRankingThreshold AND this
+      // flag is set; the exact flat path is byte-identical otherwise.
+      routedAssign: Boolean = false) {
     require(Set(3, 4, 5, 7, 8, 9).contains(totalBits), s"unsupported totalBits $totalBits")
     require(queryBits == 0 || (queryBits >= 4 && queryBits <= 16),
       s"queryBits must be 0 (exact) or in [4,16], got $queryBits")
@@ -264,13 +275,25 @@ object IVFIndex {
     import spark.implicits._
     val rotator = new Rotator(dim, params.seed)
     val rotatedCentroids = centroids.map(rotator.rotate)
-    val bc = spark.sparkContext.broadcast((rotator, centroids, rotatedCentroids))
+    // routed assignment (opt-in, large K only): build + FORCE the NSW
+    // graph on the driver so the broadcast ships the computed lazy
+    // value, not a rebuild-per-executor recipe
+    val assignRouter: CentroidRouter =
+      if (params.routedAssign &&
+          centroids.length >= IVFModel.RoutedRankingThreshold) {
+        val r = new CentroidRouter(rotatedCentroids)
+        r.rank(rotatedCentroids(0), 1)
+        r
+      } else null
+    val bc = spark.sparkContext.broadcast(
+      (rotator, centroids, rotatedCentroids, assignRouter))
     val exBits = params.exBits
 
     // --- assign + rotate + quantize in one narrow pass (IVF::construct) ---
     val entries: Dataset[Entry] = data.as[(Long, Array[Float])].mapPartitions { iter =>
-      val (rot, cents, rotCents) = bc.value
-      iter.map { case (id, vec) => quantizeRow(rot, cents, rotCents, exBits, dim, id, vec) }
+      val (rot, cents, rotCents, router) = bc.value
+      iter.map { case (id, vec) =>
+        quantizeRow(rot, cents, rotCents, exBits, dim, id, vec, router) }
     }
     // cluster the index by (cluster_id, block) for scan locality with
     // balanced task size: blocks spread a hot cluster across the
@@ -331,17 +354,27 @@ object IVFIndex {
       exBits: Int,
       dim: Int,
       id: Long,
-      vec: Array[Float]): Entry = {
+      vec: Array[Float],
+      assignRouter: CentroidRouter = null): Entry = {
     require(vec.length == dim,
       s"vector $id has ${vec.length} dims; index dimension is $dim")
-    var best = 0; var bestD = Double.MaxValue
-    var c = 0
-    while (c < cents.length) {
-      val d = l2sq(vec, cents(c))
-      if (d < bestD) { bestD = d; best = c }
-      c += 1
-    }
     val rot_x = rot.rotate(vec)
+    // routed assignment runs in ROTATED space (orthogonal rotation
+    // preserves L2, and rot_x is needed for the residual anyway) so
+    // the same NSW graph the search path uses serves assignment; the
+    // exact flat path stays in raw space, byte-identical to before
+    val best =
+      if (assignRouter != null) assignRouter.rank(rot_x, 1)(0)
+      else {
+        var b = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < cents.length) {
+          val d = l2sq(vec, cents(c))
+          if (d < bestD) { bestD = d; b = c }
+          c += 1
+        }
+        b
+      }
     val cRot = rotCents(best)
     val residual = new Array[Float](rot.paddedDim)
     var i = 0
