@@ -29,6 +29,65 @@ object ScaleProbe {
     d
   }
 
+  /** The probe's synthetic events table (4 events/doc in the full
+    * probe; ~50 events/user; ts spans [1000000, 1000000+2592000) s). */
+  private[graft] def synthEvents(spark: SparkSession, nEvents: Long): DataFrame =
+    spark.range(nEvents).select(
+      col("id").as("event_id"),
+      timestamp_seconds(lit(1000000L) + (col("id") * 7919) % 2592000).as("ts"),
+      pmod(xxhash64(col("id")), lit(math.max(1L, nEvents / 50))).as("user_id"),
+      when(col("id") % 3 === 0, "purchase").otherwise("click").as("event_type"),
+      (col("id") % 100).cast("double").as("value"),
+      lit("{}").as("props"))
+
+  /** d12 LIVE MODE shared by the full probe and [[D12Probe]]: the
+    * stream-stream interval join driven through many triggers with an
+    * ADVANCING watermark — the production regime. The events are
+    * rewritten time-ordered into `nLiveFiles` equal time slices (one
+    * trigger each; at 8 files a slice spans 2592000/8 = 324000 s ≈ 7.5
+    * attribution windows), so eviction must hold max state rows to a
+    * small multiple of one window's events, not the table (the
+    * single-batch arm is the no-eviction ceiling: 2·nEvents rows
+    * buffered). Empty slices (tiny smoke runs) are skipped. Returns
+    * (max live state rows, wall seconds, triggers actually fired). */
+  private[graft] def runD12Live(
+      spark: SparkSession,
+      events: DataFrame,
+      schema: org.apache.spark.sql.types.StructType,
+      nLiveFiles: Int): (Long, Double, Int) = {
+    val d12LiveDir = tempDir("probe_events_live")
+    var written = 0
+    (0 until nLiveFiles).foreach { f =>
+      val lo = 1000000L + f * (2592000L / nLiveFiles)
+      val hi = 1000000L + (f + 1) * (2592000L / nLiveFiles)
+      val df = events.filter(
+        unix_seconds(col("ts")) >= lo && unix_seconds(col("ts")) < hi)
+      val tmp = tempDir(s"probe_live_part_$f")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      import scala.jdk.CollectionConverters._
+      // headOption, not head: an empty slice writes no data file (tiny
+      // SPARK_GRAFT_PROBE_EVENTS smoke runs) and must be skipped, not
+      // kill the probe
+      java.nio.file.Files.list(tmp).iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.headOption
+        .foreach { part =>
+          val sub = java.nio.file.Paths.get(d12LiveDir.toString, f"f$f%02d.parquet")
+          java.nio.file.Files.copy(part, sub)
+          java.nio.file.Files.setLastModifiedTime(sub,
+            java.nio.file.attribute.FileTime.fromMillis(1000000L + f * 1000L))
+          written += 1
+        }
+    }
+    val tLive0 = System.nanoTime()
+    val (liveOut, liveState) = graft.streaming.StreamJoin
+      .streamingIntervalJoinWithStateMetrics(spark, d12LiveDir.toString,
+        schema, maxFilesPerTrigger = Some(1))
+    liveOut.queryExecution.toRdd.foreach(_ => ())
+    val wall = (System.nanoTime() - tLive0) / 1e9
+    val liveMax = if (liveState.isEmpty) 0L else liveState.max
+    (liveMax, wall, written)
+  }
+
   def main(args: Array[String]): Unit = {
     val nDocs = sys.env.getOrElse("SPARK_GRAFT_PROBE_DOCS", "100000").toInt
     val nVecs = sys.env.getOrElse("SPARK_GRAFT_PROBE_VECS", "200000").toInt
@@ -203,13 +262,7 @@ object ScaleProbe {
     // 100×. d10 runs the SAME semantics as a stream (one drain);
     // its state is the per-user click list. ---
     val nEvents = 4L * nDocs
-    val events = spark.range(nEvents).select(
-      col("id").as("event_id"),
-      timestamp_seconds(lit(1000000L) + (col("id") * 7919) % 2592000).as("ts"),
-      pmod(xxhash64(col("id")), lit(math.max(1L, nEvents / 50))).as("user_id"),
-      when(col("id") % 3 === 0, "purchase").otherwise("click").as("event_type"),
-      (col("id") % 100).cast("double").as("value"),
-      lit("{}").as("props"))
+    val events = synthEvents(spark, nEvents)
     val eventsDir = tempDir("probe_events")
     events.write.mode("overwrite").parquet(eventsDir.toString)
     val eventsOnDisk = spark.read.parquet(eventsDir.toString)
@@ -226,40 +279,11 @@ object ScaleProbe {
       graft.streaming.StreamJoin.streamingIntervalJoinFromDir(spark,
         eventsDir.toString, eventsOnDisk.schema)))
     // d12 LIVE MODE: the same join driven through many triggers with
-    // an ADVANCING watermark — the production regime. The events are
-    // rewritten time-ordered into window-sized files (one trigger
-    // each); with input spanning ~7+ attribution windows, eviction
-    // must hold max state rows to a small multiple of one window's
-    // events, not the table (the single-batch arm above IS the
-    // no-eviction ceiling: 2·nEvents rows buffered).
-    val d12LiveDir = tempDir("probe_events_live")
-    val winUs = graft.streaming.StreamJoin.WindowHours * 3600L
-    val nLiveFiles = 8
-    // ts spans [1000000, 1000000+2592000); slice into window-width files
-    val liveFiles = (0 until nLiveFiles).map { f =>
-      val lo = 1000000L + f * (2592000L / nLiveFiles)
-      val hi = 1000000L + (f + 1) * (2592000L / nLiveFiles)
-      events.filter(unix_seconds(col("ts")) >= lo && unix_seconds(col("ts")) < hi)
-    }
-    liveFiles.zipWithIndex.foreach { case (df, f) =>
-      val sub = java.nio.file.Paths.get(d12LiveDir.toString, f"f$f%02d.parquet")
-      val tmp = tempDir(s"probe_live_part_$f")
-      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      import scala.jdk.CollectionConverters._
-      val part = java.nio.file.Files.list(tmp).iterator().asScala
-        .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.head
-      java.nio.file.Files.copy(part, sub)
-      java.nio.file.Files.setLastModifiedTime(sub,
-        java.nio.file.attribute.FileTime.fromMillis(1000000L + f * 1000L))
-    }
-    val tLive0 = System.nanoTime()
-    val (liveOut, liveState) = graft.streaming.StreamJoin
-      .streamingIntervalJoinWithStateMetrics(spark, d12LiveDir.toString,
-        eventsOnDisk.schema, maxFilesPerTrigger = Some(1))
-    liveOut.queryExecution.toRdd.foreach(_ => ())
-    val tStreamJoinLive = (System.nanoTime() - tLive0) / 1e9
-    val liveMax = if (liveState.isEmpty) 0L else liveState.max
-    println(f"[probe] d12 live: ${nLiveFiles}%d triggers, state max=$liveMax%d rows " +
+    // an ADVANCING watermark — the production regime (shared with the
+    // standalone D12Probe main, which emits results/d12_live.json).
+    val (liveMax, tStreamJoinLive, nLiveTriggers) =
+      runD12Live(spark, events, eventsOnDisk.schema, nLiveFiles = 8)
+    println(f"[probe] d12 live: $nLiveTriggers%d triggers, state max=$liveMax%d rows " +
       f"(no-eviction ceiling ~${2 * nEvents}%d), wall=$tStreamJoinLive%.1f s")
 
     // d13: native streaming dedup — state is one row per distinct
@@ -383,7 +407,7 @@ object ScaleProbe {
       s""""e18_range_join_s":$tRangeJoin,""" +
       s""""e9_asof_s":$tAsof,"d10_stream_asof_s":$tStreamAsof,""" +
       s""""d12_stream_join_s":$tStreamJoin,"d12_live_s":$tStreamJoinLive,""" +
-      s""""d12_live_state_max":$liveMax,"d12_live_triggers":$nLiveFiles,""" +
+      s""""d12_live_state_max":$liveMax,"d12_live_triggers":$nLiveTriggers,""" +
       s""""d13_stream_dropdup_s":$tStreamDrop,""" +
       s""""c24_spans_s":$tSpans,"c25_bm25_s":$tBm25,"c26_hybrid_s":$tHybrid,""" +
       s""""c20_canon_s":$tCanon,"c20_mega_family":$megaN,""" +
@@ -392,5 +416,48 @@ object ScaleProbe {
       s""""search100_q14_s":$tSearchQ,""" +
       s""""c23_semdedup_s":$tSemDup,"c23_semdedup_nodup_s":$tSemNoDup}""")
     spark.stop()
+  }
+}
+
+/** Standalone d12 live-state probe: the 8-trigger watermark-eviction
+  * measurement as a machine-readable per-round artifact. Runs the
+  * stream-stream interval join over synthetic events with an ADVANCING
+  * watermark and writes `results/d12_live.json` with the max live
+  * state-row count vs the analytic no-eviction ceiling (the
+  * single-batch drain keeps the watermark at 0, so BOTH sides buffer
+  * fully: 2·nEvents rows — ScaleProbe's single-batch arm measures that
+  * arm). StreamingSpec's d12 plateau test pins the same mechanism at
+  * spec scale. Usage:
+  * `SPARK_GRAFT_PROBE_EVENTS=2000000 sbt "runMain graft.D12Probe"` */
+object D12Probe {
+  def main(args: Array[String]): Unit = {
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
+    val nEvents = sys.env.getOrElse("SPARK_GRAFT_PROBE_EVENTS", "2000000").toLong
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try {
+      val events = ScaleProbe.synthEvents(spark, nEvents)
+      val (stateMax, wall, triggers) =
+        ScaleProbe.runD12Live(spark, events, events.schema, nLiveFiles = 8)
+      // raw toString for wall (locale pinned above): valid JSON always
+      val line =
+        s"""{"probe":"d12_live","n_events":$nEvents,"triggers":$triggers,""" +
+          s""""state_max_rows":$stateMax,"no_eviction_ceiling":${2 * nEvents},""" +
+          s""""window_hours":${graft.streaming.StreamJoin.WindowHours},"wall_s":$wall,""" +
+          s""""spec_pin":"StreamingSpec d12 watermark-eviction plateau"}""" + "\n"
+      print(line)
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get("results"))
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("results/d12_live.json"), line)
+    } finally spark.stop()
   }
 }

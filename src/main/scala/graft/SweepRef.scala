@@ -186,14 +186,20 @@ object SweepRef {
       val initSteps = env("SPARK_GRAFT_SWEEP_INIT_STEPS", 1)
       val routedAssign =
         sys.env.get("SPARK_GRAFT_SWEEP_ROUTED_ASSIGN").contains("1")
+      // balanced-IVF fat-cell split (0 = off): cap cells at this factor
+      // × the mean size — the round-9 profile's catch-all cells (~100×
+      // mean) drove 54M estimates per 2048-query chunk
+      val splitFactor = sys.env.get("SPARK_GRAFT_SWEEP_SPLIT_FACTOR")
+        .map(_.toDouble).getOrElse(0.0)
       val t1 = System.nanoTime()
       val model = IVFIndex.build(spark, base,
         IVFIndex.Params(k = kClusters, totalBits = 4, maxTrainRows = trainRows.toLong,
           kmeansInitMode = initMode, kmeansInitSteps = initSteps,
-          routedAssign = routedAssign))
+          routedAssign = routedAssign, maxClusterFactor = splitFactor))
       model.index.count() // materialize the cached index outside timing
       val tBuild = (System.nanoTime() - t1) / 1e9
-      println(f"index built (K=$kClusters%d, B=4) in $tBuild%.1f s")
+      val kFinal = model.centroids.length
+      println(f"index built (K=$kClusters%d -> $kFinal%d cells, B=4) in $tBuild%.1f s")
 
       // --- exact ground truth with distances (ratio denominator) ---
       val t2 = System.nanoTime()
@@ -329,7 +335,7 @@ object SweepRef {
         val buildS = math.rint(tBuild * 10) / 10
         val gtS = math.rint(tGt * 10) / 10
         val meta =
-          s"""{"commit":"$commit","dim":$dim,"n_vecs":$nVecs,"k":$kClusters,"nq":$nq,"topk":$topk,"mode":"${if (highAcc) "highacc" else "plain"}","batch_nq":$batchNq,"batch_query_bits":14,"build_s":$buildS,"gt_s":$gtS,"topics":$topics,"noise":$noise,"blend":$blend,"init_mode":"$initMode","init_steps":$initSteps,"routed_assign":$routedAssign,"calibration_target":"openai1536_exhaf4 row 1 recall@5=0.653; measured non-monotonic in noise (0.35:0.807R,0.40:0.884F,0.45:0.892F,0.50:0.354R; R=rising,F=flat-collapsed) - 0.653 falls inside the 0.45-0.50 regime jump; published run takes the rising-curve hard side"}""" + "\n"
+          s"""{"commit":"$commit","dim":$dim,"n_vecs":$nVecs,"k":$kClusters,"nq":$nq,"topk":$topk,"mode":"${if (highAcc) "highacc" else "plain"}","batch_nq":$batchNq,"batch_query_bits":14,"build_s":$buildS,"gt_s":$gtS,"topics":$topics,"noise":$noise,"blend":$blend,"init_mode":"$initMode","init_steps":$initSteps,"routed_assign":$routedAssign,"split_factor":$splitFactor,"k_final":$kFinal,"calibration_target":"openai1536_exhaf4 row 1 recall@5=0.653; measured non-monotonic in noise (0.35:0.807R,0.40:0.884F,0.45:0.892F,0.50:0.354R; R=rising,F=flat-collapsed) - 0.653 falls inside the 0.45-0.50 regime jump; published run takes the rising-curve hard side"}""" + "\n"
         Files.write(Paths.get(out + ".meta.json"), meta.getBytes(StandardCharsets.UTF_8))
       }
       // write the ladder-only CSV + its meta sibling now: a failure in

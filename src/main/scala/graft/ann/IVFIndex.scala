@@ -44,18 +44,25 @@ object IVFIndex {
     sys.env.get("SPARK_GRAFT_SEARCH_PROFILE").contains("1")
 
   /** Cumulative kernel counters (entries buffered / estimates /
-    * reranks), registered once per JVM when profiling. */
+    * reranks), registered once per SparkContext when profiling —
+    * keyed by context, not JVM lifetime, so a session restart in the
+    * same JVM (the test-suite pattern) gets fresh accumulators instead
+    * of silently adding to (or failing on) stale ones. Counters are
+    * cumulative across concurrent chunks: with two chunks in flight,
+    * per-chunk deltas printed from these interleave. */
   @transient @volatile private var profAccsV: (
-    org.apache.spark.util.LongAccumulator,
-    org.apache.spark.util.LongAccumulator,
-    org.apache.spark.util.LongAccumulator) = _
+    org.apache.spark.SparkContext,
+    (org.apache.spark.util.LongAccumulator,
+     org.apache.spark.util.LongAccumulator,
+     org.apache.spark.util.LongAccumulator)) = _
   private[graft] def profAccs(spark: SparkSession) = synchronized {
-    if (profAccsV == null)
-      profAccsV = (
-        spark.sparkContext.longAccumulator("graft.search.entries"),
-        spark.sparkContext.longAccumulator("graft.search.estimates"),
-        spark.sparkContext.longAccumulator("graft.search.reranks"))
-    profAccsV
+    val sc = spark.sparkContext
+    if (profAccsV == null || (profAccsV._1 ne sc))
+      profAccsV = (sc, (
+        sc.longAccumulator("graft.search.entries"),
+        sc.longAccumulator("graft.search.estimates"),
+        sc.longAccumulator("graft.search.reranks")))
+    profAccsV._2
   }
 
   /** Placement granularity of the cached index: entries are assigned
@@ -133,10 +140,25 @@ object IVFIndex {
       // targets; recall delta measured on the sweep before enabling
       // there). Only engages when K ≥ RoutedRankingThreshold AND this
       // flag is set; the exact flat path is byte-identical otherwise.
-      routedAssign: Boolean = false) {
+      routedAssign: Boolean = false,
+      // Post-training fat-cluster split (opt-in, 0 = off): k-means on
+      // real corpora grows catch-all cells near the data mean that
+      // most queries rank into their probe set — the round-9 chunk
+      // profile measured cells ~100× the mean size driving 54M
+      // estimates per 2048-query chunk (the nprobe=20 QPS knee).
+      // When > 0, clusters whose TRAINING-SAMPLE share exceeds this
+      // factor × the mean cell size are recursively re-clustered
+      // (local seeded k-means on the cell's sampled members) and the
+      // fat centroid is replaced by its children before the single
+      // quantize pass — the balanced-IVF recipe. K grows by the split
+      // count; search semantics are unchanged (cells are probe
+      // targets). The default path is byte-identical when 0.
+      maxClusterFactor: Double = 0.0) {
     require(Set(3, 4, 5, 7, 8, 9).contains(totalBits), s"unsupported totalBits $totalBits")
     require(queryBits == 0 || (queryBits >= 4 && queryBits <= 16),
       s"queryBits must be 0 (exact) or in [4,16], got $queryBits")
+    require(maxClusterFactor == 0.0 || maxClusterFactor >= 1.0,
+      s"maxClusterFactor must be 0 (off) or >= 1, got $maxClusterFactor")
     def exBits: Int = totalBits - 1
   }
 
@@ -189,9 +211,23 @@ object IVFIndex {
         .map { case (d2, v) => (math.log(rnd.nextDouble()) / math.max(d2, 1e-12), v) }
         .sortBy(_._1)(Ordering[Double].reverse)
         .take(params.k).map(_._2)
+      // top-up de-duplicates against the already-picked vectors (the
+      // D² draw can undershoot K); a still-short init shrinks K, which
+      // must be loud — silently collapsed cells would read as a recall
+      // regression with no build-side evidence
       val init =
         if (picked.length >= params.k) picked
-        else picked ++ data.take(params.k * 2).distinct.take(params.k - picked.length)
+        else {
+          val have = scala.collection.mutable.LinkedHashSet.empty[
+            org.apache.spark.mllib.linalg.Vector]
+          have ++= picked
+          data.take(params.k * 4).iterator
+            .takeWhile(_ => have.size < params.k).foreach(have += _)
+          if (have.size < params.k)
+            println(s"[spread-init] WARNING: only ${have.size} distinct initial " +
+              s"centers for K=${params.k}; proceeding with the reduced K")
+          have.toArray
+        }
       require(init.length > 0, "spread init produced no centers")
       val km = new MllibKMeans()
         .setK(init.length)
@@ -200,6 +236,200 @@ object IVFIndex {
         .setInitialModel(new MllibKMeansModel(init))
       km.run(data).clusterCenters.map(_.toArray.map(_.toFloat))
     } finally data.unpersist(blocking = false)
+  }
+
+  /** Nearest centroid under the sizing-pass rule: routed (approximate,
+    * ~free) above the search threshold, exact flat below. */
+  private def nearestCentroid(
+      v: Array[Float], cents: Array[Array[Float]], router: CentroidRouter): Int =
+    if (router != null) router.rank(v, 1)(0)
+    else {
+      var b = 0; var bestD = Double.MaxValue; var c = 0
+      while (c < cents.length) {
+        val d = l2sq(v, cents(c))
+        if (d < bestD) { bestD = d; b = c }
+        c += 1
+      }
+      b
+    }
+
+  /** Seeded driver-local Lloyd with k-means++ init, over a small point
+    * set (a fat cell's subsampled members — at most a few thousand
+    * rows). Returns (centroids, assignment). Empty cells keep their
+    * previous centroid (standard Lloyd degeneracy handling). */
+  private[graft] def localKMeans(
+      pts: Array[Array[Float]], m: Int, seed: Long, iters: Int = 10)
+      : (Array[Array[Float]], Array[Int]) = {
+    val rnd = new scala.util.Random(seed)
+    val n = pts.length
+    val dim = pts(0).length
+    val cents = new Array[Array[Float]](m)
+    cents(0) = pts(rnd.nextInt(n)).clone()
+    val d2 = Array.fill(n)(Double.MaxValue)
+    var ci = 1
+    while (ci < m) {
+      var i = 0; var sum = 0.0
+      while (i < n) {
+        val d = l2sq(pts(i), cents(ci - 1))
+        if (d < d2(i)) d2(i) = d
+        sum += d2(i)
+        i += 1
+      }
+      var pick = n - 1
+      if (sum > 0) {
+        var r = rnd.nextDouble() * sum
+        i = 0
+        var found = false
+        while (i < n && !found) {
+          r -= d2(i)
+          if (r <= 0) { pick = i; found = true }
+          i += 1
+        }
+      } else pick = rnd.nextInt(n)
+      cents(ci) = pts(pick).clone()
+      ci += 1
+    }
+    val assign = new Array[Int](n)
+    var it = 0
+    while (it < iters) {
+      var i = 0
+      while (i < n) {
+        assign(i) = nearestCentroid(pts(i), cents, null)
+        i += 1
+      }
+      val sums = Array.ofDim[Double](m, dim)
+      val cnt = new Array[Int](m)
+      i = 0
+      while (i < n) {
+        val a = assign(i); val p = pts(i)
+        var d = 0
+        while (d < dim) { sums(a)(d) += p(d); d += 1 }
+        cnt(a) += 1
+        i += 1
+      }
+      var j = 0
+      while (j < m) {
+        if (cnt(j) > 0) {
+          val c = new Array[Float](dim)
+          var d = 0
+          while (d < dim) { c(d) = (sums(j)(d) / cnt(j)).toFloat; d += 1 }
+          cents(j) = c
+        }
+        j += 1
+      }
+      it += 1
+    }
+    var i = 0
+    while (i < n) { assign(i) = nearestCentroid(pts(i), cents, null); i += 1 }
+    (cents, assign)
+  }
+
+  /** Recursively split one fat cell's subsampled members until every
+    * child's ESTIMATED sample share fits under `cap` (estimates scale
+    * the parent's share by the child's subsample fraction — the
+    * subsample is uniform within the cell). Terminal cells return
+    * their local mean; dead children (no members) are dropped. Depth
+    * is bounded: the m-way split targets the cap directly, so
+    * recursion only mops up uneven splits. */
+  private def splitCell(
+      pts: Array[Array[Float]],
+      estRows: Double,
+      cap: Double,
+      seed: Long,
+      depth: Int): Array[Array[Float]] = {
+    if (estRows <= cap || pts.length < 16 || depth >= 4) {
+      val dim = pts(0).length
+      val c = new Array[Float](dim)
+      pts.foreach { p => var d = 0; while (d < dim) { c(d) += p(d); d += 1 } }
+      var d = 0
+      while (d < dim) { c(d) /= pts.length; d += 1 }
+      return Array(c)
+    }
+    val m = math.max(2, math.min(math.ceil(estRows / cap).toInt, pts.length / 8))
+    val (cents, assign) = localKMeans(pts, m, seed)
+    val groups = Array.fill(m)(scala.collection.mutable.ArrayBuffer.empty[Array[Float]])
+    var i = 0
+    while (i < pts.length) { groups(assign(i)) += pts(i); i += 1 }
+    (0 until m).iterator.flatMap { j =>
+      val sub = groups(j)
+      if (sub.isEmpty) Iterator.empty
+      else {
+        val est = estRows * sub.length / pts.length
+        if (est <= cap || sub.length < 16 || depth + 1 >= 4) Iterator.single(cents(j))
+        else splitCell(sub.toArray, est, cap, seed ^ ((j + 1) * 0x9E3779B97F4A7C15L),
+          depth + 1).iterator
+      }
+    }.toArray
+  }
+
+  /** Post-training balanced-IVF split (see Params.maxClusterFactor):
+    * size every trained cell on the (bounded) training sample, then
+    * replace each cell whose share exceeds cap = factor × mean with
+    * locally re-clustered children. Two narrow passes over the sample
+    * (count, then member-subsample — the collect is bounded to
+    * ~32·children + 64 rows per fat cell) plus driver-local k-means;
+    * the corpus itself is never touched — the single quantize pass
+    * then assigns against the enriched centroid set. */
+  private[graft] def splitFatClusters(
+      spark: SparkSession,
+      sampled: org.apache.spark.rdd.RDD[Array[Float]],
+      centroids: Array[Array[Float]],
+      params: Params): Array[Array[Float]] = {
+    val k0 = centroids.length
+    val router =
+      if (k0 >= IVFModel.RoutedRankingThreshold) {
+        val r = new CentroidRouter(centroids)
+        r.rank(centroids(0), 1) // force the lazy graph before broadcast
+        r
+      } else null
+    val bcC = spark.sparkContext.broadcast(centroids)
+    val bcR = spark.sparkContext.broadcast(router)
+    val counts: Array[Long] = sampled.mapPartitions { it =>
+      val cents = bcC.value; val rt = bcR.value
+      val cnt = new Array[Long](cents.length)
+      it.foreach { v => cnt(nearestCentroid(v, cents, rt)) += 1L }
+      Iterator.single(cnt)
+    }.reduce { (a, b) =>
+      var i = 0; while (i < a.length) { a(i) += b(i); i += 1 }; a
+    }
+    val total = counts.sum.toDouble
+    val mean = total / k0
+    val cap = math.max(params.maxClusterFactor * mean, 2.0)
+    val fat = counts.indices.filter(counts(_) > cap)
+    if (fat.isEmpty) return centroids
+    val keepFrac = new Array[Double](k0)
+    fat.foreach { c =>
+      val m = math.ceil(counts(c) / cap)
+      val want = math.min(32.0 * m + 64.0, 4096.0)
+      keepFrac(c) = math.min(1.0, want / counts(c))
+    }
+    val bcFrac = spark.sparkContext.broadcast(keepFrac)
+    val members: Array[(Int, Array[Float])] =
+      sampled.mapPartitionsWithIndex { (pi, it) =>
+        val cents = bcC.value; val rt = bcR.value; val frac = bcFrac.value
+        val rnd = new scala.util.Random(params.seed ^ (pi * 0xA24BAED4963EE407L))
+        it.flatMap { v =>
+          val c = nearestCentroid(v, cents, rt)
+          if (frac(c) > 0 && rnd.nextDouble() < frac(c)) Iterator.single((c, v))
+          else Iterator.empty
+        }
+      }.collect()
+    val byCluster = members.groupBy(_._1)
+    val fatSet = fat.toSet
+    val out = scala.collection.mutable.ArrayBuffer.empty[Array[Float]]
+    counts.indices.foreach { c =>
+      if (!fatSet(c)) out += centroids(c)
+      else {
+        val pts = byCluster.getOrElse(c, Array.empty[(Int, Array[Float])]).map(_._2)
+        if (pts.length < 16) out += centroids(c) // degenerate draw: keep as-is
+        else out ++= splitCell(pts, counts(c).toDouble, cap,
+          params.seed ^ (c * 0xC2B2AE3D27D4EB4FL), 0)
+      }
+    }
+    println(f"[split] fat=${fat.length}%d of $k0%d cells " +
+      f"(cap=$cap%.1f sample rows, mean=$mean%.1f, max=${counts.max}%d); " +
+      f"K $k0%d -> ${out.length}%d")
+    out.toArray
   }
 
   /** Train centroids + assign + quantize. `df` must have (idCol: long,
@@ -243,13 +473,19 @@ object IVFIndex {
     }
     // 12 Lloyd iterations by default: recall is insensitive beyond ~10
     // on these corpora (verified by the recall specs), and train time
-    // is the dominant one-time build cost
+    // is the dominant one-time build cost.
+    // The split path re-traverses the sample twice after training
+    // (cell sizing + member subsample) — persist it for those passes
+    val doSplit = params.maxClusterFactor > 0
+    val sampledP =
+      if (doSplit) sampled.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else sampled
     val tKm = System.nanoTime()
-    val centroids: Array[Array[Float]] =
+    val trained: Array[Array[Float]] =
       if (params.kmeansInitMode == "spread")
-        spreadKMeans(spark, sampled, params)
+        spreadKMeans(spark, sampledP, params)
       else {
-        val train = sampled.toDF("vec")
+        val train = sampledP.toDF("vec")
           .withColumn("features", array_to_vector(col("vec")))
         val km = new KMeans()
           .setK(params.k).setSeed(params.seed)
@@ -262,6 +498,11 @@ object IVFIndex {
     if (profileSearch)
       println(f"[build-profile] kmeans k=${params.k}%d init=${params.kmeansInitMode}%s " +
         f"iters=${params.kmeansMaxIter}%d wall=${(System.nanoTime() - tKm) / 1e9}%.1f s")
+    val centroids =
+      if (doSplit)
+        try splitFatClusters(spark, sampledP, trained, params)
+        finally sampledP.unpersist(blocking = false)
+      else trained
 
     buildWithCentroids(spark, data, centroids, dim, params)
   }
@@ -1023,7 +1264,14 @@ final class IVFModel(
     var chunkCount = 0
     val buf = new scala.collection.mutable.ArrayBuffer[(Long, Array[Float])](
       math.min(chunk, 1 << 16))
+    // chunk jobs are tagged with a per-call job group so the failure
+    // path below can cancel an in-flight chunk's Spark job — a bare
+    // pool.shutdown() lets the daemon thread keep running (and, with
+    // outputDir, keep writing) after the caller has seen the exception
+    val jobGroup = s"graft-searchAll-${java.util.UUID.randomUUID()}"
     def runChunk(chunkQ: Array[(Long, Array[Float])], idx: Int): DataFrame = {
+      spark.sparkContext.setJobGroup(jobGroup,
+        s"searchAll chunk $idx", interruptOnCancel = true)
       val w0 = System.nanoTime()
       val res = search(spark, chunkQ, k, nprobe)
       val out = outputDir match {
@@ -1062,6 +1310,17 @@ final class IVFModel(
       flush()
       while (inFlight.nonEmpty)
         parts += Await.result(inFlight.dequeue(), Duration.Inf)
+    } catch {
+      case e: Throwable =>
+        // stop the background work with the run: interrupt the pool
+        // threads AND cancel their in-flight Spark jobs (shutdown()
+        // alone cancels nothing — a daemon thread would keep running
+        // its chunk, and with outputDir keep writing a chunk dir,
+        // after the caller has seen this exception)
+        pool.shutdownNow()
+        try spark.sparkContext.cancelJobGroup(jobGroup)
+        catch { case _: Throwable => () }
+        throw e
     } finally pool.shutdown()
     // completion manifest: durable provenance for the chunk dirs. An
     // empty query set writes no chunks and therefore no manifest — the

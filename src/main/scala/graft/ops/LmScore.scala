@@ -108,11 +108,37 @@ object LmScore {
     * transitions. Docs with no bigrams (null or single-token text)
     * carry NULL metrics. */
   def ngramLm(docs: DataFrame): DataFrame = {
+    // The kernel rows feed TWO lineage branches (the bigram model and
+    // the scoring probe) and the bigram table three more (unigram
+    // context, vocab size, the scoring join) — unpersisted, each branch
+    // re-tokenized the corpus (measured ~3× DuckDB at sf1, the same
+    // recompute class c42/c32 closed). Both persist; the bounded
+    // per-doc result checkpoints eagerly so unpersist can never push
+    // the final job back through the kernel (the c42 pattern).
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val rows = bigramRows(docs).persist(lvl)
+    val bc = rows.groupBy("w1", "w2").agg(sum("cnt").as("c2")).persist(lvl)
+    try ngramScored(docs, rows, bc).localCheckpoint(true)
+    finally {
+      rows.unpersist(blocking = false)
+      bc.unpersist(blocking = false)
+    }
+  }
+
+  /** The unpersisted c27 pipeline — the plan PlanSpec inspects (the
+    * public [[ngramLm]] checkpoints eagerly, which erases the lineage
+    * from its returned plan). */
+  private[graft] def ngramLmPlan(docs: DataFrame): DataFrame = {
     val rows = bigramRows(docs)
-    // model tables: bigram counts from the kernel rows; the unigram
-    // (context) table and vocab size derive from the bigram table —
-    // O(model) input, not another corpus scan. Sums of exact ints.
-    val bc = rows.groupBy("w1", "w2").agg(sum("cnt").as("c2"))
+    ngramScored(docs, rows, rows.groupBy("w1", "w2").agg(sum("cnt").as("c2")))
+  }
+
+  /** The lazy c27 scoring pipeline over (persisted) kernel + model
+    * tables. The unigram (context) table and vocab size derive from the
+    * bigram table — O(model) input, not another corpus scan. Sums of
+    * exact ints. */
+  private def ngramScored(
+      docs: DataFrame, rows: DataFrame, bc: DataFrame): DataFrame = {
     val uc = bc.groupBy("w1").agg(sum("c2").as("c1"))
     val vv = bc.agg(countDistinct("w2").as("v"))
     val scored = rows
@@ -315,19 +341,35 @@ object LmScore {
 
   /** The lazy scoring pipeline over (persisted) kernel + model
     * tables — separate so PlanSpec-style inspection stays possible
-    * past the eager checkpoint. All five model joins key on two-long
-    * hashed gram keys (see [[trigramRows]]). */
+    * past the eager checkpoint. All model joins key on two-long
+    * hashed gram keys (see [[trigramRows]]).
+    *
+    * Join shape (the round-9 sf1 profile's residual): the backoff
+    * chain needs five model lookups per kernel row, but only THREE
+    * have distinct join keys a row can independently hit — the
+    * trigram's (w1,w2) context is functionally determined by the
+    * trigram and the backoff bigram's w2-context by the bigram, so
+    * t2 pre-joins onto t3 and b1 onto b2 MODEL-SIDE (O(model) rows,
+    * AQE broadcasts them) and the corpus-sized kernel rows shuffle
+    * through 3 joins instead of 5. The unigram join stays its own:
+    * a row can miss both t3 and b2 yet hit u. */
   private def trigramScored(
       docs: DataFrame, rows: DataFrame, t3: DataFrame, b2: DataFrame): DataFrame = {
     val t2 = t3.groupBy("c2a", "c2b").agg(sum("c3").as("c2ctx"))
     val b1 = b2.groupBy("b1a", "b1b").agg(sum("cb").as("c1ctx"))
     val u = b2.groupBy("ua", "ub").agg(sum("cb").as("cu"))
     val tot = u.agg(sum("cu").as("nn"), count(lit(1)).as("v"))
+    // model-side enrichment: every t3 row's context is in t2 and every
+    // b2 row's in b1/u by construction, so the inner joins are lossless
+    val t3e = t3.select("t3a", "t3b", "c2a", "c2b", "c3")
+      .join(t2, Seq("c2a", "c2b"))
+      .select("t3a", "t3b", "c3", "c2ctx")
+    val b2e = b2.select("b2a", "b2b", "b1a", "b1b", "cb")
+      .join(b1, Seq("b1a", "b1b"))
+      .select("b2a", "b2b", "cb", "c1ctx")
     val scored = rows
-      .join(t3.select("t3a", "t3b", "c3"), Seq("t3a", "t3b"), "left")
-      .join(t2, Seq("c2a", "c2b"), "left")
-      .join(b2.select("b2a", "b2b", "cb"), Seq("b2a", "b2b"), "left")
-      .join(b1, Seq("b1a", "b1b"), "left")
+      .join(t3e, Seq("t3a", "t3b"), "left")
+      .join(b2e, Seq("b2a", "b2b"), "left")
       .join(u, Seq("ua", "ub"), "left")
       .crossJoin(broadcast(tot))
       .withColumn("tenk",
@@ -390,12 +432,35 @@ object LmScore {
     * `keep` compares the integer sum against zero, so the decision is
     * exactly order- and engine-independent. */
   def dsirWeight(docs: DataFrame): DataFrame = {
-    val rows = unigramRows(docs)
-    // one model table: raw + target counts per word; totals and vocab
-    // size from one more O(model) aggregation
+    // same staging discipline as c27: the kernel rows feed the model
+    // build AND the scoring join, the model feeds its totals and the
+    // scoring join — persist both, checkpoint the bounded result
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val rows = unigramRows(docs).persist(lvl)
     val model = rows.groupBy("w").agg(
       sum("cnt").as("rc"),
       sum(when(col("tgt") === 1, col("cnt")).otherwise(lit(0L))).as("tc"))
+      .persist(lvl)
+    try dsirScored(docs, rows, model).localCheckpoint(true)
+    finally {
+      rows.unpersist(blocking = false)
+      model.unpersist(blocking = false)
+    }
+  }
+
+  /** The unpersisted c28 pipeline — the plan PlanSpec inspects. */
+  private[graft] def dsirWeightPlan(docs: DataFrame): DataFrame = {
+    val rows = unigramRows(docs)
+    dsirScored(docs, rows, rows.groupBy("w").agg(
+      sum("cnt").as("rc"),
+      sum(when(col("tgt") === 1, col("cnt")).otherwise(lit(0L))).as("tc")))
+  }
+
+  /** The lazy c28 scoring pipeline: one model table (raw + target
+    * counts per word); totals and vocab size from one more O(model)
+    * aggregation. */
+  private def dsirScored(
+      docs: DataFrame, rows: DataFrame, model: DataFrame): DataFrame = {
     val tot = model.agg(
       sum("rc").as("rr"), sum("tc").as("tt"), count(lit(1)).as("v"))
     val scored = rows

@@ -360,6 +360,65 @@ class AnnSpec extends AnyFunSuite {
     queries.foreach { case (qid, _) => assert(approx.contains((qid, qid))) }
   }
 
+  test("fat-cluster split: catch-all cell splits, recall holds, off-paths unchanged") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{count => cnt, max => fmax}
+    val dim = 16
+    // planted catch-all: 90% of vectors in one tight blob (the k-means
+    // shape the split targets), the rest across 15 spread blobs
+    val data = (0 until 2000).map { i =>
+      val rnd = new scala.util.Random(i * 1000003L)
+      val c = if (i % 10 != 0) 0 else 1 + (i / 10) % 15
+      val v = Array.tabulate(dim)(d =>
+        (math.sin(c * 37.0 + d) * 4.0).toFloat + rnd.nextGaussian().toFloat * 0.2f)
+      (i.toLong, v)
+    }
+    val df = data.toDF("vec_id", "embedding")
+    val base = IVFIndex.Params(k = 8, totalBits = 8)
+    val mA = IVFIndex.build(spark, df, base)
+    val mB = IVFIndex.build(spark, df, base.copy(maxClusterFactor = 3.0))
+    assert(mB.centroids.length > mA.centroids.length,
+      s"fat cell must split: K ${mA.centroids.length} -> ${mB.centroids.length}")
+    def maxCell(m: graft.ann.IVFModel): Long =
+      m.index.groupBy("cluster_id").agg(cnt(org.apache.spark.sql.functions.lit(1)).as("n"))
+        .agg(fmax("n")).head().getLong(0)
+    val (cellA, cellB) = (maxCell(mA), maxCell(mB))
+    // the sample IS the full data here (2000 < maxTrainRows), so the
+    // post-split max cell must land under cap = factor × mean ± the
+    // drift from final assignment running against the enriched set
+    val cap = 3.0 * 2000 / mA.centroids.length
+    assert(cellB < cellA && cellB <= (cap * 1.2).toLong,
+      s"split must bring the catch-all under cap≈$cap: $cellA -> $cellB")
+    // recall vs exact GT at full probe (quantization-bound, B=8)
+    val queries = data.take(50).toArray
+    val exact = graft.ann.KnnExact.topK(spark, df, queries, k = 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = mB.search(spark, queries, 10, nprobe = mB.centroids.length)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (approx & exact).size.toDouble / exact.size
+    assert(recall >= 0.9, s"split-index recall@10 = $recall")
+    // no-fat path: a cap nothing exceeds returns the SAME centroid array
+    val sampled = df.select("vec_id", "embedding").as[(Long, Array[Float])]
+      .rdd.map(_._2)
+    val untouched = IVFIndex.splitFatClusters(
+      spark, sampled, mA.centroids, base.copy(maxClusterFactor = 1000.0))
+    assert(untouched.length == mA.centroids.length &&
+      untouched.zip(mA.centroids).forall { case (a, b) => a sameElements b },
+      "no cell over cap: the centroid set must pass through unchanged")
+    // routedAssign below the K threshold must not engage: entries
+    // byte-identical to the flag-off build given the same centroids
+    def entries(m: graft.ann.IVFModel) = m.index.collect()
+      .map(e => (e.id, e.cluster_id, e.sign_bits.toSeq, e.ex_code.toSeq,
+        e.x2, e.fac_ip, e.sum_xb, e.fac_err, e.xipnorm))
+      .sortBy(_._1).toSeq
+    val dfIv = df.toDF("id", "vec")
+    val mOff = IVFIndex.buildWithCentroids(spark, dfIv, mA.centroids, dim, base)
+    val mOn = IVFIndex.buildWithCentroids(spark, dfIv, mA.centroids, dim,
+      base.copy(routedAssign = true))
+    assert(entries(mOn) == entries(mOff),
+      "routedAssign below RoutedRankingThreshold must leave the flat path byte-identical")
+  }
+
   test("index entries cover all vectors exactly once") {
     val m = operators.AnnQueries.model(spark, sf)
     val n = Tables.embeddings(spark, sf).count()

@@ -225,9 +225,12 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("c27/c28 LM scoring: typed count kernels, model joins keyed, one one-row cross each") {
+    // the public ops checkpoint their bounded result eagerly (the c42
+    // pattern), which erases the lineage — inspect the lazy pipeline
+    // variants, the exact plan that runs inside the checkpoint
     for ((name, df) <- Seq(
-        "c27" -> operators.PipelineQueries.ngramLm(spark, sf),
-        "c28" -> operators.PipelineQueries.dsirWeight(spark, sf))) {
+        "c27" -> ops.LmScore.ngramLmPlan(Tables.documents(spark, sf)),
+        "c28" -> ops.LmScore.dsirWeightPlan(Tables.documents(spark, sf)))) {
       val p = plan(df)
       assert(p.contains("MapPartitions"), s"$name lost its typed count kernel:\n$p")
       assert(!p.contains("ScalaUDF"), s"$name fell back to a scalar UDF:\n$p")

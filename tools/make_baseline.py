@@ -16,7 +16,7 @@ import sys, json, glob, os, time, platform
 import duckdb
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-from sf1_spotcheck import append_sf1_section, time_query
+from sf1_spotcheck import append_sf1_section, table_source, time_query
 
 sfdir = sys.argv[1]
 oracle_path = sys.argv[2]
@@ -26,7 +26,7 @@ con = duckdb.connect()
 threads = con.execute("SELECT current_setting('threads')").fetchone()[0]
 for f in glob.glob(f"{sfdir}/*.parquet"):
     name = os.path.basename(f).replace(".parquet", "")
-    con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{f}'")
+    con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{table_source(f)}'")
 
 # warmup: read every table once (page cache + footer/codec init),
 # parity with graft.Bench's table-count warmup pass

@@ -5,6 +5,14 @@ baseline spot-check: every fact table replicated `reps` times (default
 and per-key cardinalities match a genuinely larger corpus; dimension
 tables (region/nation/part/embeddings) are copied unchanged.
 
+Fact tables are written as DIRECTORIES of one parquet file per replica
+(`{t}.parquet/part-NN.parquet`) — the round-9 spot-check measured
+several "plan cost" rows on ONE core because a single-file table gives
+Spark a single input split; multi-file tables let both engines use
+their full parallelism, so the sf1 ratios measure the plans. Spark
+reads the directory natively; the DuckDB side (sf1_spotcheck.py) views
+it as `'{dir}/*.parquet'`.
+
 Offsets are max(key)+1 per table, applied to every foreign-key use:
   lineitem : l_orderkey (+orders offset), l_suppkey (+supplier offset)
   orders   : o_orderkey, o_custkey (+customer offset)
@@ -31,6 +39,13 @@ for f in glob.glob(f"{src}/*.parquet"):
 def offset(table, col):
     return con.execute(f"SELECT max({col}) + 1 FROM {table}").fetchone()[0]
 
+def fresh_dir(path):
+    if os.path.isdir(path):
+        shutil.rmtree(path)
+    elif os.path.exists(path):
+        os.remove(path)
+    os.makedirs(path)
+
 OK = offset("orders", "o_orderkey")
 CK = offset("customer", "c_custkey")
 SK = offset("supplier", "s_suppkey")
@@ -41,20 +56,26 @@ UK = offset("events", "user_id")
 for t in ["region", "nation", "part", "embeddings"]:
     shutil.copyfile(f"{src}/{t}.parquet", f"{dst}/{t}.parquet")
 
+# per-replica REPLACE clause: each replica lands in its own file, so a
+# `reps`-file table gives every reader `reps` input splits
 REPL = {
-    "lineitem": f"l_orderkey + r*{OK} AS l_orderkey, l_suppkey + r*{SK} AS l_suppkey",
-    "orders": f"o_orderkey + r*{OK} AS o_orderkey, o_custkey + r*{CK} AS o_custkey",
-    "customer": f"c_custkey + r*{CK} AS c_custkey",
-    "supplier": f"s_suppkey + r*{SK} AS s_suppkey",
-    "documents": f"doc_id + r*{DK} AS doc_id",
+    "lineitem": lambda r: f"l_orderkey + {r * OK} AS l_orderkey, "
+                          f"l_suppkey + {r * SK} AS l_suppkey",
+    "orders": lambda r: f"o_orderkey + {r * OK} AS o_orderkey, "
+                        f"o_custkey + {r * CK} AS o_custkey",
+    "customer": lambda r: f"c_custkey + {r * CK} AS c_custkey",
+    "supplier": lambda r: f"s_suppkey + {r * SK} AS s_suppkey",
+    "documents": lambda r: f"doc_id + {r * DK} AS doc_id",
 }
 for t, repl in REPL.items():
-    con.execute(
-        f"COPY (SELECT * EXCLUDE (r) REPLACE ({repl}) FROM {t} "
-        f"CROSS JOIN (SELECT unnest(range({reps})) AS r)) "
-        f"TO '{dst}/{t}.parquet' (FORMAT parquet)")
-    n = con.execute(f"SELECT count(*) FROM '{dst}/{t}.parquet'").fetchone()[0]
-    print(f"{t}\t{n} rows")
+    d = f"{dst}/{t}.parquet"
+    fresh_dir(d)
+    for r in range(reps):
+        con.execute(
+            f"COPY (SELECT * REPLACE ({repl(r)}) FROM {t}) "
+            f"TO '{d}/part-{r:02d}.parquet' (FORMAT parquet)")
+    n = con.execute(f"SELECT count(*) FROM '{d}/*.parquet'").fetchone()[0]
+    print(f"{t}\t{n} rows in {reps} files")
 
 # events goes through pyarrow, not DuckDB: `ts` must STAY parquet
 # TIMESTAMP(NANOS) — the Spark reader (Tables.events) reads it as raw
@@ -64,21 +85,22 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 ev = pq.read_table(f"{src}/events.parquet")
-replicas = []
+evdir = f"{dst}/events.parquet"
+fresh_dir(evdir)
+total = 0
 for r in range(reps):
     t = ev
     t = t.set_column(t.schema.get_field_index("event_id"), "event_id",
                      pc.add(t.column("event_id"), r * EK))
     t = t.set_column(t.schema.get_field_index("user_id"), "user_id",
                      pc.add(t.column("user_id"), r * UK))
-    replicas.append(t)
-out = pa.concat_tables(replicas)
-pq.write_table(out, f"{dst}/events.parquet")
+    pq.write_table(t, f"{evdir}/part-{r:02d}.parquet")
+    total += t.num_rows
 # events.ts has shipped as TIMESTAMP(NANOS) and as plain micros across
 # testdata generations (see Tables.nanosToTimestamp); either is fine —
 # what matters is that replication preserved the source encoding.
 _src_ts = pq.read_schema(f"{src}/events.parquet").field("ts").type
-_dst_ts = pq.read_schema(f"{dst}/events.parquet").field("ts").type
+_dst_ts = pq.read_schema(f"{evdir}/part-00.parquet").field("ts").type
 assert _dst_ts == _src_ts, f"ts encoding changed: {_src_ts} -> {_dst_ts}"
-print(f"events\t{out.num_rows} rows (ts kept {_dst_ts})")
+print(f"events\t{total} rows in {reps} files (ts kept {_dst_ts})")
 print(f"wrote {reps}x replicas of {src} to {dst}")

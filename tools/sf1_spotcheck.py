@@ -47,11 +47,18 @@ def time_query(con, sql, runs):
     return min(secs)
 
 
+def table_source(path):
+    """A *.parquet entry is either a single file or a directory of
+    per-replica files (make_sf1.py writes fact tables multi-file so
+    Spark gets real input splits); DuckDB globs the directory."""
+    return f"{path}/*.parquet" if os.path.isdir(path) else path
+
+
 def run_duckdb(sfdir, oracle):
     con = duckdb.connect()
     for f in glob.glob(f"{sfdir}/*.parquet"):
         name = os.path.basename(f).replace(".parquet", "")
-        con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{f}'")
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{table_source(f)}'")
         con.execute(f"SELECT count(*) FROM {name}").fetchone()  # warmup
     out = {}
     for key in QUERIES:
@@ -137,7 +144,8 @@ if __name__ == "__main__":
                  if k in QUERIES and v >= 0}
     con = duckdb.connect()
     nli = con.execute(
-        f"SELECT count(*) FROM '{sfdir}/lineitem.parquet'").fetchone()[0]
+        f"SELECT count(*) FROM '{table_source(f'{sfdir}/lineitem.parquet')}'"
+    ).fetchone()[0]
     spot = {"sf": os.path.basename(sfdir.rstrip("/")), "runs": RUNS,
             "duckdb_version": duckdb.__version__,
             "lineitem_rows": nli, "duckdb": duck, "spark": spark}
