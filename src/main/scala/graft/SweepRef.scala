@@ -335,7 +335,7 @@ object SweepRef {
         val buildS = math.rint(tBuild * 10) / 10
         val gtS = math.rint(tGt * 10) / 10
         val meta =
-          s"""{"commit":"$commit","dim":$dim,"n_vecs":$nVecs,"k":$kClusters,"nq":$nq,"topk":$topk,"mode":"${if (highAcc) "highacc" else "plain"}","batch_nq":$batchNq,"batch_query_bits":14,"build_s":$buildS,"gt_s":$gtS,"topics":$topics,"noise":$noise,"blend":$blend,"init_mode":"$initMode","init_steps":$initSteps,"routed_assign":$routedAssign,"split_factor":$splitFactor,"k_final":$kFinal,"calibration_target":"openai1536_exhaf4 row 1 recall@5=0.653; measured non-monotonic in noise (0.35:0.807R,0.40:0.884F,0.45:0.892F,0.50:0.354R; R=rising,F=flat-collapsed) - 0.653 falls inside the 0.45-0.50 regime jump; published run takes the rising-curve hard side"}""" + "\n"
+          s"""{"commit":"$commit","dim":$dim,"n_vecs":$nVecs,"k":$kClusters,"nq":$nq,"topk":$topk,"mode":"${if (highAcc) "highacc" else "plain"}","batch_nq":$batchNq,"batch_query_bits":14,"build_s":$buildS,"gt_s":$gtS,"topics":$topics,"noise":$noise,"blend":$blend,"init_mode":"$initMode","init_steps":$initSteps,"routed_assign":$routedAssign,"split_factor":$splitFactor,"k_final":$kFinal,"calibration_target":"openai1536_exhaf4 row 1 recall@5=0.653; two-knob series (r10): noise alone (0.35:0.807R,0.40:0.884F,0.45:0.892F,0.50:0.354-0.452R; R=rising,F=catch-all-collapsed) and split-factor on the rising corpora (0.50+f4:0.152@5, 0.45+f16:0.197@5 - f16 split the 0.45 regime's single 84%-of-corpus cell). recall@5 on this mixture family is either catch-all-inflated or well below 0.653; the published run keeps the hard-side rising curve (series in SURVEY 6)"}""" + "\n"
         Files.write(Paths.get(out + ".meta.json"), meta.getBytes(StandardCharsets.UTF_8))
       }
       // write the ladder-only CSV + its meta sibling now: a failure in
