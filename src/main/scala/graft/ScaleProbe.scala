@@ -53,13 +53,16 @@ object ScaleProbe {
   private[graft] def runD12Live(
       spark: SparkSession,
       events: DataFrame,
-      schema: org.apache.spark.sql.types.StructType,
       nLiveFiles: Int): (Long, Double, Int) = {
     val d12LiveDir = tempDir("probe_events_live")
     var written = 0
     (0 until nLiveFiles).foreach { f =>
       val lo = 1000000L + f * (2592000L / nLiveFiles)
-      val hi = 1000000L + (f + 1) * (2592000L / nLiveFiles)
+      // the LAST slice's upper bound is the full span end, not
+      // (f+1)*(span/n): integer division would otherwise silently drop
+      // the tail events for any nLiveFiles that doesn't divide 2592000
+      val hi = if (f == nLiveFiles - 1) 1000000L + 2592000L
+               else 1000000L + (f + 1) * (2592000L / nLiveFiles)
       val df = events.filter(
         unix_seconds(col("ts")) >= lo && unix_seconds(col("ts")) < hi)
       val tmp = tempDir(s"probe_live_part_$f")
@@ -78,6 +81,11 @@ object ScaleProbe {
           written += 1
         }
     }
+    // derive the stream schema from the slices actually written, so
+    // both entry points (full probe + standalone D12Probe) measure the
+    // identical stream — an in-memory synthetic schema can drift from
+    // the parquet read-back schema in nullability/timestamp encoding
+    val schema = spark.read.parquet(d12LiveDir.toString).schema
     val tLive0 = System.nanoTime()
     val (liveOut, liveState) = graft.streaming.StreamJoin
       .streamingIntervalJoinWithStateMetrics(spark, d12LiveDir.toString,
@@ -282,7 +290,7 @@ object ScaleProbe {
     // an ADVANCING watermark — the production regime (shared with the
     // standalone D12Probe main, which emits results/d12_live.json).
     val (liveMax, tStreamJoinLive, nLiveTriggers) =
-      runD12Live(spark, events, eventsOnDisk.schema, nLiveFiles = 8)
+      runD12Live(spark, events, nLiveFiles = 8)
     println(f"[probe] d12 live: $nLiveTriggers%d triggers, state max=$liveMax%d rows " +
       f"(no-eviction ceiling ~${2 * nEvents}%d), wall=$tStreamJoinLive%.1f s")
 
@@ -447,7 +455,7 @@ object D12Probe {
     try {
       val events = ScaleProbe.synthEvents(spark, nEvents)
       val (stateMax, wall, triggers) =
-        ScaleProbe.runD12Live(spark, events, events.schema, nLiveFiles = 8)
+        ScaleProbe.runD12Live(spark, events, nLiveFiles = 8)
       // raw toString for wall (locale pinned above): valid JSON always
       val line =
         s"""{"probe":"d12_live","n_events":$nEvents,"triggers":$triggers,""" +

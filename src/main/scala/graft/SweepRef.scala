@@ -191,11 +191,17 @@ object SweepRef {
       // mean) drove 54M estimates per 2048-query chunk
       val splitFactor = sys.env.get("SPARK_GRAFT_SWEEP_SPLIT_FACTOR")
         .map(_.toDouble).getOrElse(0.0)
+      // split policy: "auto" (product default — self-probe decides when
+      // factor is 0) or "off" (byte-identical flat build, for curve
+      // comparisons against pre-r11 sweeps). factor > 0 still forces.
+      val splitPolicy = sys.env.getOrElse("SPARK_GRAFT_SWEEP_SPLIT_POLICY", "auto")
       val t1 = System.nanoTime()
       val model = IVFIndex.build(spark, base,
         IVFIndex.Params(k = kClusters, totalBits = 4, maxTrainRows = trainRows.toLong,
           kmeansInitMode = initMode, kmeansInitSteps = initSteps,
-          routedAssign = routedAssign, maxClusterFactor = splitFactor))
+          routedAssign = routedAssign, maxClusterFactor = splitFactor,
+          splitPolicy = splitPolicy))
+      val splitProbe = IVFIndex.lastSplitProbe
       model.index.count() // materialize the cached index outside timing
       val tBuild = (System.nanoTime() - t1) / 1e9
       val kFinal = model.centroids.length
@@ -334,8 +340,16 @@ object SweepRef {
         // JSON (same hazard Bench's vs_baseline line avoids)
         val buildS = math.rint(tBuild * 10) / 10
         val gtS = math.rint(tGt * 10) / 10
+        // the auto-split self-probe's verdict (raw toString doubles —
+        // locale-safe); null when the build never sized cells or found
+        // no fat ones
+        val probeJson = splitProbe.map { p =>
+          s"""{"flat_recall":${p.flatRecall},"split_recall":${p.splitRecall},""" +
+            s""""nprobe":${p.nprobe},"nq":${p.nQueries},"verdict":"${p.verdict}",""" +
+            s""""k_flat":${p.kFlat},"k_split":${p.kSplit}}"""
+        }.getOrElse("null")
         val meta =
-          s"""{"commit":"$commit","dim":$dim,"n_vecs":$nVecs,"k":$kClusters,"nq":$nq,"topk":$topk,"mode":"${if (highAcc) "highacc" else "plain"}","batch_nq":$batchNq,"batch_query_bits":14,"build_s":$buildS,"gt_s":$gtS,"topics":$topics,"noise":$noise,"blend":$blend,"init_mode":"$initMode","init_steps":$initSteps,"routed_assign":$routedAssign,"split_factor":$splitFactor,"k_final":$kFinal,"calibration_target":"openai1536_exhaf4 row 1 recall@5=0.653; two-knob series (r10): noise alone (0.35:0.807R,0.40:0.884F,0.45:0.892F,0.50:0.354-0.452R; R=rising,F=catch-all-collapsed) and split-factor on the rising corpora (0.50+f4:0.152@5, 0.45+f16:0.197@5 - f16 split the 0.45 regime's single 84%-of-corpus cell). recall@5 on this mixture family is either catch-all-inflated or well below 0.653; the published run keeps the hard-side rising curve (series in SURVEY 6)"}""" + "\n"
+          s"""{"commit":"$commit","dim":$dim,"n_vecs":$nVecs,"k":$kClusters,"nq":$nq,"topk":$topk,"mode":"${if (highAcc) "highacc" else "plain"}","batch_nq":$batchNq,"batch_query_bits":14,"build_s":$buildS,"gt_s":$gtS,"topics":$topics,"noise":$noise,"blend":$blend,"init_mode":"$initMode","init_steps":$initSteps,"routed_assign":$routedAssign,"split_factor":$splitFactor,"split_policy":"$splitPolicy","split_probe":$probeJson,"k_final":$kFinal,"calibration_target":"openai1536_exhaf4 row 1 recall@5=0.653; two-knob series (r10): noise alone (0.35:0.807R,0.40:0.884F,0.45:0.892F,0.50:0.354-0.452R; R=rising,F=catch-all-collapsed) and split-factor on the rising corpora (0.50+f4:0.152@5, 0.45+f16:0.197@5 - f16 split the 0.45 regime's single 84%-of-corpus cell). recall@5 on this mixture family is either catch-all-inflated or well below 0.653; the published run keeps the hard-side rising curve (series in SURVEY 6)"}""" + "\n"
         Files.write(Paths.get(out + ".meta.json"), meta.getBytes(StandardCharsets.UTF_8))
       }
       // write the ladder-only CSV + its meta sibling now: a failure in

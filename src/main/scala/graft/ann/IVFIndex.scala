@@ -141,7 +141,7 @@ object IVFIndex {
       // there). Only engages when K ≥ RoutedRankingThreshold AND this
       // flag is set; the exact flat path is byte-identical otherwise.
       routedAssign: Boolean = false,
-      // Post-training fat-cluster split (opt-in, 0 = off): k-means on
+      // Post-training fat-cluster split: k-means on
       // real corpora grows catch-all cells near the data mean that
       // most queries rank into their probe set — the round-9 chunk
       // profile measured cells ~100× the mean size driving 54M
@@ -152,15 +152,58 @@ object IVFIndex {
       // fat centroid is replaced by its children before the single
       // quantize pass — the balanced-IVF recipe. K grows by the split
       // count; search semantics are unchanged (cells are probe
-      // targets). The default path is byte-identical when 0.
-      maxClusterFactor: Double = 0.0) {
+      // targets). A value > 0 FORCES the split at that factor (the
+      // r10 sweep contract); 0 defers to splitPolicy below.
+      maxClusterFactor: Double = 0.0,
+      // Split policy when maxClusterFactor is 0 (the r10 sweep
+      // measured that the split's value depends on whether fat cells
+      // are clustering ARTIFACTS — planted-blob recall holds — or
+      // genuine mass — noise-ball recall trades ~1:1 with
+      // work-per-probe):
+      //   "auto" (default): size cells at [[AutoSplitFactor]]; when
+      //     fat cells exist, build the candidate split set and run a
+      //     build-time self-probe (sample queries, candidate-
+      //     generation recall split-vs-flat at equal nprobe) — the
+      //     split ships only when the probe says artifact.
+      //   "off": never size, never split — byte-identical to the
+      //     r9 maxClusterFactor=0 path.
+      // maxClusterFactor > 0 forces the split regardless (unless
+      // policy is "off"), preserving every r10 caller.
+      splitPolicy: String = "auto") {
     require(Set(3, 4, 5, 7, 8, 9).contains(totalBits), s"unsupported totalBits $totalBits")
     require(queryBits == 0 || (queryBits >= 4 && queryBits <= 16),
       s"queryBits must be 0 (exact) or in [4,16], got $queryBits")
     require(maxClusterFactor == 0.0 || maxClusterFactor >= 1.0,
       s"maxClusterFactor must be 0 (off) or >= 1, got $maxClusterFactor")
+    require(Set("auto", "off").contains(splitPolicy),
+      s"splitPolicy must be auto|off, got $splitPolicy")
     def exBits: Int = totalBits - 1
+    /** Whether the build runs the cell-sizing pass at all. */
+    private[graft] def splitEngaged: Boolean =
+      splitPolicy != "off" && (maxClusterFactor > 0 || splitPolicy == "auto")
+    /** The sizing cap factor the engaged pass uses. */
+    private[graft] def effectiveSplitFactor: Double =
+      if (maxClusterFactor > 0) maxClusterFactor else IVFIndex.AutoSplitFactor
   }
+
+  /** Cap factor the "auto" split policy sizes cells against: 8× the
+    * mean cell size. Round-9 measured genuine catch-all artifacts at
+    * ~100–175× mean; 8× is far above balanced-k-means jitter (≤3×
+    * observed on every corpus swept) so the auto probe only triggers
+    * on real skew. */
+  val AutoSplitFactor: Double = 8.0
+
+  /** Outcome of the auto-split build-time self-probe (sweep meta
+    * records it; [[lastSplitProbe]] holds the most recent build's). */
+  final case class SplitProbe(
+      flatRecall: Double,
+      splitRecall: Double,
+      nprobe: Int,
+      nQueries: Int,
+      verdict: String, // "artifact" (split ships) | "mass" (flat ships) | "forced"
+      kFlat: Int,
+      kSplit: Int)
+  @volatile private[graft] var lastSplitProbe: Option[SplitProbe] = None
 
   /** `kmeansInitMode = "spread"`: large-K k-means WITHOUT the serial
     * driver finish. MLlib's k-means|| collects O(rounds·2K) candidates
@@ -336,14 +379,14 @@ object IVFIndex {
       estRows: Double,
       cap: Double,
       seed: Long,
-      depth: Int): Array[Array[Float]] = {
+      depth: Int): Array[(Array[Float], Double)] = {
     if (estRows <= cap || pts.length < 16 || depth >= 4) {
       val dim = pts(0).length
       val c = new Array[Float](dim)
       pts.foreach { p => var d = 0; while (d < dim) { c(d) += p(d); d += 1 } }
       var d = 0
       while (d < dim) { c(d) /= pts.length; d += 1 }
-      return Array(c)
+      return Array((c, estRows))
     }
     val m = math.max(2, math.min(math.ceil(estRows / cap).toInt, pts.length / 8))
     val (cents, assign) = localKMeans(pts, m, seed)
@@ -355,7 +398,8 @@ object IVFIndex {
       if (sub.isEmpty) Iterator.empty
       else {
         val est = estRows * sub.length / pts.length
-        if (est <= cap || sub.length < 16 || depth + 1 >= 4) Iterator.single(cents(j))
+        if (est <= cap || sub.length < 16 || depth + 1 >= 4)
+          Iterator.single((cents(j), est))
         else splitCell(sub.toArray, est, cap, seed ^ ((j + 1) * 0x9E3779B97F4A7C15L),
           depth + 1).iterator
       }
@@ -394,9 +438,9 @@ object IVFIndex {
     }
     val total = counts.sum.toDouble
     val mean = total / k0
-    val cap = math.max(params.maxClusterFactor * mean, 2.0)
+    val cap = math.max(params.effectiveSplitFactor * mean, 2.0)
     val fat = counts.indices.filter(counts(_) > cap)
-    if (fat.isEmpty) return centroids
+    if (fat.isEmpty) { lastSplitProbe = None; return centroids }
     val keepFrac = new Array[Double](k0)
     fat.foreach { c =>
       val m = math.ceil(counts(c) / cap)
@@ -417,19 +461,122 @@ object IVFIndex {
     val byCluster = members.groupBy(_._1)
     val fatSet = fat.toSet
     val out = scala.collection.mutable.ArrayBuffer.empty[Array[Float]]
+    var undersplit = 0
+    var worstResidual = 0.0
     counts.indices.foreach { c =>
       if (!fatSet(c)) out += centroids(c)
       else {
         val pts = byCluster.getOrElse(c, Array.empty[(Int, Array[Float])]).map(_._2)
         if (pts.length < 16) out += centroids(c) // degenerate draw: keep as-is
-        else out ++= splitCell(pts, counts(c).toDouble, cap,
-          params.seed ^ (c * 0xC2B2AE3D27D4EB4FL), 0)
+        else splitCell(pts, counts(c).toDouble, cap,
+          params.seed ^ (c * 0xC2B2AE3D27D4EB4FL), 0).foreach { case (cent, est) =>
+            // the split bounds width at pts.length/8 and depth at 4, so
+            // a cell needing more than ~512 children (or a stubborn
+            // depth-4 residual) can terminate above cap — make that
+            // LOUD instead of invisible (the cap is a contract)
+            if (est > cap) { undersplit += 1; worstResidual = math.max(worstResidual, est) }
+            out += cent
+          }
       }
     }
     println(f"[split] fat=${fat.length}%d of $k0%d cells " +
       f"(cap=$cap%.1f sample rows, mean=$mean%.1f, max=${counts.max}%d); " +
       f"K $k0%d -> ${out.length}%d")
-    out.toArray
+    if (undersplit > 0)
+      println(f"[split] WARNING: $undersplit%d terminal child(ren) still above cap " +
+        f"after splitting (worst est ${worstResidual}%.0f vs cap $cap%.1f) — " +
+        f"width/depth bounds hit; raise the member subsample or lower the factor")
+    val enriched = out.toArray
+
+    if (params.maxClusterFactor > 0) {
+      // forced mode: the r10 contract — callers measuring the split
+      // (sweeps, fixtures) get it unconditionally
+      lastSplitProbe = Some(SplitProbe(-1, -1, 0, 0, "forced", k0, enriched.length))
+      enriched
+    } else {
+      // auto mode: ship the split only if the build-time self-probe
+      // says the fat cells are clustering artifacts (recall holds at
+      // equal probe count), not genuine neighbor mass
+      val probe = selfProbe(spark, sampled, centroids, enriched, params)
+      lastSplitProbe = Some(probe)
+      println(f"[split-probe] flat=${probe.flatRecall}%.3f split=${probe.splitRecall}%.3f " +
+        f"@nprobe=${probe.nprobe}%d (${probe.nQueries}%d sample queries) -> " +
+        f"${probe.verdict}%s (K=${if (probe.verdict == "artifact") enriched.length else k0}%d)")
+      if (probe.verdict == "artifact") enriched else centroids
+    }
+  }
+
+  /** Auto-split self-probe: does replacing the fat centroids with
+    * their children preserve CANDIDATE-GENERATION recall at equal
+    * probe count? Draws `nq` queries from the training sample, finds
+    * each query's exact top-k within the sample in ONE distributed
+    * pass (per-partition bounded heaps carrying the neighbor vectors,
+    * merged on the driver), then — driver-side, on ≤ nq·k vectors —
+    * assigns the true neighbors to flat and split cells and measures
+    * the fraction reachable within the query's `nprobe` nearest
+    * centroids under each layout. Verdict "artifact" (split ships)
+    * when split recall ≥ flat recall − 0.02; "mass" otherwise. Cost:
+    * nq·|sample| distances in the distributed pass + nq·k·(K+K')
+    * driver-side — seconds against a multi-minute build. */
+  private[graft] def selfProbe(
+      spark: SparkSession,
+      sampled: org.apache.spark.rdd.RDD[Array[Float]],
+      flat: Array[Array[Float]],
+      split: Array[Array[Float]],
+      params: Params,
+      nq: Int = 64,
+      k: Int = 10): SplitProbe = {
+    val queries = sampled.takeSample(withReplacement = false, nq,
+      params.seed ^ 0x51AB7E93C41D2F68L)
+    val bcQ = spark.sparkContext.broadcast(queries)
+    // per-query bounded max-heaps of (dist, vec), merged associatively
+    type Heap = scala.collection.mutable.PriorityQueue[(Double, Array[Float])]
+    // n passed explicitly so the map-side closure captures only (n, k),
+    // never the driver's query array (that ships via the broadcast)
+    def newHeaps(n: Int): Array[Heap] =
+      Array.fill(n)(new Heap()(Ordering.by[(Double, Array[Float]), Double](_._1)))
+    def push(h: Heap, d: Double, v: Array[Float]): Unit = {
+      if (h.size < k) h.enqueue((d, v))
+      else if (d < h.head._1) { h.dequeue(); h.enqueue((d, v)) }
+    }
+    val heaps = sampled.mapPartitions { it =>
+      val qs = bcQ.value
+      val hs = newHeaps(qs.length)
+      it.foreach { v =>
+        var qi = 0
+        while (qi < qs.length) { push(hs(qi), l2sq(qs(qi), v), v); qi += 1 }
+      }
+      Iterator.single(hs.map(_.toArray))
+    }.reduce { (a, b) =>
+      var qi = 0
+      val hs = newHeaps(a.length)
+      while (qi < a.length) {
+        a(qi).foreach { case (d, v) => push(hs(qi), d, v) }
+        b(qi).foreach { case (d, v) => push(hs(qi), d, v) }
+        qi += 1
+      }
+      hs.map(_.toArray)
+    }
+    bcQ.destroy()
+    val nprobe = math.max(2, math.min(64, flat.length / 50))
+    def nearestSet(v: Array[Float], cents: Array[Array[Float]], n: Int): Array[Int] =
+      cents.indices.map(i => (l2sq(v, cents(i)), i)).sorted.take(n).map(_._2).toArray
+    var flatHit = 0L; var splitHit = 0L; var totalGt = 0L
+    var qi = 0
+    while (qi < queries.length) {
+      val probedFlat = nearestSet(queries(qi), flat, nprobe).toSet
+      val probedSplit = nearestSet(queries(qi), split, nprobe).toSet
+      heaps(qi).foreach { case (_, v) =>
+        totalGt += 1
+        if (probedFlat(nearestCentroid(v, flat, null))) flatHit += 1
+        if (probedSplit(nearestCentroid(v, split, null))) splitHit += 1
+      }
+      qi += 1
+    }
+    val fr = if (totalGt == 0) 0.0 else flatHit.toDouble / totalGt
+    val sr = if (totalGt == 0) 0.0 else splitHit.toDouble / totalGt
+    val verdict = if (sr >= fr - 0.02) "artifact" else "mass"
+    SplitProbe(fr, sr, nprobe, queries.length, verdict, flat.length, split.length)
   }
 
   /** Train centroids + assign + quantize. `df` must have (idCol: long,
@@ -475,8 +622,10 @@ object IVFIndex {
     // on these corpora (verified by the recall specs), and train time
     // is the dominant one-time build cost.
     // The split path re-traverses the sample twice after training
-    // (cell sizing + member subsample) — persist it for those passes
-    val doSplit = params.maxClusterFactor > 0
+    // (cell sizing + member subsample; auto adds the self-probe pass)
+    // — persist it for those passes
+    lastSplitProbe = None
+    val doSplit = params.splitEngaged
     val sampledP =
       if (doSplit) sampled.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else sampled

@@ -102,12 +102,38 @@ object LmScore {
     floor(log(denom.cast(DoubleType) / (num + lit(1.0))) * 1e4 + lit(0.5))
       .cast(LongType)
 
+  /** Size gate for the c27/c28 staging persist: inputs whose
+    * Catalyst-estimated size sits below this take the lazy recompute
+    * path (re-tokenizing a sub-MB corpus is cheaper than materializing
+    * and checkpointing the kernel rows — the r10 bench measured the
+    * unconditional persist costing sf0.1 0.70 → 1.31 s); above it the
+    * kernel rows persist once and feed every branch (the shape a
+    * 100 TB run needs, measured at sf1 and the 100× probe). The
+    * estimate is the logical plan's `stats.sizeInBytes` — file bytes
+    * for a scan, no extra Spark job either way. */
+  val StagingMinBytes: Long = 2L << 20
+
+  private[graft] def belowStagingGate(docs: DataFrame): Boolean =
+    docs.queryExecution.optimizedPlan.stats.sizeInBytes < BigInt(StagingMinBytes)
+
   /** c27: bigram-LM perplexity scoring. P(w2|w1) = (c(w1,w2)+1) /
     * (c(w1·)+V) with add-one smoothing over the prediction vocabulary
     * V = |distinct w2|; a doc's score is the mean NLL over its bigram
     * transitions. Docs with no bigrams (null or single-token text)
-    * carry NULL metrics. */
-  def ngramLm(docs: DataFrame): DataFrame = {
+    * carry NULL metrics.
+    *
+    * CONTRACT: above [[StagingMinBytes]] the result is EAGERLY
+    * materialized (persisted kernel + `localCheckpoint(true)`), so the
+    * returned frame has truncated lineage and the checkpointed blocks
+    * live until it is GC'd — callers that need to compose into the
+    * lazy pre-checkpoint plan should use [[ngramLmPlan]] instead (same
+    * results, hash-equal; spec-pinned). Below the gate the lazy plan is
+    * returned as-is. */
+  def ngramLm(docs: DataFrame): DataFrame =
+    if (belowStagingGate(docs)) ngramLmPlan(docs) else ngramLmStaged(docs)
+
+  /** The staged c27 path — the 100 TB shape (see [[ngramLm]]'s gate). */
+  private[graft] def ngramLmStaged(docs: DataFrame): DataFrame = {
     // The kernel rows feed TWO lineage branches (the bigram model and
     // the scoring probe) and the bigram table three more (unigram
     // context, vocab size, the scoring join) — unpersisted, each branch
@@ -430,8 +456,17 @@ object LmScore {
     * log_ratio is its total log p_t(doc) - log p_r(doc) (positive =
     * more target-like than background; DSIR keeps by this statistic);
     * `keep` compares the integer sum against zero, so the decision is
-    * exactly order- and engine-independent. */
-  def dsirWeight(docs: DataFrame): DataFrame = {
+    * exactly order- and engine-independent.
+    *
+    * CONTRACT: same size-gated staging as [[ngramLm]] — above
+    * [[StagingMinBytes]] the result is eagerly materialized with
+    * truncated lineage; plan-composing callers use
+    * [[dsirWeightPlan]]. */
+  def dsirWeight(docs: DataFrame): DataFrame =
+    if (belowStagingGate(docs)) dsirWeightPlan(docs) else dsirWeightStaged(docs)
+
+  /** The staged c28 path — the 100 TB shape (see [[ngramLm]]'s gate). */
+  private[graft] def dsirWeightStaged(docs: DataFrame): DataFrame = {
     // same staging discipline as c27: the kernel rows feed the model
     // build AND the scoring join, the model feeds its totals and the
     // scoring join — persist both, checkpoint the bounded result

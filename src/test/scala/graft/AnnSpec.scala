@@ -397,6 +397,25 @@ class AnnSpec extends AnyFunSuite {
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
     val recall = (approx & exact).size.toDouble / exact.size
     assert(recall >= 0.9, s"split-index recall@10 = $recall")
+    // the regime the split exists to serve: REALISTIC nprobe (a quarter
+    // of the enriched K), not just nprobe=all. This fixture's fat cell
+    // is ONE tight blob, so some fixed-nprobe recall trade is the
+    // honest geometry (the r10 sweep's finding — flat probes the whole
+    // catch-all in one cell); the bound pins that children stay
+    // probe-RANKED coherently: recall well above the random-scatter
+    // floor (probing 2 of the ~3 children ⇒ ~0.67 if neighbors
+    // scattered randomly) and within a modest band of the unsplit
+    // index. The auto-policy spec below pins the hold-vs-trade
+    // DISTINCTION on sub-blob vs wide-ball fixtures.
+    val npSmall = math.max(2, mB.centroids.length / 4)
+    def recallAt(m: graft.ann.IVFModel, np: Int): Double = {
+      val a = m.search(spark, queries, 10, nprobe = np)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      (a & exact).size.toDouble / exact.size
+    }
+    val (rSplitSmall, rFlatSmall) = (recallAt(mB, npSmall), recallAt(mA, npSmall))
+    assert(rSplitSmall >= rFlatSmall - 0.2 && rSplitSmall >= 0.75,
+      s"small-nprobe($npSmall) recall: split=$rSplitSmall flat=$rFlatSmall")
     // no-fat path: a cap nothing exceeds returns the SAME centroid array
     val sampled = df.select("vec_id", "embedding").as[(Long, Array[Float])]
       .rdd.map(_._2)
@@ -417,6 +436,83 @@ class AnnSpec extends AnyFunSuite {
       base.copy(routedAssign = true))
     assert(entries(mOn) == entries(mOff),
       "routedAssign below RoutedRankingThreshold must leave the flat path byte-identical")
+  }
+
+  test("auto split policy: self-probe ships the split on artifact cells, vetoes it on mass") {
+    // Deterministic by construction: hand-placed flat centroids (no
+    // k-means in the loop), seeded data, seeded member subsample +
+    // probe queries. Both fixtures share the layout "one fat cell at
+    // the origin region + 63 thin far cells" (k0=64 ⇒ auto cap =
+    // 8 × 2760/64 ≈ 345 < the region's 1800 rows ⇒ fat; probe
+    // nprobe = max(2, 64/50) = 2 < the ~8 children the split makes,
+    // so the probe can actually discriminate).
+    import spark.implicits._
+    val dim = 32
+    def farBlob(j: Int, n: Int): Seq[Array[Float]] = {
+      val c = Array.tabulate(dim)(d => (math.sin(j * 97.0 + d) * 40.0).toFloat)
+      (0 until n).map { i =>
+        val rnd = new scala.util.Random(j * 7919L + i)
+        c.map(_ + rnd.nextGaussian().toFloat * 0.05f)
+      }
+    }
+    def farCentroids: Array[Array[Float]] =
+      (1 to 63).map(j => Array.tabulate(dim)(d =>
+        (math.sin(j * 97.0 + d) * 40.0).toFloat)).toArray
+    val far: Seq[Array[Float]] = (1 to 63).flatMap(j => farBlob(j, 15))
+    // ARTIFACT region: 12 tight sub-blobs (σ=0.05) spread 6 apart —
+    // one catch-all cell whose members are genuinely multi-modal, the
+    // k-means-failure shape. A query's true neighbors all live in its
+    // own sub-blob, so the split's children preserve recall.
+    val artifactRegion: Seq[Array[Float]] = (0 until 12).flatMap { b =>
+      val c = Array.tabulate(dim)(d => (math.cos(b * 31.0 + d) * 6.0).toFloat)
+      (0 until 150).map { i =>
+        val rnd = new scala.util.Random(b * 1000003L + i)
+        c.map(_ + rnd.nextGaussian().toFloat * 0.05f)
+      }
+    }
+    // MASS region: one wide d=32 Gaussian ball — neighbors are spread
+    // through the ball (distance concentration), so children scatter a
+    // query's true top-k and fixed-nprobe recall collapses.
+    val massRegion: Seq[Array[Float]] = (0 until 1800).map { i =>
+      val rnd = new scala.util.Random(i * 2654435761L)
+      Array.fill(dim)(rnd.nextGaussian().toFloat * 3.0f)
+    }
+    val params = IVFIndex.Params(k = 64, totalBits = 4) // splitPolicy = "auto" default
+    def runCase(region: Seq[Array[Float]]): (Array[Array[Float]], Array[Array[Float]]) = {
+      val data = region ++ far
+      val sampled = spark.sparkContext.parallelize(data, 4)
+      val flat = Array.tabulate(dim)(_ => 0.0f) +: farCentroids
+      (flat, IVFIndex.splitFatClusters(spark, sampled, flat, params))
+    }
+    val (flatA, outA) = runCase(artifactRegion)
+    val probeA = IVFIndex.lastSplitProbe.get
+    assert(probeA.verdict == "artifact", s"planted sub-blob cell must split: $probeA")
+    assert(outA.length > flatA.length, s"artifact verdict must ship the enriched set")
+    assert(probeA.splitRecall >= probeA.flatRecall - 0.02, probeA.toString)
+
+    val (flatM, outM) = runCase(massRegion)
+    val probeM = IVFIndex.lastSplitProbe.get
+    assert(probeM.verdict == "mass", s"wide-ball cell must NOT split: $probeM")
+    assert(outM.length == flatM.length &&
+      outM.zip(flatM).forall { case (a, b) => a sameElements b },
+      "mass verdict must ship the flat centroids byte-identical")
+    assert(probeM.splitRecall < probeM.flatRecall - 0.02, probeM.toString)
+
+    // forced mode bypasses the probe (the r10 sweep contract)
+    val dataM = massRegion ++ far
+    val forced = IVFIndex.splitFatClusters(spark,
+      spark.sparkContext.parallelize(dataM, 4),
+      Array.tabulate(dim)(_ => 0.0f) +: farCentroids,
+      params.copy(maxClusterFactor = 8.0))
+    assert(IVFIndex.lastSplitProbe.get.verdict == "forced")
+    assert(forced.length > 64, "forced mode must split regardless of the probe")
+
+    // "off" policy never sizes cells: the flag the pre-r11 contract
+    // rides on (maxClusterFactor=0 + off == the r9 byte-identical path)
+    assert(!params.copy(splitPolicy = "off").splitEngaged)
+    assert(params.copy(maxClusterFactor = 3.0).splitEngaged &&
+      params.splitEngaged && !params.copy(splitPolicy = "off",
+        maxClusterFactor = 3.0).splitEngaged)
   }
 
   test("index entries cover all vectors exactly once") {

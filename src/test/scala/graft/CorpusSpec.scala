@@ -605,6 +605,29 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("c27/c28 staging gate: staged and lazy paths are row-identical; gate routes by size") {
+    import graft.ops.LmScore
+    // a corpus with repeated AND singleton grams, null text, and both
+    // target / background sources — exercises every scoring branch
+    val d = (
+      (1L to 30L).map(i => (i, s"a b a b w$i x$i a", s"src${i % 4}")) :+
+      (98L, null.asInstanceOf[String], "src0") :+
+      (99L, "solo", "src7")
+    ).toDF("doc_id", "text", "source")
+    def rowsOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    assert(rowsOf(LmScore.ngramLmStaged(d)) == rowsOf(LmScore.ngramLmPlan(d)))
+    assert(rowsOf(LmScore.dsirWeightStaged(d)) == rowsOf(LmScore.dsirWeightPlan(d)))
+    // gate routing: this inline corpus sits far below StagingMinBytes
+    // (recompute path); a frame whose Catalyst estimate exceeds the
+    // gate takes the staged path
+    assert(LmScore.belowStagingGate(d))
+    val wide = spark.range(0, 200000).toDF("doc_id")
+      .withColumn("text", org.apache.spark.sql.functions.lit("t " * 40))
+    assert(!LmScore.belowStagingGate(wide),
+      s"estimate=${wide.queryExecution.optimizedPlan.stats.sizeInBytes}")
+  }
+
   test("dsir: null text carries NULL metrics and NULL keep") {
     import graft.ops.LmScore
     val d = Seq((1L, null.asInstanceOf[String], "src0"), (2L, "t t", "src0"))
