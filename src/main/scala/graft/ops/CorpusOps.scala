@@ -796,33 +796,41 @@ object CorpusOps {
       // eager checkpoint of the NARROW ranked rows (5 numeric cols)
       // while the cache is live — the Dedup c2/c3 pattern — so the
       // unpersist below can never force the final window job back
-      // through the tokenizer; the trailing doc_id pad join stays lazy
-      val rankedCp = budgetRanked(m, budget, subRange).localCheckpoint(true)
-      docs.select("doc_id").join(rankedCp, Seq("doc_id"), "left")
+      // through the tokenizer. No trailing pad join: the kernel keeps
+      // null-text docs as sentinel rows (the r10 form re-scanned the
+      // corpus and ran a corpus-sized doc_id join just to re-attach
+      // them — a full extra scan at 100 TB and ~5 of the 12 measured
+      // sf0.1 AQE job floors).
+      budgetRanked(m, budget, subRange).localCheckpoint(true)
     } finally m.unpersist(blocking = false)
   }
 
   /** The c32 scoring kernel: (doc_id, score_tenk, n_tokens), one
-    * compiled pass over the text. */
+    * compiled pass over the text. Null-text docs stay in the stream as
+    * (-1, -1) sentinel rows (they must surface in the result with NULL
+    * metrics, and carrying them here is what lets [[budgetSelect]] run
+    * on ONE corpus scan with no pad join). */
   private[graft] def budgetScoreRows(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val markers = TextAnalysis.markers("en").toSet
     docs
-      .filter(col("text").isNotNull)
       .select(col("doc_id").cast(LongType), col("text")).as[(Long, String)]
       .map { case (id, text) =>
-        val w = text.split(" ", -1)
-        var hits = 0
-        var i = 0
-        while (i < w.length) {
-          if (markers.contains(w(i))) hits += 1
-          i += 1
+        if (text == null) (id, -1, -1)
+        else {
+          val w = text.split(" ", -1)
+          var hits = 0
+          var i = 0
+          while (i < w.length) {
+            if (markers.contains(w(i))) hits += 1
+            i += 1
+          }
+          // floor(1e4·hits/nTok + 0.5): the identical IEEE double ops as
+          // the SQL oracle (integer inputs, one division, one floor)
+          val score = math.floor(1e4 * hits.toDouble / w.length.toDouble + 0.5).toInt
+          (id, score, w.length)
         }
-        // floor(1e4·hits/nTok + 0.5): the identical IEEE double ops as
-        // the SQL oracle (integer inputs, one division, one floor)
-        val score = math.floor(1e4 * hits.toDouble / w.length.toDouble + 0.5).toInt
-        (id, score, w.length)
       }
       .toDF("doc_id", "score_tenk", "n_tokens")
   }
@@ -834,14 +842,17 @@ object CorpusOps {
       m: DataFrame, budget: Long, subRange: Long): DataFrame = {
     val spark = m.sparkSession
     import spark.implicits._
+    // null-text sentinel rows bypass the ranking and re-enter as the
+    // NULL-metric arm of the trailing union
+    val scored = m.filter(col("score_tenk") >= 0)
     // pass 1 — bounded: one row per distinct quantized score (≤ 10001),
     // carrying count AND token sum so the no-fat-bucket common path
     // needs no second aggregation job
-    val bucketRows = m.groupBy("score_tenk")
+    val bucketRows = scored.groupBy("score_tenk")
       .agg(count(lit(1)).as("cnt"), sum("n_tokens").as("toks"))
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
     val fatScores = bucketRows.filter(_._2 > subRange).map(_._1).toSet
-    val withSub = m.withColumn("sub",
+    val withSub = scored.withColumn("sub",
       if (fatScores.isEmpty) lit(0L)
       else when(col("score_tenk").isin(fatScores.toSeq: _*),
         floor(col("doc_id") / lit(subRange)).cast(LongType))
@@ -865,6 +876,12 @@ object CorpusOps {
       .withColumn("selected",
         (col("cum_tokens") <= lit(budget)).cast(IntegerType))
       .select("doc_id", "score_tenk", "n_tokens", "cum_tokens", "selected")
+      .unionByName(m.filter(col("score_tenk") < 0).select(
+        col("doc_id"),
+        lit(null).cast(IntegerType).as("score_tenk"),
+        lit(null).cast(IntegerType).as("n_tokens"),
+        lit(null).cast(LongType).as("cum_tokens"),
+        lit(null).cast(IntegerType).as("selected")))
   }
 
   // ---------------------------------------------------------------- c22
