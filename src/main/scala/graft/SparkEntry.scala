@@ -81,6 +81,7 @@ object SparkEntry {
     "c41_heavy_hitters" -> (PipelineQueries.heavyHitters(_, _)),
     "c42_trigram_lm" -> (PipelineQueries.trigramBackoff(_, _)),
     "c43_lang_classifier" -> (PipelineQueries.langClassifier(_, _)),
+    "c44_url_gate" -> (PipelineQueries.urlGate(_, _)),
     "d1_sessionize"  -> (PipelineQueries.sessionize(_, _)),
     "d2_window_agg"  -> (PipelineQueries.windowAgg(_, _)),
     "d3_stream_agg"  -> (PipelineQueries.streamingAgg(_, _)),

@@ -142,6 +142,14 @@ object PipelineQueries {
   def budgetSelect(spark: SparkSession, dir: String): DataFrame =
     CorpusOps.budgetSelect(Tables.documents(spark, dir)).orderBy("doc_id")
 
+  def urlGate(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    graft.ops.UrlGate.urlGate(
+      Tables.documents(spark, dir).select(col("doc_id"),
+        graft.ops.UrlGate.synthUrl(col("doc_id")).as("url")))
+      .orderBy("doc_id")
+  }
+
   def qualityClassifier(spark: SparkSession, dir: String): DataFrame =
     graft.ops.QualityModel.qualityClassifier(Tables.documents(spark, dir))
       .orderBy("doc_id")
@@ -628,6 +636,58 @@ object PipelineQueries {
          | CAST(sc.sum_tenk AS DOUBLE) / CAST(CAST(sc.n_trigrams AS BIGINT) * 10000 AS DOUBLE) AS mean_nll,
          | CAST(substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 2) < '${graft.ops.LmScore.TrigramTrainMax}' AS INT) AS is_train
          |FROM documents d LEFT JOIN sc USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "c44_url_gate" ->
+      // Deliberately NOT a parse: the oracle rebuilds the raw URL from
+      // the same doc_id residues UrlGate.synthUrl uses AND derives the
+      // canonical form analytically from those residues — an
+      // independent derivation, so the hash match certifies the Spark
+      // kernel's parser. Gates mirror UrlGate.urlGate: min-doc_id per
+      // canonical URL, blocklist on registered domain, first-N per
+      // domain (row_number over the gate-1/2 survivors).
+      s"""WITH b AS (SELECT doc_id,
+         |   doc_id % 2 AS m2, doc_id % 3 AS m3, doc_id % 5 AS m5, doc_id % 7 AS m7,
+         |   doc_id % 10 AS m10, doc_id % 11 AS m11, doc_id % 13 AS m13
+         |  FROM documents),
+         |u AS (SELECT doc_id, m3, m7, m11,
+         |   CASE WHEN m2 = 0 THEN 'http' ELSE 'https' END AS scheme_c,
+         |   (CASE WHEN m13 = 0 THEN 'xn--site-' ELSE 'site-' END
+         |     || CAST(m5 AS VARCHAR)
+         |     || CASE WHEN m2 = 0 THEN '.com' ELSE '.co.uk' END) AS domain,
+         |   '/p/' || CAST(m10 AS VARCHAR) AS path_c,
+         |   'a=' || CAST(m10 AS VARCHAR) || '&z=1' AS query_c,
+         |   CAST(m10 AS VARCHAR) AS page
+         |  FROM b),
+         |r AS (SELECT doc_id, domain,
+         |   scheme_c || '://' || domain || path_c || '?' || query_c AS url_canon,
+         |   (CASE WHEN m3 = 0 THEN upper(scheme_c) ELSE scheme_c END) || '://'
+         |    || (CASE WHEN m11 = 0 THEN 'u:p@' ELSE '' END)
+         |    || (CASE WHEN m7 = 3 THEN 'www.' WHEN m7 = 4 THEN 'WWW.' ELSE '' END)
+         |    || (CASE WHEN m7 = 2 THEN upper(domain) ELSE domain END)
+         |    || (CASE WHEN m7 = 0 THEN
+         |          (CASE WHEN scheme_c = 'http' THEN ':80' ELSE ':443' END) ELSE '' END)
+         |    || path_c || (CASE WHEN m3 = 2 THEN '/' ELSE '' END) || '?'
+         |    || (CASE WHEN m3 = 0 THEN 'utm_source=tw&' || query_c
+         |             WHEN m3 = 1 THEN 'z=1&utm_campaign=x&a=' || page
+         |             ELSE 'fbclid=abc&z=1&a=' || page END)
+         |    || (CASE WHEN m11 = 1 THEN '#sec' ELSE '' END) AS url
+         |  FROM u),
+         |k AS (SELECT doc_id, url, url_canon, domain,
+         |   CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY url_canon)
+         |        THEN 1 ELSE 0 END AS url_keep,
+         |   CASE WHEN domain IN (${graft.ops.UrlGate.blocklistSqlList})
+         |        THEN 1 ELSE 0 END AS blocked
+         |  FROM r),
+         |c AS (SELECT doc_id, 1 AS in_cap FROM (
+         |   SELECT doc_id, row_number() OVER (PARTITION BY domain ORDER BY doc_id) AS rn
+         |   FROM k WHERE url_keep = 1 AND blocked = 0)
+         |  WHERE rn <= ${graft.ops.UrlGate.DomainCap})
+         |SELECT k.doc_id, k.url, k.url_canon, k.domain,
+         | CAST(k.url_keep AS INT) AS url_keep,
+         | CAST(k.blocked AS INT) AS blocked,
+         | CAST(COALESCE(c.in_cap, 0) AS INT) AS in_domain_cap,
+         | CAST(CASE WHEN k.url_keep = 1 AND k.blocked = 0 AND COALESCE(c.in_cap, 0) = 1
+         |      THEN 1 ELSE 0 END AS INT) AS kept
+         |FROM k LEFT JOIN c USING (doc_id) ORDER BY doc_id""".stripMargin,
     "c28_dsir_weight" ->
       // mirrors LmScore.dsirWeight: one unigram model table carrying
       // raw + target counts, totals/vocab from the model, per-word

@@ -347,6 +347,75 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("c44 canonicalize: hostile URLs — userinfo, punycode, case, ports, params") {
+    import graft.ops.UrlGate.canonicalize
+    // the full gauntlet in one URL: mixed-case scheme+host, userinfo,
+    // default port, www, trailing slash, tracking params, fragment
+    assert(canonicalize("HTTP://User:Pw@WWW.Example.COM:80/a/b/?z=1&utm_source=x&a=2#frag")
+      == (("http://example.com/a/b?a=2&z=1", "example.com")))
+    // https default port strips; a NON-default port is canonical
+    assert(canonicalize("https://Example.com:443/x") == (("https://example.com/x", "example.com")))
+    assert(canonicalize("https://example.com:8443/x")
+      == (("https://example.com:8443/x", "example.com")))
+    // punycode labels pass through lowercased, never decoded; the
+    // public-suffix rule takes three labels under co.uk
+    assert(canonicalize("https://XN--BCHER-KVA.Shop.CO.UK/p")
+      == (("https://xn--bcher-kva.shop.co.uk/p", "shop.co.uk")))
+    // empty path → root; root's slash is kept
+    assert(canonicalize("http://a.com") == (("http://a.com/", "a.com")))
+    assert(canonicalize("http://a.com/") == (("http://a.com/", "a.com")))
+    // query-param reordering collides after the canonical sort
+    assert(canonicalize("http://a.com/p?b=2&a=1") == canonicalize("http://a.com/p?a=1&b=2"))
+    // tracking-only query drops the '?' entirely
+    assert(canonicalize("http://a.com/p?utm_campaign=x&fbclid=1")
+      == (("http://a.com/p", "a.com")))
+    // '@' inside the userinfo password: host starts after the LAST '@'
+    assert(canonicalize("http://u:p@w@host.com/q") == (("http://host.com/q", "host.com")))
+    // query before any path; bare trailing colon (empty port)
+    assert(canonicalize("http://A.com?z=1") == (("http://a.com/?z=1", "a.com")))
+    assert(canonicalize("http://a.com:/p") == (("http://a.com/p", "a.com")))
+    // unparseable / null → (null, null)
+    assert(canonicalize("not a url") == ((null, null)))
+    assert(canonicalize(null) == ((null, null)))
+  }
+
+  test("c44 url gate: dedup keeps first, blocklist blocks, domain cap caps") {
+    import graft.ops.UrlGate
+    val d = Seq(
+      // docs 1-3: one canonical URL via three raw disguises
+      (1L, "http://site.com/p?a=1&z=1"),
+      (2L, "HTTP://WWW.Site.COM:80/p/?z=1&a=1#x"),
+      (3L, "http://u:p@site.com/p?utm_source=t&a=1&z=1"),
+      // doc 4: blocked domain
+      (4L, "https://bad.com/x"),
+      // docs 5-8: same domain, distinct URLs — cap=2 keeps 5 and 6
+      (5L, "https://big.co.uk/1"), (6L, "https://big.co.uk/2"),
+      (7L, "https://big.co.uk/3"), (8L, "https://big.co.uk/4"),
+      // doc 9: unparseable
+      (9L, "garbage")
+    ).toDF("doc_id", "url")
+    val out = UrlGate.urlGate(d, blocklist = Seq("bad.com"), cap = 2).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[String]("url_canon") == "http://site.com/p?a=1&z=1")
+    assert(out(2L).getAs[String]("url_canon") == out(1L).getAs[String]("url_canon"))
+    assert(out(3L).getAs[String]("url_canon") == out(1L).getAs[String]("url_canon"))
+    assert(out(1L).getAs[Int]("url_keep") == 1 && out(1L).getAs[Int]("kept") == 1)
+    assert(out(2L).getAs[Int]("url_keep") == 0 && out(2L).getAs[Int]("kept") == 0)
+    assert(out(3L).getAs[Int]("url_keep") == 0)
+    assert(out(4L).getAs[Int]("blocked") == 1 && out(4L).getAs[Int]("kept") == 0
+      && out(4L).getAs[Int]("url_keep") == 1 && out(4L).getAs[Int]("in_domain_cap") == 0,
+      s"blocked docs are ineligible for the cap set: ${out(4L)}")
+    assert(out(5L).getAs[Int]("in_domain_cap") == 1 && out(5L).getAs[Int]("kept") == 1)
+    assert(out(6L).getAs[Int]("in_domain_cap") == 1 && out(6L).getAs[Int]("kept") == 1)
+    assert(out(7L).getAs[Int]("in_domain_cap") == 0 && out(7L).getAs[Int]("kept") == 0)
+    assert(out(8L).getAs[Int]("in_domain_cap") == 0)
+    assert(out(7L).getAs[Int]("url_keep") == 1, "over-cap is not a dup")
+    val g = out(9L)
+    assert(g.isNullAt(g.fieldIndex("url_canon")) && g.isNullAt(g.fieldIndex("domain")))
+    assert(g.getAs[Int]("url_keep") == 0 && g.getAs[Int]("kept") == 0)
+    assert(out.size == 9, "one row per input doc")
+  }
+
   test("quality classifier: separates curated-like from junk-like vocabulary") {
     // curated sources speak "clean" vocabulary, raw sources "junk";
     // two held-out docs (61, 62) carry each vocabulary under a RAW

@@ -204,6 +204,21 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("ScalaUDF"), s"c32 fell back to a scalar UDF:\n$p")
   }
 
+  test("c44 url gate: compiled parse kernel, broadcast blocklist, no window over domain") {
+    import org.apache.spark.sql.functions.col
+    val p0 = ops.UrlGate.parsedRows(Tables.documents(spark, sf)
+      .select(col("doc_id"), ops.UrlGate.synthUrl(col("doc_id")).as("url")))
+    val p = plan(ops.UrlGate.gatePlan(p0, ops.UrlGate.Blocklist, ops.UrlGate.DomainCap))
+    assert(p.contains("MapPartitions") || p.contains("SerializeFromObject"),
+      s"c44 lost the compiled parse kernel:\n$p")
+    assert(!p.contains("ScalaUDF"), s"c44 fell back to a scalar UDF:\n$p")
+    assert(!p.contains("CartesianProduct"), s"c44 planned a cartesian:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"blocklist join not broadcast:\n$p")
+    // the per-domain cap must run through the bounded-heap aggregate,
+    // never a per-domain window sort (the c15/c32 skew trap)
+    assert(!p.toLowerCase.contains("window"), s"c44 planned a window:\n$p")
+  }
+
   test("c30 shuffle shard: bucket-parallel rank, no global range sort") {
     val p = plan(ops.CorpusOps.shuffleShard(Tables.documents(spark, sf)))
     // the global rank must come from the 256-way bucket window + the
