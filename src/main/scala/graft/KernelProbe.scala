@@ -1,0 +1,152 @@
+package graft
+
+import java.util.concurrent.atomic.AtomicLong
+
+import graft.ann.{IVFIndex, RaBitQ}
+
+/** Roofline probe for the ANN estimate kernel (SURVEY §6): how far
+  * does the LUT estimate loop sit from machine memory bandwidth at the
+  * reference shape (d=1536)? Three measurements, all multithreaded on
+  * the same thread count:
+  *
+  *   1. `stream_gbps` — straight streaming sum over long arrays far
+  *      beyond LLC: the machine's practical read bandwidth ceiling.
+  *   2. `entry_*` — the r10 scan layout: one Entry OBJECT per
+  *      candidate (own sign-bit array → pointer chase + header per
+  *      estimate).
+  *   3. `packed_*` — the block-major packed layout (contiguous
+  *      sign-bit words + primitive factor columns, the
+  *      fastscan/pack_codes.hpp role).
+  *
+  * Effective kernel bandwidth = entries/s × bytes-per-entry (sign
+  * words + 3 factor floats). If that sits near `stream_gbps` the
+  * kernel is memory-bound (at-bandwidth bound documented, parity
+  * chase ends); if far below, it is compute-bound in scalar JVM code
+  * (the reference's AVX512 VPSHUFB does 64 LUT lookups per
+  * instruction — that gap is ISA, not layout). No Spark involved:
+  * this measures the per-partition scan kernel itself.
+  *
+  * `sbt "runMain graft.KernelProbe"` → one JSON line +
+  * results/kernel_roofline.json.
+  */
+object KernelProbe {
+  private def envI(n: String, d: Int): Int = sys.env.get(n).map(_.toInt).getOrElse(d)
+
+  def main(args: Array[String]): Unit = {
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
+    val dim = envI("SPARK_GRAFT_PROBE_DIM", 1536)
+    val threads = envI("SPARK_GRAFT_CPUS", 32)
+    val nPerThread = envI("SPARK_GRAFT_PROBE_ENTRIES", 1 << 17) // ×192 B ≈ 25 MB/thread
+    val iters = envI("SPARK_GRAFT_PROBE_ITERS", 8)
+    val words = (dim + 63) >> 6
+    val bytesPerEntry = words * 8 + 12 // sign words + x2/facIp/facErr
+
+    def inThreads(body: Int => Long): (Double, Long) = {
+      val check = new AtomicLong()
+      val ts = (0 until threads).map { t =>
+        new Thread(() => check.addAndGet(body(t)))
+      }
+      val t0 = System.nanoTime()
+      ts.foreach(_.start()); ts.foreach(_.join())
+      ((System.nanoTime() - t0) / 1e9, check.get())
+    }
+
+    // --- 1. streaming bandwidth ceiling ---
+    val streamLongs = 1 << 22 // 32 MB/thread, >> LLC share
+    val streamArrs = Array.tabulate(threads)(t =>
+      Array.tabulate(streamLongs)(i => (t * 1000003L + i) * 0x9E3779B97F4A7C15L))
+    val (wallS, _) = inThreads { t =>
+      var acc = 0L
+      var it = 0
+      while (it < iters) {
+        val a = streamArrs(t)
+        var i = 0
+        while (i < a.length) { acc += a(i); i += 1 }
+        it += 1
+      }
+      acc
+    }
+    val streamGbps = threads.toDouble * iters * streamLongs * 8 / wallS / 1e9
+
+    // --- shared fixture: per-thread entry sets + one prepared query ---
+    val rnd = new scala.util.Random(42)
+    val qVec = Array.fill(dim)(rnd.nextGaussian().toFloat)
+    val cent = Array.fill(dim)(rnd.nextGaussian().toFloat * 0.1f)
+    def mkEntries(t: Int): Array[IVFIndex.Entry] = {
+      val r = new scala.util.Random(1000003L * t)
+      Array.tabulate(nPerThread) { i =>
+        val sign = Array.fill(words)(r.nextLong())
+        IVFIndex.Entry(i.toLong, 0, sign, Array.empty[Byte],
+          r.nextFloat(), r.nextFloat() * 1e-3f, 0f, r.nextFloat() * 1e-3f, 1f)
+      }
+    }
+    val entrySets = Array.tabulate(threads)(mkEntries)
+    // exBits = 8 → no F pre-unpack (these synthetic entries carry no
+    // ex_code; the probe measures the estimate kernel only)
+    val packedSets = entrySets.map { es =>
+      val run = new IVFIndex.PackedRun(words, dim, 8)
+      es.foreach(run.add)
+      run
+    }
+    def prep(): RaBitQ.QueryCluster =
+      RaBitQ.prepareQueryInto(qVec, cent, 14,
+        new Array[Float](dim), new Array[Int](words << 8))
+
+    // --- 2. entry-object layout ---
+    def runEntry(): (Double, Long) = inThreads { t =>
+      val qc = prep()
+      val es = entrySets(t)
+      var acc = 0L
+      var it = 0
+      while (it < iters) {
+        var i = 0
+        while (i < es.length) {
+          val e = es(i)
+          val lo = RaBitQ.estimateLowerLut(qc, e.sign_bits, e.x2, e.fac_ip, e.fac_err)
+          if (lo < -1e18) acc += 1 // defeat DCE, never taken
+          i += 1
+        }
+        it += 1
+      }
+      acc
+    }
+    // --- 3. packed layout ---
+    def runPacked(): (Double, Long) = inThreads { t =>
+      val qc = prep()
+      val run = packedSets(t)
+      var acc = 0L
+      var it = 0
+      while (it < iters) {
+        var i = 0
+        var sb = 0
+        while (i < run.n) {
+          val lo = RaBitQ.estimateLowerLutPacked(qc, run.sign, sb, words,
+            run.x2(i), run.facIp(i), run.facErr(i))
+          if (lo < -1e18) acc += 1
+          i += 1
+          sb += words
+        }
+        it += 1
+      }
+      acc
+    }
+    runEntry(); runPacked() // JIT warmup
+    val (wallE, _) = runEntry()
+    val (wallP, _) = runPacked()
+    val totalEst = threads.toDouble * iters * nPerThread
+    def usPer(w: Double) = w / totalEst * 1e6
+    def gbps(w: Double) = totalEst * bytesPerEntry / w / 1e9
+    val line =
+      s"""{"probe":"kernel_roofline","dim":$dim,"threads":$threads,""" +
+        s""""entries_per_thread":$nPerThread,"iters":$iters,""" +
+        s""""bytes_per_entry":$bytesPerEntry,"stream_gbps":$streamGbps,""" +
+        s""""entry_us_per_est":${usPer(wallE)},"entry_gbps":${gbps(wallE)},""" +
+        s""""packed_us_per_est":${usPer(wallP)},"packed_gbps":${gbps(wallP)},""" +
+        s""""packed_speedup":${wallE / wallP},""" +
+        s""""pct_of_bandwidth_packed":${100.0 * gbps(wallP) / streamGbps}}""" + "\n"
+    print(line)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get("results"))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("results/kernel_roofline.json"), line)
+  }
+}

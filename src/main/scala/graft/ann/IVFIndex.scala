@@ -40,6 +40,13 @@ object IVFIndex {
   /** SPARK_GRAFT_SEARCH_PROFILE=1 prints per-chunk stage walls
     * (driver ranking, broadcast, job) and cumulative kernel counters —
     * the instrumentation behind SURVEY §6's chunk-cost breakdown. */
+  /** SPARK_GRAFT_PACKED=0 disables the model-lifetime packed object
+    * cache (searchOn falls back to the per-chunk entry scan) — the
+    * A/B knob behind the committed layout comparison; results are
+    * identical either way (one scanRuns kernel). */
+  private[graft] val packedEnabled =
+    !sys.env.get("SPARK_GRAFT_PACKED").contains("0")
+
   private[graft] val profileSearch =
     sys.env.get("SPARK_GRAFT_SEARCH_PROFILE").contains("1")
 
@@ -86,7 +93,8 @@ object IVFIndex {
     * tie-breaks are (dist, id); goldens pin the results unchanged at
     * sf0.001. The on-disk layout needs no analogue: parquet scans
     * already split fat cluster dirs at `maxPartitionBytes`. */
-  val ClusterBlockRows = 2048
+  val ClusterBlockRows: Int =
+    sys.env.get("SPARK_GRAFT_BLOCK_ROWS").map(_.toInt).getOrElse(2048)
 
   /** One indexed vector (columnar analogue of SHORT_DATA/LONG_CODE/
     * EX_FACTOR/IDs, IVF.hpp:29-33). */
@@ -100,6 +108,166 @@ object IVFIndex {
       sum_xb: Float,
       fac_err: Float,
       xipnorm: Float)
+
+  /** One probed cluster's entries in BLOCK-MAJOR PACKED form — the
+    * scan-side analogue of the reference's `fastscan/pack_codes.hpp`
+    * layout, built per (partition, chunk) inside searchOn and scanned
+    * by every probing query of the chunk. Sign-bit words of all
+    * entries live in ONE contiguous long array (entry i's words at
+    * [i·words, (i+1)·words)); the per-entry estimate factors are
+    * parallel primitive columns. The packing replaces a per-(query,
+    * entry) object-pointer chase on the estimate hot loop with a
+    * sequential stream; `exCode` stays a reference column because it
+    * is only touched on the rare post-prune rerank. Never serialized
+    * (partition-local scratch). */
+  private[graft] final class PackedRun(
+      val words: Int, val dim: Int, val exBits: Int) extends Serializable {
+    /** exBits ≤ 7 ⇒ F_d = bit·2^exBits + code fits a byte: pre-unpack
+      * the full code at pack time (`exF`, dim bytes/entry) so rerank
+      * streams bytes; exBits = 8 (B=9) keeps the bit-packed ex_code
+      * refs and reranks through the unpack path. */
+    val packExF: Boolean = exBits >= 1 && exBits <= 7
+    var n = 0
+    private var cap = 64
+    var ids = new Array[Long](cap)
+    var sign = new Array[Long](cap * words)
+    var x2 = new Array[Float](cap)
+    var facIp = new Array[Float](cap)
+    var facErr = new Array[Float](cap)
+    var xipnorm = new Array[Float](cap)
+    var exF: Array[Byte] = if (packExF) new Array[Byte](cap * dim) else null
+    var exCode: Array[Array[Byte]] = if (packExF) null else new Array[Array[Byte]](cap)
+    def add(e: Entry): Unit = {
+      if (n == cap) grow()
+      ids(n) = e.id
+      System.arraycopy(e.sign_bits, 0, sign, n * words, words)
+      x2(n) = e.x2
+      facIp(n) = e.fac_ip
+      facErr(n) = e.fac_err
+      xipnorm(n) = e.xipnorm
+      if (packExF) RaBitQ.packF(e.sign_bits, e.ex_code, dim, exBits, exF, n * dim)
+      else exCode(n) = e.ex_code
+      n += 1
+    }
+    private def grow(): Unit = {
+      cap <<= 1
+      ids = java.util.Arrays.copyOf(ids, cap)
+      sign = java.util.Arrays.copyOf(sign, cap * words)
+      x2 = java.util.Arrays.copyOf(x2, cap)
+      facIp = java.util.Arrays.copyOf(facIp, cap)
+      facErr = java.util.Arrays.copyOf(facErr, cap)
+      xipnorm = java.util.Arrays.copyOf(xipnorm, cap)
+      if (packExF) exF = java.util.Arrays.copyOf(exF, cap * dim)
+      else exCode = java.util.Arrays.copyOf(exCode, cap)
+    }
+  }
+
+  /** The per-partition QUERY-MAJOR scan over packed runs — one copy
+    * shared by both searchOn paths (the model-lifetime packed cache
+    * and the filtered/ad-hoc entry scan, which packs per chunk), so
+    * the estimate → prune → rerank trajectory can never diverge
+    * between them. Per (query, cluster): ONE residual/LUT prepare,
+    * then a sequential stream through the cluster's packed blocks.
+    * `runs` maps cluster id → that cluster's packed blocks in cached
+    * order; `accs` are the profile accumulators (null when off);
+    * `nEntries` is the partition's probed-entry count (counted at
+    * buffer/filter time by the caller). */
+  private[graft] def scanRuns(
+      qs: Array[(Long, Array[Float], Array[Int])],
+      runs: scala.collection.mutable.HashMap[
+        Int, scala.collection.mutable.ArrayBuffer[PackedRun]],
+      rotCents: Array[Array[Float]],
+      k: Int,
+      queryBits: Int,
+      exBits: Int,
+      accs: (org.apache.spark.util.LongAccumulator,
+        org.apache.spark.util.LongAccumulator,
+        org.apache.spark.util.LongAccumulator),
+      nEntries: Long): Iterator[(Long, Long, Double)] = {
+    val heaps = Array.fill(qs.length)(new KnnExact.BoundedTopK(k))
+    var nEst = 0L; var nRerank = 0L
+    // partition-owned prepare scratch: one residual + one LUT buffer
+    // reused across every (query, cluster) prepare — fresh allocation
+    // per prepare measured ~10 GB/chunk of GC load at the reference
+    // shape (see RaBitQ.prepareQueryInto)
+    var rBuf: Array[Float] = null
+    var lutBuf: Array[Int] = null
+    // scan order: per QUERY, its probed clusters in CENTROID-RANK
+    // order (qs(qi)._3 is already ranked) — the nearest cluster
+    // tightens the query's partition-local distK before the farther
+    // probes are scanned, which is where the prune does its work
+    // (cluster-major order left distK at MaxValue through most of a
+    // query's candidate volume; measured 61% rerank rate at the
+    // reference shape). The skip rule is order-safe: lower >
+    // distK_now ≥ distK_final implies the candidate cannot enter the
+    // final top-k (modulo the documented fac_err bound-violation
+    // caveat, same as layout).
+    var qi = 0
+    while (qi < qs.length) {
+      val rankedCls = qs(qi)._3
+      var distK = Double.MaxValue
+      val heap = heaps(qi)
+      var c = 0
+      while (c < rankedCls.length) {
+        val cid = rankedCls(c)
+        runs.get(cid) match {
+          case Some(rs) =>
+            if (rBuf == null) {
+              val d = rotCents(cid).length
+              rBuf = new Array[Float](d)
+              if (queryBits > 0) lutBuf = new Array[Int](((d + 63) >> 6) << 8)
+            }
+            val qc = RaBitQ.prepareQueryInto(
+              qs(qi)._2, rotCents(cid), queryBits, rBuf, lutBuf)
+            var b = 0
+            while (b < rs.length) {
+              val run = rs(b)
+              val words = run.words
+              val dim = run.dim
+              val useF = run.packExF
+              var i = 0
+              var sb = 0 // sign-word offset of entry i in the packed run
+              var fb = 0 // F-byte offset of entry i
+              while (i < run.n) {
+                val lower =
+                  if (queryBits > 0)
+                    RaBitQ.estimateLowerLutPacked(qc, run.sign, sb, words,
+                      run.x2(i), run.facIp(i), run.facErr(i))
+                  else
+                    RaBitQ.estimateLowerPacked(qc, run.sign, sb, words,
+                      run.x2(i), run.facIp(i), run.facErr(i))
+                if (lower <= distK) {
+                  nRerank += 1
+                  val ex =
+                    if (useF)
+                      RaBitQ.rerankDistF(qc, run.exF, fb,
+                        run.x2(i), run.xipnorm(i), exBits)
+                    else
+                      RaBitQ.rerankDistPacked(qc, run.sign, sb,
+                        run.exCode(i), run.x2(i), run.xipnorm(i), exBits)
+                  heap.insert(ex, run.ids(i))
+                  distK = heap.worstOrElse(Double.MaxValue)
+                }
+                i += 1
+                sb += words
+                fb += dim
+              }
+              nEst += run.n
+              b += 1
+            }
+          case None =>
+        }
+        c += 1
+      }
+      qi += 1
+    }
+    if (accs != null) {
+      accs._1.add(nEntries); accs._2.add(nEst); accs._3.add(nRerank)
+    }
+    heaps.iterator.zipWithIndex.flatMap { case (h, hq) =>
+      h.drain().map { case (d, id) => (qs(hq)._1, id, d) }
+    }
+  }
 
   final case class Params(
       k: Int = 16,
@@ -1202,6 +1370,8 @@ final class IVFModel(
     @volatile var router: CentroidRouter = _
     @volatile var centroidsBc:
       org.apache.spark.broadcast.Broadcast[Array[Array[Float]]] = _
+    @volatile var packed:
+      org.apache.spark.rdd.RDD[(Int, IVFIndex.PackedRun)] = _
   }
   @transient private var shared = new SharedSearchState
   private def this(params: IVFIndex.Params, rotator: Rotator,
@@ -1239,6 +1409,52 @@ final class IVFModel(
         s.centroidsBc = spark.sparkContext.broadcast(rotatedCentroids)
     }
     s.centroidsBc
+  }
+
+  /** The index re-materialized ONCE per model lifetime as BLOCK-MAJOR
+    * PACKED runs (the `fastscan/pack_codes.hpp` role) in the
+    * OBJECT store: one (cluster, block) run per row, sign-bit words
+    * contiguous, per-entry factors as primitive columns. The kernel
+    * roofline probe showed the pure LUT arithmetic at ~0.018 µs/est
+    * against the ~0.39 µs/est the pipeline paid — ~95% of the
+    * estimate phase was the PER-CHUNK rebuild: every searchAll chunk
+    * re-deserialized the whole columnar cache into Entry objects and
+    * re-buffered them (results/kernel_roofline.json). This cache
+    * moves that work to once per model: chunks scan live JVM arrays
+    * with zero deserialization. Partition layout (and within-cluster
+    * entry order) is exactly the Entry cache's, so results are
+    * bit-identical to the entry-scan path (golden-pinned). Costs a
+    * second copy of the index in memory (MEMORY_AND_DISK — blocks
+    * spill serialized under pressure); at 100 TB search reads the
+    * partitioned parquet instead, this cache is the
+    * single-node/hot-working-set path. Shared across withQueryBits
+    * copies like the router. */
+  private[graft] def packedIndex(
+      spark: SparkSession): org.apache.spark.rdd.RDD[(Int, IVFIndex.PackedRun)] = {
+    val s = sharedState
+    if (s.packed == null) s.synchronized {
+      if (s.packed == null) {
+        val pDim = rotator.paddedDim // residual/ex_code length is the PADDED dim
+        val pExBits = params.exBits
+        val rdd = index.rdd.mapPartitions({ it =>
+          // LinkedHashMap: preserve first-seen cluster order AND
+          // within-cluster cached entry order (scan parity with the
+          // entry path)
+          val runs = new java.util.LinkedHashMap[Integer, IVFIndex.PackedRun]
+          it.foreach { e =>
+            runs.computeIfAbsent(e.cluster_id,
+              _ => new IVFIndex.PackedRun(e.sign_bits.length, pDim, pExBits)).add(e)
+          }
+          scala.jdk.CollectionConverters.IteratorHasAsScala(
+            runs.entrySet().iterator()).asScala
+            .map(kv => (kv.getKey.intValue, kv.getValue))
+        }, preservesPartitioning = true)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        rdd.foreachPartition(_ => ()) // materialize once, outside chunk timing
+        s.packed = rdd
+      }
+    }
+    s.packed
   }
 
   /** Same model, same (cached) index, same shared router/broadcast,
@@ -1536,107 +1752,72 @@ final class IVFModel(
         f"bc=${(t2 - t1) / 1e9}%.2f s probedClusters=${probedClusters.length}%d")
     }
 
-    // --- scan only probed clusters; estimate → prune → rerank → local top-k.
-    // The scan is QUERY-MAJOR over per-cluster entry runs: entries are
-    // buffered and grouped by cluster first, then each probing query
-    // scans its cluster's whole run before the next query starts. With
-    // a large in-flight query batch (searchAll chunks of thousands),
-    // the naive entry-major order touches a DIFFERENT query's residual
-    // (dim × 4 B, several KB at d≥1024) on every inner step — every
-    // estimate becomes a DRAM round-trip (measured ~30× the hot-cache
-    // kernel cost at d=1536, NQ=2048). Query-major keeps one residual
-    // cache-hot across an entire ≤ClusterBlockRows-entry run while the
-    // run's sign-bit words stream sequentially; it also needs no
-    // (cluster × query) prepared-residual cache — each pair is visited
-    // exactly once per partition. The buffer holds only this
-    // partition's probed-cluster entries (the isin filter runs before
-    // mapPartitions), i.e. at most the partition's share of the cached
-    // index — the same rows the block-manager already holds
-    // deserialized, with (cluster_id, block) capping partition skew. ---
+    // --- scan only probed clusters; estimate → prune → rerank → local
+    // top-k. The scan is QUERY-MAJOR over BLOCK-MAJOR PACKED runs (see
+    // IVFIndex.scanRuns for the order rationale; the packing replaces
+    // a per-(query, entry) object-pointer chase with a sequential
+    // stream through primitive arrays). Two sources for the runs:
+    //
+    //  - the model's OWN cached index (the search/searchAll fast
+    //    path): the model-lifetime packed object cache — built once,
+    //    scanned by every chunk with ZERO per-chunk deserialization
+    //    (the kernel roofline probe measured ~95% of the old
+    //    estimate-phase cost in the per-chunk columnar-cache
+    //    re-deserialize + re-buffer, results/kernel_roofline.json);
+    //  - any OTHER entry dataset (searchFiltered's semi-joined
+    //    subset, ad-hoc callers): packed per chunk from the filtered
+    //    entry stream, exactly the r10 buffering with a packed
+    //    container.
+    //
+    // Both feed the ONE scanRuns kernel, so results are identical by
+    // construction (and golden-pinned). ---
     val profile = IVFIndex.profileSearch
     val accs = if (profile) IVFIndex.profAccs(spark) else null
-    val candidates = idx
-      .filter(col("cluster_id").isin(probedClusters.map(_.asInstanceOf[AnyRef]): _*))
-      .mapPartitions { iter =>
-        val (qs, byCluster) = bc.value
-        val rotCents = bcCent.value
-        val heaps = Array.fill(qs.length)(new KnnExact.BoundedTopK(k))
-        val dists = Array.fill(qs.length)(Double.MaxValue) // local distk
-        var nEntries = 0L; var nEst = 0L; var nRerank = 0L
-        val byClusterRuns =
-          new scala.collection.mutable.HashMap[Int, scala.collection.mutable.ArrayBuffer[Entry]]
-        iter.foreach { e =>
-          if (byCluster(e.cluster_id) != null) {
-            nEntries += 1
-            byClusterRuns.getOrElseUpdate(
-              e.cluster_id, scala.collection.mutable.ArrayBuffer.empty[Entry]) += e
-          }
-        }
-        // partition-owned prepare scratch: one residual + one LUT
-        // buffer reused across every (query, cluster) prepare — fresh
-        // allocation per prepare measured ~10 GB/chunk of GC load at
-        // the reference shape (see RaBitQ.prepareQueryInto)
-        var rBuf: Array[Float] = null
-        var lutBuf: Array[Int] = null
-        // scan order: per QUERY, its probed clusters in CENTROID-RANK
-        // order (probes(qi)._3 is already ranked) — the nearest
-        // cluster tightens the query's partition-local distK before
-        // the farther probes are scanned, which is where the prune
-        // does its work (cluster-major HashMap order left distK at
-        // MaxValue through most of a query's candidate volume;
-        // measured 61% rerank rate at the reference shape). The skip
-        // rule is order-safe: lower > distK_now ≥ distK_final implies
-        // the candidate cannot enter the final top-k (modulo the
-        // documented fac_err bound-violation caveat, same as layout).
-        // Per-(query, cluster) prepare count is unchanged, and the
-        // query residual stays cache-hot across its few cluster runs.
-        var qi = 0
-        while (qi < qs.length) {
-          val rankedCls = qs(qi)._3
-          var distK = dists(qi)
-          val heap = heaps(qi)
-          var c = 0
-          while (c < rankedCls.length) {
-            val cid = rankedCls(c)
-            byClusterRuns.get(cid) match {
-              case Some(run) =>
-                if (rBuf == null) {
-                  val d = rotCents(cid).length
-                  rBuf = new Array[Float](d)
-                  if (queryBits > 0) lutBuf = new Array[Int](((d + 63) >> 6) << 8)
-                }
-                val qc = RaBitQ.prepareQueryInto(
-                  qs(qi)._2, rotCents(cid), queryBits, rBuf, lutBuf)
-                var i = 0
-                while (i < run.length) {
-                  val e = run(i)
-                  val lower =
-                    if (queryBits > 0)
-                      RaBitQ.estimateLowerLut(qc, e.sign_bits, e.x2, e.fac_ip, e.fac_err)
-                    else
-                      RaBitQ.estimateLower(qc, e.sign_bits, e.x2, e.fac_ip, e.fac_err)
-                  if (lower <= distK) {
-                    nRerank += 1
-                    val ex = RaBitQ.rerankDist(qc, e.sign_bits, e.ex_code, e.x2, e.xipnorm, exBits)
-                    heap.insert(ex, e.id)
-                    distK = heap.worstOrElse(Double.MaxValue)
-                  }
-                  i += 1
-                }
-                nEst += run.length
-              case None =>
+    val scanK = k
+    val qb = queryBits
+    val eb = exBits
+    val fDim = rotator.paddedDim // residual/ex_code length is the PADDED dim
+    val fExBits = exBits
+    val candidates: Dataset[(Long, Long, Double)] =
+      if ((idx eq index) && IVFIndex.packedEnabled) {
+        val rdd = packedIndex(spark).mapPartitions { it =>
+          val (qs, byCluster) = bc.value
+          val rotCents = bcCent.value
+          // group this partition's packed runs by cluster (a cluster
+          // spans several blocks), probed clusters only
+          val m = new scala.collection.mutable.HashMap[
+            Int, scala.collection.mutable.ArrayBuffer[IVFIndex.PackedRun]]
+          var nEntries = 0L
+          it.foreach { case (cid, run) =>
+            if (byCluster(cid) != null) {
+              nEntries += run.n
+              m.getOrElseUpdate(cid,
+                scala.collection.mutable.ArrayBuffer.empty) += run
             }
-            c += 1
           }
-          dists(qi) = distK
-          qi += 1
+          IVFIndex.scanRuns(qs, m, rotCents, scanK, qb, eb, accs, nEntries)
         }
-        if (accs != null) {
-          accs._1.add(nEntries); accs._2.add(nEst); accs._3.add(nRerank)
-        }
-        heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
-          h.drain().map { case (d, id) => (qs(qi)._1, id, d) }
-        }
+        spark.createDataset(rdd)
+      } else {
+        idx
+          .filter(col("cluster_id").isin(probedClusters.map(_.asInstanceOf[AnyRef]): _*))
+          .mapPartitions { iter =>
+            val (qs, byCluster) = bc.value
+            val rotCents = bcCent.value
+            val m = new scala.collection.mutable.HashMap[
+              Int, scala.collection.mutable.ArrayBuffer[IVFIndex.PackedRun]]
+            var nEntries = 0L
+            iter.foreach { e =>
+              if (byCluster(e.cluster_id) != null) {
+                nEntries += 1
+                m.getOrElseUpdate(e.cluster_id,
+                  scala.collection.mutable.ArrayBuffer(
+                    new IVFIndex.PackedRun(e.sign_bits.length, fDim, fExBits)))
+                  .head.add(e)
+              }
+            }
+            IVFIndex.scanRuns(qs, m, rotCents, scanK, qb, eb, accs, nEntries)
+          }
       }
 
     KnnExact.mergeTopK(spark, candidates, k)

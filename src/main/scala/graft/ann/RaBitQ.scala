@@ -267,14 +267,19 @@ object RaBitQ {
 
   /** Σ r_d over dims whose sign bit is set (the exact form of the
     * FastScan-accumulated inner product, Searcher.hpp:199-216). */
-  def sumOverSetBits(words: Array[Long], r: Array[Float]): Double = {
+  def sumOverSetBits(words: Array[Long], r: Array[Float]): Double =
+    sumOverSetBits(words, 0, words.length, r)
+
+  /** Packed-core form (see [[lutSumPop]]'s packed overload). */
+  def sumOverSetBits(words: Array[Long], base: Int, nWords: Int,
+      r: Array[Float]): Double = {
     var s = 0.0
     var w = 0
-    while (w < words.length) {
-      var bits = words(w)
-      val base = w << 6
+    while (w < nWords) {
+      var bits = words(base + w)
+      val dimBase = w << 6
       while (bits != 0L) {
-        val d = base + java.lang.Long.numberOfTrailingZeros(bits)
+        val d = dimBase + java.lang.Long.numberOfTrailingZeros(bits)
         s += r(d)
         bits &= bits - 1
       }
@@ -313,12 +318,21 @@ object RaBitQ {
     * per-candidate hot path stays allocation-free.
     * Int accumulator: u ≤ 2^16-1 and ≤ 4 dims per lookup, so even
     * d = 4096 stays far below Int overflow. */
-  private def lutSumPop(lut: Array[Int], signBits: Array[Long]): Long = {
+  private def lutSumPop(lut: Array[Int], signBits: Array[Long]): Long =
+    lutSumPop(lut, signBits, 0, signBits.length)
+
+  /** Packed-core form: the entry's `words` sign-bit longs start at
+    * `base` inside a run-contiguous array (the block-major packed
+    * layout searchOn builds per partition — streaming longs instead
+    * of chasing one small array object per entry). The per-entry
+    * API above delegates here, so the nibble arithmetic exists once. */
+  private def lutSumPop(
+      lut: Array[Int], signBits: Array[Long], base: Int, words: Int): Long = {
     var sum = 0
     var pop = 0
     var w = 0
-    while (w < signBits.length) {
-      var bits = signBits(w)
+    while (w < words) {
+      var bits = signBits(base + w)
       pop += java.lang.Long.bitCount(bits)
       var off = w << 8 // 16 groups × 16 entries per word
       var n = 0
@@ -360,6 +374,27 @@ object RaBitQ {
       math.abs(facIp) * (0.5 * ql.width) * pop
   }
 
+  /** Packed-layout twin of [[estimateLowerLut]]: sign bits read from
+    * `base` in a run-contiguous array. Identical arithmetic (shared
+    * [[lutSumPop]] core), so the two layouts can never diverge. */
+  def estimateLowerLutPacked(q: QueryCluster, sign: Array[Long], base: Int,
+      words: Int, x2: Float, facIp: Float, facErr: Float): Double = {
+    val ql = q.qlut
+    val sp = lutSumPop(ql.lut, sign, base, words)
+    val sum = (sp >>> 32).toInt
+    val pop = sp.toInt
+    val ip = ql.width.toDouble * sum + ql.vl.toDouble * pop - 0.5 * q.sumRes
+    x2 + q.sqrY - ip * facIp - facErr * q.y -
+      math.abs(facIp) * (0.5 * ql.width) * pop
+  }
+
+  /** Packed-layout twin of [[estimateLower]] (float path). */
+  def estimateLowerPacked(q: QueryCluster, sign: Array[Long], base: Int,
+      words: Int, x2: Float, facIp: Float, facErr: Float): Double = {
+    val ip = sumOverSetBits(sign, base, words, q.residual) - 0.5 * q.sumRes
+    x2 + q.sqrY - ip * facIp - facErr * q.y
+  }
+
   /** Re-ranking distance from the extended code
     * (Searcher.hpp:227-230, algebraically identical):
     * dist = x²+y² − xipnorm·(⟨r, F⟩ − (2^B−1)/2·S)
@@ -368,14 +403,53 @@ object RaBitQ {
     rerankDist(q, v.signBits, v.exCode, v.x2, v.xipnorm, exBits)
 
   def rerankDist(q: QueryCluster, signBits: Array[Long], exCode: Array[Byte],
+      x2: Float, xipnorm: Float, exBits: Int): Double =
+    rerankDistPacked(q, signBits, 0, exCode, x2, xipnorm, exBits)
+
+  /** Pre-unpack one entry's full per-dim quantized code
+    * F_d = bit_d·2^exBits + exCode_d into a byte run (requires
+    * exBits ≤ 7 so F ≤ 255) — done ONCE at pack time so the rerank
+    * hot loop becomes a sequential byte-stream FMA instead of a
+    * per-dim bit-straddling unpack (thread samples showed rerank as
+    * ~3/4 of the active scan at the reference shape). */
+  private[graft] def packF(signBits: Array[Long], exCode: Array[Byte],
+      dim: Int, exBits: Int, out: Array[Byte], baseOut: Int): Unit = {
+    val hi = 1 << exBits
+    var i = 0
+    while (i < dim) {
+      val bit = ((signBits(i >> 6) >>> (i & 63)) & 1L).toInt
+      out(baseOut + i) = (bit * hi + unpackAt(exCode, i, exBits)).toByte
+      i += 1
+    }
+  }
+
+  /** Rerank from the pre-unpacked F byte run — IDENTICAL arithmetic
+    * to [[rerankDistPacked]] (F_d is the same int, r_d·F_d the same
+    * double product), just without the per-dim unpack. */
+  def rerankDistF(q: QueryCluster, f: Array[Byte], base: Int,
       x2: Float, xipnorm: Float, exBits: Int): Double = {
+    val r = q.residual
+    val half = (1 << (exBits + 1)) - 1
+    var ipF = 0.0
+    var i = 0
+    while (i < r.length) {
+      ipF += r(i).toDouble * (f(base + i) & 0xff)
+      i += 1
+    }
+    x2 + q.sqrY - xipnorm * (ipF - 0.5 * half * q.sumRes)
+  }
+
+  /** Packed-layout core: sign bits read from `base` in a
+    * run-contiguous array (the per-entry API above delegates here). */
+  def rerankDistPacked(q: QueryCluster, sign: Array[Long], base: Int,
+      exCode: Array[Byte], x2: Float, xipnorm: Float, exBits: Int): Double = {
     val r = q.residual
     val half = (1 << (exBits + 1)) - 1
     var ipF = 0.0
     var i = 0
     val hi = 1 << exBits
     while (i < r.length) {
-      val bit = ((signBits(i >> 6) >>> (i & 63)) & 1L).toInt
+      val bit = ((sign(base + (i >> 6)) >>> (i & 63)) & 1L).toInt
       val f = bit * hi + unpackAt(exCode, i, exBits)
       ipF += r(i).toDouble * f
       i += 1
