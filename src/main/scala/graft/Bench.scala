@@ -64,13 +64,22 @@ object Bench {
     }
     val selected = only.fold(SparkEntry.queries)(ks =>
       SparkEntry.queries.filter { case (k, _) => ks(k) })
-    val spark = SparkSession.builder()
+    // SPARK_GRAFT_STATE_STORE=rocksdb flips the streaming state store
+    // to the RocksDB provider (the d8/ScaleProbe production conf) so
+    // the d3-d16 rows can be measured under both providers; default
+    // stays the on-heap HDFSBackedStateStoreProvider the driver runs.
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = (sys.env.get("SPARK_GRAFT_STATE_STORE") match {
+      case Some("rocksdb") => builder.config(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      case _ => builder
+    }).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     // warmup: open every table once (footer reads, codec init, JIT)
