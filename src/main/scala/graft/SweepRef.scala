@@ -348,8 +348,20 @@ object SweepRef {
             s""""nprobe":${p.nprobe},"nq":${p.nQueries},"verdict":"${p.verdict}",""" +
             s""""k_flat":${p.kFlat},"k_split":${p.kSplit}}"""
         }.getOrElse("null")
+        // the kernel-roofline row (graft.KernelProbe): how far the LUT
+        // estimate kernel sits from measured stream bandwidth — embeds
+        // the probe artifact verbatim when present so the sweep's QPS
+        // ladder and its kernel bound travel together
+        val rooflineJson = {
+          val p = Paths.get("results/kernel_roofline.json")
+          if (Files.isReadable(p)) {
+            val s = new String(Files.readAllBytes(p),
+              StandardCharsets.UTF_8).trim
+            if (s.startsWith("{") && s.endsWith("}")) s else "null"
+          } else "null"
+        }
         val meta =
-          s"""{"commit":"$commit","dim":$dim,"n_vecs":$nVecs,"k":$kClusters,"nq":$nq,"topk":$topk,"mode":"${if (highAcc) "highacc" else "plain"}","batch_nq":$batchNq,"batch_query_bits":14,"build_s":$buildS,"gt_s":$gtS,"topics":$topics,"noise":$noise,"blend":$blend,"init_mode":"$initMode","init_steps":$initSteps,"routed_assign":$routedAssign,"split_factor":$splitFactor,"split_policy":"$splitPolicy","split_probe":$probeJson,"k_final":$kFinal,"calibration_target":"openai1536_exhaf4 row 1 recall@5=0.653; two-knob series (r10): noise alone (0.35:0.807R,0.40:0.884F,0.45:0.892F,0.50:0.354-0.452R; R=rising,F=catch-all-collapsed) and split-factor on the rising corpora (0.50+f4:0.152@5, 0.45+f16:0.197@5 - f16 split the 0.45 regime's single 84%-of-corpus cell). recall@5 on this mixture family is either catch-all-inflated or well below 0.653; the published run keeps the hard-side rising curve (series in SURVEY 6)"}""" + "\n"
+          s"""{"commit":"$commit","dim":$dim,"n_vecs":$nVecs,"k":$kClusters,"nq":$nq,"topk":$topk,"mode":"${if (highAcc) "highacc" else "plain"}","batch_nq":$batchNq,"batch_query_bits":14,"build_s":$buildS,"gt_s":$gtS,"topics":$topics,"noise":$noise,"blend":$blend,"init_mode":"$initMode","init_steps":$initSteps,"routed_assign":$routedAssign,"split_factor":$splitFactor,"split_policy":"$splitPolicy","split_probe":$probeJson,"kernel_roofline":$rooflineJson,"k_final":$kFinal,"calibration_target":"openai1536_exhaf4 row 1 recall@5=0.653; two-knob series (r10): noise alone (0.35:0.807R,0.40:0.884F,0.45:0.892F,0.50:0.354-0.452R; R=rising,F=catch-all-collapsed) and split-factor on the rising corpora (0.50+f4:0.152@5, 0.45+f16:0.197@5 - f16 split the 0.45 regime's single 84%-of-corpus cell). recall@5 on this mixture family is either catch-all-inflated or well below 0.653; the published run keeps the hard-side rising curve (series in SURVEY 6)"}""" + "\n"
         Files.write(Paths.get(out + ".meta.json"), meta.getBytes(StandardCharsets.UTF_8))
       }
       // write the ladder-only CSV + its meta sibling now: a failure in
