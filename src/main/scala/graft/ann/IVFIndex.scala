@@ -1387,6 +1387,27 @@ final class IVFModel(
     shared
   }
 
+  /** Release the model-lifetime DRIVER-SIDE search caches: the packed
+    * object cache (a second in-memory copy of the index), the rotated-
+    * centroid broadcast, and the NSW router. The model stays fully
+    * usable — the caches lazily rebuild on the next search — so this
+    * is for long-lived sessions cycling through many models (the
+    * AnnSpec per-B loop, index-lifecycle tooling) where N throwaway
+    * models would otherwise pin N packed copies until GC. Does NOT
+    * touch the columnar `index` cache itself (that is the caller's —
+    * `index.unpersist()` — because callers may share it across derived
+    * models). */
+  def freeSearchCaches(): Unit = {
+    val s = sharedState
+    s.synchronized {
+      if (s.packed != null) { s.packed.unpersist(blocking = false); s.packed = null }
+      // unpersist, not destroy: an in-flight search holding the old
+      // handle can still re-fetch; the next search builds a fresh one
+      if (s.centroidsBc != null) { s.centroidsBc.unpersist(false); s.centroidsBc = null }
+      s.router = null
+    }
+  }
+
   /** Centroid router over the rotated centroids (built on first
     * search, shared across queryBits copies). */
   def router: CentroidRouter = {

@@ -187,6 +187,7 @@ class AnnSpec extends AnyFunSuite {
       val approx = m.search(spark, qs, 10, nprobe = p.k)
         .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
       m.index.unpersist() // don't pin 6 throwaway indexes for the suite
+      m.freeSearchCaches() // nor their packed twins / broadcasts
       b -> (approx & exact).size.toDouble / exact.size
     }
     val byWidth = recalls.toMap
