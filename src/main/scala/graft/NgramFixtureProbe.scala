@@ -87,12 +87,19 @@ object NgramFixtureProbe {
       val gt = graft.ann.KnnExact.topK(spark, emb, queries, topk)
         .select("query_id", "neighbor_id").as[(Long, Long)].collect()
         .groupBy(_._1)
-      val perQuery = queries.map { case (qid, _) =>
+      // flatMap, not map: a query with no ground-truth rows (zero
+      // embedding from an all-short/null doc) must not kill the probe
+      // after the expensive build (`max` on empty throws)
+      val perQuery = queries.flatMap { case (qid, _) =>
         val cells = gt.getOrElse(qid, Array.empty[(Long, Long)])
           .map { case (_, nb) => assign(nb) }
-        val byCell = cells.groupBy(identity).view.mapValues(_.length)
-        (byCell.size.toDouble, byCell.values.max.toDouble / cells.length)
+        if (cells.isEmpty) None
+        else {
+          val byCell = cells.groupBy(identity).view.mapValues(_.length)
+          Some((byCell.size.toDouble, byCell.values.max.toDouble / cells.length))
+        }
       }
+      require(perQuery.nonEmpty, "no query produced ground-truth rows")
       val cellsMean = perQuery.map(_._1).sum / perQuery.length
       val top1Share = perQuery.map(_._2).sum / perQuery.length
       val line =

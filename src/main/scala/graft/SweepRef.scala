@@ -352,12 +352,18 @@ object SweepRef {
         // estimate kernel sits from measured stream bandwidth — embeds
         // the probe artifact verbatim when present so the sweep's QPS
         // ladder and its kernel bound travel together
+        // wrapped with the artifact file's mtime: the file is a
+        // COMMITTED artifact, so it is always present after checkout —
+        // the timestamp is what tells a reader whether the embedded
+        // kernel bound was measured alongside this sweep or predates it
         val rooflineJson = {
           val p = Paths.get("results/kernel_roofline.json")
           if (Files.isReadable(p)) {
             val s = new String(Files.readAllBytes(p),
               StandardCharsets.UTF_8).trim
-            if (s.startsWith("{") && s.endsWith("}")) s else "null"
+            if (s.startsWith("{") && s.endsWith("}"))
+              s"""{"artifact_mtime":"${Files.getLastModifiedTime(p)}","probe":$s}"""
+            else "null"
           } else "null"
         }
         val meta =

@@ -94,7 +94,16 @@ object IVFIndex {
     * sf0.001. The on-disk layout needs no analogue: parquet scans
     * already split fat cluster dirs at `maxPartitionBytes`. */
   val ClusterBlockRows: Int =
-    sys.env.get("SPARK_GRAFT_BLOCK_ROWS").map(_.toInt).getOrElse(2048)
+    sys.env.get("SPARK_GRAFT_BLOCK_ROWS").map { s =>
+      // validate HERE with a real message: a bare .toInt in a static
+      // initializer surfaces as ExceptionInInitializerError at the
+      // first unrelated IVFIndex touch, hiding the actual typo
+      val v = s.toIntOption.getOrElse(
+        throw new IllegalArgumentException(
+          s"SPARK_GRAFT_BLOCK_ROWS must be a positive int, got '$s'"))
+      require(v > 0, s"SPARK_GRAFT_BLOCK_ROWS must be positive, got $v")
+      v
+    }.getOrElse(2048)
 
   /** One indexed vector (columnar analogue of SHORT_DATA/LONG_CODE/
     * EX_FACTOR/IDs, IVF.hpp:29-33). */
@@ -127,6 +136,16 @@ object IVFIndex {
       * streams bytes; exBits = 8 (B=9) keeps the bit-packed ex_code
       * refs and reranks through the unpack path. */
     val packExF: Boolean = exBits >= 1 && exBits <= 7
+    /** Hard row bound per run: callers roll over to a fresh run when
+      * [[isFull]] (both packers do). Bounds every backing-array length
+      * to safe Int territory — a monster catch-all cluster landing in
+      * one partition must never push `cap * dim` / `cap * words` past
+      * Int.MaxValue (2^21 entries at d=1536 would), and scanRuns
+      * iterates a cluster's runs in insertion order so the rollover is
+      * scan-order-neutral. 2^15 rows × d=1536 keeps exF ≤ 50 MB. */
+    val maxRows: Int = math.min(1 << 15,
+      Int.MaxValue / math.max(math.max(dim, words), 1))
+    def isFull: Boolean = n >= maxRows
     var n = 0
     private var cap = 64
     var ids = new Array[Long](cap)
@@ -138,6 +157,8 @@ object IVFIndex {
     var exF: Array[Byte] = if (packExF) new Array[Byte](cap * dim) else null
     var exCode: Array[Array[Byte]] = if (packExF) null else new Array[Array[Byte]](cap)
     def add(e: Entry): Unit = {
+      require(n < maxRows,
+        s"PackedRun overflow: $maxRows rows (dim=$dim) — caller must roll over on isFull")
       if (n == cap) grow()
       ids(n) = e.id
       System.arraycopy(e.sign_bits, 0, sign, n * words, words)
@@ -150,7 +171,22 @@ object IVFIndex {
       n += 1
     }
     private def grow(): Unit = {
-      cap <<= 1
+      cap = math.min(cap << 1, maxRows)
+      ids = java.util.Arrays.copyOf(ids, cap)
+      sign = java.util.Arrays.copyOf(sign, cap * words)
+      x2 = java.util.Arrays.copyOf(x2, cap)
+      facIp = java.util.Arrays.copyOf(facIp, cap)
+      facErr = java.util.Arrays.copyOf(facErr, cap)
+      xipnorm = java.util.Arrays.copyOf(xipnorm, cap)
+      if (packExF) exF = java.util.Arrays.copyOf(exF, cap * dim)
+      else exCode = java.util.Arrays.copyOf(exCode, cap)
+    }
+    /** Trim backing arrays to exactly n rows — called once by the
+      * model-lifetime packed cache before persisting (grow() doubles,
+      * so an untrimmed run can hold ~2× its data for the model
+      * lifetime); the per-chunk scratch packer skips it. */
+    def trim(): Unit = if (cap > n) {
+      cap = math.max(n, 1)
       ids = java.util.Arrays.copyOf(ids, cap)
       sign = java.util.Arrays.copyOf(sign, cap * words)
       x2 = java.util.Arrays.copyOf(x2, cap)
@@ -347,8 +383,11 @@ object IVFIndex {
       s"splitPolicy must be auto|off, got $splitPolicy")
     def exBits: Int = totalBits - 1
     /** Whether the build runs the cell-sizing pass at all. */
-    private[graft] def splitEngaged: Boolean =
-      splitPolicy != "off" && (maxClusterFactor > 0 || splitPolicy == "auto")
+    // "off" disables the sizing pass entirely (byte-identical r9 build,
+    // even with a factor set); force-vs-probe under "auto" is carried
+    // by maxClusterFactor INSIDE the engaged pass (effectiveSplitFactor
+    // + the "forced" probe verdict), not here
+    private[graft] def splitEngaged: Boolean = splitPolicy == "auto"
     /** The sizing cap factor the engaged pass uses. */
     private[graft] def effectiveSplitFactor: Double =
       if (maxClusterFactor > 0) maxClusterFactor else IVFIndex.AutoSplitFactor
@@ -371,7 +410,14 @@ object IVFIndex {
       verdict: String, // "artifact" (split ships) | "mass" (flat ships) | "forced"
       kFlat: Int,
       kSplit: Int)
-  @volatile private[graft] var lastSplitProbe: Option[SplitProbe] = None
+  // ThreadLocal, not a plain var: two builds interleaving on different
+  // driver threads (parallel model builds, parallel suites) must not
+  // misattribute each other's probe verdict to the sweep meta / specs.
+  private val lastSplitProbeTl =
+    ThreadLocal.withInitial[Option[SplitProbe]](() => None)
+  private[graft] def lastSplitProbe: Option[SplitProbe] = lastSplitProbeTl.get
+  private[graft] def lastSplitProbe_=(v: Option[SplitProbe]): Unit =
+    lastSplitProbeTl.set(v)
 
   /** `kmeansInitMode = "spread"`: large-K k-means WITHOUT the serial
     * driver finish. MLlib's k-means|| collects O(rounds·2K) candidates
@@ -1461,14 +1507,25 @@ final class IVFModel(
           // LinkedHashMap: preserve first-seen cluster order AND
           // within-cluster cached entry order (scan parity with the
           // entry path)
-          val runs = new java.util.LinkedHashMap[Integer, IVFIndex.PackedRun]
+          val runs = new java.util.LinkedHashMap[
+            Integer, scala.collection.mutable.ArrayBuffer[IVFIndex.PackedRun]]
           it.foreach { e =>
-            runs.computeIfAbsent(e.cluster_id,
-              _ => new IVFIndex.PackedRun(e.sign_bits.length, pDim, pExBits)).add(e)
+            val rs = runs.computeIfAbsent(e.cluster_id, _ =>
+              scala.collection.mutable.ArrayBuffer(
+                new IVFIndex.PackedRun(e.sign_bits.length, pDim, pExBits)))
+            // roll over at the run row bound (Int-safe array math for
+            // monster catch-all cells; order-neutral, scanRuns walks a
+            // cluster's runs in insertion order)
+            if (rs.last.isFull)
+              rs += new IVFIndex.PackedRun(e.sign_bits.length, pDim, pExBits)
+            rs.last.add(e)
           }
           scala.jdk.CollectionConverters.IteratorHasAsScala(
             runs.entrySet().iterator()).asScala
-            .map(kv => (kv.getKey.intValue, kv.getValue))
+            .flatMap { kv =>
+              kv.getValue.foreach(_.trim()) // 2x grow overshoot freed pre-persist
+              kv.getValue.iterator.map(r => (kv.getKey.intValue, r))
+            }
         }, preservesPartitioning = true)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         rdd.foreachPartition(_ => ()) // materialize once, outside chunk timing
@@ -1831,10 +1888,12 @@ final class IVFModel(
             iter.foreach { e =>
               if (byCluster(e.cluster_id) != null) {
                 nEntries += 1
-                m.getOrElseUpdate(e.cluster_id,
+                val rs = m.getOrElseUpdate(e.cluster_id,
                   scala.collection.mutable.ArrayBuffer(
                     new IVFIndex.PackedRun(e.sign_bits.length, fDim, fExBits)))
-                  .head.add(e)
+                if (rs.last.isFull) // Int-safe rollover, same as packedIndex
+                  rs += new IVFIndex.PackedRun(e.sign_bits.length, fDim, fExBits)
+                rs.last.add(e)
               }
             }
             IVFIndex.scanRuns(qs, m, rotCents, scanK, qb, eb, accs, nEntries)

@@ -146,10 +146,19 @@ object UrlGate {
     host = host.toLowerCase(Locale.ROOT)
     if (host.startsWith("www.")) host = host.substring(4)
     if (host.isEmpty) return (null, null)
+    // normalize the port NUMERICALLY before the default-port test:
+    // 'example.com:080' and 'example.com' are the same crawl target,
+    // and a literal-string compare would give them distinct canonical
+    // keys (defeating gate 1). Ports beyond Int range fall back to the
+    // cleaned digit string (still zero-stripped, still collides).
+    val portNum = if (port.isEmpty) "" else {
+      val stripped = port.dropWhile(_ == '0')
+      if (stripped.isEmpty) "0" else stripped
+    }
     val keepPort =
-      if (port.isEmpty || (scheme == "http" && port == "80") ||
-        (scheme == "https" && port == "443")) ""
-      else ":" + port
+      if (portNum.isEmpty || (scheme == "http" && portNum == "80") ||
+        (scheme == "https" && portNum == "443")) ""
+      else ":" + portNum
     val qAt = pathQuery.indexOf('?')
     var path = if (qAt >= 0) pathQuery.substring(0, qAt) else pathQuery
     val rawQ = if (qAt >= 0) pathQuery.substring(qAt + 1) else ""

@@ -374,6 +374,12 @@ class CorpusSpec extends AnyFunSuite {
     // query before any path; bare trailing colon (empty port)
     assert(canonicalize("http://A.com?z=1") == (("http://a.com/?z=1", "a.com")))
     assert(canonicalize("http://a.com:/p") == (("http://a.com/p", "a.com")))
+    // zero-padded ports normalize numerically: ':080' IS the default
+    // port, and a non-default padded port collides with its plain form
+    assert(canonicalize("http://a.com:080/p") == (("http://a.com/p", "a.com")))
+    assert(canonicalize("https://a.com:0443/p") == (("https://a.com/p", "a.com")))
+    assert(canonicalize("http://a.com:08080/p")
+      == canonicalize("http://a.com:8080/p"))
     // unparseable / null → (null, null)
     assert(canonicalize("not a url") == ((null, null)))
     assert(canonicalize(null) == ((null, null)))
