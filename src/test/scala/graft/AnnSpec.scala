@@ -574,4 +574,53 @@ class AnnSpec extends AnyFunSuite {
     val recall = (approx & exact).size.toDouble / exact.size
     assert(recall >= 0.95, s"recall@10 through split hot cluster = $recall")
   }
+
+  test("packed-run rollover + trim: split runs scan identically to one run") {
+    // direct kernel test of the paths the integration suites never
+    // trigger (maxRows = 2^15 >> any test corpus): a cluster's entries
+    // split across several PackedRuns (the rollover the packers do on
+    // isFull) must scan bit-identically to one contiguous run, before
+    // and after trim()
+    val dim = 8; val words = 1; val exBits = 4
+    val rnd = new scala.util.Random(7)
+    val entries = Array.tabulate(10) { i =>
+      IVFIndex.Entry(i.toLong, 0, Array(rnd.nextLong() & 0xFFL), // bits < dim only
+        // +1 pad byte: unpackAt reads a two-byte window for straddling
+        // codes (the quantizer's real buffers carry the same slack)
+        Array.fill(dim * exBits / 8 + 1)(rnd.nextInt().toByte),
+        rnd.nextFloat(), rnd.nextFloat() * 0.1f, 0f,
+        rnd.nextFloat() * 0.1f, 1f + rnd.nextFloat())
+    }
+    def runsOf(slices: Seq[Range]) = {
+      val rs = scala.collection.mutable.ArrayBuffer.empty[IVFIndex.PackedRun]
+      slices.foreach { sl =>
+        val r = new IVFIndex.PackedRun(words, dim, exBits)
+        sl.foreach(i => r.add(entries(i)))
+        rs += r
+      }
+      scala.collection.mutable.HashMap(0 -> rs)
+    }
+    val cent = Array.fill(dim)(rnd.nextGaussian().toFloat)
+    val qs = Array.tabulate(3)(q =>
+      (q.toLong, Array.fill(dim)(rnd.nextGaussian().toFloat), Array(0)))
+    for (queryBits <- Seq(0, 14)) {
+      def scan(runs: scala.collection.mutable.HashMap[
+          Int, scala.collection.mutable.ArrayBuffer[IVFIndex.PackedRun]]) =
+        IVFIndex.scanRuns(qs, runs, Array(cent), 5, queryBits, exBits,
+          null, 0L).toVector.sorted
+      val whole = scan(runsOf(Seq(0 until 10)))
+      val rolled = runsOf(Seq(0 until 4, 4 until 8, 8 until 10))
+      assert(scan(rolled) == whole, s"rollover changed results (qb=$queryBits)")
+      rolled(0).foreach(_.trim())
+      assert(scan(rolled) == whole, s"trim changed results (qb=$queryBits)")
+    }
+    // the row bound is Int-safe for any dim and enforced loudly: at a
+    // (hypothetical) dim where cap*dim would overflow, maxRows shrinks
+    // and the packers must roll over — a direct add past it throws
+    val tight = new IVFIndex.PackedRun(1, 600000000, 8) // packExF=false, no alloc
+    assert(tight.maxRows == Int.MaxValue / 600000000)
+    (0 until tight.maxRows).foreach(_ => tight.add(entries(0)))
+    assert(tight.isFull)
+    intercept[IllegalArgumentException](tight.add(entries(1)))
+  }
 }
