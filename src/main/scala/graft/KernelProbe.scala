@@ -83,10 +83,15 @@ object KernelProbe {
     val entrySets = Array.tabulate(threads)(mkEntries)
     // exBits = 8 → no F pre-unpack (these synthetic entries carry no
     // ex_code; the probe measures the estimate kernel only)
-    val packedSets = entrySets.map { es =>
-      val run = new IVFIndex.PackedRun(words, dim, 8)
-      es.foreach(run.add)
-      run
+    // roll over at the run row bound, same as the real packers
+    val packedSets: Array[Array[IVFIndex.PackedRun]] = entrySets.map { es =>
+      val rs = scala.collection.mutable.ArrayBuffer(
+        new IVFIndex.PackedRun(words, dim, 8))
+      es.foreach { e =>
+        if (rs.last.isFull) rs += new IVFIndex.PackedRun(words, dim, 8)
+        rs.last.add(e)
+      }
+      rs.toArray
     }
     def prep(): RaBitQ.QueryCluster =
       RaBitQ.prepareQueryInto(qVec, cent, 14,
@@ -113,18 +118,23 @@ object KernelProbe {
     // --- 3. packed layout ---
     def runPacked(): (Double, Long) = inThreads { t =>
       val qc = prep()
-      val run = packedSets(t)
+      val runs = packedSets(t)
       var acc = 0L
       var it = 0
       while (it < iters) {
-        var i = 0
-        var sb = 0
-        while (i < run.n) {
-          val lo = RaBitQ.estimateLowerLutPacked(qc, run.sign, sb, words,
-            run.x2(i), run.facIp(i), run.facErr(i))
-          if (lo < -1e18) acc += 1
-          i += 1
-          sb += words
+        var b = 0
+        while (b < runs.length) {
+          val run = runs(b)
+          var i = 0
+          var sb = 0
+          while (i < run.n) {
+            val lo = RaBitQ.estimateLowerLutPacked(qc, run.sign, sb, words,
+              run.x2(i), run.facIp(i), run.facErr(i))
+            if (lo < -1e18) acc += 1
+            i += 1
+            sb += words
+          }
+          b += 1
         }
         it += 1
       }
