@@ -82,6 +82,7 @@ object SparkEntry {
     "c42_trigram_lm" -> (PipelineQueries.trigramBackoff(_, _)),
     "c43_lang_classifier" -> (PipelineQueries.langClassifier(_, _)),
     "c44_url_gate" -> (PipelineQueries.urlGate(_, _)),
+    "c45_ppl_bucket" -> (PipelineQueries.pplBucket(_, _)),
     "d1_sessionize"  -> (PipelineQueries.sessionize(_, _)),
     "d2_window_agg"  -> (PipelineQueries.windowAgg(_, _)),
     "d3_stream_agg"  -> (PipelineQueries.streamingAgg(_, _)),

@@ -150,6 +150,9 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  def pplBucket(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.LmScore.pplBucket(Tables.documents(spark, dir)).orderBy("doc_id")
+
   def qualityClassifier(spark: SparkSession, dir: String): DataFrame =
     graft.ops.QualityModel.qualityClassifier(Tables.documents(spark, dir))
       .orderBy("doc_id")
@@ -636,6 +639,44 @@ object PipelineQueries {
          | CAST(sc.sum_tenk AS DOUBLE) / CAST(CAST(sc.n_trigrams AS BIGINT) * 10000 AS DOUBLE) AS mean_nll,
          | CAST(substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 2) < '${graft.ops.LmScore.TrigramTrainMax}' AS INT) AS is_train
          |FROM documents d LEFT JOIN sc USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "c45_ppl_bucket" ->
+      // mirrors LmScore.pplBucket: c27's certified scoring CTEs, then
+      // centinat quantization, per-lang (lang, centinat) histogram,
+      // integer-exact thirds thresholds (3*cum >= k*n), assignment.
+      // The window runs over the BOUNDED histogram (langs x centinats),
+      // never the corpus - same shape as the Spark driver computation.
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
+         |  FROM documents WHERE text IS NOT NULL),
+         |b AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+         |      FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i FROM t)),
+         |r AS (SELECT doc_id, w1, w2, CAST(count(*) AS BIGINT) AS cnt FROM b GROUP BY 1, 2, 3),
+         |bc AS (SELECT w1, w2, CAST(sum(cnt) AS BIGINT) AS c2 FROM r GROUP BY 1, 2),
+         |uc AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM bc GROUP BY 1),
+         |vv AS (SELECT CAST(count(DISTINCT w2) AS BIGINT) AS v FROM bc),
+         |sc AS (SELECT doc_id, CAST(sum(cnt) AS INT) AS n_bigrams,
+         |  CAST(sum(cnt * CAST(floor(ln(CAST(c1 + v AS DOUBLE)/(c2 + 1.0)) * 1e4 + 0.5) AS BIGINT)) AS BIGINT) AS sum_tenk
+         | FROM r JOIN bc USING (w1, w2) JOIN uc USING (w1) CROSS JOIN vv
+         | GROUP BY doc_id),
+         |q AS (SELECT d.doc_id, d.lang, sc.n_bigrams,
+         |  CAST(floor(CAST(sc.sum_tenk AS DOUBLE) / CAST(CAST(sc.n_bigrams AS BIGINT) * 10000 AS DOUBLE)
+         |    * ${graft.ops.LmScore.PplQScale}) AS INT) AS ppl_q
+         | FROM documents d LEFT JOIN sc USING (doc_id)),
+         |h AS (SELECT lang, ppl_q, CAST(count(*) AS BIGINT) AS c
+         |      FROM q WHERE ppl_q IS NOT NULL GROUP BY 1, 2),
+         |cum AS (SELECT lang, ppl_q,
+         |  sum(c) OVER (PARTITION BY lang ORDER BY ppl_q) AS cc,
+         |  sum(c) OVER (PARTITION BY lang) AS n FROM h),
+         |th AS (SELECT lang,
+         |  min(CASE WHEN 3 * cc >= n THEN ppl_q END) AS t1,
+         |  min(CASE WHEN 3 * cc >= 2 * n THEN ppl_q END) AS t2
+         | FROM cum GROUP BY lang)
+         |SELECT q.doc_id, q.lang, q.n_bigrams, q.ppl_q,
+         | CASE WHEN q.ppl_q IS NULL THEN 'none'
+         |      WHEN q.ppl_q <= th.t1 THEN 'head'
+         |      WHEN q.ppl_q <= th.t2 THEN 'middle' ELSE 'tail' END AS bucket,
+         | CAST(CASE WHEN q.ppl_q IS NOT NULL AND q.ppl_q <= th.t2
+         |      THEN 1 ELSE 0 END AS INT) AS kept
+         |FROM q LEFT JOIN th USING (lang) ORDER BY doc_id""".stripMargin,
     "c44_url_gate" ->
       // Deliberately NOT a parse: the oracle rebuilds the raw URL from
       // the same doc_id residues UrlGate.synthUrl uses AND derives the

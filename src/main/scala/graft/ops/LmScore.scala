@@ -56,6 +56,21 @@ object LmScore {
     * genuinely splits the corpus. Shared with the SQL oracle. */
   val NllFlagMax = 3.4
 
+  /** c45 perplexity quantization: mean NLL in 1e-2-nat "centinat"
+    * units — the bucket resolution the head/middle/tail thresholds are
+    * computed over. Coarse enough that percentile ties are stable,
+    * fine enough that the thirds land within 1% NLL of the exact
+    * order statistic. Shared with the SQL oracle. */
+  val PplQScale = 100.0
+
+  /** Loud bound on c45's per-(lang, centinat) histogram collect: langs
+    * are an enum and quantized NLL is a few thousand values, so the
+    * histogram is O(10⁴) rows by construction — crossing this means
+    * the input is not what the op contracts for (e.g. a free-text
+    * "lang" column), and silently collecting it would be the driver
+    * OOM class every other bounded collect in this file guards. */
+  val PplHistMaxRows = 2000000
+
   /** c28 target slice: the sources whose distribution the importance
     * weights steer toward. Shared with the SQL oracle. */
   val DsirTargetSources: Seq[String] = Seq("src0", "src1")
@@ -157,6 +172,79 @@ object LmScore {
   private[graft] def ngramLmPlan(docs: DataFrame): DataFrame = {
     val rows = bigramRows(docs)
     ngramScored(docs, rows, rows.groupBy("w1", "w2").agg(sum("cnt").as("c2")))
+  }
+
+  /** c45: CCNet-style perplexity bucketing (Wenzek et al. 2019) — the
+    * data-quality tiering stage between LM scoring (c27) and selection
+    * (c32): per LANGUAGE, split the corpus into head / middle / tail
+    * at the 1/3 and 2/3 points of the LM-score distribution (lowest
+    * mean NLL = head = cleanest; CCNet keeps head+middle for
+    * pretraining). Scoring reuses [[ngramLm]] verbatim — the c27
+    * pipeline whose doubles are already oracle-hash-certified — so the
+    * bucket arithmetic is the only new surface.
+    *
+    * Scale shape: zero windows, no global or per-lang sort (a per-lang
+    * `row_number` would funnel corpus/nlang rows through single tasks —
+    * the c15/c32 skew trap). The score quantizes to integer centinats
+    * ([[PplQScale]]); the per-(lang, centinat) histogram is a bounded
+    * map-side-combined aggregate (langs are an enum × a few thousand
+    * quantized values, guarded by [[PplHistMaxRows]]); thresholds are
+    * an exact integer driver computation over it (t_k = smallest value
+    * whose cumulative count reaches k·n/3, via `3·cum ≥ k·n` — no
+    * float division); assignment is a broadcast join back. Docs with
+    * no bigrams (null/single-token text) carry bucket 'none', kept=0.
+    *
+    * Threshold semantics are quantile-on-QUANTIZED-values: every doc
+    * in one centinat bucket lands on one side, so the thirds are exact
+    * up to bucket granularity — deterministic and engine-portable,
+    * where a row-rank split would depend on tie order. The SQL oracle
+    * recomputes the histogram, thresholds, and assignment from the
+    * same certified mean_nll, so the hash match certifies the whole
+    * tiering, not just the score. */
+  def pplBucket(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // doc_id-keyed join of two narrow tables (lang rides next to the
+    // score); both sides prune to 2-4 columns, AQE plans the join
+    val q = docs.select(col("doc_id").cast(LongType), col("lang"))
+      .join(ngramLm(docs), Seq("doc_id"))
+      .withColumn("ppl_q",
+        floor(col("mean_nll") * lit(PplQScale)).cast(IntegerType))
+      .select("doc_id", "lang", "n_bigrams", "ppl_q")
+      .persist(lvl)
+    try {
+      val hist = q.filter(col("ppl_q").isNotNull)
+        .groupBy("lang", "ppl_q").agg(count(lit(1)).as("c"))
+        .limit(PplHistMaxRows + 1)
+        .as[(String, Int, Long)].collect()
+      require(hist.length <= PplHistMaxRows,
+        s"c45 histogram exceeds $PplHistMaxRows (lang, centinat) rows — " +
+          "is `lang` an enum column? Refusing an unbounded driver collect.")
+      val th = hist.groupBy(_._1).map { case (lang, rows) =>
+        val sorted = rows.sortBy(_._2)
+        val n = sorted.map(_._3).sum
+        var cum = 0L
+        var t1 = Int.MaxValue; var t2 = Int.MaxValue
+        sorted.foreach { case (_, pq, c) =>
+          cum += c
+          if (t1 == Int.MaxValue && 3 * cum >= n) t1 = pq
+          if (t2 == Int.MaxValue && 3 * cum >= 2 * n) t2 = pq
+        }
+        (lang, t1, t2)
+      }.toSeq.toDF("lang", "t1", "t2")
+      q.join(broadcast(th), Seq("lang"), "left")
+        .withColumn("bucket",
+          when(col("ppl_q").isNull, lit("none"))
+            .when(col("ppl_q") <= col("t1"), lit("head"))
+            .when(col("ppl_q") <= col("t2"), lit("middle"))
+            .otherwise(lit("tail")))
+        .withColumn("kept",
+          (col("ppl_q").isNotNull && col("ppl_q") <= col("t2"))
+            .cast(IntegerType))
+        .select("doc_id", "lang", "n_bigrams", "ppl_q", "bucket", "kept")
+        .localCheckpoint(true)
+    } finally q.unpersist(blocking = false)
   }
 
   /** The lazy c27 scoring pipeline over (persisted) kernel + model

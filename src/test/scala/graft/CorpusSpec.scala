@@ -703,6 +703,53 @@ class CorpusSpec extends AnyFunSuite {
       s"estimate=${wide.queryExecution.optimizedPlan.stats.sizeInBytes}")
   }
 
+  test("c45 ppl bucket: per-lang thirds, bucket ordering, null text, determinism") {
+    import graft.ops.LmScore
+    // 6 docs per lang with clearly separated LM scores (increasingly
+    // unpredictable text against the corpus-trained bigram model) +
+    // one null-text doc; thresholds are per-LANG, so the two langs'
+    // identical structure must bucket independently
+    def mk(lang: String, base: Long) = (0 until 6).map { k =>
+      // k repeats of the predictable bigram + k singleton words
+      val common = Seq.fill(8 - k)(s"p$lang q$lang").mkString(" ")
+      val rare = (0 until k).map(j => s"r$lang${base + k}_$j").mkString(" ")
+      (base + k, (common + " " + rare).trim, lang)
+    }
+    val d = (mk("aa", 10L) ++ mk("bb", 20L) :+
+      ((99L, null.asInstanceOf[String], "aa"))).toDF("doc_id", "text", "lang")
+    val out = LmScore.pplBucket(d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // null text: bucket 'none', kept 0, NULL score
+    assert(out(99L).getAs[String]("bucket") == "none")
+    assert(out(99L).getAs[Int]("kept") == 0)
+    assert(out(99L).isNullAt(out(99L).fieldIndex("ppl_q")))
+    for (lang <- Seq("aa", "bb")) {
+      val rows = out.values.filter(r =>
+        r.getAs[String]("lang") == lang && !r.isNullAt(r.fieldIndex("ppl_q")))
+      val byBucket = rows.groupBy(_.getAs[String]("bucket"))
+        .view.mapValues(_.map(_.getAs[Int]("ppl_q")).toSeq).toMap
+      // all three tiers populated, and tiers are ordered by score:
+      // every head score <= every middle score <= every tail score
+      assert(Set("head", "middle", "tail").subsetOf(byBucket.keySet),
+        s"$lang buckets: ${byBucket.keySet}")
+      assert(byBucket("head").max <= byBucket("middle").min)
+      assert(byBucket("middle").max <= byBucket("tail").min)
+      // kept = head + middle only
+      rows.foreach { r =>
+        val kept = r.getAs[Int]("kept")
+        assert((kept == 1) == Set("head", "middle")(r.getAs[String]("bucket")))
+      }
+      // integer-thirds semantics on 6 distinct quantized scores: 2/2/2
+      if (byBucket.values.map(_.size).sum == 6 &&
+          byBucket.values.flatten.toSet.size == 6)
+        assert(byBucket.view.mapValues(_.size).toMap ==
+          Map("head" -> 2, "middle" -> 2, "tail" -> 2))
+    }
+    // retrain determinism: identical input, identical buckets
+    val again = LmScore.pplBucket(d).collect().map(_.toString).sorted.toSeq
+    assert(again == out.values.map(_.toString).toSeq.sorted)
+  }
+
   test("dsir: null text carries NULL metrics and NULL keep") {
     import graft.ops.LmScore
     val d = Seq((1L, null.asInstanceOf[String], "src0"), (2L, "t t", "src0"))
