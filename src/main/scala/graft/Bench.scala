@@ -74,11 +74,15 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-    val spark = (sys.env.get("SPARK_GRAFT_STATE_STORE") match {
+    val spark = (sys.env.get("SPARK_GRAFT_STATE_STORE").map(_.toLowerCase) match {
       case Some("rocksdb") => builder.config(
         "spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      case _ => builder
+      case Some("hdfs") | None => builder
+      // loud: a typo'd provider name must never silently mislabel an
+      // A/B measurement as the default provider
+      case Some(other) => sys.error(
+        s"SPARK_GRAFT_STATE_STORE='$other' unrecognized (want rocksdb|hdfs)")
     }).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

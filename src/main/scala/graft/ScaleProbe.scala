@@ -81,6 +81,9 @@ object ScaleProbe {
           written += 1
         }
     }
+    // every slice empty (tiny smoke runs): nothing to stream, and the
+    // schema inference below would throw on an empty directory
+    if (written == 0) return (0L, 0.0, 0)
     // derive the stream schema from the slices actually written, so
     // both entry points (full probe + standalone D12Probe) measure the
     // identical stream — an in-memory synthetic schema can drift from

@@ -83,6 +83,7 @@ object SparkEntry {
     "c43_lang_classifier" -> (PipelineQueries.langClassifier(_, _)),
     "c44_url_gate" -> (PipelineQueries.urlGate(_, _)),
     "c45_ppl_bucket" -> (PipelineQueries.pplBucket(_, _)),
+    "c46_pipeline_e2e" -> (PipelineQueries.pipelineE2e(_, _)),
     "d1_sessionize"  -> (PipelineQueries.sessionize(_, _)),
     "d2_window_agg"  -> (PipelineQueries.windowAgg(_, _)),
     "d3_stream_agg"  -> (PipelineQueries.streamingAgg(_, _)),
@@ -161,7 +162,7 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    VectorQueries.oracles ++ PipelineQueries.oracles ++ Map(
+    VectorQueries.oracles ++ AnnQueries.oracles ++ PipelineQueries.oracles ++ Map(
     "e1_q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         | SUM(CAST(floor(l_quantity*1e6+0.5) AS BIGINT))/1e6 AS sum_qty,

@@ -15,6 +15,10 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // enable the model-derived oracle sidecars (see OracleSide): the
+    // DuckDB compare that follows this run reads them from the fixed
+    // absolute path named in the oracle SQL
+    System.setProperty("graft.oracle.side", "1")
     // optional subset for local iteration (the driver never sets this);
     // validated up front like Bench's SPARK_GRAFT_BENCH_ONLY
     val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")

@@ -47,6 +47,13 @@ object IVFIndex {
   private[graft] val packedEnabled =
     !sys.env.get("SPARK_GRAFT_PACKED").contains("0")
 
+  /** SPARK_GRAFT_PACKED_SIDECAR=0 makes [[IVFModel.load]] ignore an
+    * at-rest packed sidecar (the cold model re-packs from the entries
+    * instead) — the A/B knob behind the committed cold-start
+    * comparison; results are identical either way. */
+  private[graft] val packedSidecarEnabled =
+    !sys.env.get("SPARK_GRAFT_PACKED_SIDECAR").contains("0")
+
   private[graft] val profileSearch =
     sys.env.get("SPARK_GRAFT_SEARCH_PROFILE").contains("1")
 
@@ -147,7 +154,10 @@ object IVFIndex {
       Int.MaxValue / math.max(math.max(dim, words), 1))
     def isFull: Boolean = n >= maxRows
     var n = 0
-    private var cap = 64
+    // initial cap clamped to maxRows: when the Int-safety bound drops
+    // maxRows under 64 (pathological dim), the backing arrays must
+    // never exceed the row bound (cap * dim could otherwise overflow)
+    private var cap = math.min(64, maxRows)
     var ids = new Array[Long](cap)
     var sign = new Array[Long](cap * words)
     var x2 = new Array[Float](cap)
@@ -181,6 +191,22 @@ object IVFIndex {
       if (packExF) exF = java.util.Arrays.copyOf(exF, cap * dim)
       else exCode = java.util.Arrays.copyOf(exCode, cap)
     }
+    /** Adopt already-packed column data read back from the at-rest
+      * sidecar (see [[IVFModel.savePacked]]): arrays are exactly
+      * `rows` entries (the writer trims), so cap == n and the run is
+      * scan-ready with zero repacking. */
+    private[graft] def loadData(rows: Int, pIds: Array[Long],
+        pSign: Array[Long], pX2: Array[Float], pFacIp: Array[Float],
+        pFacErr: Array[Float], pXipnorm: Array[Float],
+        pExF: Array[Byte], pExCode: Array[Array[Byte]]): Unit = {
+      require(pIds.length == rows && pSign.length == rows * words,
+        s"sidecar run shape mismatch: $rows rows, ${pIds.length} ids, " +
+          s"${pSign.length} sign words (want ${rows * words})")
+      n = rows; cap = math.max(rows, 1)
+      ids = pIds; sign = pSign; x2 = pX2
+      facIp = pFacIp; facErr = pFacErr; xipnorm = pXipnorm
+      if (packExF) { exF = pExF; exCode = null } else { exF = null; exCode = pExCode }
+    }
     /** Trim backing arrays to exactly n rows — called once by the
       * model-lifetime packed cache before persisting (grow() doubles,
       * so an untrimmed run can hold ~2× its data for the model
@@ -196,6 +222,39 @@ object IVFIndex {
       if (packExF) exF = java.util.Arrays.copyOf(exF, cap * dim)
       else exCode = java.util.Arrays.copyOf(exCode, cap)
     }
+  }
+
+  /** One [[PackedRun]] as a parquet row — the AT-REST half of the
+    * `fastscan/pack_codes.hpp` role (reference FastScan packs once at
+    * index-construction time and persists the packed blocks inside the
+    * index blob, IVF.hpp:219-252). `part_id`/`seq` pin the exact
+    * partition layout and in-partition run order of the in-memory
+    * cache that wrote it, so a cold load reconstructs a bit-identical
+    * scan. Exactly one of `exf` (pre-unpacked F bytes, exBits ≤ 7) and
+    * `ex_code` (bit-packed refs, exBits = 8) is non-null. */
+  private[graft] final case class PackedRow(
+      part_id: Int,
+      seq: Int,
+      cluster_id: Int,
+      n: Int,
+      words: Int,
+      dim: Int,
+      ex_bits: Int,
+      ids: Array[Long],
+      sign: Array[Long],
+      x2: Array[Float],
+      fac_ip: Array[Float],
+      fac_err: Array[Float],
+      xipnorm: Array[Float],
+      exf: Array[Byte],
+      ex_code: Array[Array[Byte]])
+
+  /** Routes key k to partition k — rebuilds the writer's exact
+    * partition layout when reading the packed sidecar back. */
+  private[graft] final class IdentityPartitioner(n: Int)
+      extends org.apache.spark.Partitioner {
+    def numPartitions: Int = n
+    def getPartition(key: Any): Int = key.asInstanceOf[Int]
   }
 
   /** The per-partition QUERY-MAJOR scan over packed runs — one copy
@@ -1343,7 +1402,23 @@ object IVFModel {
       .as[(Int, Array[Float])].collect().sortBy(_._1).map(_._2)
     val rotator = Rotator.fromMatrix(dim, params.seed, matrix)
     val index = entriesMinusDeletes(spark, path).as[IVFIndex.Entry]
-    new IVFModel(params, rotator, centroids, centroids.map(rotator.rotate), index)
+    val m = new IVFModel(params, rotator, centroids, centroids.map(rotator.rotate), index)
+    // adopt the at-rest packed sidecar ONLY when it is coherent with
+    // the entries: it is a pure cache of `entries`, so any overlay —
+    // tombstones, committed ingest batches — or a torn write
+    // (no _SUCCESS) means load ignores it (compact folds overlays and
+    // rewrites it). SPARK_GRAFT_PACKED_SIDECAR=0 is the A/B knob.
+    if (IVFIndex.packedSidecarEnabled) {
+      import org.apache.hadoop.fs.Path
+      val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
+      val packedDir = new Path(s"$path/packed")
+      if (fs.exists(new Path(packedDir, "_SUCCESS")) &&
+          hasDataFiles(fs, packedDir) &&
+          !fs.exists(new Path(s"$path/deletes")) &&
+          committedBatchDirs(fs, path).isEmpty)
+        m.packedAtRestDir = Some(packedDir.toString)
+    }
+    m
   }
 
   /** Compaction: apply tombstones physically and merge the small files
@@ -1395,6 +1470,18 @@ object IVFModel {
     deleteFoldedBatches(fs, path)
     fs.delete(entriesOld, true)
     fs.delete(new Path(s"$path/deletes"), true)
+    // the packed sidecar (if any) cached the PRE-compaction entries —
+    // rebuild it from the compacted index so a later load stays
+    // coherent AND keeps its cold-start win. Delete-then-rewrite: a
+    // crash in between leaves no sidecar (load just re-packs), never
+    // stale packed data
+    val packedDir = new Path(s"$path/packed")
+    if (fs.exists(packedDir)) {
+      fs.delete(packedDir, true)
+      val m = load(spark, path)
+      try m.savePacked(path)
+      finally m.freeSearchCaches()
+    }
   }
 }
 
@@ -1496,10 +1583,43 @@ final class IVFModel(
     * partitioned parquet instead, this cache is the
     * single-node/hot-working-set path. Shared across withQueryBits
     * copies like the router. */
+  /** When [[IVFIndex.load]] found a coherent at-rest packed sidecar
+    * (see [[savePacked]]), its directory — [[packedIndex]] then
+    * reconstructs the runs from parquet instead of re-packing the
+    * entry cache (the cold-start path). */
+  @transient private[graft] var packedAtRestDir: Option[String] = None
+
   private[graft] def packedIndex(
       spark: SparkSession): org.apache.spark.rdd.RDD[(Int, IVFIndex.PackedRun)] = {
     val s = sharedState
     if (s.packed == null) s.synchronized {
+      if (s.packed == null && packedAtRestDir.isDefined) {
+        // cold-load path: adopt the persisted runs (layout pinned by
+        // (part_id, seq) — bit-identical scan to the cache that wrote
+        // them); one read job instead of a full re-pack
+        import spark.implicits._
+        val rows = spark.read.parquet(packedAtRestDir.get).as[IVFIndex.PackedRow]
+        val maxPart = rows.agg(max(col("part_id"))).head()
+        // a zero-run sidecar (index compacted to empty) has nothing to
+        // adopt — fall through to the entry path below, which packs
+        // the (empty) entry cache trivially
+        if (!maxPart.isNullAt(0)) {
+          val nParts = maxPart.getInt(0) + 1
+          val rdd = rows.rdd.map(r => (r.part_id, r))
+            .partitionBy(new IVFIndex.IdentityPartitioner(nParts))
+            .mapPartitions({ it =>
+              it.map(_._2).toArray.sortBy(_.seq).iterator.map { r =>
+                val run = new IVFIndex.PackedRun(r.words, r.dim, r.ex_bits)
+                run.loadData(r.n, r.ids, r.sign, r.x2, r.fac_ip, r.fac_err,
+                  r.xipnorm, r.exf, r.ex_code)
+                (r.cluster_id, run)
+              }
+            }, preservesPartitioning = false)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          rdd.foreachPartition(_ => ())
+          s.packed = rdd
+        }
+      }
       if (s.packed == null) {
         val pDim = rotator.paddedDim // residual/ex_code length is the PADDED dim
         val pExBits = params.exBits
@@ -1564,15 +1684,49 @@ final class IVFModel(
     * static overwrite clears the dir before writing) — save to a fresh
     * path, or use [[IVFModel.compact]] for the crash-safe in-place
     * rewrite. */
-  def save(path: String): Unit = {
+  def save(path: String): Unit = save(path, packed = true)
+
+  /** [[save]] with the packed sidecar optional: `packed = false` skips
+    * the pack pass (and removes any stale sidecar at `path`) — for
+    * indexes that will only ever be searched through the partitioned
+    * entries (the 100 TB nprobe-pruned path), where paying a full
+    * extra scan + a second on-disk copy at save time buys nothing. */
+  def save(path: String, packed: Boolean): Unit = {
     val spark = index.sparkSession
     import org.apache.hadoop.fs.Path
     val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
     index.write.mode("overwrite").partitionBy("cluster_id").parquet(s"$path/entries")
     saveMeta(path)
-    Seq("deletes", "entries_batches", "_ingest_log", "_ingest_checkpoint",
-      "entries_old", "entries_compacting")
+    (Seq("deletes", "entries_batches", "_ingest_log", "_ingest_checkpoint",
+      "entries_old", "entries_compacting") ++
+      // packed=false must never leave an OLD index's sidecar where the
+      // next load would adopt it
+      (if (packed) Nil else Seq("packed")))
       .foreach(d => fs.delete(new Path(s"$path/$d"), true))
+    if (packed) savePacked(path)
+  }
+
+  /** Persist the model-lifetime packed scan cache as the index's
+    * AT-REST packed sidecar (`$path/packed`) — the other half of the
+    * reference's pack-once-at-construction design
+    * (`fastscan/pack_codes.hpp` + the index blob, IVF.hpp:219-252):
+    * a cold [[IVFIndex.load]] adopts the runs from parquet instead of
+    * re-deserializing and re-packing the whole entry cache before its
+    * first chunk. (part_id, seq) pin the writer's exact layout, so the
+    * reconstructed scan is bit-identical. The sidecar is a pure cache
+    * of `entries`: any overlay (tombstones, ingest batches) makes load
+    * ignore it until [[IVFIndex.compact]] folds the overlays and
+    * rewrites it. */
+  def savePacked(path: String): Unit = {
+    val spark = index.sparkSession
+    import spark.implicits._
+    val rows = packedIndex(spark).mapPartitionsWithIndex { (pid, it) =>
+      it.zipWithIndex.map { case ((cid, r), seq) =>
+        IVFIndex.PackedRow(pid, seq, cid, r.n, r.words, r.dim, r.exBits,
+          r.ids, r.sign, r.x2, r.facIp, r.facErr, r.xipnorm, r.exF, r.exCode)
+      }
+    }
+    spark.createDataset(rows).write.mode("overwrite").parquet(s"$path/packed")
   }
 
   /** Persist only the model metadata (centroids, rotation, params) —

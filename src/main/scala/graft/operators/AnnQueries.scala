@@ -58,12 +58,29 @@ object AnnQueries {
   }
 
   /** b3: nearest-centroid assignment + distance (python/ivf.py:30-32).
-    * Derived from the index entries: x2 is the squared distance. */
-  def ivfAssign(spark: SparkSession, dir: String): DataFrame =
-    model(spark, dir).index.toDF()
-      .select(col("id").as("vec_id"), col("cluster_id"),
-        round(sqrt(col("x2")), 4).as("dist_to_centroid"))
+    * Hash-certified: the cluster_id is the MODEL's assignment (read
+    * from the index entries), while the oracle recomputes the argmin
+    * over the persisted centroid sidecar independently — a mismatch in
+    * either the assignment or the distance arithmetic fails the hash.
+    * The distance is the raw-space double L2 (the same arithmetic the
+    * assignment loop runs), not the rotated-space x2 factor. */
+  def ivfAssign(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.VectorFunctions.vec_l2sq
+    val m = model(spark, dir)
+    val cents = m.centroids.zipWithIndex
+      .map { case (c, i) => (i, c.map(_.toDouble).toSeq) }.toSeq
+      .toDF("cluster_id", "centroid")
+    OracleSide.write(cents, "b3_centroids")
+    m.index.toDF().select(col("id").as("vec_id"), col("cluster_id"))
+      .join(Tables.embeddings(spark, dir)
+        .select(col("vec_id").cast(LongType), col("embedding")), Seq("vec_id"))
+      .join(broadcast(cents), Seq("cluster_id"))
+      .select(col("vec_id"), col("cluster_id"),
+        round(sqrt(vec_l2sq(col("embedding"), col("centroid"))), 4)
+          .as("dist_to_centroid"))
       .orderBy("vec_id")
+  }
 
   /** b4: RaBitQ 1-bit code summary (popcount + factors). */
   def rabitqCode(spark: SparkSession, dir: String): DataFrame =
@@ -104,7 +121,13 @@ object AnnQueries {
   }
 
   /** b6: estimated vs exact distance + lower bound for query 0 against
-    * its nearest cluster (Searcher.hpp estimator surfaces). */
+    * its nearest cluster (Searcher.hpp estimator surfaces).
+    * Hash-certified: the per-entry sign code (unpacked to 0/1), the
+    * rerank code F_d = bit·2^exBits + exCode_d, and the scalar factors
+    * are persisted as sidecars together with the prepared query
+    * residual, and the oracle recomputes ip, est, lower bound, and
+    * rerank (Searcher.hpp:174-236 algebra) from them in SQL —
+    * exact-integer codes, double residual, one trailing IEEE chain. */
   def rabitqEstimate(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val m = model(spark, dir)
@@ -115,18 +138,40 @@ object AnnQueries {
       .minBy(_._1)._2
     val qc = RaBitQ.prepareQuery(qRot, m.rotatedCentroids(nearest))
     val exBits = m.params.exBits
+    val dim = m.rotator.paddedDim
     val bq = spark.sparkContext.broadcast((qc, exBits, nearest))
-    m.index.filter(col("cluster_id") === nearest)
+    val entries = m.index.filter(col("cluster_id") === nearest)
+    if (OracleSide.enabled) {
+      val half = ((1 << (exBits + 1)) - 1).toDouble
+      OracleSide.write(
+        Seq((qc.residual.map(_.toDouble).toSeq, qc.sumRes, qc.sqrY, qc.y, half))
+          .toDF("r", "sum_res", "sqr_y", "y", "half"),
+        "b6_query")
+      val hi = 1 << exBits
+      OracleSide.write(
+        entries.map { e =>
+          val bits = Array.tabulate(dim)(d =>
+            ((e.sign_bits(d >> 6) >>> (d & 63)) & 1L).toInt)
+          val f = Array.tabulate(dim)(d =>
+            bits(d) * hi + RaBitQ.unpackAt(e.ex_code, d, exBits))
+          (e.id, bits.toSeq, f.toSeq, e.x2.toDouble, e.fac_ip.toDouble,
+            e.fac_err.toDouble, e.xipnorm.toDouble)
+        }.toDF("vec_id", "bits", "f", "x2", "fac_ip", "fac_err", "xipnorm"),
+        "b6_entries")
+    }
+    entries
       .map { e =>
         val (qcl, eb, _) = bq.value
         val v = RaBitQ.Quantized(e.sign_bits, e.ex_code, e.x2, e.fac_ip,
           e.sum_xb, e.fac_err, e.xipnorm)
         val (est, lower) = RaBitQ.estimate(qcl, v)
         val rr = RaBitQ.rerank(qcl, v, eb)
-        (e.id, math.rint(est * 1e4) / 1e4, math.rint(lower * 1e4) / 1e4,
-          math.rint(rr * 1e4) / 1e4)
+        (e.id, est, lower, rr)
       }
-      .toDF("vec_id", "est_dist2", "lower_bound", "rerank_dist2")
+      .toDF("vec_id", "est", "low", "rr")
+      .select(col("vec_id"), round(col("est"), 4).as("est_dist2"),
+        round(col("low"), 4).as("lower_bound"),
+        round(col("rr"), 4).as("rerank_dist2"))
       .orderBy("vec_id")
   }
 
@@ -156,6 +201,10 @@ object AnnQueries {
     * the engine. */
   def annRecall(spark: SparkSession, dir: String): DataFrame = {
     val approx = searchResults(spark, dir)
+    // sidecar: the IVF result lists — the oracle recomputes the GT side
+    // from `embeddings` in SQL and the recall arithmetic from both
+    OracleSide.write(
+      approx.select(col("query_id"), col("neighbor_id")), "b_search_results")
     // exact GT over the full base (including query vectors themselves,
     // as the reference's GT does)
     val exact = gtResults(spark, dir)
@@ -170,20 +219,30 @@ object AnnQueries {
 
   /** b10: average distance ratio of IVF results vs ground truth
     * (reference get_ratio, tools.hpp:16-46): both result lists sorted
-    * by distance, ratio_j = √(d²_ann(j)/d²_gt(j)) over ranks with
-    * non-degenerate gt distance, averaged per query. */
+    * by distance, ratio_j = d_ann(j)/d_gt(j) (≡ √(d²/d²)) over ranks
+    * with non-degenerate gt distance, averaged per query.
+    * Hash-certified: only the IVF result-id list is persisted; the
+    * oracle recomputes every distance, both rankings, and the ratio
+    * average from `embeddings` in SQL. The average runs over exact
+    * per-rank integer micros (the repo's float-sum discipline: the sum
+    * is order-free, so partial-aggregation order can never flake the
+    * hash). */
   def annRatio(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     // same query workload as ivfSearch/gtTopKAll — single source of truth
     val queryRows = queryVectors(spark, dir)
-    val ann = withExactDist(spark, dir, searchResults(spark, dir))
-      .withColumnRenamed("d2", "d2_ann")
-    val gt = withExactDist(spark, dir, gtResults(spark, dir))
-      .withColumnRenamed("d2", "d2_gt")
+    val results = searchResults(spark, dir)
+    OracleSide.write(
+      results.select(col("query_id"), col("neighbor_id")), "b_search_results")
+    val ann = withExactL2(spark, dir, results).withColumnRenamed("d", "d_ann")
+    val gt = withExactL2(spark, dir, gtResults(spark, dir))
+      .withColumnRenamed("d", "d_gt")
     val ratios = ann.join(gt, Seq("query_id", "rk"))
-      .filter(col("d2_gt") > 1e-5)
+      .filter(col("d_gt") * col("d_gt") > 1e-5)
+      .withColumn("rmicro",
+        floor(col("d_ann") / col("d_gt") * 1e6 + 0.5).cast(LongType))
       .groupBy("query_id")
-      .agg(round(avg(sqrt(col("d2_ann") / col("d2_gt"))), 4).as("avg_ratio"),
+      .agg(round(sum("rmicro") / (lit(1e6) * count(lit(1))), 4).as("avg_ratio"),
         count(lit(1)).as("valid_k"))
     // reference get_ratio returns 1.0 when every gt distance is
     // degenerate (valid_k == 0) — keep such queries in the output
@@ -191,6 +250,26 @@ object AnnQueries {
       .join(ratios, Seq("query_id"), "left")
       .na.fill(Map("avg_ratio" -> 1.0, "valid_k" -> 0L))
       .orderBy("query_id")
+  }
+
+  /** [[withExactDist]] with the L2 distance (not squared) as the
+    * ranking and output value — the exact form the b10 oracle mirrors
+    * in SQL (`list_distance` ranks and divides the same doubles). */
+  private def withExactL2(
+      spark: SparkSession, dir: String, results: DataFrame): DataFrame = {
+    import graft.functions.VectorFunctions.vec_l2sq
+    import spark.implicits._
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("nid"), col("embedding").as("nvec"))
+    val q = queryVectors(spark, dir).toSeq.toDF("qid", "qvec")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy("d", "neighbor_id")
+    e.join(broadcast(results.select("query_id", "neighbor_id")
+        .join(q, col("query_id") === col("qid"))),
+        col("neighbor_id") === col("nid"))
+      .select(col("query_id"), col("neighbor_id"),
+        sqrt(vec_l2sq(col("qvec"), col("nvec"))).as("d"))
+      .withColumn("rk", row_number().over(w))
   }
 
   /** Exact distances for a tiny (…, query_id, neighbor_id) result
@@ -351,4 +430,111 @@ object AnnQueries {
       .agg(count(lit(1)).as("n_vectors"),
         sum(expr("size(sign_bits) * 8 + length(ex_code)")).as("code_bytes"))
       .orderBy("cluster_id")
+
+  /** DuckDB oracles for the model-derived b-rows. Each reads the tiny
+    * [[OracleSide]] sidecars the query persisted under graft.Verify
+    * plus the `embeddings` view, and independently recomputes the
+    * argmin (b3), the estimator algebra (b6), the recall (b8), and the
+    * distance-ratio average (b10). The SQL mirrors the Scala kernels'
+    * IEEE evaluation order exactly (double-widened floats, in-order
+    * list accumulation, left-associative trailing chains). */
+  val oracles: Map[String, String] = {
+    val cent = OracleSide.sql("b3_centroids")
+    val b6e = OracleSide.sql("b6_entries")
+    val b6q = OracleSide.sql("b6_query")
+    val res = OracleSide.sql("b_search_results")
+    Map(
+      // argmin over vectors × persisted centroids; ties (exact double
+      // d2) break to the lower cluster_id, like the strict-< scan in
+      // IVFIndex.quantizeRow
+      "b3_ivf_assign" ->
+        s"""WITH c AS (SELECT cluster_id, centroid FROM $cent),
+          |d AS (
+          |  SELECT e.vec_id, c.cluster_id,
+          |    list_sum(list_transform(
+          |      list_zip(CAST(e.embedding AS DOUBLE[]), c.centroid),
+          |      x -> (x[1]-x[2])*(x[1]-x[2]))) AS d2
+          |  FROM embeddings e CROSS JOIN c)
+          |SELECT CAST(vec_id AS BIGINT) AS vec_id, cluster_id,
+          |  ROUND(SQRT(d2), 4) AS dist_to_centroid
+          |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+          |        ORDER BY d2, cluster_id) AS rn FROM d) t
+          |WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+      // Searcher.hpp:174-236 estimator algebra: ip over the sign code,
+      // est = x²+y² − ip·facIp, lower = est − facErr·y, rerank from
+      // F_d = bit·2^exBits + exCode_d
+      "b6_rabitq_estimate" ->
+        s"""WITH e AS (SELECT * FROM $b6e), q AS (SELECT * FROM $b6q),
+          |t AS (
+          |  SELECT e.vec_id,
+          |    list_inner_product(q.r, CAST(e.bits AS DOUBLE[]))
+          |      - 0.5*q.sum_res AS ip,
+          |    list_inner_product(q.r, CAST(e.f AS DOUBLE[])) AS ipf,
+          |    e.x2, e.fac_ip, e.fac_err, e.xipnorm,
+          |    q.sqr_y, q.y, q.sum_res, q.half
+          |  FROM e CROSS JOIN q)
+          |SELECT vec_id,
+          |  ROUND(x2 + sqr_y - ip*fac_ip, 4) AS est_dist2,
+          |  ROUND(x2 + sqr_y - ip*fac_ip - fac_err*y, 4) AS lower_bound,
+          |  ROUND(x2 + sqr_y - xipnorm*(ipf - 0.5*half*sum_res), 4) AS rerank_dist2
+          |FROM t ORDER BY vec_id""".stripMargin,
+      // recall@10 vs a GT recomputed from embeddings over the FULL base
+      // (queries included), ties by (distance, vec_id) as in KnnExact
+      "b8_ann_recall" ->
+        s"""WITH gt AS (
+          |  SELECT query_id, neighbor_id FROM (
+          |    SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
+          |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+          |        ORDER BY list_distance(CAST(q.embedding AS DOUBLE[]),
+          |                               CAST(b.embedding AS DOUBLE[])),
+          |                 b.vec_id) AS rk
+          |    FROM embeddings q, embeddings b WHERE q.vec_id < 8) t
+          |  WHERE rk <= 10),
+          |a AS (SELECT query_id, neighbor_id FROM $res)
+          |SELECT a.query_id,
+          |  SUM(CASE WHEN g.query_id IS NOT NULL THEN 1 ELSE 0 END)/10.0
+          |    AS recall_at_10
+          |FROM a LEFT JOIN gt g
+          |  ON a.query_id = g.query_id AND a.neighbor_id = g.neighbor_id
+          |GROUP BY a.query_id ORDER BY a.query_id""".stripMargin,
+      // get_ratio (tools.hpp:16-46): rank both lists by exact distance,
+      // ratio_j = d_ann(j)/d_gt(j) over non-degenerate gt ranks,
+      // averaged over exact integer micros (order-free sum)
+      "b10_ann_ratio" ->
+        s"""WITH qs AS (
+          |  SELECT CAST(vec_id AS BIGINT) AS query_id,
+          |    CAST(embedding AS DOUBLE[]) AS qvec
+          |  FROM embeddings WHERE vec_id < 8),
+          |res AS (SELECT query_id, neighbor_id FROM $res),
+          |ann AS (
+          |  SELECT r.query_id,
+          |    list_distance(q.qvec, CAST(b.embedding AS DOUBLE[])) AS d,
+          |    ROW_NUMBER() OVER (PARTITION BY r.query_id
+          |      ORDER BY list_distance(q.qvec, CAST(b.embedding AS DOUBLE[])),
+          |               r.neighbor_id) AS rk
+          |  FROM res r
+          |  JOIN qs q ON r.query_id = q.query_id
+          |  JOIN embeddings b ON r.neighbor_id = b.vec_id),
+          |gt AS (
+          |  SELECT query_id, d, rk FROM (
+          |    SELECT q.query_id,
+          |      list_distance(q.qvec, CAST(b.embedding AS DOUBLE[])) AS d,
+          |      ROW_NUMBER() OVER (PARTITION BY q.query_id
+          |        ORDER BY list_distance(q.qvec, CAST(b.embedding AS DOUBLE[])),
+          |                 b.vec_id) AS rk
+          |    FROM qs q, embeddings b) t
+          |  WHERE rk <= 10),
+          |rat AS (
+          |  SELECT a.query_id,
+          |    ROUND(SUM(CAST(floor(a.d/g.d*1e6 + 0.5) AS BIGINT))
+          |      / (1e6*COUNT(*)), 4) AS avg_ratio,
+          |    CAST(COUNT(*) AS BIGINT) AS valid_k
+          |  FROM ann a JOIN gt g ON a.query_id = g.query_id AND a.rk = g.rk
+          |  WHERE g.d*g.d > 1e-5
+          |  GROUP BY a.query_id)
+          |SELECT q.query_id, COALESCE(r.avg_ratio, 1.0) AS avg_ratio,
+          |  COALESCE(r.valid_k, 0) AS valid_k
+          |FROM qs q LEFT JOIN rat r ON q.query_id = r.query_id
+          |ORDER BY q.query_id""".stripMargin)
+  }
 }

@@ -198,6 +198,42 @@ object PipelineQueries {
       .orderBy("source")
   }
 
+  /** c46: the CCNet-shaped crawl pipeline END-TO-END as one certified
+    * query — c44 (URL gate) → c6 (language ID) → c27 (LM perplexity)
+    * → c45 (per-language tiering) → c32 (token-budget selection), each
+    * stage feeding ONLY the previous stage's survivors: the LM counts
+    * and the per-language tier thresholds derive from the GATED corpus
+    * (not the raw one), and the budget selection ranks only head+middle
+    * docs. The oracle composes the five stages' certified SQL
+    * formulations verbatim over the same survivor CTEs, so the hash
+    * match certifies that the stage boundaries compose exactly — the
+    * c38 pattern extended to the full published-order chain
+    * (CCNet: Wenzek et al., arXiv:1911.00359). One row per URL-gate
+    * survivor; selection columns NULL for tier-dropped docs, selected
+    * coalesced to 0. */
+  def pipelineE2e(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val gate = graft.ops.UrlGate.urlGate(
+        docs.select(col("doc_id"),
+          graft.ops.UrlGate.synthUrl(col("doc_id")).as("url")))
+      .filter(col("kept") === 1).select("doc_id")
+    val s1 = docs.join(gate, Seq("doc_id"), "left_semi")
+    val lang = TextAnalysis.langId(s1)
+      .select(col("doc_id"), col("predicted").as("lang"))
+    // survivors carry the PREDICTED lang into the tiering stage — the
+    // composition point a whole-corpus c45 rerun would miss
+    val s2 = s1.select(col("doc_id"), col("text")).join(lang, Seq("doc_id"))
+    val tiers = graft.ops.LmScore.pplBucket(s2)
+    val sel = CorpusOps.budgetSelect(
+      s2.join(tiers.filter(col("kept") === 1).select("doc_id"),
+        Seq("doc_id"), "left_semi"))
+    tiers.select(col("doc_id"), col("lang"), col("n_bigrams"), col("ppl_q"),
+        col("bucket"), col("kept").as("tier_kept"))
+      .join(sel, Seq("doc_id"), "left")
+      .withColumn("selected", coalesce(col("selected"), lit(0)))
+      .orderBy("doc_id")
+  }
+
   def ngramLm(spark: SparkSession, dir: String): DataFrame =
     graft.ops.LmScore.ngramLm(Tables.documents(spark, dir)).orderBy("doc_id")
 
@@ -677,6 +713,106 @@ object PipelineQueries {
          | CAST(CASE WHEN q.ppl_q IS NOT NULL AND q.ppl_q <= th.t2
          |      THEN 1 ELSE 0 END AS INT) AS kept
          |FROM q LEFT JOIN th USING (lang) ORDER BY doc_id""".stripMargin,
+    "c46_pipeline_e2e" ->
+      // the five stages' certified formulations composed VERBATIM over
+      // survivor CTEs: c44's analytic URL-gate (gb/gu/gr/gk/gc), c6's
+      // marker-count language CASE over the gate survivors, c27's
+      // exact-integer LM scoring over the SAME survivors, c45's
+      // bounded-histogram thirds with the PREDICTED lang, and c32's
+      // ordered-window selection over head+middle docs — certifying
+      // every stage boundary of the CCNet-shaped chain at once
+      s"""WITH gb AS (SELECT doc_id,
+         |   doc_id % 2 AS m2, doc_id % 3 AS m3, doc_id % 5 AS m5, doc_id % 7 AS m7,
+         |   doc_id % 10 AS m10, doc_id % 11 AS m11, doc_id % 13 AS m13
+         |  FROM documents),
+         |gu AS (SELECT doc_id,
+         |   CASE WHEN m2 = 0 THEN 'http' ELSE 'https' END AS scheme_c,
+         |   (CASE WHEN m13 = 0 THEN 'xn--site-' ELSE 'site-' END
+         |     || CAST(m5 AS VARCHAR)
+         |     || CASE WHEN m2 = 0 THEN '.com' ELSE '.co.uk' END) AS domain,
+         |   '/p/' || CAST(m10 AS VARCHAR) AS path_c,
+         |   'a=' || CAST(m10 AS VARCHAR) || '&z=1' AS query_c
+         |  FROM gb),
+         |gr AS (SELECT doc_id, domain,
+         |   scheme_c || '://' || domain || path_c || '?' || query_c AS url_canon
+         |  FROM gu),
+         |gk AS (SELECT doc_id, domain,
+         |   CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY url_canon)
+         |        THEN 1 ELSE 0 END AS url_keep,
+         |   CASE WHEN domain IN (${graft.ops.UrlGate.blocklistSqlList})
+         |        THEN 1 ELSE 0 END AS blocked
+         |  FROM gr),
+         |gc AS (SELECT doc_id, 1 AS in_cap FROM (
+         |   SELECT doc_id, row_number() OVER (PARTITION BY domain ORDER BY doc_id) AS rn
+         |   FROM gk WHERE url_keep = 1 AND blocked = 0)
+         |  WHERE rn <= ${graft.ops.UrlGate.DomainCap}),
+         |s1 AS (SELECT d.doc_id, d.text
+         |  FROM documents d JOIN gk USING (doc_id) LEFT JOIN gc USING (doc_id)
+         |  WHERE gk.url_keep = 1 AND gk.blocked = 0 AND COALESCE(gc.in_cap, 0) = 1),
+         |lt AS (SELECT doc_id, string_split(text, ' ') AS w, text FROM s1),
+         |lc AS (SELECT doc_id,
+         | CAST(len(list_filter(w, x -> x IN ($enList))) AS INT) AS n_en,
+         | CAST(len(list_filter(w, x -> x IN (${TextAnalysis.markerSqlList("de")}))) AS INT) AS n_de,
+         | CAST(len(list_filter(w, x -> x IN (${TextAnalysis.markerSqlList("fr")}))) AS INT) AS n_fr,
+         | CAST(len(list_filter(w, x -> x IN (${TextAnalysis.markerSqlList("es")}))) AS INT) AS n_es,
+         | CAST(len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) AS INT) AS n_zh
+         |FROM lt),
+         |lang AS (SELECT doc_id,
+         | CASE WHEN n_en + n_de + n_fr + n_es + n_zh = 0 THEN 'unknown'
+         |  WHEN n_en >= n_de AND n_en >= n_fr AND n_en >= n_es AND n_en >= n_zh THEN 'en'
+         |  WHEN n_de >= n_fr AND n_de >= n_es AND n_de >= n_zh THEN 'de'
+         |  WHEN n_fr >= n_es AND n_fr >= n_zh THEN 'fr'
+         |  WHEN n_es >= n_zh THEN 'es' ELSE 'zh' END AS lang
+         |FROM lc),
+         |t AS (SELECT doc_id, string_split(text, ' ') AS w
+         |  FROM s1 WHERE text IS NOT NULL),
+         |b AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+         |      FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i FROM t)),
+         |r AS (SELECT doc_id, w1, w2, CAST(count(*) AS BIGINT) AS cnt FROM b GROUP BY 1, 2, 3),
+         |bc AS (SELECT w1, w2, CAST(sum(cnt) AS BIGINT) AS c2 FROM r GROUP BY 1, 2),
+         |uc AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM bc GROUP BY 1),
+         |vv AS (SELECT CAST(count(DISTINCT w2) AS BIGINT) AS v FROM bc),
+         |sc AS (SELECT doc_id, CAST(sum(cnt) AS INT) AS n_bigrams,
+         |  CAST(sum(cnt * CAST(floor(ln(CAST(c1 + v AS DOUBLE)/(c2 + 1.0)) * 1e4 + 0.5) AS BIGINT)) AS BIGINT) AS sum_tenk
+         | FROM r JOIN bc USING (w1, w2) JOIN uc USING (w1) CROSS JOIN vv
+         | GROUP BY doc_id),
+         |q AS (SELECT s1.doc_id, lang.lang, sc.n_bigrams,
+         |  CAST(floor(CAST(sc.sum_tenk AS DOUBLE) / CAST(CAST(sc.n_bigrams AS BIGINT) * 10000 AS DOUBLE)
+         |    * ${graft.ops.LmScore.PplQScale}) AS INT) AS ppl_q
+         | FROM s1 LEFT JOIN sc USING (doc_id) JOIN lang USING (doc_id)),
+         |h AS (SELECT lang, ppl_q, CAST(count(*) AS BIGINT) AS c
+         |      FROM q WHERE ppl_q IS NOT NULL GROUP BY 1, 2),
+         |cum AS (SELECT lang, ppl_q,
+         |  sum(c) OVER (PARTITION BY lang ORDER BY ppl_q) AS cc,
+         |  sum(c) OVER (PARTITION BY lang) AS n FROM h),
+         |th AS (SELECT lang,
+         |  min(CASE WHEN 3 * cc >= n THEN ppl_q END) AS t1,
+         |  min(CASE WHEN 3 * cc >= 2 * n THEN ppl_q END) AS t2
+         | FROM cum GROUP BY lang),
+         |tier AS (SELECT q.doc_id, q.lang, q.n_bigrams, q.ppl_q,
+         | CASE WHEN q.ppl_q IS NULL THEN 'none'
+         |      WHEN q.ppl_q <= th.t1 THEN 'head'
+         |      WHEN q.ppl_q <= th.t2 THEN 'middle' ELSE 'tail' END AS bucket,
+         | CAST(CASE WHEN q.ppl_q IS NOT NULL AND q.ppl_q <= th.t2
+         |      THEN 1 ELSE 0 END AS INT) AS tier_kept
+         |FROM q LEFT JOIN th USING (lang)),
+         |tk AS (SELECT doc_id FROM tier WHERE tier_kept = 1),
+         |m AS (SELECT s1.doc_id,
+         |    CAST(floor(1e4 * len(list_filter(string_split(text,' '),
+         |        x -> x IN ($enList)))
+         |      / len(string_split(text,' ')) + 0.5) AS INT) AS score_tenk,
+         |    CAST(len(string_split(text,' ')) AS INT) AS n_tokens
+         |  FROM s1 JOIN tk USING (doc_id) WHERE text IS NOT NULL),
+         |r32 AS (SELECT doc_id, score_tenk, n_tokens,
+         |    CAST(sum(n_tokens) OVER (ORDER BY score_tenk DESC, doc_id) AS BIGINT) AS cum_tokens
+         |  FROM m),
+         |sel AS (SELECT tk.doc_id, r32.score_tenk, r32.n_tokens, r32.cum_tokens,
+         |    CAST(r32.cum_tokens <= ${CorpusOps.TokenBudget} AS INT) AS selected
+         |  FROM tk LEFT JOIN r32 USING (doc_id))
+         |SELECT tier.doc_id, tier.lang, tier.n_bigrams, tier.ppl_q, tier.bucket,
+         | tier.tier_kept, sel.score_tenk, sel.n_tokens, sel.cum_tokens,
+         | CAST(COALESCE(sel.selected, 0) AS INT) AS selected
+         |FROM tier LEFT JOIN sel USING (doc_id) ORDER BY doc_id""".stripMargin,
     "c44_url_gate" ->
       // Deliberately NOT a parse: the oracle rebuilds the raw URL from
       // the same doc_id residues UrlGate.synthUrl uses AND derives the

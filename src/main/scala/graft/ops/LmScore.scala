@@ -240,8 +240,11 @@ object LmScore {
             .when(col("ppl_q") <= col("t2"), lit("middle"))
             .otherwise(lit("tail")))
         .withColumn("kept",
-          (col("ppl_q").isNotNull && col("ppl_q") <= col("t2"))
-            .cast(IntegerType))
+          // coalesce: a NULL lang never matches the broadcast threshold
+          // join, so `ppl_q <= t2` is NULL there — the oracle's
+          // CASE/ELSE emits 0 for those rows, not NULL
+          coalesce((col("ppl_q").isNotNull && col("ppl_q") <= col("t2"))
+            .cast(IntegerType), lit(0)))
         .select("doc_id", "lang", "n_bigrams", "ppl_q", "bucket", "kept")
         .localCheckpoint(true)
     } finally q.unpersist(blocking = false)

@@ -100,9 +100,18 @@ object UrlGate {
       when(m11 === 1, "#sec").otherwise(""))
   }
 
-  /** Registered domain of an already-canonical (lowercased) host. */
+  /** Registered domain of an already-canonical (lowercased) host.
+    * IP-literal hosts (IPv4, or bracketed IPv6) have no label
+    * hierarchy: the whole host IS the registered domain — grouping
+    * unrelated IPv4 hosts by their last two octets would corrupt the
+    * per-domain cap and blocklist semantics. */
   private[graft] def registeredDomain(host: String): String = {
+    if (host.startsWith("[")) return host // bracketed IPv6 literal
     val labels = host.split('.')
+    // all-numeric final label: a named host's TLD is never numeric
+    // (RFC 3696 §2), so this is an IPv4 literal
+    if (labels.nonEmpty && labels.last.nonEmpty && labels.last.forall(_.isDigit))
+      return host
     if (labels.length <= 2) host
     else {
       val last2 = labels(labels.length - 2) + "." + labels(labels.length - 1)

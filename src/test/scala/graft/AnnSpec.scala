@@ -623,4 +623,80 @@ class AnnSpec extends AnyFunSuite {
     assert(tight.isFull)
     intercept[IllegalArgumentException](tight.add(entries(1)))
   }
+
+  test("b7: packed path and entry path hash-match the committed golden row") {
+    // the SPARK_GRAFT_PACKED A/B knob is a JVM-init val, so CI pins the
+    // two scan paths by driving them directly: ad-hoc search never
+    // packs (entry path); after an explicit packedIndex() the same
+    // search rides the packed cache. Both must hash-equal the
+    // committed b7 golden row — a layout change that diverges the
+    // paths fails HERE, not in a judge run.
+    val sfd = "/root/testdata/sf0.001"
+    val m = graft.operators.AnnQueries.model(spark, sfd)
+    m.freeSearchCaches()
+    val qs = graft.operators.VectorQueries.queryVectors(spark, sfd)
+    val np = 3 * m.params.k / 4 // b7's workload (AnnQueries.searchNprobe)
+    def result() = m.search(spark, qs, 10, np).orderBy("query_id", "rk")
+    val entry = Golden.hashOf(result(), Set.empty)
+    m.packedIndex(spark)
+    val packed = Golden.hashOf(result(), Set.empty)
+    m.freeSearchCaches()
+    assert(entry == packed, "packed and entry scan paths diverged")
+    val snap = {
+      val src = scala.io.Source.fromFile(Golden.SnapshotPath, "UTF-8")
+      try src.getLines().map(_.split('\t'))
+        .collectFirst { case Array("b7_ivf_search", n, h) => (n.toLong, h) }
+      finally src.close()
+    }
+    assert(snap.contains(entry),
+      "search result drifted from the committed b7 golden row")
+  }
+
+  test("packed sidecar: cold load adopts it, overlays invalidate it, scans identical") {
+    import spark.implicits._
+    val sfd = "/root/testdata/sf0.001"
+    val m = graft.operators.AnnQueries.model(spark, sfd)
+    val qs = graft.operators.VectorQueries.queryVectors(spark, sfd, 4)
+    val dir = java.nio.file.Files.createTempDirectory("packed_sidecar").toString
+    m.save(dir) // save writes entries + the packed sidecar
+    m.freeSearchCaches()
+    assert(new java.io.File(s"$dir/packed/_SUCCESS").exists,
+      "save(path) must persist the packed sidecar")
+
+    // cold load adopts the sidecar; its scan must equal the re-pack scan
+    val cold = graft.ann.IVFModel.load(spark, dir)
+    assert(cold.packedAtRestDir.isDefined, "coherent sidecar not adopted")
+    cold.packedIndex(spark) // built FROM the sidecar
+    val viaSidecar = cold.search(spark, qs, 10, 12)
+      .orderBy("query_id", "rk").collect().toSeq
+    cold.freeSearchCaches()
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rm); f.delete()
+    }
+    rm(new java.io.File(s"$dir/packed"))
+    val repack = graft.ann.IVFModel.load(spark, dir)
+    assert(repack.packedAtRestDir.isEmpty)
+    repack.packedIndex(spark) // entry re-pack path
+    val viaRepack = repack.search(spark, qs, 10, 12)
+      .orderBy("query_id", "rk").collect().toSeq
+    repack.freeSearchCaches()
+    assert(viaSidecar == viaRepack,
+      "sidecar scan diverged from the entry re-pack scan")
+
+    // a tombstone overlay makes load IGNORE the (now stale) sidecar...
+    m.save(dir)
+    m.freeSearchCaches()
+    graft.ann.IVFModel.deleteIds(dir, Seq(0L).toDF("id"))
+    assert(graft.ann.IVFModel.load(spark, dir).packedAtRestDir.isEmpty,
+      "a tombstoned index must not adopt the stale sidecar")
+    // ...and compact folds the tombstone and REBUILDS a coherent sidecar
+    graft.ann.IVFModel.compact(spark, dir)
+    val after = graft.ann.IVFModel.load(spark, dir)
+    assert(after.packedAtRestDir.isDefined, "compact must rebuild the sidecar")
+    after.packedIndex(spark)
+    val res = after.search(spark, qs, 10, 12).collect()
+    assert(res.forall(_.getLong(1) != 0L),
+      "compacted sidecar resurrected a deleted id")
+    after.freeSearchCaches()
+  }
 }

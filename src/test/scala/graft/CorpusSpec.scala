@@ -385,6 +385,31 @@ class CorpusSpec extends AnyFunSuite {
     assert(canonicalize(null) == ((null, null)))
   }
 
+  test("c44 canonicalize: IP-literal hosts are their own registered domain") {
+    import graft.ops.UrlGate.{canonicalize, registeredDomain}
+    // IPv4: no label hierarchy — never group by last-two-octets
+    assert(canonicalize("http://93.184.216.34/x")
+      == (("http://93.184.216.34/x", "93.184.216.34")))
+    assert(registeredDomain("93.184.216.34") == "93.184.216.34")
+    assert(registeredDomain("10.0.0.1") == "10.0.0.1")
+    // IPv4 with ports: default dropped, explicit kept
+    assert(canonicalize("http://93.184.216.34:80/x")
+      == (("http://93.184.216.34/x", "93.184.216.34")))
+    assert(canonicalize("http://1.2.3.4:8080/p")
+      == (("http://1.2.3.4:8080/p", "1.2.3.4")))
+    // bracketed IPv6 (with and without port); the bracket survives
+    // the port split because ':' inside brackets is not all-digits
+    assert(canonicalize("http://[::1]/p") == (("http://[::1]/p", "[::1]")))
+    assert(canonicalize("http://[::1]:8080/p")
+      == (("http://[::1]:8080/p", "[::1]")))
+    assert(canonicalize("https://[2001:db8::1]:443/p")
+      == (("https://[2001:db8::1]/p", "[2001:db8::1]")))
+    // distinct IPv4 hosts sharing last-two-octets stay distinct domains
+    assert(registeredDomain("1.1.216.34") != registeredDomain("93.184.216.34"))
+    // named hosts unaffected
+    assert(registeredDomain("a.site-3.com") == "site-3.com")
+  }
+
   test("c44 url gate: dedup keeps first, blocklist blocks, domain cap caps") {
     import graft.ops.UrlGate
     val d = Seq(
@@ -748,6 +773,49 @@ class CorpusSpec extends AnyFunSuite {
     // retrain determinism: identical input, identical buckets
     val again = LmScore.pplBucket(d).collect().map(_.toString).sorted.toSeq
     assert(again == out.values.map(_.toString).toSeq.sorted)
+  }
+
+  test("c45 pplBucket: NULL lang rows keep kept=0, never NULL") {
+    import graft.ops.LmScore
+    // a NULL lang never matches the broadcast threshold join; the
+    // oracle's CASE/ELSE emits 0 there — kept must coalesce, not
+    // propagate the null comparison
+    val d = Seq(
+      (1L, "p q p q p q", "aa"), (2L, "p q r s t u", "aa"),
+      (3L, "p q p q x y", null.asInstanceOf[String])).toDF("doc_id", "text", "lang")
+    val rows = LmScore.pplBucket(d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val r3 = rows(3L)
+    assert(!r3.isNullAt(r3.fieldIndex("kept")), "kept must not be NULL")
+    assert(r3.getAs[Int]("kept") == 0)
+    assert(r3.getAs[String]("bucket") == "tail") // no threshold row matched
+  }
+
+  test("c46 pipeline e2e: stage gates compose monotonically") {
+    val dir = "/root/testdata/sf0.001"
+    val out = graft.operators.PipelineQueries.pipelineE2e(spark, dir).collect()
+    assert(out.nonEmpty)
+    // one row per URL-gate survivor
+    val gateKept = graft.operators.PipelineQueries.urlGate(spark, dir)
+      .filter(org.apache.spark.sql.functions.col("kept") === 1).count()
+    assert(out.length.toLong == gateKept)
+    out.foreach { r =>
+      val tierKept = r.getAs[Int]("tier_kept")
+      val selected = r.getAs[Int]("selected")
+      // selection only among tier survivors; dropped docs carry NULL
+      // selection metrics and selected=0 (never NULL)
+      if (tierKept == 0) {
+        assert(selected == 0)
+        assert(r.isNullAt(r.fieldIndex("score_tenk")))
+      }
+      if (selected == 1) assert(tierKept == 1)
+      // the lang column is the PREDICTED lang (stage 2), a closed enum
+      assert(Set("en", "de", "fr", "es", "zh", "unknown")(r.getAs[String]("lang")))
+    }
+    // at least one doc selected and at least one tier-dropped doc at
+    // this SF (the chain is not vacuous)
+    assert(out.exists(_.getAs[Int]("selected") == 1))
+    assert(out.exists(_.getAs[Int]("tier_kept") == 0))
   }
 
   test("dsir: null text carries NULL metrics and NULL keep") {
