@@ -240,21 +240,42 @@ object IVFIndex {
       words: Int,
       dim: Int,
       ex_bits: Int,
-      ids: Array[Long],
-      sign: Array[Long],
-      x2: Array[Float],
-      fac_ip: Array[Float],
-      fac_err: Array[Float],
-      xipnorm: Array[Float],
+      // primitive columns as little-endian BINARY blobs, not typed
+      // parquet lists: list<float>/list<long> decode element-wise
+      // through the row deserializer and measured as the whole
+      // cold-adopt budget — a binary column decodes as one memcpy
+      ids: Array[Byte], // n longs LE
+      sign: Array[Byte], // n*words longs LE
+      x2: Array[Byte], // n floats LE
+      fac_ip: Array[Byte],
+      fac_err: Array[Byte],
+      xipnorm: Array[Byte],
       exf: Array[Byte],
       ex_code: Array[Array[Byte]])
 
-  /** Routes key k to partition k — rebuilds the writer's exact
-    * partition layout when reading the packed sidecar back. */
-  private[graft] final class IdentityPartitioner(n: Int)
-      extends org.apache.spark.Partitioner {
-    def numPartitions: Int = n
-    def getPartition(key: Any): Int = key.asInstanceOf[Int]
+  private[graft] def longsToBytes(a: Array[Long]): Array[Byte] = {
+    val out = new Array[Byte](a.length * 8)
+    java.nio.ByteBuffer.wrap(out).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .asLongBuffer().put(a)
+    out
+  }
+  private[graft] def bytesToLongs(b: Array[Byte]): Array[Long] = {
+    val out = new Array[Long](b.length / 8)
+    java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .asLongBuffer().get(out)
+    out
+  }
+  private[graft] def floatsToBytes(a: Array[Float]): Array[Byte] = {
+    val out = new Array[Byte](a.length * 4)
+    java.nio.ByteBuffer.wrap(out).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .asFloatBuffer().put(a)
+    out
+  }
+  private[graft] def bytesToFloats(b: Array[Byte]): Array[Float] = {
+    val out = new Array[Float](b.length / 4)
+    java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .asFloatBuffer().get(out)
+    out
   }
 
   /** The per-partition QUERY-MAJOR scan over packed runs — one copy
@@ -937,7 +958,7 @@ object IVFIndex {
       params: Params): IVFModel = {
     import spark.implicits._
     val rotator = new Rotator(dim, params.seed)
-    val rotatedCentroids = centroids.map(rotator.rotate)
+    val rotatedCentroids = rotator.rotateAll(centroids)
     // routed assignment (opt-in, large K only): build + FORCE the NSW
     // graph on the driver so the broadcast ships the computed lazy
     // value, not a rebuild-per-executor recipe
@@ -1402,7 +1423,7 @@ object IVFModel {
       .as[(Int, Array[Float])].collect().sortBy(_._1).map(_._2)
     val rotator = Rotator.fromMatrix(dim, params.seed, matrix)
     val index = entriesMinusDeletes(spark, path).as[IVFIndex.Entry]
-    val m = new IVFModel(params, rotator, centroids, centroids.map(rotator.rotate), index)
+    val m = new IVFModel(params, rotator, centroids, rotator.rotateAll(centroids), index)
     // adopt the at-rest packed sidecar ONLY when it is coherent with
     // the entries: it is a pure cache of `entries`, so any overlay —
     // tombstones, committed ingest batches — or a torn write
@@ -1598,23 +1619,37 @@ final class IVFModel(
         // (part_id, seq) — bit-identical scan to the cache that wrote
         // them); one read job instead of a full re-pack
         import spark.implicits._
+        // default file splits: forcing finer splits (32 MB) to chase
+        // parallelism measured 2.2x SLOWER on the adopt read (row-group
+        // skew — runs are up to ~50 MB rows), and a forced
+        // rebuild-the-writer's-partitioning shuffle measured as
+        // expensive as re-packing; both probed and rejected,
+        // results/packed_sidecar_ab.json
         val rows = spark.read.parquet(packedAtRestDir.get).as[IVFIndex.PackedRow]
         val maxPart = rows.agg(max(col("part_id"))).head()
         // a zero-run sidecar (index compacted to empty) has nothing to
         // adopt — fall through to the entry path below, which packs
         // the (empty) entry cache trivially
         if (!maxPart.isNullAt(0)) {
-          val nParts = maxPart.getInt(0) + 1
-          val rdd = rows.rdd.map(r => (r.part_id, r))
-            .partitionBy(new IVFIndex.IdentityPartitioner(nParts))
-            .mapPartitions({ it =>
-              it.map(_._2).toArray.sortBy(_.seq).iterator.map { r =>
-                val run = new IVFIndex.PackedRun(r.words, r.dim, r.ex_bits)
-                run.loadData(r.n, r.ids, r.sign, r.x2, r.fac_ip, r.fac_err,
-                  r.xipnorm, r.exf, r.ex_code)
-                (r.cluster_id, run)
-              }
-            }, preservesPartitioning = false)
+          // natural parquet splits, NO shuffle: a run row is never
+          // split across partitions, per-partition runs sort by the
+          // writer's (part_id, seq), and the search result is
+          // partitioning-independent anyway (scanRuns emits
+          // per-partition candidates; mergeTopK takes the global top-k
+          // by (distance, id), a pure value order). A forced
+          // rebuild-the-writer's-partitioning shuffle measured as
+          // expensive as re-packing from the entries — it erased the
+          // whole cold-start win.
+          val rdd = rows.rdd.mapPartitions({ it =>
+            it.toArray.sortBy(r => (r.part_id, r.seq)).iterator.map { r =>
+              val run = new IVFIndex.PackedRun(r.words, r.dim, r.ex_bits)
+              run.loadData(r.n, IVFIndex.bytesToLongs(r.ids),
+                IVFIndex.bytesToLongs(r.sign), IVFIndex.bytesToFloats(r.x2),
+                IVFIndex.bytesToFloats(r.fac_ip), IVFIndex.bytesToFloats(r.fac_err),
+                IVFIndex.bytesToFloats(r.xipnorm), r.exf, r.ex_code)
+              (r.cluster_id, run)
+            }
+          }, preservesPartitioning = false)
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           rdd.foreachPartition(_ => ())
           s.packed = rdd
@@ -1723,7 +1758,10 @@ final class IVFModel(
     val rows = packedIndex(spark).mapPartitionsWithIndex { (pid, it) =>
       it.zipWithIndex.map { case ((cid, r), seq) =>
         IVFIndex.PackedRow(pid, seq, cid, r.n, r.words, r.dim, r.exBits,
-          r.ids, r.sign, r.x2, r.facIp, r.facErr, r.xipnorm, r.exF, r.exCode)
+          IVFIndex.longsToBytes(r.ids), IVFIndex.longsToBytes(r.sign),
+          IVFIndex.floatsToBytes(r.x2), IVFIndex.floatsToBytes(r.facIp),
+          IVFIndex.floatsToBytes(r.facErr), IVFIndex.floatsToBytes(r.xipnorm),
+          r.exF, r.exCode)
       }
     }
     spark.createDataset(rows).write.mode("overwrite").parquet(s"$path/packed")
