@@ -185,12 +185,30 @@ object Bench {
     // truncated mid-list in log capture, losing the total and the a*/b*
     // keys — this file is the self-contained copy of the LAST full run
     // (subset runs must not overwrite the full-surface record)
-    if (only.isEmpty)
-      try java.nio.file.Files.writeString(
-        java.nio.file.Paths.get("results/bench_last.json"), line + "\n")
-      catch { case e: Exception =>
-        System.err.println(s"[bench] could not write results/bench_last.json: $e")
+    if (only.isEmpty) {
+      // atomic: write-temp + move, so a crash mid-write can never leave
+      // a truncated snapshot, and each round has exactly ONE canonical
+      // file — SPARK_GRAFT_BENCH_SNAPSHOT=r12 additionally stamps
+      // results/bench_r12.json (overwriting an earlier same-round
+      // snapshot rather than accumulating divergent copies)
+      def atomically(path: String): Unit =
+        try {
+          val target = java.nio.file.Paths.get(path)
+          val tmp = java.nio.file.Paths.get(path + ".tmp")
+          java.nio.file.Files.writeString(tmp, line + "\n")
+          java.nio.file.Files.move(tmp, target,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        } catch { case e: Exception =>
+          System.err.println(s"[bench] could not write $path: $e")
+        }
+      atomically("results/bench_last.json")
+      sys.env.get("SPARK_GRAFT_BENCH_SNAPSHOT").foreach { tag =>
+        require(tag.matches("[A-Za-z0-9_.-]+"),
+          s"SPARK_GRAFT_BENCH_SNAPSHOT must be a simple tag, got '$tag'")
+        atomically(s"results/bench_$tag.json")
       }
+    }
     spark.stop()
   }
 }

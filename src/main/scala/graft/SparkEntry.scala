@@ -27,6 +27,7 @@ object SparkEntry {
     "b5_exrabitq_code" -> (AnnQueries.exrabitqCode(_, _)),
     "b5b_exrabitq_b8" -> (AnnQueries.exrabitqCodeB8(_, _)),
     "b6_rabitq_estimate" -> (AnnQueries.rabitqEstimate(_, _)),
+    "b6b_estimate_lut" -> (AnnQueries.rabitqEstimateLut(_, _)),
     "b7_ivf_search"  -> (AnnQueries.ivfSearch(_, _)),
     "b7b_ivf_search_b8" -> (AnnQueries.ivfSearchB8(_, _)),
     "b8_ann_recall"  -> (AnnQueries.annRecall(_, _)),

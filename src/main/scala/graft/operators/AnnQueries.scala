@@ -64,14 +64,23 @@ object AnnQueries {
     * either the assignment or the distance arithmetic fails the hash.
     * The distance is the raw-space double L2 (the same arithmetic the
     * assignment loop runs), not the rotated-space x2 factor. */
-  def ivfAssign(spark: SparkSession, dir: String): DataFrame = {
+  /** The b3/b9 centroid sidecar (raw-space centroids widened to
+    * double): written by BOTH queries so each is self-contained under
+    * a Verify subset run; identical content, idempotent overwrite. */
+  private def writeCentroidSidecar(
+      spark: SparkSession, m: graft.ann.IVFModel): DataFrame = {
     import spark.implicits._
-    import graft.functions.VectorFunctions.vec_l2sq
-    val m = model(spark, dir)
     val cents = m.centroids.zipWithIndex
       .map { case (c, i) => (i, c.map(_.toDouble).toSeq) }.toSeq
       .toDF("cluster_id", "centroid")
     OracleSide.write(cents, "b3_centroids")
+    cents
+  }
+
+  def ivfAssign(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions.vec_l2sq
+    val m = model(spark, dir)
+    val cents = writeCentroidSidecar(spark, m)
     m.index.toDF().select(col("id").as("vec_id"), col("cluster_id"))
       .join(Tables.embeddings(spark, dir)
         .select(col("vec_id").cast(LongType), col("embedding")), Seq("vec_id"))
@@ -147,17 +156,7 @@ object AnnQueries {
         Seq((qc.residual.map(_.toDouble).toSeq, qc.sumRes, qc.sqrY, qc.y, half))
           .toDF("r", "sum_res", "sqr_y", "y", "half"),
         "b6_query")
-      val hi = 1 << exBits
-      OracleSide.write(
-        entries.map { e =>
-          val bits = Array.tabulate(dim)(d =>
-            ((e.sign_bits(d >> 6) >>> (d & 63)) & 1L).toInt)
-          val f = Array.tabulate(dim)(d =>
-            bits(d) * hi + RaBitQ.unpackAt(e.ex_code, d, exBits))
-          (e.id, bits.toSeq, f.toSeq, e.x2.toDouble, e.fac_ip.toDouble,
-            e.fac_err.toDouble, e.xipnorm.toDouble)
-        }.toDF("vec_id", "bits", "f", "x2", "fac_ip", "fac_err", "xipnorm"),
-        "b6_entries")
+      writeEstimateEntriesSidecar(spark, entries, dim, exBits)
     }
     entries
       .map { e =>
@@ -172,6 +171,82 @@ object AnnQueries {
       .select(col("vec_id"), round(col("est"), 4).as("est_dist2"),
         round(col("low"), 4).as("lower_bound"),
         round(col("rr"), 4).as("rerank_dist2"))
+      .orderBy("vec_id")
+  }
+
+  /** The shared b6/b6b per-entry sidecar: unpacked sign code (0/1 per
+    * dim), the rerank code F_d = bit·2^exBits + exCode_d, and the
+    * scalar factors widened to double. Identical content from either
+    * query; idempotent overwrite. */
+  private def writeEstimateEntriesSidecar(
+      spark: SparkSession,
+      entries: org.apache.spark.sql.Dataset[graft.ann.IVFIndex.Entry],
+      dim: Int, exBits: Int): Unit = {
+    import spark.implicits._
+    val hi = 1 << exBits
+    OracleSide.write(
+      entries.map { e =>
+        val bits = Array.tabulate(dim)(d =>
+          ((e.sign_bits(d >> 6) >>> (d & 63)) & 1L).toInt)
+        val f = Array.tabulate(dim)(d =>
+          bits(d) * hi + RaBitQ.unpackAt(e.ex_code, d, exBits))
+        (e.id, bits.toSeq, f.toSeq, e.x2.toDouble, e.fac_ip.toDouble,
+          e.fac_err.toDouble, e.xipnorm.toDouble)
+      }.toDF("vec_id", "bits", "f", "x2", "fac_ip", "fac_err", "xipnorm"),
+      "b6_entries")
+  }
+
+  /** b6b: the QUANTIZED-QUERY estimator — the reference's BQUERY=14
+    * scalar-quantize + 4-bit-LUT accumulation mechanism
+    * (Searcher.hpp:16,122-172 pack_LUT + accumulate_robust), the
+    * arithmetic behind b16's search path — surfaced per entry like b6:
+    * estimated distance and the quantization-widened lower bound for
+    * query 0 against its nearest cluster at queryBits=14.
+    * Hash-certified: the per-dim quantized query codes u_d (extracted
+    * from the single-bit LUT rows the kernel actually reads), vl,
+    * width, and the query scalars persist as a sidecar next to b6's
+    * entry codes, and the oracle recomputes
+    * ip = width·⟨u,bits⟩ + vl·popcount − S/2, est = x²+y² − ip·facIp,
+    * and the ±width/2-widened lower bound in SQL — exact-integer
+    * subset sums, one trailing IEEE chain. The query QUANTIZATION
+    * itself (float round to 14-bit levels) is input, spec-pinned by
+    * AnnSpec's recall-delta contract. */
+  def rabitqEstimateLut(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val m = model(spark, dir)
+    val q = VectorQueries.queryVectors(spark, dir, 1).head
+    val qRot = m.rotator.rotate(q._2)
+    val nearest = m.rotatedCentroids.zipWithIndex
+      .map { case (c, i) => (graft.functions.VectorFunctions.l2sq(qRot, c), i) }
+      .minBy(_._1)._2
+    val queryBits = 14 // the reference's BQUERY (Searcher.hpp:16)
+    val qc = RaBitQ.prepareQuery(qRot, m.rotatedCentroids(nearest), queryBits)
+    val dim = m.rotator.paddedDim
+    val entries = m.index.filter(col("cluster_id") === nearest)
+    if (OracleSide.enabled) {
+      // u_d read back from the LUT's single-bit rows — the exact ints
+      // the scan kernel accumulates, not a re-derivation
+      val u = Array.tabulate(dim)(d =>
+        qc.qlut.lut(((d >> 2) << 4) + (1 << (d & 3))))
+      OracleSide.write(
+        Seq((u.toSeq, qc.qlut.vl.toDouble, qc.qlut.width.toDouble,
+          qc.sumRes, qc.sqrY, qc.y))
+          .toDF("u", "vl", "width", "sum_res", "sqr_y", "y"),
+        "b6b_query")
+      writeEstimateEntriesSidecar(spark, entries, dim, m.params.exBits)
+    }
+    val bq = spark.sparkContext.broadcast(qc)
+    entries
+      .map { e =>
+        val qcl = bq.value
+        val est = RaBitQ.estimateDistLut(qcl, e.sign_bits, e.x2, e.fac_ip)
+        val lower = RaBitQ.estimateLowerLut(qcl, e.sign_bits, e.x2,
+          e.fac_ip, e.fac_err)
+        (e.id, est, lower)
+      }
+      .toDF("vec_id", "est", "low")
+      .select(col("vec_id"), round(col("est"), 4).as("est_lut"),
+        round(col("low"), 4).as("lower_lut"))
       .orderBy("vec_id")
   }
 
@@ -423,13 +498,21 @@ object AnnQueries {
   }
 
   /** b9: end-to-end index build summary (per-cluster sizes + bytes),
-    * the Spark analogue of create_index.cpp. */
-  def indexBuild(spark: SparkSession, dir: String): DataFrame =
-    model(spark, dir).index.toDF()
+    * the Spark analogue of create_index.cpp. Hash-certified (round-12):
+    * the oracle recomputes the per-cluster counts from the argmin over
+    * the persisted centroid sidecar (b3's certification extended to
+    * the aggregate) and the code bytes from the storage-density
+    * formulas — sign words = paddedDim/64 longs, packed extended code
+    * = (paddedDim·exBits+7)/8 + 1 bytes (RaBitQ.packBits). */
+  def indexBuild(spark: SparkSession, dir: String): DataFrame = {
+    val m = model(spark, dir)
+    writeCentroidSidecar(spark, m)
+    m.index.toDF()
       .groupBy("cluster_id")
       .agg(count(lit(1)).as("n_vectors"),
         sum(expr("size(sign_bits) * 8 + length(ex_code)")).as("code_bytes"))
       .orderBy("cluster_id")
+  }
 
   /** DuckDB oracles for the model-derived b-rows. Each reads the tiny
     * [[OracleSide]] sidecars the query persisted under graft.Verify
@@ -442,6 +525,7 @@ object AnnQueries {
     val cent = OracleSide.sql("b3_centroids")
     val b6e = OracleSide.sql("b6_entries")
     val b6q = OracleSide.sql("b6_query")
+    val b6bq = OracleSide.sql("b6b_query")
     val res = OracleSide.sql("b_search_results")
     Map(
       // argmin over vectors × persisted centroids; ties (exact double
@@ -460,6 +544,29 @@ object AnnQueries {
           |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
           |        ORDER BY d2, cluster_id) AS rn FROM d) t
           |WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+      // per-cluster counts from the argmin over the persisted
+      // centroids (b3's certification, aggregated) + the storage-
+      // density byte formulas (sign words = paddedDim/64 longs;
+      // packed extended code = (paddedDim·exBits+7)//8 + 1 bytes,
+      // RaBitQ.packBits); exBits interpolated from the b-model's
+      // totalBits=4 default
+      "b9_index_build" -> {
+        val exBits = 3 // totalBits 4 → exBits = B-1 (AnnQueries.model default)
+        s"""WITH c AS (SELECT cluster_id, centroid FROM $cent),
+          |d AS (
+          |  SELECT e.vec_id, c.cluster_id,
+          |    CAST(ceil(len(e.embedding)/64.0)*64 AS BIGINT) AS pdim,
+          |    list_sum(list_transform(
+          |      list_zip(CAST(e.embedding AS DOUBLE[]), c.centroid),
+          |      x -> (x[1]-x[2])*(x[1]-x[2]))) AS d2
+          |  FROM embeddings e CROSS JOIN c),
+          |a AS (SELECT vec_id, cluster_id, pdim FROM (
+          |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+          |    ORDER BY d2, cluster_id) AS rn FROM d) t WHERE rn = 1)
+          |SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_vectors,
+          |  CAST(sum((pdim//64)*8 + (pdim*$exBits+7)//8 + 1) AS BIGINT) AS code_bytes
+          |FROM a GROUP BY cluster_id ORDER BY cluster_id""".stripMargin
+      },
       // Searcher.hpp:174-236 estimator algebra: ip over the sign code,
       // est = x²+y² − ip·facIp, lower = est − facErr·y, rerank from
       // F_d = bit·2^exBits + exCode_d
@@ -477,6 +584,27 @@ object AnnQueries {
           |  ROUND(x2 + sqr_y - ip*fac_ip, 4) AS est_dist2,
           |  ROUND(x2 + sqr_y - ip*fac_ip - fac_err*y, 4) AS lower_bound,
           |  ROUND(x2 + sqr_y - xipnorm*(ipf - 0.5*half*sum_res), 4) AS rerank_dist2
+          |FROM t ORDER BY vec_id""".stripMargin,
+      // the BQUERY=14 LUT estimator (Searcher.hpp:122-172):
+      // ip = width·⟨u,bits⟩ + vl·popcount − S/2 over exact-integer
+      // subset sums, est = x²+y² − ip·facIp, lower widened by the
+      // query-quantization error |facIp|·(width/2)·popcount
+      "b6b_estimate_lut" ->
+        s"""WITH e AS (SELECT * FROM $b6e), q AS (SELECT * FROM $b6bq),
+          |t AS (
+          |  SELECT e.vec_id,
+          |    list_inner_product(CAST(q.u AS DOUBLE[]),
+          |                       CAST(e.bits AS DOUBLE[])) AS usum,
+          |    CAST(list_sum(e.bits) AS DOUBLE) AS pop,
+          |    e.x2, e.fac_ip, e.fac_err,
+          |    q.vl, q.width, q.sum_res, q.sqr_y, q.y
+          |  FROM e CROSS JOIN q)
+          |SELECT vec_id,
+          |  ROUND(x2 + sqr_y
+          |    - (width*usum + vl*pop - 0.5*sum_res)*fac_ip, 4) AS est_lut,
+          |  ROUND(x2 + sqr_y
+          |    - (width*usum + vl*pop - 0.5*sum_res)*fac_ip
+          |    - fac_err*y - abs(fac_ip) * (0.5*width) * pop, 4) AS lower_lut
           |FROM t ORDER BY vec_id""".stripMargin,
       // recall@10 vs a GT recomputed from embeddings over the FULL base
       // (queries included), ties by (distance, vec_id) as in KnnExact

@@ -219,6 +219,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.toLowerCase.contains("window"), s"c44 planned a window:\n$p")
   }
 
+  test("c46 pipeline e2e: composition joins stay keyed, no cartesian, no UDF") {
+    // the stage INTERNALS are pinned by the per-operator tests above;
+    // this pins the composition surface — the survivor semi-joins and
+    // the trailing tier ⋈ selection join must stay keyed equi-joins
+    val p = plan(operators.PipelineQueries.pipelineE2e(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"c46 planned an unkeyed join:\n$p")
+    assert(!p.contains("ScalaUDF"), s"c46 fell back to a scalar UDF:\n$p")
+  }
+
   test("c30 shuffle shard: bucket-parallel rank, no global range sort") {
     val p = plan(ops.CorpusOps.shuffleShard(Tables.documents(spark, sf)))
     // the global rank must come from the 256-way bucket window + the
