@@ -445,9 +445,12 @@ object D12Probe {
     java.util.Locale.setDefault(java.util.Locale.ROOT)
     val nEvents = sys.env.getOrElse("SPARK_GRAFT_PROBE_EVENTS", "2000000").toLong
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // SPARK_GRAFT_SHUFFLE: state-partition A/B at probe scale (the
+    // Bench stateful-class knob, here against REAL state volume)
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
@@ -464,6 +467,7 @@ object D12Probe {
         s"""{"probe":"d12_live","n_events":$nEvents,"triggers":$triggers,""" +
           s""""state_max_rows":$stateMax,"no_eviction_ceiling":${2 * nEvents},""" +
           s""""window_hours":${graft.streaming.StreamJoin.WindowHours},"wall_s":$wall,""" +
+          s""""shuffle_partitions":$shuffle,""" +
           s""""spec_pin":"StreamingSpec d12 watermark-eviction plateau"}""" + "\n"
       print(line)
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get("results"))
