@@ -27,6 +27,18 @@ class AnnSpec extends AnyFunSuite {
     assert(math.abs(dot(ra, rb) - dot(a, b)) < 1e-3)
   }
 
+  test("rotateAll is bit-identical to serial per-vector rotation") {
+    // every load AND build now rotates the centroid table through the
+    // parallel path — it must never diverge from rotate() by a bit
+    val rot = new Rotator(64, seed = 11)
+    val rnd = new scala.util.Random(5)
+    val vs = Array.fill(257)(randVec(rnd, 64)) // odd count: uneven fork splits
+    val par = rot.rotateAll(vs)
+    val ser = vs.map(rot.rotate)
+    assert(par.length == ser.length &&
+      par.indices.forall(i => par(i).sameElements(ser(i))))
+  }
+
   test("rotator is deterministic from (dim, seed)") {
     val r1 = new Rotator(64, 42); val r2 = new Rotator(64, 42)
     assert(r1.matrix.zip(r2.matrix).forall { case (a, b) => a.sameElements(b) })
