@@ -159,7 +159,12 @@ object SweepRef {
       val bcCenters = spark.sparkContext.broadcast(centers)
       def synth(ids: org.apache.spark.sql.Dataset[java.lang.Long], seedBase: Long) =
         SweepRef.synthDf(bcCenters, blend, noise, ids, seedBase)
+      // deleted on exit: a 1M×d1536 base is ~5.8 GB, and un-reaped
+      // per-run copies accumulated ~60 GB of /tmp across a sweep
+      // campaign before this hook existed
       val baseDir = Files.createTempDirectory("sweep_base").toString
+      sys.addShutdownHook(
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(baseDir)))
       val t0 = System.nanoTime()
       synth(spark.range(nVecs).as[java.lang.Long]
         .repartition(cpus.toInt * 2), seedBase = 0x5DEECE66DL)

@@ -455,17 +455,19 @@ object AnnQueries {
     * and lands as cluster-partitioned parquet that IVFModel.load serves
     * unchanged (continuous corpus growth; the ANN analogue of d6).
     * Output: per-cluster entry counts of the stream-built index. */
-  def streamIndexIngest(spark: SparkSession, dir: String): DataFrame = {
-    val m = model(spark, dir)
-    val idxDir = java.nio.file.Files.createTempDirectory("b13_idx").toString
-    m.saveMeta(idxDir)
-    val src = graft.streaming.EventOps.symlinkedDir(dir, "embeddings.parquet")
-    IVFIndex.appendStream(spark, m, src, idxDir)
-    IVFModel.load(spark, idxDir).index.toDF()
-      .groupBy("cluster_id")
-      .agg(count(lit(1)).as("n_vectors"))
-      .orderBy("cluster_id")
-  }
+  def streamIndexIngest(spark: SparkSession, dir: String): DataFrame =
+    // Scratch: repeated bench/verify runs must not accumulate temp
+    // index copies (each carries the full code set)
+    graft.Scratch.materialize("b13_idx") { idxDir =>
+      val m = model(spark, dir)
+      m.saveMeta(idxDir)
+      val src = graft.streaming.EventOps.symlinkedDir(dir, "embeddings.parquet")
+      IVFIndex.appendStream(spark, m, src, idxDir)
+      IVFModel.load(spark, idxDir).index.toDF()
+        .groupBy("cluster_id")
+        .agg(count(lit(1)).as("n_vectors"))
+        .orderBy("cluster_id")
+    }
 
   /** b14: attribute-filtered search — only even vec_ids are eligible
     * (standing in for any metadata predicate); the filter is a
@@ -483,19 +485,18 @@ object AnnQueries {
   /** b15: index lifecycle — save, tombstone-delete the odd ids,
     * compact, reload; output per-cluster counts of the surviving
     * (even-id) entries. Spec pins the delete/compact semantics. */
-  def indexLifecycle(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val m = model(spark, dir)
-    val idxDir = java.nio.file.Files.createTempDirectory("b15_idx").toString
-    m.save(idxDir)
-    val odd = m.index.toDF().select(col("id")).filter(col("id") % 2 =!= 0)
-    IVFModel.deleteIds(idxDir, odd)
-    IVFModel.compact(spark, idxDir)
-    IVFModel.load(spark, idxDir).index.toDF()
-      .groupBy("cluster_id")
-      .agg(count(lit(1)).as("n_vectors"))
-      .orderBy("cluster_id")
-  }
+  def indexLifecycle(spark: SparkSession, dir: String): DataFrame =
+    graft.Scratch.materialize("b15_idx") { idxDir =>
+      val m = model(spark, dir)
+      m.save(idxDir)
+      val odd = m.index.toDF().select(col("id")).filter(col("id") % 2 =!= 0)
+      IVFModel.deleteIds(idxDir, odd)
+      IVFModel.compact(spark, idxDir)
+      IVFModel.load(spark, idxDir).index.toDF()
+        .groupBy("cluster_id")
+        .agg(count(lit(1)).as("n_vectors"))
+        .orderBy("cluster_id")
+    }
 
   /** b9: end-to-end index build summary (per-cluster sizes + bytes),
     * the Spark analogue of create_index.cpp. Hash-certified (round-12):
