@@ -85,6 +85,7 @@ object SparkEntry {
     "c44_url_gate" -> (PipelineQueries.urlGate(_, _)),
     "c45_ppl_bucket" -> (PipelineQueries.pplBucket(_, _)),
     "c46_pipeline_e2e" -> (PipelineQueries.pipelineE2e(_, _)),
+    "c47_frame_dedup" -> (PipelineQueries.frameDedup(_, _)),
     "d1_sessionize"  -> (PipelineQueries.sessionize(_, _)),
     "d2_window_agg"  -> (PipelineQueries.windowAgg(_, _)),
     "d3_stream_agg"  -> (PipelineQueries.streamingAgg(_, _)),

@@ -56,6 +56,9 @@ object PipelineQueries {
   def frameSample(spark: SparkSession, dir: String): DataFrame =
     Multimodal.frameQuery(spark, Tables.documents(spark, dir))
 
+  def frameDedup(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.frameDedup(spark, Tables.documents(spark, dir))
+
   /** c11: media payloads → stub-encoder embeddings → exact top-3
     * self-search. The full multimodal → similarity bridge: identical
     * payloads surface as rank-1/2 neighbors. Rows-only (the histogram
@@ -558,6 +561,27 @@ object PipelineQueries {
     // mirrors Multimodal.frameQuery: every 4th 16-char frame,
     // fingerprinted; char slices so substring semantics agree across
     // engines (md5 hashes the frame's UTF-8 bytes on both)
+    "c47_frame_dedup" ->
+      // composes c36's certified frame CTE verbatim (the c38/c46
+      // pattern), then the c24-style min<max cross-doc dup set and the
+      // per-doc count-back; the flag compares the UNROUNDED ratio
+      s"""WITH f AS (
+         |  SELECT doc_id, md5(substring(text, frame_idx*16+1, 16)) AS frame_md5
+         |  FROM (SELECT doc_id, text,
+         |    unnest(generate_series(0,
+         |      greatest(CAST(floor((length(text)+15)/16.0) AS BIGINT)-1, 0), 4)) AS frame_idx
+         |   FROM documents WHERE text IS NOT NULL)),
+         |dup AS (SELECT frame_md5 FROM f GROUP BY frame_md5
+         |        HAVING min(doc_id) < max(doc_id)),
+         |a AS (
+         |  SELECT f.doc_id, CAST(count(*) AS INT) AS n_frames,
+         |    CAST(sum(CASE WHEN d.frame_md5 IS NOT NULL THEN 1 ELSE 0 END) AS INT) AS n_dup_frames
+         |  FROM f LEFT JOIN dup d USING (frame_md5) GROUP BY f.doc_id)
+         |SELECT doc_id, n_frames, n_dup_frames,
+         | ROUND(CAST(n_dup_frames AS DOUBLE)/n_frames, 6) AS dup_frame_ratio,
+         | CAST(CAST(n_dup_frames AS DOUBLE)/n_frames
+         |   > ${graft.ops.Multimodal.FrameDupMax} AS INT) AS flagged
+         |FROM a ORDER BY doc_id""".stripMargin,
     "c36_frame_sample" ->
       """SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
         | md5(substring(text, frame_idx*16+1, 16)) AS frame_md5,

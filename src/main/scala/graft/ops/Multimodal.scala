@@ -105,7 +105,13 @@ object Multimodal {
     * excluded (nothing to decode); empty payloads produce one empty
     * frame (the header frame a decoder would still emit). */
   def frameQuery(spark: SparkSession, docs: DataFrame,
-      width: Int = 16, stride: Int = 4): DataFrame = {
+      width: Int = 16, stride: Int = 4): DataFrame =
+    frameRows(docs, width, stride).orderBy("doc_id", "frame_idx")
+
+  /** The un-ordered frame plan shared by c36 and [[frameDedup]] (c47)
+    * — the trailing orderBy is harness cosmetics c47's aggregation
+    * must not inherit. */
+  private def frameRows(docs: DataFrame, width: Int, stride: Int): DataFrame = {
     // last frame index via integer arithmetic shared with the oracle:
     // ceil(len/width) - 1, floored at 0 (floor() on an exact small
     // quotient — identical in IEEE on both engines)
@@ -120,7 +126,45 @@ object Multimodal {
       .select(col("doc_id"), col("frame_idx"),
         md5(encode(frame, "UTF-8")).as("frame_md5"),
         length(frame).as("frame_len"))
-      .orderBy("doc_id", "frame_idx")
+  }
+
+  /** Flag threshold for [[frameDedup]]: a doc more than half of whose
+    * sampled frames are cross-doc duplicates is a re-upload/minor-edit
+    * candidate. */
+  val FrameDupMax = 0.5
+
+  /** c47: cross-document FRAME dedup — the video-pipeline form of
+    * c24's span dedup: a sampled-frame fingerprint held by ≥ 2
+    * distinct docs marks duplicated content (re-uploads and trims
+    * share frame content even when container bytes differ; frame-hash
+    * dedup is the standard first pass of multimodal corpus prep). Per
+    * doc with a payload: frames sampled, cross-doc-duplicated frames,
+    * ratio, flag at [[FrameDupMax]].
+    *
+    * Scale: the frame table is c36's zero-shuffle narrow map; the dup
+    * set is ONE keyed aggregation on the fingerprint (map-side
+    * combined min/max — never pairwise, never a window), and the
+    * count-back join is keyed on the same fingerprint. The flag
+    * compares the UNROUNDED ratio (the rounded column is output
+    * cosmetics), mirrored exactly by the oracle. */
+  def frameDedup(spark: SparkSession, docs: DataFrame): DataFrame = {
+    val frames = frameRows(docs, width = 16, stride = 4)
+      .select(col("doc_id"), col("frame_md5"))
+    val dup = frames.groupBy("frame_md5")
+      .agg(min("doc_id").as("mn"), max("doc_id").as("mx"))
+      .filter(col("mn") < col("mx"))
+      .select(col("frame_md5"), lit(1).as("is_dup"))
+    frames.join(dup, Seq("frame_md5"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast(IntegerType).as("n_frames"),
+        sum(coalesce(col("is_dup"), lit(0))).cast(IntegerType).as("n_dup_frames"))
+      .withColumn("dup_frame_ratio",
+        round(col("n_dup_frames").cast(DoubleType) / col("n_frames"), 6))
+      .withColumn("flagged",
+        (col("n_dup_frames").cast(DoubleType) / col("n_frames") > FrameDupMax)
+          .cast(IntegerType))
+      .select("doc_id", "n_frames", "n_dup_frames", "dup_frame_ratio", "flagged")
+      .orderBy("doc_id")
   }
 
   /** c10 query: binary plumbing with SQL-checkable outputs (payload

@@ -345,6 +345,35 @@ class OpsSpec extends AnyFunSuite {
     assert(byDoc(5L).head._4 == 16)
   }
 
+  test("c47 frame dedup: cross-doc frames count, within-doc repeats don't, flag at threshold") {
+    // docs 1 & 2 share their first 16-char frame (cross-doc dup);
+    // doc 3 repeats ITS OWN frame internally but shares nothing —
+    // within-doc repetition alone must not count as duplication
+    val d = Seq(
+      (1L, Option("A" * 16)),                    // 1 frame, shared with doc 2
+      (2L, Option("A" * 16 + "B" * 48)),         // frames idx 0 ("A"*16), stride 4 -> just idx 0
+      (3L, Option("C" * 16)),                    // unique frame
+      (4L, None: Option[String])                 // null -> excluded
+    ).toDF("doc_id", "text")
+    val out = Multimodal.frameDedup(spark, d)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getDouble(3), r.getInt(4))).toMap
+    assert(out(1L) == ((1, 1, 1.0, 1)), s"doc1: ${out(1L)}")
+    assert(out(2L) == ((1, 1, 1.0, 1)), s"doc2: ${out(2L)}")
+    assert(out(3L) == ((1, 0, 0.0, 0)), s"doc3: ${out(3L)}")
+    assert(!out.contains(4L), "null payload excluded")
+    // a doc sharing only PART of its frames flags only past the
+    // threshold: doc 5 has frames idx 0 ("A"*16, shared) and idx 4
+    // (unique) -> ratio 0.5, NOT flagged (strict >)
+    val d2 = Seq(
+      (1L, Option("A" * 16)),
+      (5L, Option("A" * 16 + "x" * 64))) // ceil(80/16)=5 frames -> idx 0, 4
+      .toDF("doc_id", "text")
+    val o5 = Multimodal.frameDedup(spark, d2).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getInt(4))).toMap
+    assert(o5(5L) == ((2, 1, 0)), s"doc5: ${o5(5L)} — ratio 0.5 must not flag (strict >)")
+  }
+
   test("c37 kmv aggregator: capped sorted buffer, dedupe, exact min-k union on merge") {
     val agg = new graft.ops.Sketches.KmvAgg(4)
     var b = agg.zero
