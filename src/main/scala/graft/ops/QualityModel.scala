@@ -82,6 +82,12 @@ object QualityModel {
   /** c43 hashed char-n-gram space (fastText's subword trick). */
   val LangNumFeatures = 4096
 
+  /** c43 L-BFGS iteration budget. Each iteration is one treeAggregate
+    * JOB, so at bench scale the wall is iterations × job floor, not
+    * gradient compute — size it to measured convergence (see the
+    * QualityProbe sweep in SURVEY §6), not to a round number. */
+  val LangMaxIter = 25
+
   /** c43: TRAINED language ID — the fastText-style classifier real
     * pipelines run (Joulin et al. 2016, "Bag of Tricks for Efficient
     * Text Classification"): multinomial logistic regression over
@@ -104,7 +110,7 @@ object QualityModel {
     * the model. Rows-only + golden (L-BFGS is not SQL-expressible);
     * the content-over-label spec plants genuinely distinct character
     * distributions and asserts the model reads the TEXT. */
-  def langClassifier(docs: DataFrame): DataFrame = {
+  def langClassifier(docs: DataFrame, maxIter: Int = LangMaxIter): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     // char bi+trigrams of the raw text in a typed kernel (one linear
@@ -138,7 +144,7 @@ object QualityModel {
     val train = feat.filter(pmod(xxhash64(col("doc_id")), lit(4)) < 3)
     val lr = new LogisticRegression()
       .setFamily("multinomial")
-      .setMaxIter(25).setRegParam(0.01).setTol(1e-8)
+      .setMaxIter(maxIter).setRegParam(0.01).setTol(1e-8)
     val model = lr.fit(train)
     val scored = model.transform(feat)
       .select(
