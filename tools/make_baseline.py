@@ -103,7 +103,12 @@ SQL -- while the Spark side runs the real algorithms (LSH candidate
 generation + verified pairs; distributed min-label propagation with
 pointer jumping). Those two rows certify correctness of the Spark
 results, not competitive DuckDB wall-time; on the remaining queries
-the two engines run genuinely comparable plans.
+the two engines run genuinely comparable plans. They also dominate
+the total's RUN-TO-RUN variance: consecutive quiet-machine
+regenerations have moved c19/c20 by 15-25% (e.g. 252 -> 303 s across
+round-12 regens), so small vs_baseline shifts between rounds are
+denominator noise -- compare per-query Spark walls, and use the sf1
+spot-check below for the honest engine-vs-engine read.
 
 Interpretation: DuckDB is an in-process columnar engine with zero
 per-query scheduling overhead; Spark pays JVM job scheduling, codegen,
