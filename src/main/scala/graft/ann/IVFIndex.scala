@@ -1614,7 +1614,7 @@ final class IVFModel(
       spark: SparkSession): org.apache.spark.rdd.RDD[(Int, IVFIndex.PackedRun)] = {
     val s = sharedState
     if (s.packed == null) s.synchronized {
-      if (s.packed == null && packedAtRestDir.isDefined) {
+      if (s.packed == null && packedAtRestDir.isDefined) try {
         // cold-load path: adopt the persisted runs (layout pinned by
         // (part_id, seq) — bit-identical scan to the cache that wrote
         // them); one read job instead of a full re-pack
@@ -1654,6 +1654,16 @@ final class IVFModel(
           rdd.foreachPartition(_ => ())
           s.packed = rdd
         }
+      } catch {
+        // a cache read must NEVER brick a search: an unreadable or
+        // schema-incompatible sidecar (older format, torn files a
+        // filesystem lied about) logs and falls through to the entry
+        // re-pack below — correctness never depended on the sidecar
+        case e: Exception =>
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"packed sidecar at ${packedAtRestDir.get} unreadable " +
+              s"(${e.getMessage}); re-packing from entries")
+          packedAtRestDir = None
       }
       if (s.packed == null) {
         val pDim = rotator.paddedDim // residual/ex_code length is the PADDED dim

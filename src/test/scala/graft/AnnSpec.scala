@@ -695,6 +695,22 @@ class AnnSpec extends AnyFunSuite {
     assert(viaSidecar == viaRepack,
       "sidecar scan diverged from the entry re-pack scan")
 
+    // an UNREADABLE sidecar (wrong schema — an old format, a torn
+    // write the coherence checks missed) must fall back to the entry
+    // re-pack, never brick the search
+    locally {
+      import spark.implicits._
+      Seq((1, "garbage")).toDF("part_id", "junk")
+        .write.mode("overwrite").parquet(s"$dir/packed")
+      val broken = graft.ann.IVFModel.load(spark, dir)
+      assert(broken.packedAtRestDir.isDefined, "coherence checks still pass")
+      broken.packedIndex(spark) // must not throw
+      val viaFallback = broken.search(spark, qs, 10, 12)
+        .orderBy("query_id", "rk").collect().toSeq
+      assert(viaFallback == viaRepack, "fallback scan diverged")
+      broken.freeSearchCaches()
+    }
+
     // a tombstone overlay makes load IGNORE the (now stale) sidecar...
     m.save(dir)
     m.freeSearchCaches()
