@@ -138,6 +138,10 @@ object Bench {
             System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
           }
         val sec = (System.nanoTime() - t0) / 1e9
+        // untimed epilogue: scratch-dir cleanup (b13/b15 temp indexes)
+        // is janitorial work, not operator cost — it must never share
+        // a timing window with the measured query (r12's b15 row)
+        Scratch.reap()
         if (ok) sec else -1.0
       }
       // a query must succeed on EVERY run to report a time — an

@@ -40,15 +40,20 @@ object E3Probe {
     })
 
     def timeRun(label: String): (Double, Int, Int, Seq[(Int, Long, Int)]) = {
-      // warm once (page cache, codegen), measure min of 3 like Bench
+      // warm once (page cache, codegen), measure min of 3 like Bench.
+      // The listener bus delivers asynchronously, so the counters are
+      // drained (sleep — waitUntilEmpty is private API) BEFORE each
+      // reset: late events from the prior run must not bleed into the
+      // next run's jobs/stages counts
       val walls = (0 until 4).map { _ =>
+        Thread.sleep(300)
         jobs = 0; stages.clear()
         val t0 = System.nanoTime()
         operators.Relational.q5MultiJoin(spark, sfDir)
           .queryExecution.toRdd.foreach(_ => ())
         (System.nanoTime() - t0) / 1e9
       }
-      Thread.sleep(300) // let the listener bus drain (private API)
+      Thread.sleep(300) // drain the final run's events too
       import scala.jdk.CollectionConverters._
       val st = stages.asScala.toSeq.sortBy(_._1)
       System.err.println(f"[$label] walls=${walls.map(w => f"$w%.2f").mkString(",")} " +
@@ -61,9 +66,11 @@ object E3Probe {
       val (prodWall, prodJobs, prodStages, _) = timeRun("production")
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (64L << 20).toString)
       val (bcWall, bcJobs, bcStages, _) = timeRun("broadcast-orders")
+      // field names carry provenance: wall_s is min of runs 2-4, the
+      // job/stage counts come from the LAST run only
       println(f"""{"probe":"e3_sf1_profile","cpus":$cpus,"sf_dir":"$sfDir",""" +
-        f""""production":{"wall_s":$prodWall%.3f,"jobs":$prodJobs,"stages":$prodStages},""" +
-        f""""broadcast_orders":{"wall_s":$bcWall%.3f,"jobs":$bcJobs,"stages":$bcStages}}""")
+        f""""production":{"wall_s_min":$prodWall%.3f,"jobs_last_run":$prodJobs,"stages_last_run":$prodStages},""" +
+        f""""broadcast_orders":{"wall_s_min":$bcWall%.3f,"jobs_last_run":$bcJobs,"stages_last_run":$bcStages}}""")
     } finally spark.stop()
   }
 }

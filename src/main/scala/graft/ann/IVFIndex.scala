@@ -199,9 +199,22 @@ object IVFIndex {
         pSign: Array[Long], pX2: Array[Float], pFacIp: Array[Float],
         pFacErr: Array[Float], pXipnorm: Array[Float],
         pExF: Array[Byte], pExCode: Array[Array[Byte]]): Unit = {
-      require(pIds.length == rows && pSign.length == rows * words,
+      // every column is checked, not just ids/sign: a truncated factor
+      // or code blob that passed adoption would be persisted into the
+      // packed cache and only throw at scan time — OUTSIDE the
+      // adopt-time try/catch, so the entry-re-pack fallback would
+      // never engage and searches would stay broken for the model
+      // lifetime
+      require(pIds.length == rows && pSign.length == rows * words &&
+        pX2.length == rows && pFacIp.length == rows &&
+        pFacErr.length == rows && pXipnorm.length == rows &&
+        (if (packExF) pExF != null && pExF.length == rows * dim
+         else pExCode != null && pExCode.length == rows),
         s"sidecar run shape mismatch: $rows rows, ${pIds.length} ids, " +
-          s"${pSign.length} sign words (want ${rows * words})")
+          s"${pSign.length} sign words (want ${rows * words}), " +
+          s"${pX2.length}/${pFacIp.length}/${pFacErr.length}/${pXipnorm.length} factors, " +
+          s"exF=${if (pExF == null) "null" else pExF.length.toString}" +
+          s"/exCode=${if (pExCode == null) "null" else pExCode.length.toString}")
       n = rows; cap = math.max(rows, 1)
       ids = pIds; sign = pSign; x2 = pX2
       facIp = pFacIp; facErr = pFacErr; xipnorm = pXipnorm
@@ -1740,13 +1753,16 @@ final class IVFModel(
     val spark = index.sparkSession
     import org.apache.hadoop.fs.Path
     val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
+    // drop any PREVIOUS save's packed sidecar before touching entries:
+    // save() is not crash-safe, but a crash between the entries write
+    // and the (packed) sidecar rewrite must leave NO sidecar — a stale
+    // one still has its _SUCCESS and no overlays, so a load would
+    // silently adopt it against the NEW entries and serve wrong results
+    fs.delete(new Path(s"$path/packed"), true)
     index.write.mode("overwrite").partitionBy("cluster_id").parquet(s"$path/entries")
     saveMeta(path)
-    (Seq("deletes", "entries_batches", "_ingest_log", "_ingest_checkpoint",
-      "entries_old", "entries_compacting") ++
-      // packed=false must never leave an OLD index's sidecar where the
-      // next load would adopt it
-      (if (packed) Nil else Seq("packed")))
+    Seq("deletes", "entries_batches", "_ingest_log", "_ingest_checkpoint",
+      "entries_old", "entries_compacting")
       .foreach(d => fs.delete(new Path(s"$path/$d"), true))
     if (packed) savePacked(path)
   }

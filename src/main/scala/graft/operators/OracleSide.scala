@@ -21,8 +21,15 @@ import org.apache.spark.sql.DataFrame
   * absolute so the oracle SQL (static strings) can name it.
   */
 object OracleSide {
-  /** Absolute sidecar root — referenced verbatim by oracle SQL. */
-  val Dir = "/root/repo/results/oracle_side"
+  /** Absolute sidecar root — referenced verbatim by oracle SQL.
+    * Derived from the sbt/driver working directory (the repo root) so
+    * a checkout located elsewhere writes and reads inside ITSELF
+    * rather than colliding on a baked-in path; overridable via the
+    * `graft.oracle.side.dir` system property for harnesses that run
+    * Verify from a different cwd. The oracle SQL strings are built at
+    * runtime from this value, so writer and reader always agree. */
+  val Dir: String = sys.props.getOrElse("graft.oracle.side.dir",
+    s"${sys.props("user.dir")}/results/oracle_side")
 
   /** Set by [[graft.Verify]]; never set by specs or Bench. */
   def enabled: Boolean = sys.props.get("graft.oracle.side").contains("1")
