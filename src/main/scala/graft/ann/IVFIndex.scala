@@ -2152,21 +2152,9 @@ final class IVFModel(
       nprobe: Int,
       overFetch: Int = 4,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
-    import spark.implicits._
-    import graft.functions.VectorFunctions.vec_l2sq
-    val cand = search(spark, queries, k * overFetch, nprobe)
-      .select("query_id", "neighbor_id")
-    val q = queries.toSeq.toDF("qid", "qvec")
-    val e = corpus.select(col(idCol).cast(LongType).as("nid"), col(vecCol).as("nvec"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("query_id").orderBy("d2", "neighbor_id")
-    e.join(broadcast(cand.join(q, col("query_id") === col("qid"))),
-        col("neighbor_id") === col("nid"))
-      .select(col("query_id"), col("neighbor_id"),
-        vec_l2sq(col("qvec"), col("nvec")).as("d2"))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
-      .select("query_id", "neighbor_id", "rk")
-  }
+      vecCol: String = "embedding"): DataFrame =
+    KnnExact.rerankExact(spark, corpus, queries,
+      search(spark, queries, k * overFetch, nprobe)
+        .select("query_id", "neighbor_id"),
+      k, idCol, vecCol)
 }

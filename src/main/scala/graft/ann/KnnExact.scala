@@ -98,6 +98,39 @@ object KnnExact {
       .toDF("query_id", "neighbor_id", "rk", "d2")
   }
 
+  /** Exact re-rank of a small per-query candidate list (the second
+    * stage of the reference's HIGH_ACC_FAST_SCAN path,
+    * HASearcher.hpp): the tiny (Q × candidates)-row list is broadcast
+    * against the corpus — one corpus scan, no driver collect — each
+    * pair gets its exact distance, and the per-query top-k by
+    * (distance, id) survives. Output: (query_id, neighbor_id, rk,
+    * exact_d) with exact_d the rounded exact L2 — the surface the b12
+    * oracle recomputes end-to-end from the candidate sidecar. */
+  def rerankExact(
+      spark: SparkSession,
+      corpus: DataFrame,
+      queries: Array[(Long, Array[Float])],
+      cand: DataFrame,
+      k: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    import spark.implicits._
+    import graft.functions.VectorFunctions.vec_l2sq
+    val q = queries.toSeq.toDF("qid", "qvec")
+    val e = corpus.select(col(idCol).cast(LongType).as("nid"), col(vecCol).as("nvec"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy("d2", "neighbor_id")
+    e.join(broadcast(cand.select("query_id", "neighbor_id")
+        .join(q, col("query_id") === col("qid"))),
+        col("neighbor_id") === col("nid"))
+      .select(col("query_id"), col("neighbor_id"),
+        vec_l2sq(col("qvec"), col("nvec")).as("d2"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rk"),
+        round(sqrt(col("d2")), 4).as("exact_d"))
+  }
+
   /** Top-k neighbors of each query among `base` rows by squared L2.
     * Output: (query_id, neighbor_id, rk) with rk 1-based, ties broken
     * by neighbor id. */

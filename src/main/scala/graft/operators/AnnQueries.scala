@@ -44,6 +44,15 @@ object AnnQueries {
   private def gtResults(spark: SparkSession, dir: String): DataFrame =
     gtCache.computeIfAbsent(dir, _ => VectorQueries.gtTopKAll(spark, dir).cache())
 
+  // GT with exact distances is the ratio denominator of FOUR certified
+  // rows (b7/b7b/b16 + b10); cache it per dir like the GT itself so the
+  // corpus scan behind it runs once per session.
+  private val gtDistCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private def gtDistResults(spark: SparkSession, dir: String): DataFrame =
+    gtDistCache.computeIfAbsent(dir, _ =>
+      withExactL2(spark, dir, gtResults(spark, dir)).cache())
+
   private def queryVectors(spark: SparkSession, dir: String): Array[(Long, Array[Float])] =
     VectorQueries.queryVectors(spark, dir)
 
@@ -250,15 +259,74 @@ object AnnQueries {
       .orderBy("vec_id")
   }
 
-  /** b7: full IVF search (estimate → prune → rerank → top-k). */
+  /** The certified search surface shared by b7/b7b/b14/b16: the
+    * engine's ranked result list (query_id, rk, neighbor_id — pinned
+    * verbatim as a sidecar under Verify) widened with verdict columns
+    * the DuckDB oracle recomputes INDEPENDENTLY from the persisted ids
+    * plus `embeddings`: each neighbor's exact distance, its membership
+    * in the exact ground truth, and the per-query recall@10 / average
+    * distance ratio (test_search.cpp:101-130 + tools.hpp:16-46 — the
+    * verdicts b8/b10 already certify, bound to the search row itself).
+    * The id list is the pinned input (the b8/b10 sidecar discipline);
+    * every other value in the row is recomputed arithmetic, so a
+    * search that returned poor neighbors OR mis-computed any verdict
+    * fails the hash. `gt`/`gtD` parameterize the ground-truth side
+    * (b14 restricts it to the allowed-id set). */
+  private def certifiedSearch(
+      spark: SparkSession,
+      dir: String,
+      results: DataFrame,
+      sidecar: String,
+      gt: DataFrame,
+      gtD: DataFrame): DataFrame = {
+    val res = results.select(col("query_id"), col("rk"), col("neighbor_id"))
+    OracleSide.write(res, sidecar)
+    val annD = withExactL2(spark, dir, res)
+      .withColumnRenamed("rk", "rk_exact").withColumnRenamed("d", "d_ann")
+    // b10's get_ratio shape: pair the exact-distance rankings of both
+    // lists, ratio over non-degenerate gt ranks, exact-integer micros
+    // so partial-aggregation order can never flake the hash
+    val rat = annD
+      .join(gtD.select(col("query_id"), col("rk").as("rk_exact"),
+          col("d").as("d_gt")),
+        Seq("query_id", "rk_exact"))
+      .filter(col("d_gt") * col("d_gt") > 1e-5)
+      .withColumn("rmicro",
+        floor(col("d_ann") / col("d_gt") * 1e6 + 0.5).cast(LongType))
+      .groupBy("query_id")
+      .agg(round(sum("rmicro") / (lit(1e6) * count(lit(1))), 4).as("avg_ratio"))
+    val flagged = res
+      .join(gt.select(col("query_id"), col("neighbor_id"))
+          .withColumn("in_gt", lit(1)),
+        Seq("query_id", "neighbor_id"), "left")
+      .na.fill(0, Seq("in_gt"))
+    val rec = flagged.groupBy("query_id")
+      .agg((sum("in_gt") / 10.0).as("recall_at_10"))
+    flagged
+      .join(annD.select(col("query_id"), col("neighbor_id"),
+          round(col("d_ann"), 4).as("exact_d")),
+        Seq("query_id", "neighbor_id"))
+      .join(rec, Seq("query_id"))
+      .join(rat, Seq("query_id"), "left")
+      .na.fill(Map("avg_ratio" -> 1.0))
+      .select(col("query_id"), col("rk"), col("neighbor_id"), col("exact_d"),
+        col("in_gt").cast("int").as("in_gt"),
+        col("recall_at_10"), col("avg_ratio"))
+      .orderBy("query_id", "rk")
+  }
+
+  /** b7: full IVF search (estimate → prune → rerank → top-k), emitted
+    * as the certified surface (see [[certifiedSearch]]). */
   def ivfSearch(spark: SparkSession, dir: String): DataFrame =
-    searchResults(spark, dir).orderBy("query_id", "rk")
+    certifiedSearch(spark, dir, searchResults(spark, dir), "b7_results",
+      gtResults(spark, dir), gtDistResults(spark, dir))
 
   /** b7b: the full search path end-to-end at B=8; AnnSpec's sweep pins
     * recall ≥ 0.98 for the quantized path at this width (≥ 0.99 is the
     * b12 exact-re-rank path's contract). */
   def ivfSearchB8(spark: SparkSession, dir: String): DataFrame =
-    searchResults(spark, dir, bits = 8).orderBy("query_id", "rk")
+    certifiedSearch(spark, dir, searchResults(spark, dir, bits = 8),
+      "b7b_results", gtResults(spark, dir), gtDistResults(spark, dir))
 
   /** b16: the full search path with query-side scalar quantization
     * enabled — the reference's BQUERY=14 estimate mechanism
@@ -266,9 +334,10 @@ object AnnQueries {
     * as b7 so the two result lists are directly comparable. */
   def ivfSearchQuantized(spark: SparkSession, dir: String): DataFrame = {
     val m = model(spark, dir)
-    m.withQueryBits(14)
-      .search(spark, queryVectors(spark, dir), SearchK, searchNprobe(m))
-      .orderBy("query_id", "rk")
+    certifiedSearch(spark, dir,
+      m.withQueryBits(14)
+        .search(spark, queryVectors(spark, dir), SearchK, searchNprobe(m)),
+      "b16_results", gtResults(spark, dir), gtDistResults(spark, dir))
   }
 
   /** b8: recall@10 of IVF search vs exact ground truth
@@ -310,8 +379,7 @@ object AnnQueries {
     OracleSide.write(
       results.select(col("query_id"), col("neighbor_id")), "b_search_results")
     val ann = withExactL2(spark, dir, results).withColumnRenamed("d", "d_ann")
-    val gt = withExactL2(spark, dir, gtResults(spark, dir))
-      .withColumnRenamed("d", "d_gt")
+    val gt = gtDistResults(spark, dir).withColumnRenamed("d", "d_gt")
     val ratios = ann.join(gt, Seq("query_id", "rk"))
       .filter(col("d_gt") * col("d_gt") > 1e-5)
       .withColumn("rmicro",
@@ -444,11 +512,23 @@ object AnnQueries {
   }
 
   /** b12: high-accuracy search — quantized over-fetch + exact-distance
-    * re-rank (reference HIGH_ACC_FAST_SCAN / HASearcher.hpp). */
-  def searchHighAcc(spark: SparkSession, dir: String): DataFrame =
-    model(spark, dir).searchHighAcc(spark, Tables.embeddings(spark, dir),
-        queryVectors(spark, dir), k = 10, nprobe = 12)
+    * re-rank (reference HIGH_ACC_FAST_SCAN / HASearcher.hpp).
+    * Hash-certified: the over-fetched candidate id list persists as a
+    * sidecar, and the oracle recomputes the ENTIRE second stage from
+    * it in SQL — exact distances over `embeddings`, the (distance, id)
+    * ranking, and the top-k cut — so the selection, ordering, and
+    * distance arithmetic of the exact-re-rank operator are all under
+    * the hash gate (only candidate GENERATION is pinned input). */
+  def searchHighAcc(spark: SparkSession, dir: String): DataFrame = {
+    val m = model(spark, dir)
+    val cand = m.search(spark, queryVectors(spark, dir),
+        k = 10 * 4, nprobe = 12)
+      .select("query_id", "neighbor_id")
+    OracleSide.write(cand, "b12_candidates")
+    graft.ann.KnnExact.rerankExact(spark, Tables.embeddings(spark, dir),
+        queryVectors(spark, dir), cand, k = 10)
       .orderBy("query_id", "rk")
+  }
 
   /** b13: incremental index ingest — the embeddings table arrives as a
     * STREAM, is quantized against the session model's fixed centroids,
@@ -476,10 +556,16 @@ object AnnQueries {
     * forced through the driver). */
   def searchFiltered(spark: SparkSession, dir: String): DataFrame = {
     val m = model(spark, dir)
-    val allowed = Tables.embeddings(spark, dir)
-      .filter(col("vec_id") % 2 === 0).select(col("vec_id"))
-    m.searchFiltered(spark, queryVectors(spark, dir), k = 10, nprobe = 12, allowed)
-      .orderBy("query_id", "rk")
+    val e = Tables.embeddings(spark, dir)
+    val allowed = e.filter(col("vec_id") % 2 === 0).select(col("vec_id"))
+    // certified vs the GT RESTRICTED to the allowed set (the filter is
+    // SQL-derivable — vec_id % 2 = 0 — so the oracle rebuilds this GT
+    // from `embeddings` alone; no extra sidecar needed for it)
+    val gtFiltered = graft.ann.KnnExact.topK(spark,
+      e.filter(col("vec_id") % 2 === 0), queryVectors(spark, dir), k = 10)
+    certifiedSearch(spark, dir,
+      m.searchFiltered(spark, queryVectors(spark, dir), k = 10, nprobe = 12, allowed),
+      "b14_results", gtFiltered, withExactL2(spark, dir, gtFiltered))
   }
 
   /** b15: index lifecycle — save, tombstone-delete the odd ids,
@@ -522,6 +608,63 @@ object AnnQueries {
     * distance-ratio average (b10). The SQL mirrors the Scala kernels'
     * IEEE evaluation order exactly (double-widened floats, in-order
     * list accumulation, left-associative trailing chains). */
+  /** In-order double L2 distance between a query vector (`q.qvec`,
+    * pre-cast DOUBLE[]) and a base row (`b.embedding`) — the exact SQL
+    * mirror of VectorFunctions.vec_l2sq + sqrt (each float widened to
+    * double, in-order accumulation, one trailing sqrt; the b3-proven
+    * pairing). */
+  private val DistSql =
+    "SQRT(list_sum(list_transform(list_zip(q.qvec, CAST(b.embedding AS DOUBLE[])), " +
+      "x -> (x[1]-x[2])*(x[1]-x[2]))))"
+
+  /** The shared oracle for the certified search rows (b7/b7b/b14/b16):
+    * reads the search's persisted result list, recomputes every
+    * verdict column from `embeddings` in SQL — exact distances, the
+    * exact ground truth (optionally restricted by `gtWhere`, b14),
+    * recall@10, and the get_ratio average over exact-integer micros —
+    * and re-emits the full certified row set. */
+  private def certifiedSearchSql(sidecar: String, gtWhere: String = ""): String =
+    s"""WITH qs AS (
+      |  SELECT CAST(vec_id AS BIGINT) AS query_id,
+      |    CAST(embedding AS DOUBLE[]) AS qvec
+      |  FROM embeddings WHERE vec_id < 8),
+      |res AS (SELECT query_id, rk, neighbor_id FROM ${OracleSide.sql(sidecar)}),
+      |ad AS (
+      |  SELECT r.query_id, r.rk, r.neighbor_id, $DistSql AS d
+      |  FROM res r JOIN qs q USING (query_id)
+      |  JOIN embeddings b ON r.neighbor_id = b.vec_id),
+      |ar AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+      |  ORDER BY d, neighbor_id) AS rk_exact FROM ad),
+      |gt AS (
+      |  SELECT query_id, neighbor_id, d, rk FROM (
+      |    SELECT q.query_id, b.vec_id AS neighbor_id, $DistSql AS d,
+      |      ROW_NUMBER() OVER (PARTITION BY q.query_id
+      |        ORDER BY $DistSql, b.vec_id) AS rk
+      |    FROM qs q, embeddings b$gtWhere) t
+      |  WHERE rk <= 10),
+      |rec AS (
+      |  SELECT r.query_id,
+      |    SUM(CASE WHEN g.query_id IS NOT NULL THEN 1 ELSE 0 END)/10.0
+      |      AS recall_at_10
+      |  FROM res r LEFT JOIN gt g
+      |    ON r.query_id = g.query_id AND r.neighbor_id = g.neighbor_id
+      |  GROUP BY r.query_id),
+      |rat AS (
+      |  SELECT a.query_id,
+      |    ROUND(SUM(CAST(floor(a.d/g.d*1e6 + 0.5) AS BIGINT))
+      |      / (1e6*COUNT(*)), 4) AS avg_ratio
+      |  FROM ar a JOIN gt g ON a.query_id = g.query_id AND a.rk_exact = g.rk
+      |  WHERE g.d*g.d > 1e-5 GROUP BY a.query_id)
+      |SELECT a.query_id, CAST(a.rk AS INT) AS rk, a.neighbor_id,
+      |  ROUND(a.d, 4) AS exact_d,
+      |  CAST(CASE WHEN g.query_id IS NOT NULL THEN 1 ELSE 0 END AS INT) AS in_gt,
+      |  rec.recall_at_10, COALESCE(rat.avg_ratio, 1.0) AS avg_ratio
+      |FROM ad a
+      |LEFT JOIN gt g ON a.query_id = g.query_id AND a.neighbor_id = g.neighbor_id
+      |JOIN rec ON rec.query_id = a.query_id
+      |LEFT JOIN rat ON rat.query_id = a.query_id
+      |ORDER BY a.query_id, a.rk""".stripMargin
+
   val oracles: Map[String, String] = {
     val cent = OracleSide.sql("b3_centroids")
     val b6e = OracleSide.sql("b6_entries")
@@ -529,6 +672,33 @@ object AnnQueries {
     val b6bq = OracleSide.sql("b6b_query")
     val res = OracleSide.sql("b_search_results")
     Map(
+      "b7_ivf_search" -> certifiedSearchSql("b7_results"),
+      "b7b_ivf_search_b8" -> certifiedSearchSql("b7b_results"),
+      "b16_search_quantized" -> certifiedSearchSql("b16_results"),
+      // b14's ground truth is restricted to the allowed-id set (the
+      // SQL-derivable even-id predicate), so the recall/ratio verdicts
+      // judge the FILTERED search against ITS ground truth
+      "b14_search_filtered" ->
+        certifiedSearchSql("b14_results", " WHERE b.vec_id % 2 = 0"),
+      // the HASearcher second stage end-to-end: exact distances over
+      // the persisted over-fetched candidates, (d, id) ranking, top-k
+      // cut — selection, ordering, and arithmetic all recomputed
+      "b12_search_highacc" ->
+        s"""WITH qs AS (
+          |  SELECT CAST(vec_id AS BIGINT) AS query_id,
+          |    CAST(embedding AS DOUBLE[]) AS qvec
+          |  FROM embeddings WHERE vec_id < 8),
+          |cand AS (SELECT DISTINCT query_id, neighbor_id
+          |  FROM ${OracleSide.sql("b12_candidates")}),
+          |cd AS (
+          |  SELECT c.query_id, c.neighbor_id, $DistSql AS d
+          |  FROM cand c JOIN qs q USING (query_id)
+          |  JOIN embeddings b ON c.neighbor_id = b.vec_id)
+          |SELECT query_id, neighbor_id, CAST(rk AS INT) AS rk,
+          |  ROUND(d, 4) AS exact_d
+          |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+          |  ORDER BY d, neighbor_id) AS rk FROM cd) t
+          |WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin,
       // argmin over vectors × persisted centroids; ties (exact double
       // d2) break to the lower cluster_id, like the strict-< scan in
       // IVFIndex.quantizeRow

@@ -654,14 +654,15 @@ class AnnSpec extends AnyFunSuite {
     val packed = Golden.hashOf(result(), Set.empty)
     m.freeSearchCaches()
     assert(entry == packed, "packed and entry scan paths diverged")
-    val snap = {
-      val src = scala.io.Source.fromFile(Golden.SnapshotPath, "UTF-8")
-      try src.getLines().map(_.split('\t'))
-        .collectFirst { case Array("b7_ivf_search", n, h) => (n.toLong, h) }
-      finally src.close()
-    }
-    assert(snap.contains(entry),
-      "search result drifted from the committed b7 golden row")
+    // the raw (query_id, neighbor_id, rk) list at sf0.001, pinned here
+    // directly: b7 graduated to the DuckDB hash gate in r13 (its
+    // certified surface lives in oracle_sql), so the raw engine
+    // ordering is no longer in the golden snapshot — this literal is
+    // its regression pin (regenerate via Golden.hashOf on the raw
+    // search if the kernel changes intentionally)
+    assert(entry == (80L,
+      "c8111588e50b9c032e933e917d24eb75f03c2cf94803c236b74864fdde38e2e9"),
+      "search result drifted from the pinned b7 raw-search row")
   }
 
   test("packed sidecar: cold load adopts it, overlays invalidate it, scans identical") {
