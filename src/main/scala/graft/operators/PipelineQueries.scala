@@ -12,11 +12,34 @@ object PipelineQueries {
   def dedupExact(spark: SparkSession, dir: String): DataFrame =
     Dedup.exact(Tables.documents(spark, dir)).orderBy("keep_id")
 
-  def dedupMinhash(spark: SparkSession, dir: String): DataFrame =
-    Dedup.minHashSummary(spark, Tables.documents(spark, dir))
+  /** The c2/d6 signature sidecar (per-doc MinHash signatures): the
+    * pinned input from which DuckDB recomputes band keys (the M61
+    * polynomial fold Dedup.bandHashes runs), bucket-equal candidate
+    * pairs, and the partner counts — the LSH layer's entire integer
+    * arithmetic goes under the hash gate, with only the signature
+    * VALUES (seeded murmur shingle hashing, not SQL-expressible) as
+    * input. Written by BOTH c2 and d6 so each is self-contained under
+    * a Verify subset run; identical content, idempotent overwrite. */
+  private def writeMinhashSidecar(spark: SparkSession, docs: DataFrame): Unit =
+    if (OracleSide.enabled)
+      OracleSide.write(
+        Dedup.minHashSignatures(spark, docs, Dedup.MinHashParams()), "c2_sigs")
 
-  def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
-    Dedup.simHashSummary(spark, Tables.documents(spark, dir))
+  def dedupMinhash(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    writeMinhashSidecar(spark, docs)
+    Dedup.minHashSummary(spark, docs)
+  }
+
+  def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    // c3's sidecar: the per-doc fingerprints; banding (16-bit slices),
+    // the hamming-≤3 pair set, and partner counts are all recomputed
+    // by the oracle from these 64-bit values
+    if (OracleSide.enabled)
+      OracleSide.write(Dedup.simHashFingerprints(spark, docs), "c3_hashes")
+    Dedup.simHashSummary(spark, docs)
+  }
 
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
     Dedup.ngramJaccardPairs(Tables.documents(spark, dir)).orderBy("id_a")
@@ -261,8 +284,14 @@ object PipelineQueries {
   def sessionWindow(spark: SparkSession, dir: String): DataFrame =
     EventOps.sessionWindow(spark, dir)
 
-  def streamingNearDup(spark: SparkSession, dir: String): DataFrame =
+  def streamingNearDup(spark: SparkSession, dir: String): DataFrame = {
+    // d6 shares c2's signature sidecar (see writeMinhashSidecar): under
+    // the single-batch drain its per-doc prior-partner counts are a
+    // pure function of the same banded signatures, so the oracle
+    // recomputes them as in-bucket arrival ranks in SQL
+    writeMinhashSidecar(spark, Tables.documents(spark, dir))
     graft.streaming.StreamDedup.streamingNearDup(spark, dir)
+  }
 
   def streamingCorpusGate(spark: SparkSession, dir: String): DataFrame =
     graft.streaming.StreamGate.streamingCorpusGate(spark, dir)
@@ -493,7 +522,92 @@ object PipelineQueries {
        |FROM r WHERE rk <= ${graft.ops.CorpusOps.WeightedSampleK}
        |ORDER BY source, smp_rank""".stripMargin
 
+  // The c2/d6 band rows recomputed from the signature sidecar: one row
+  // per (doc, band) with the bucket key = the M61 polynomial fold of
+  // the band's 4-long signature slice (Dedup.bandHashes verbatim, in
+  // exact hugeint arithmetic — same function, so even a hash collision
+  // is mirrored). Bands/rowsPerBand are MinHashParams() defaults.
+  private def minhashBandRowsSql: String =
+    s"""SELECT s.doc_id, b.band,
+       |    list_reduce(
+       |      list_prepend(CAST(0 AS HUGEINT),
+       |        list_transform(signature[b.band*4+1 : b.band*4+4],
+       |          v -> CAST(v AS HUGEINT))),
+       |      (a, c) -> (a * 1000003 + c) % 2305843009213693951) AS bucket
+       |  FROM s CROSS JOIN
+       |    (SELECT CAST(range AS INT) AS band FROM range(16)) b""".stripMargin
+
+  // mirrors Dedup.minHashSummary over the persisted per-doc signatures:
+  // band keys, the size-capped bucket pair expansion, and partner
+  // counts are ALL recomputed in SQL; only the signature values
+  // (seeded murmur shingle hashing) are pinned input.
+  private def minhashSummarySql: String =
+    s"""WITH s AS (SELECT doc_id, signature FROM ${OracleSide.sql("c2_sigs")}),
+       |br AS ($minhashBandRowsSql),
+       |sz AS (SELECT band, bucket, COUNT(*) AS n FROM br GROUP BY 1, 2),
+       |pr AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+       |  FROM br a
+       |  JOIN br c ON a.band = c.band AND a.bucket = c.bucket
+       |    AND a.doc_id < c.doc_id
+       |  JOIN sz z ON z.band = a.band AND z.bucket = a.bucket
+       |  WHERE z.n BETWEEN 2 AND 1000),
+       |pa AS (SELECT doc_id, COUNT(*) AS n FROM
+       |  (SELECT id_a AS doc_id FROM pr UNION ALL SELECT id_b FROM pr)
+       |  GROUP BY 1)
+       |SELECT s.doc_id, signature[1] AS sig0, list_min(signature) AS sig_min,
+       |  CAST(COALESCE(pa.n, 0) AS BIGINT) AS n_candidates
+       |FROM s LEFT JOIN pa USING (doc_id) ORDER BY doc_id""".stripMargin
+
+  // d6 under the single-batch drain: each doc's prior-partner count is
+  // its summed 0-based arrival rank (= doc_id rank) within each band
+  // bucket, zeroed past the saturation cap — the exact state-machine
+  // semantics of StreamDedup, recomputed as window arithmetic over the
+  // same signature sidecar.
+  private def streamDedupSql: String =
+    s"""WITH s AS (SELECT doc_id, signature FROM ${OracleSide.sql("c2_sigs")}),
+       |br AS ($minhashBandRowsSql),
+       |rk AS (SELECT doc_id,
+       |  ROW_NUMBER() OVER (PARTITION BY band, bucket ORDER BY doc_id) - 1 AS r
+       |  FROM br)
+       |SELECT doc_id,
+       |  CAST(SUM(CASE WHEN r < 1000 THEN r ELSE 0 END) AS BIGINT)
+       |    AS n_prior_candidates
+       |FROM rk GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // mirrors Dedup.simHashSummary over the persisted fingerprints: the
+  // 4×16-bit band buckets, capped pair expansion, hamming-≤3 filter,
+  // and partner counts recomputed from the 64-bit values alone.
+  private def simhashSummarySql: String =
+    s"""WITH h AS (SELECT doc_id, simhash FROM ${OracleSide.sql("c3_hashes")}),
+       |br AS (SELECT doc_id, b.band, (simhash >> (b.band*16)) & 65535 AS bucket
+       |  FROM h CROSS JOIN
+       |    (SELECT CAST(range AS INT) AS band FROM range(4)) b),
+       |sz AS (SELECT band, bucket, COUNT(*) AS n FROM br GROUP BY 1, 2),
+       |pr0 AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+       |  FROM br a
+       |  JOIN br c ON a.band = c.band AND a.bucket = c.bucket
+       |    AND a.doc_id < c.doc_id
+       |  JOIN sz z ON z.band = a.band AND z.bucket = a.bucket
+       |  WHERE z.n BETWEEN 2 AND 1000),
+       |pr AS (
+       |  SELECT p.id_a, p.id_b
+       |  FROM pr0 p
+       |  JOIN h ha ON ha.doc_id = p.id_a
+       |  JOIN h hb ON hb.doc_id = p.id_b
+       |  WHERE bit_count(xor(ha.simhash, hb.simhash)) <= 3),
+       |pa AS (SELECT doc_id, COUNT(*) AS n FROM
+       |  (SELECT id_a AS doc_id FROM pr UNION ALL SELECT id_b FROM pr)
+       |  GROUP BY 1)
+       |SELECT h.doc_id, printf('%016x', simhash) AS simhash_hex,
+       |  CAST(COALESCE(pa.n, 0) AS BIGINT) AS n_candidates
+       |FROM h LEFT JOIN pa USING (doc_id) ORDER BY doc_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "c2_dedup_minhash" -> minhashSummarySql,
+    "c3_dedup_simhash" -> simhashSummarySql,
+    "d6_stream_dedup" -> streamDedupSql,
     "c29_embed_contam" -> EmbedContamSql,
     "d9_stream_contam" -> EmbedContamSql,
     // mirrors Sketches.kmvDistinct: the k smallest distinct 60-bit

@@ -80,11 +80,26 @@ object Dedup {
     sig
   }
 
-  /** One LSH bucket hash per band of a signature. */
-  private[graft] def bandHashes(sig: Array[Long], p: MinHashParams): Array[Int] =
+  /** One LSH bucket hash per band of a signature: the M61 polynomial
+    * fold of the band's slice (base 1000003, the c9 discipline). Equal
+    * slices always collide; distinct slices collide w.p. ~2⁻⁶¹ — and
+    * because the fold is plain modular arithmetic over the signature
+    * values, the c2/d6 DuckDB oracles recompute the exact same bucket
+    * keys in SQL (hugeint), collisions and all, so the banding can
+    * never flake the hash gate. (The previous 32-bit murmur was both
+    * opaque to SQL and birthday-prone at ~10⁵ band rows.) */
+  private[graft] def bandHashes(sig: Array[Long], p: MinHashParams): Array[Long] =
     Array.tabulate(p.bands) { b =>
-      MurmurHash3.orderedHash(
-        sig.slice(b * p.rowsPerBand, (b + 1) * p.rowsPerBand).toSeq, p.seed)
+      var h = 0L
+      var j = b * p.rowsPerBand
+      val end = j + p.rowsPerBand
+      while (j < end) {
+        // signature values are < M61 by construction (signatureOf)
+        val v = mulModM61(h, 1000003L) + sig(j)
+        h = if (v >= MERSENNE61) v - MERSENNE61 else v
+        j += 1
+      }
+      h
     }
 
   /** Per-doc minhash signature (numHashes longs). Deterministic from
@@ -233,6 +248,20 @@ object Dedup {
     out
   }
 
+  /** Per-doc simhash fingerprints — the narrow map the c3 pipeline
+    * starts from, and the surface its oracle sidecar persists. */
+  def simHashFingerprints(
+      spark: SparkSession,
+      docs: DataFrame,
+      seed: Int = 42,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    import spark.implicits._
+    docs.select(col(idCol).cast(LongType), col(textCol)).as[(Long, String)]
+      .map { case (id, t) => (id, simHash64(t, seed)) }
+      .toDF("doc_id", "simhash")
+  }
+
   /** c3 per-doc summary: simhash fingerprint + candidate partners
     * within hamming ≤ 3 (via 4×16-bit band buckets). */
   def simHashSummary(
@@ -248,9 +277,7 @@ object Dedup {
     // materialized eagerly, then the cache entry is dropped — see the
     // minHashSummary scaladoc for why the CacheManager entry must not
     // outlive the call
-    val hashes = docs.select(col(idCol).cast(LongType), col(textCol)).as[(Long, String)]
-      .map { case (id, t) => (id, simHash64(t, seed)) }
-      .toDF("doc_id", "simhash")
+    val hashes = simHashFingerprints(spark, docs, seed, idCol, textCol)
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
       val bands = hashes.select(col("doc_id"),

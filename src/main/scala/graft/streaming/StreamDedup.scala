@@ -81,12 +81,12 @@ object StreamDedup {
 
     val perBand = bandRows
       .select(col("band"), col("bucket"), col("doc_id"), col("ts"))
-      .as[(Int, Int, Long, java.sql.Timestamp)]
+      .as[(Int, Long, Long, java.sql.Timestamp)]
       .groupByKey { case (band, bucket, _, _) => (band, bucket) }
       .flatMapGroupsWithState(
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
-        (_: (Int, Int),
-         rows: Iterator[(Int, Int, Long, java.sql.Timestamp)],
+        (_: (Int, Long),
+         rows: Iterator[(Int, Long, Long, java.sql.Timestamp)],
          state: GroupState[BucketState]) =>
           if (state.hasTimedOut) {
             // idle past retention with no new data: drop the state row
