@@ -604,7 +604,36 @@ object PipelineQueries {
        |  CAST(COALESCE(pa.n, 0) AS BIGINT) AS n_candidates
        |FROM h LEFT JOIN pa USING (doc_id) ORDER BY doc_id""".stripMargin
 
+  // mirrors TextAnalysis.fingerprintOf with NO sidecar — the
+  // fingerprint is a pure function of the text, recomputed end-to-end
+  // in exact hugeint arithmetic: the full-text M61 polynomial fold and
+  // the minimum over all 8-char window hashes (modular arithmetic is
+  // exact, so the Scala kernel's ROLLING form and this direct per-
+  // window fold are equal by algebra, not by luck). Characters come
+  // from string_split(text, '') — codepoints, which equal Java's
+  // UTF-16 units on this corpus (all-ASCII by construction, and the
+  // window arm only runs on texts the length functions agree on).
+  private val FingerprintSql = {
+    val fold = "(a, c) -> (a * 1000003 + c) % 2305843009213693951"
+    s"""WITH ch AS (
+       |  SELECT doc_id, length(text) AS n,
+       |    list_transform(string_split(text, ''),
+       |      c -> CAST(unicode(c) AS HUGEINT)) AS cs
+       |  FROM documents),
+       |f AS (
+       |  SELECT doc_id, n, cs,
+       |    list_reduce(list_prepend(CAST(0 AS HUGEINT), cs), $fold) AS fh
+       |  FROM ch)
+       |SELECT doc_id, CAST(fh AS BIGINT) AS full_hash,
+       |  CAST(CASE WHEN n >= 8 THEN
+       |    list_min(list_transform(range(1, n - 6), i ->
+       |      list_reduce(list_prepend(CAST(0 AS HUGEINT), cs[i:i+7]), $fold)))
+       |  ELSE fh END AS BIGINT) AS min_window_hash
+       |FROM f ORDER BY doc_id""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "c9_doc_fingerprint" -> FingerprintSql,
     "c2_dedup_minhash" -> minhashSummarySql,
     "c3_dedup_simhash" -> simhashSummarySql,
     "d6_stream_dedup" -> streamDedupSql,

@@ -65,13 +65,25 @@ object VectorQueries {
   }
 
   /** a6: seeded orthonormal rotation applied to every embedding
-    * (Rotator.hpp surface). Rows-only: the rotation itself is not
-    * SQL-expressible; norm preservation is pinned by AnnSpec. */
+    * (Rotator.hpp surface). Hash-certified (r13): the rotation matrix
+    * rows persist as a sidecar (widened to double — exact), and the
+    * oracle recomputes every output in SQL: the mat-vec with in-order
+    * double accumulation + the float cast (Rotator.rotate's exact IEEE
+    * chain, Rotator.hpp:58-62's algebra), both norms, and the first
+    * rotated element. Only the matrix CONSTRUCTION (seeded
+    * Gram-Schmidt) is pinned input — its orthonormality/seed contract
+    * stays spec-pinned (PropertySpec). */
   def vecRotate(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val e = Tables.embeddings(spark, dir)
     val dim = e.select(size(col("embedding"))).head().getInt(0)
     val rot = new graft.ann.Rotator(dim, seed = 42L)
+    if (OracleSide.enabled)
+      OracleSide.write(
+        rot.matrix.zipWithIndex
+          .map { case (r, i) => (i, r.map(_.toDouble).toSeq) }.toSeq
+          .toDF("row_idx", "row"),
+        "a6_rotation")
     val bc = spark.sparkContext.broadcast(rot)
     e.select(col("vec_id").cast(LongType), col("embedding"))
       .as[(Long, Array[Float])]
@@ -79,13 +91,17 @@ object VectorQueries {
         val r = bc.value
         iter.map { case (id, v) =>
           val rv = r.rotate(v)
-          val normBefore = math.sqrt(graft.functions.VectorFunctions.dot(v, v))
-          val normAfter = math.sqrt(graft.functions.VectorFunctions.dot(rv, rv))
-          (id, rv.length, math.rint(normBefore * 1e4) / 1e4,
-            math.rint(normAfter * 1e4) / 1e4, math.rint(rv(0) * 1e4) / 1e4)
+          (id, rv.length,
+            math.sqrt(graft.functions.VectorFunctions.dot(v, v)),
+            math.sqrt(graft.functions.VectorFunctions.dot(rv, rv)),
+            rv(0).toDouble)
         }
       }
       .toDF("vec_id", "rotated_dim", "norm_before", "norm_after", "rot_elem0")
+      .select(col("vec_id"), col("rotated_dim"),
+        round(col("norm_before"), 4).as("norm_before"),
+        round(col("norm_after"), 4).as("norm_after"),
+        round(col("rot_elem0"), 4).as("rot_elem0"))
       .orderBy("vec_id")
   }
 
@@ -114,6 +130,27 @@ object VectorQueries {
     KnnExact.topK(spark, Tables.embeddings(spark, dir), queryVectors(spark, dir), k = 10)
 
   val oracles: Map[String, String] = Map(
+    // mirrors Rotator.rotate over the persisted matrix rows: each
+    // output element is an in-order double inner product cast to float
+    // (CAST AS REAL) and widened back; norm_after accumulates the
+    // squared floats IN ROW ORDER (list ORDER BY row_idx — the same
+    // trailing IEEE chain as VectorFunctions.dot). dim == paddedDim
+    // (64) for these tables, so no pad arm is needed.
+    "a6_vec_rotate" ->
+      s"""WITH r AS (SELECT row_idx, row FROM ${OracleSide.sql("a6_rotation")}),
+        |e AS (SELECT CAST(vec_id AS BIGINT) AS vec_id,
+        |  CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |rv AS (
+        |  SELECT e.vec_id, r.row_idx,
+        |    CAST(CAST(list_inner_product(r.row, e.v) AS REAL) AS DOUBLE) AS y
+        |  FROM e CROSS JOIN r),
+        |agg AS (
+        |  SELECT vec_id, list(y ORDER BY row_idx) AS ys FROM rv GROUP BY vec_id)
+        |SELECT e.vec_id, CAST(len(a.ys) AS INT) AS rotated_dim,
+        |  ROUND(SQRT(list_sum(list_transform(e.v, x -> x*x))), 4) AS norm_before,
+        |  ROUND(SQRT(list_sum(list_transform(a.ys, x -> x*x))), 4) AS norm_after,
+        |  ROUND(a.ys[1], 4) AS rot_elem0
+        |FROM e JOIN agg a USING (vec_id) ORDER BY vec_id""".stripMargin,
     "a1_vec_l2" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         | ROUND(list_distance(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS l2
