@@ -1759,7 +1759,16 @@ final class IVFModel(
     // one still has its _SUCCESS and no overlays, so a load would
     // silently adopt it against the NEW entries and serve wrong results
     fs.delete(new Path(s"$path/packed"), true)
-    index.write.mode("overwrite").partitionBy("cluster_id").parquet(s"$path/entries")
+    // repartition on the partition column BEFORE partitionBy: without
+    // it every task writes one file per cluster it holds (tasks × K
+    // files — at K=4096 on a 1000-executor cluster that is a
+    // small-files explosion on the index store). One shuffle buys ≤
+    // shuffle-partitions files and the same canonical (cluster_id, id)
+    // on-disk order compact produces, so save and compact emit
+    // identical layouts.
+    index.repartition(col("cluster_id"))
+      .sortWithinPartitions("cluster_id", "id")
+      .write.mode("overwrite").partitionBy("cluster_id").parquet(s"$path/entries")
     saveMeta(path)
     Seq("deletes", "entries_batches", "_ingest_log", "_ingest_checkpoint",
       "entries_old", "entries_compacting")

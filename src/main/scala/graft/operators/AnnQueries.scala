@@ -574,7 +574,14 @@ object AnnQueries {
   def indexLifecycle(spark: SparkSession, dir: String): DataFrame =
     graft.Scratch.materialize("b15_idx") { idxDir =>
       val m = model(spark, dir)
-      m.save(idxDir)
+      // packed=false: the packed sidecar is a pure scan cache that the
+      // compact below would immediately invalidate and rebuild — an
+      // index about to absorb deletes + compaction should not pay a
+      // full pack pass first (at 100 TB that's an extra full-index
+      // write); pack once the churn settles (compact rebuilds it iff
+      // present, savePacked adds it on demand). r12's b15 bench
+      // regression was exactly this double pack, not operator cost.
+      m.save(idxDir, packed = false)
       val odd = m.index.toDF().select(col("id")).filter(col("id") % 2 =!= 0)
       IVFModel.deleteIds(idxDir, odd)
       IVFModel.compact(spark, idxDir)
