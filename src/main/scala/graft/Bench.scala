@@ -85,6 +85,15 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.adaptive.enabled", "true")
+      // let AQE size-coalesce CACHED plan output too (off by Spark
+      // default): the staged operators (c19/c27/c32/c42) persist small
+      // intermediate frames whose downstream scans otherwise run at the
+      // full shuffle partition count regardless of size — measured on
+      // c42 at 32 threads: 3.7 -> 2.3 s with results bit-identical (the
+      // repo's order-free integer-sum discipline means partitioning can
+      // never change a value, only the task count)
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        sys.env.getOrElse("SPARK_GRAFT_CACHED_AQE", "true"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
     val spark = (sys.env.get("SPARK_GRAFT_STATE_STORE").map(_.toLowerCase) match {

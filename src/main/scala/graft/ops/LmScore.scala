@@ -20,23 +20,21 @@ import org.apache.spark.sql.types._
   *    log p_target(doc) - log p_raw(doc), and keep docs that look more
   *    like the target domain than the background.
   *
-  * Scale design (both operators): the corpus TEXT is scanned twice —
-  * once through a compiled typed kernel that emits PER-DOC AGGREGATED
-  * n-gram counts (one hash-map pass per doc, so the shuffle carries
-  * distinct-grams-per-doc rows, never one row per token), and once more
-  * when those kernel rows are re-derived as the scoring probe (a third,
+  * Scale design (both operators, r13 form): the corpus TEXT is scanned
+  * twice through a compiled typed kernel that emits narrow OCCURRENCE
+  * rows with two-lane hashed gram keys (no string survives the kernel;
+  * see LmScore.TokenLanes) — once for the model build, whose map-side
+  * partial aggregation compresses straight to O(distinct grams) rows
+  * before any shuffle, and once for the scoring probe (a third,
   * doc_id-pruned pass feeds the trailing all-docs join-back — column
-  * pruning keeps it off the text bytes). The
-  * model tables are O(distinct grams) rows built by map-side partial
-  * aggregation from the kernel rows (c27's unigram table and vocab size
-  * derive from the BIGRAM table — O(model) input, not a third corpus
-  * pass); at 100 TB they are orders of magnitude smaller than the
-  * corpus and join back by gram key (AQE broadcasts them when they fit,
-  * shuffle-joins otherwise — either way the corpus side never
-  * re-partitions by anything wider than the gram key). A production run
-  * at 100 TB would persist the kernel rows to a staging table instead
-  * of recomputing the lineage for the probe side; the operator shape is
-  * unchanged.
+  * pruning keeps it off the text bytes). The corpus-sized stream itself
+  * NEVER shuffles: the model tables join back by gram key (AQE
+  * broadcasts them when they fit, shuffle-joins otherwise), context
+  * totals fold onto the model as window sums, and the per-doc report
+  * aggregates with map-side combine. (The r12 per-(doc, gram)
+  * pre-aggregation shuffled the whole occurrence stream 11 longs wide
+  * for a dedup that rarely dedups on natural text — ~1 GB at sf1;
+  * removing it took c42 from 4.6 s to 2.4 s there, hash unchanged.)
   *
   * Oracle-parity arithmetic (same discipline as Retrieval/c25): every
   * count is an exact integer, each transcendental (one `ln` per distinct
@@ -76,10 +74,16 @@ object LmScore {
   val DsirTargetSources: Seq[String] = Seq("src0", "src1")
   def dsirTargetSqlList: String = DsirTargetSources.map(s => s"'$s'").mkString(", ")
 
-  /** Per-doc aggregated bigram counts via one hash-map pass — the
-    * kernel both the model build and the scoring probe run over.
-    * Null text emits nothing (the doc re-enters through the trailing
-    * left join with NULL metrics, like c21). */
+  /** Bigram OCCURRENCE rows with two-lane hashed keys — the c42
+    * kernel one order shallower (see [[trigramRows]] for the key
+    * mechanism and the occurrence-over-pre-aggregation rationale):
+    * the bigram key (ga/gb), its w1 context (ca/cb = the token lanes),
+    * and the w2 unigram lanes (ua/ub) for the vocab count. No string
+    * column survives the kernel and the corpus-sized stream never
+    * shuffles (model build map-side-combines to O(model); scoring
+    * joins the model back onto this stream). Null text emits nothing
+    * (the doc re-enters through the trailing left join with NULL
+    * metrics, like c21). */
   private[graft] def bigramRows(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
@@ -87,25 +91,15 @@ object LmScore {
       .flatMap { case (id, text) =>
         if (text == null) Iterator.empty
         else {
-          val w = text.split(" ", -1)
-          // tokens cannot contain the separator, so the joined string
-          // is an identity key (the same argument c24's oracle makes
-          // for md5-of-join) — no per-token Tuple2 boxing; the one
-          // split-back below runs per DISTINCT gram, not per token
-          val m = new scala.collection.mutable.HashMap[String, Int]
-          var i = 0
-          while (i < w.length - 1) {
-            val k = w(i) + " " + w(i + 1)
-            m.update(k, m.getOrElse(k, 0) + 1)
-            i += 1
-          }
-          m.iterator.map { case (k, c) =>
-            val cut = k.indexOf(' ')
-            (id, k.substring(0, cut), k.substring(cut + 1), c)
+          val tl = new TokenLanes(text.split(" ", -1))
+          if (tl.n < 2) Iterator.empty
+          else (0 until tl.n - 1).iterator.map { i =>
+            (id, tl.app1(tl.h1(i), i + 1), tl.app2(tl.h2(i), i + 1),
+              tl.h1(i), tl.h2(i), tl.h1(i + 1), tl.h2(i + 1))
           }
         }
       }
-      .toDF("doc_id", "w1", "w2", "cnt")
+      .toDF("doc_id", "ga", "gb", "ca", "cb", "ua", "ub")
   }
 
   /** The 1e-4-quantized negative log-likelihood of an add-one-smoothed
@@ -157,13 +151,14 @@ object LmScore {
     // per-doc result checkpoints eagerly so unpersist can never push
     // the final job back through the kernel (the c42 pattern).
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val rows = bigramRows(docs).persist(lvl)
-    val bc = rows.groupBy("w1", "w2").agg(sum("cnt").as("c2")).persist(lvl)
+    val rows = bigramRows(docs)
+    // rows deliberately unpersisted (the r13 c42 lesson): caching the
+    // corpus-sized occurrence stream costs more than the second narrow
+    // kernel pass; only the O(model) table persists
+    val bc = rows.groupBy("ga", "gb", "ca", "cb", "ua", "ub")
+      .agg(count(lit(1)).as("c2")).persist(lvl)
     try ngramScored(docs, rows, bc).localCheckpoint(true)
-    finally {
-      rows.unpersist(blocking = false)
-      bc.unpersist(blocking = false)
-    }
+    finally bc.unpersist(blocking = false)
   }
 
   /** The unpersisted c27 pipeline — the plan PlanSpec inspects (the
@@ -171,7 +166,8 @@ object LmScore {
     * from its returned plan). */
   private[graft] def ngramLmPlan(docs: DataFrame): DataFrame = {
     val rows = bigramRows(docs)
-    ngramScored(docs, rows, rows.groupBy("w1", "w2").agg(sum("cnt").as("c2")))
+    ngramScored(docs, rows, rows.groupBy("ga", "gb", "ca", "cb", "ua", "ub")
+      .agg(count(lit(1)).as("c2")))
   }
 
   /** c45: CCNet-style perplexity bucketing (Wenzek et al. 2019) — the
@@ -256,17 +252,23 @@ object LmScore {
     * exact ints. */
   private def ngramScored(
       docs: DataFrame, rows: DataFrame, bc: DataFrame): DataFrame = {
-    val uc = bc.groupBy("w1").agg(sum("c2").as("c1"))
-    val vv = bc.agg(countDistinct("w2").as("v"))
-    val scored = rows
-      .join(bc, Seq("w1", "w2"))
-      .join(uc, Seq("w1"))
+    // the unigram context folds onto the bigram model as a WINDOW sum
+    // (the r13 c42 treatment): one shuffle of the O(model) table by
+    // the w1 lanes, one scan, and the corpus-sized rows go through ONE
+    // join instead of two. Exact integer sums — hash unchanged.
+    val bce = bc.withColumn("c1", sum("c2").over(
+        org.apache.spark.sql.expressions.Window.partitionBy("ca", "cb")))
+      .select("ga", "gb", "c2", "c1")
+    val vv = bc.agg(countDistinct("ua", "ub").as("v"))
+    val scored = rows.select("doc_id", "ga", "gb")
+      .join(bce, Seq("ga", "gb"))
       .crossJoin(broadcast(vv))
       .withColumn("tenk", nllTenk(col("c2"), col("c1") + col("v")))
+      // occurrence-level sums ≡ the per-(doc, gram) cnt-weighted sums
       .groupBy("doc_id")
       .agg(
-        sum("cnt").cast(IntegerType).as("n_bigrams"),
-        sum(col("cnt") * col("tenk")).as("sum_tenk"))
+        count(lit(1)).cast(IntegerType).as("n_bigrams"),
+        sum(col("tenk")).as("sum_tenk"))
     docs.select(col("doc_id"))
       .join(scored, Seq("doc_id"), "left")
       .withColumn("mean_nll",
@@ -314,14 +316,60 @@ object LmScore {
     h
   }
 
-  /** Per-doc aggregated trigram counts — the c27 kernel one order
-    * deeper — emitted as HASHED keys for every model-table space the
-    * backoff chain joins on: the trigram (t3a/t3b), its (w1,w2)
-    * context (c2a/c2b), the (w2,w3) backoff bigram (b2a/b2b), its w2
-    * context (b1a/b1b) and the w3 unigram (ua/ub). Tokens cannot
-    * contain the separator, so the separator-joined string is an
-    * identity key per space (the c27/c24 argument); no string column
-    * survives this kernel — the report never needs the grams back.
+  /** Per-token two-lane hash state for O(1) gram-key composition — the
+    * shared kernel behind [[bigramRows]]/[[trigramRows]]/[[unigramRows]]:
+    * each token is hashed ONCE per lane; a k-gram key extends a
+    * (k−1)-gram key via the polynomial identity
+    * lane(a + " " + b) = lane(a)·B^(len(b)+1) + lane(" " + b)
+    * ([[app1]]/[[app2]]) — no per-gram string concat anywhere. */
+  private[graft] final class TokenLanes(w: Array[String]) {
+    val n: Int = w.length
+    val h1 = new Array[Long](n); val h2 = new Array[Long](n)
+    private val pa1 = new Array[Long](n); private val pa2 = new Array[Long](n)
+    private val sp1 = new Array[Long](n); private val sp2 = new Array[Long](n)
+    locally {
+      var j = 0
+      while (j < n) {
+        val t = w(j)
+        var a = 0L; var b = 0L
+        var q1 = 1L; var q2 = 1L // B^len, accumulated per char
+        var i = 0
+        while (i < t.length) {
+          a = Dedup.mulModM61(a, LaneB1) + t.charAt(i); if (a >= M61) a -= M61
+          b = Dedup.mulModM61(b, LaneB2) + t.charAt(i); if (b >= M61) b -= M61
+          q1 = Dedup.mulModM61(q1, LaneB1)
+          q2 = Dedup.mulModM61(q2, LaneB2)
+          i += 1
+        }
+        h1(j) = a; h2(j) = b
+        pa1(j) = Dedup.mulModM61(q1, LaneB1) // B^(len+1)
+        pa2(j) = Dedup.mulModM61(q2, LaneB2)
+        // lane(" " + t) = ' '·B^len + lane(t)
+        sp1(j) = { val v = Dedup.mulModM61(' '.toLong, q1) + a; if (v >= M61) v - M61 else v }
+        sp2(j) = { val v = Dedup.mulModM61(' '.toLong, q2) + b; if (v >= M61) v - M61 else v }
+        j += 1
+      }
+    }
+    /** Extend lane-1 key `h` with token k: lane(h-gram + " " + w(k)). */
+    def app1(h: Long, k: Int): Long = {
+      val v = Dedup.mulModM61(h, pa1(k)) + sp1(k)
+      if (v >= M61) v - M61 else v
+    }
+    def app2(h: Long, k: Int): Long = {
+      val v = Dedup.mulModM61(h, pa2(k)) + sp2(k)
+      if (v >= M61) v - M61 else v
+    }
+  }
+
+  /** Trigram OCCURRENCE rows (one per position, train flag included) —
+    * the c27 kernel one order deeper — emitted as HASHED keys for
+    * every model-table space the backoff chain joins on: the trigram
+    * (t3a/t3b), its (w1,w2) context (c2a/c2b), the (w2,w3) backoff
+    * bigram (b2a/b2b), its w2 context (b1a/b1b) and the w3 unigram
+    * (ua/ub). Tokens cannot contain the separator, so the
+    * separator-joined string is an identity key per space (the
+    * c27/c24 argument); no string column survives this kernel — the
+    * report never needs the grams back.
     *
     * Kernel shape (the sf1 profile's lesson): the typed pass hashes
     * each TOKEN once and COMPOSES gram keys in O(1) M61 ops per
@@ -329,69 +377,56 @@ object LmScore {
     * lane(a + " " + b) = lane(a)·B^(len(b)+1) + lane(" " + b) —
     * no per-trigram string concat, no per-doc string hashmap (an
     * earlier form spent 7.5 s of the 8.9 s sf1 wall there, single
-    * input split). The per-doc dedup happens in the codegen
-    * aggregation below (map-side combine), which also gives the
-    * reduce side the session's full parallelism even when the input
-    * is one split. */
+    * input split).
+    *
+    * Occurrence rows deliberately skip the r12 per-(doc, gram)
+    * pre-aggregation: its 11-long-wide groupBy shuffled the ENTIRE
+    * occurrence stream (~1 GB at sf1) for a dedup that rarely dedups
+    * (cnt ≈ 1 on natural text). Instead, the model build aggregates
+    * occurrences straight to gram space (map-side combine compresses
+    * to O(model) rows before the shuffle), scoring joins the model
+    * back onto the narrow occurrence stream (AQE broadcasts the model
+    * when it fits), and the per-doc report aggregates with map-side
+    * combine — the corpus-sized stream itself never shuffles wide. */
+  /** The c13-split train flag as a JVM kernel: substring(md5(id),1,2) <
+    * "c0" ⟺ first digest byte < 0xc0 (nibble→hex-char mapping is
+    * monotonic, so the two-char comparison IS the byte comparison).
+    * Computed per DOC inside the kernel so the occurrence rows never
+    * pay a per-row md5 expression. */
+  private[graft] def trainFlag(id: Long, md: java.security.MessageDigest): Boolean = {
+    val d = md.digest(id.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    (d(0) & 0xff) < Integer.parseInt(TrigramTrainMax, 16)
+  }
+
   private[graft] def trigramRows(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val occ = docs.select(col("doc_id").cast(LongType), col("text")).as[(Long, String)]
-      .flatMap { case (id, text) =>
-        if (text == null) Iterator.empty
-        else {
-          val w = text.split(" ", -1)
-          val n = w.length
-          if (n < 3) Iterator.empty
+    docs.select(col("doc_id").cast(LongType), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { case (id, text) =>
+          if (text == null) Iterator.empty
           else {
-            // per-token state, computed once: lane hashes, the append
-            // multiplier B^(len+1), and the separator-prefixed lane
-            val h1 = new Array[Long](n); val h2 = new Array[Long](n)
-            val pa1 = new Array[Long](n); val pa2 = new Array[Long](n)
-            val sp1 = new Array[Long](n); val sp2 = new Array[Long](n)
-            var j = 0
-            while (j < n) {
-              val t = w(j)
-              var a = 0L; var b = 0L
-              var q1 = 1L; var q2 = 1L // B^len, accumulated per char
-              var i = 0
-              while (i < t.length) {
-                a = Dedup.mulModM61(a, LaneB1) + t.charAt(i); if (a >= M61) a -= M61
-                b = Dedup.mulModM61(b, LaneB2) + t.charAt(i); if (b >= M61) b -= M61
-                q1 = Dedup.mulModM61(q1, LaneB1)
-                q2 = Dedup.mulModM61(q2, LaneB2)
-                i += 1
+            val tl = new TokenLanes(text.split(" ", -1))
+            if (tl.n < 3) Iterator.empty
+            else {
+              val trn = trainFlag(id, md)
+              (0 until tl.n - 2).iterator.map { i =>
+                val c2a = tl.app1(tl.h1(i), i + 1)
+                val c2b = tl.app2(tl.h2(i), i + 1)
+                val t3a = tl.app1(c2a, i + 2)
+                val t3b = tl.app2(c2b, i + 2)
+                val b2a = tl.app1(tl.h1(i + 1), i + 2)
+                val b2b = tl.app2(tl.h2(i + 1), i + 2)
+                (id, trn, t3a, t3b, c2a, c2b, b2a, b2b,
+                  tl.h1(i + 1), tl.h2(i + 1), tl.h1(i + 2), tl.h2(i + 2))
               }
-              h1(j) = a; h2(j) = b
-              pa1(j) = Dedup.mulModM61(q1, LaneB1) // B^(len+1)
-              pa2(j) = Dedup.mulModM61(q2, LaneB2)
-              // lane(" " + t) = ' '·B^len + lane(t)
-              sp1(j) = { val v = Dedup.mulModM61(' '.toLong, q1) + a; if (v >= M61) v - M61 else v }
-              sp2(j) = { val v = Dedup.mulModM61(' '.toLong, q2) + b; if (v >= M61) v - M61 else v }
-              j += 1
-            }
-            (0 until n - 2).iterator.map { i =>
-              def app(h: Long, k: Int, pa: Array[Long], sp: Array[Long]): Long = {
-                val v = Dedup.mulModM61(h, pa(k)) + sp(k)
-                if (v >= M61) v - M61 else v
-              }
-              val c2a = app(h1(i), i + 1, pa1, sp1)
-              val c2b = app(h2(i), i + 1, pa2, sp2)
-              val t3a = app(c2a, i + 2, pa1, sp1)
-              val t3b = app(c2b, i + 2, pa2, sp2)
-              val b2a = app(h1(i + 1), i + 2, pa1, sp1)
-              val b2b = app(h2(i + 1), i + 2, pa2, sp2)
-              (id, t3a, t3b, c2a, c2b, b2a, b2b,
-                h1(i + 1), h2(i + 1), h1(i + 2), h2(i + 2))
             }
           }
         }
       }
-      .toDF("doc_id", "t3a", "t3b", "c2a", "c2b",
+      .toDF("doc_id", "trn", "t3a", "t3b", "c2a", "c2b",
         "b2a", "b2b", "b1a", "b1b", "ua", "ub")
-    occ.groupBy("doc_id", "t3a", "t3b", "c2a", "c2b",
-        "b2a", "b2b", "b1a", "b1b", "ua", "ub")
-      .agg(count(lit(1)).as("cnt"))
   }
 
   /** 1e-4-quantized NLL of an EXACT ratio (num ≥ 1 guaranteed by the
@@ -424,33 +459,27 @@ object LmScore {
     * backoff penalties are integer multiples of [[BackoffTenk]]; doc
     * scores are integer sums — order- and engine-independent. */
   def trigramBackoff(docs: DataFrame): DataFrame = {
-    // The kernel rows feed SEVEN lineage branches (t3, and through it
-    // t2/b2/b1/u/tot, plus the scoring side) — unpersisted, the
-    // per-doc trigram kernel re-tokenized the corpus once per branch
-    // (measured 8.8 s at sf1 vs DuckDB's 1.1, the same recompute
-    // class as c32's round-8 form). rows and the two fan-out model
-    // tables persist; everything below them is O(model) work done
-    // once. The bounded result checkpoints eagerly (c32/Dedup
-    // pattern) so unpersist can never push the final job back
-    // through the kernel.
+    // The kernel rows feed the model build AND the scoring side —
+    // unpersisted, the trigram kernel would re-tokenize the corpus
+    // once per branch (measured 8.8 s at sf1 in the round-9 form).
+    // The occurrence stream and the two fan-out model tables persist;
+    // everything below them is O(model) work done once. The bounded
+    // result checkpoints eagerly (c32/Dedup pattern) so unpersist can
+    // never push the final job back through the kernel.
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val rows = trigramRows(docs)
-      .withColumn("trn",
-        substring(md5(col("doc_id").cast(StringType)), 1, 2) < lit(TrigramTrainMax))
-      .persist(lvl)
+    val occ = trigramRows(docs)
     // t3 groups by the trigram key and CARRIES the derived-space keys
     // (functionally determined by the trigram — same cardinality);
     // b2 likewise carries the w2/w3 keys for its own fan-out
-    val t3 = rows.filter(col("trn"))
+    val t3 = occ.filter(col("trn"))
       .groupBy("t3a", "t3b", "c2a", "c2b", "b2a", "b2b", "b1a", "b1b", "ua", "ub")
-      .agg(sum("cnt").as("c3"))
+      .agg(count(lit(1)).as("c3"))
       .persist(lvl)
     val b2 = t3.groupBy("b2a", "b2b", "b1a", "b1b", "ua", "ub")
       .agg(sum("c3").as("cb"))
       .persist(lvl)
-    try trigramScored(docs, rows, t3, b2).localCheckpoint(true)
+    try trigramScored(docs, occ, t3, b2).localCheckpoint(true)
     finally {
-      rows.unpersist(blocking = false)
       t3.unpersist(blocking = false)
       b2.unpersist(blocking = false)
     }
@@ -471,20 +500,26 @@ object LmScore {
     * through 3 joins instead of 5. The unigram join stays its own:
     * a row can miss both t3 and b2 yet hit u. */
   private def trigramScored(
-      docs: DataFrame, rows: DataFrame, t3: DataFrame, b2: DataFrame): DataFrame = {
-    val t2 = t3.groupBy("c2a", "c2b").agg(sum("c3").as("c2ctx"))
-    val b1 = b2.groupBy("b1a", "b1b").agg(sum("cb").as("c1ctx"))
+      docs: DataFrame, occ: DataFrame, t3: DataFrame, b2: DataFrame): DataFrame = {
     val u = b2.groupBy("ua", "ub").agg(sum("cb").as("cu"))
     val tot = u.agg(sum("cu").as("nn"), count(lit(1)).as("v"))
-    // model-side enrichment: every t3 row's context is in t2 and every
-    // b2 row's in b1/u by construction, so the inner joins are lossless
+    // model-side enrichment as WINDOW sums, not aggregate-and-join-back
+    // (the r13 stage-count fix behind the sf1 "8 cores beat 32"
+    // profile): each context total is a whole-partition sum over the
+    // model table itself — one shuffle by the context key, one scan,
+    // zero joins — where the r12 form cost an extra aggregation stage
+    // plus a join-back PER CONTEXT SPACE over the same rows. Exact
+    // integer sums, so the blended score is bit-identical (hash
+    // unchanged; the oracle never sees the plan).
     val t3e = t3.select("t3a", "t3b", "c2a", "c2b", "c3")
-      .join(t2, Seq("c2a", "c2b"))
+      .withColumn("c2ctx", sum("c3").over(
+        org.apache.spark.sql.expressions.Window.partitionBy("c2a", "c2b")))
       .select("t3a", "t3b", "c3", "c2ctx")
     val b2e = b2.select("b2a", "b2b", "b1a", "b1b", "cb")
-      .join(b1, Seq("b1a", "b1b"))
+      .withColumn("c1ctx", sum("cb").over(
+        org.apache.spark.sql.expressions.Window.partitionBy("b1a", "b1b")))
       .select("b2a", "b2b", "cb", "c1ctx")
-    val scored = rows
+    val scored = occ
       .join(t3e, Seq("t3a", "t3b"), "left")
       .join(b2e, Seq("b2a", "b2b"), "left")
       .join(u, Seq("ua", "ub"), "left")
@@ -495,16 +530,18 @@ object LmScore {
             lit(BackoffTenk) + lnTenk(col("cb"), col("c1ctx")))
           .otherwise(lit(2 * BackoffTenk) +
             nllTenk(coalesce(col("cu"), lit(0L)), col("nn") + col("v"))))
+      // occurrence-level sums ≡ the r12 per-(doc, gram) cnt-weighted
+      // sums (exact integers, order-free) — hash unchanged
       .groupBy("doc_id")
       .agg(
-        sum("cnt").cast(IntegerType).as("n_trigrams"),
-        sum(when(col("c3").isNotNull, col("cnt")).otherwise(lit(0L)))
+        count(lit(1)).cast(IntegerType).as("n_trigrams"),
+        sum(when(col("c3").isNotNull, 1L).otherwise(0L))
           .cast(IntegerType).as("n_hit3"),
-        sum(when(col("c3").isNull && col("cb").isNotNull, col("cnt"))
-          .otherwise(lit(0L))).cast(IntegerType).as("n_hit2"),
-        sum(when(col("c3").isNull && col("cb").isNull, col("cnt"))
-          .otherwise(lit(0L))).cast(IntegerType).as("n_hit1"),
-        sum(col("cnt") * col("tenk")).as("sum_tenk"))
+        sum(when(col("c3").isNull && col("cb").isNotNull, 1L)
+          .otherwise(0L)).cast(IntegerType).as("n_hit2"),
+        sum(when(col("c3").isNull && col("cb").isNull, 1L)
+          .otherwise(0L)).cast(IntegerType).as("n_hit1"),
+        sum(col("tenk")).as("sum_tenk"))
     docs.select(col("doc_id"))
       .join(scored, Seq("doc_id"), "left")
       .withColumn("mean_nll",
@@ -527,6 +564,11 @@ object LmScore {
       .flatMap { case (id, source, text) =>
         if (text == null) Iterator.empty
         else {
+          // UNLIKE the bigram/trigram kernels, unigrams keep the
+          // per-doc hash-map dedup: natural text repeats WORDS heavily
+          // (3× compression here, vs ≈none for grams), so the map pays
+          // for itself and each distinct token is lane-hashed once.
+          // Keys leave the kernel as two-lane hashes (no strings).
           val w = text.split(" ", -1)
           val m = new scala.collection.mutable.HashMap[String, Int]
           var i = 0
@@ -535,10 +577,12 @@ object LmScore {
             i += 1
           }
           val t = if (source != null && tgt.contains(source)) 1 else 0
-          m.iterator.map { case (word, c) => (id, t, word, c) }
+          m.iterator.map { case (tok, c) =>
+            (id, t, lane(tok, LaneB1), lane(tok, LaneB2), c.toLong)
+          }
         }
       }
-      .toDF("doc_id", "tgt", "w", "cnt")
+      .toDF("doc_id", "tgt", "wa", "wb", "cnt")
   }
 
   /** c28: DSIR importance weighting. Unigram LMs with add-one smoothing
@@ -558,12 +602,12 @@ object LmScore {
 
   /** The staged c28 path — the 100 TB shape (see [[ngramLm]]'s gate). */
   private[graft] def dsirWeightStaged(docs: DataFrame): DataFrame = {
-    // same staging discipline as c27: the kernel rows feed the model
-    // build AND the scoring join, the model feeds its totals and the
-    // scoring join — persist both, checkpoint the bounded result
+    // same staging discipline as c27: only the O(model) table persists
+    // (the occurrence stream recomputes once per branch — cheaper than
+    // caching it); checkpoint the bounded result
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val rows = unigramRows(docs).persist(lvl)
-    val model = rows.groupBy("w").agg(
+    val model = rows.groupBy("wa", "wb").agg(
       sum("cnt").as("rc"),
       sum(when(col("tgt") === 1, col("cnt")).otherwise(lit(0L))).as("tc"))
       .persist(lvl)
@@ -577,7 +621,7 @@ object LmScore {
   /** The unpersisted c28 pipeline — the plan PlanSpec inspects. */
   private[graft] def dsirWeightPlan(docs: DataFrame): DataFrame = {
     val rows = unigramRows(docs)
-    dsirScored(docs, rows, rows.groupBy("w").agg(
+    dsirScored(docs, rows, rows.groupBy("wa", "wb").agg(
       sum("cnt").as("rc"),
       sum(when(col("tgt") === 1, col("cnt")).otherwise(lit(0L))).as("tc")))
   }
@@ -589,8 +633,8 @@ object LmScore {
       docs: DataFrame, rows: DataFrame, model: DataFrame): DataFrame = {
     val tot = model.agg(
       sum("rc").as("rr"), sum("tc").as("tt"), count(lit(1)).as("v"))
-    val scored = rows
-      .join(model, Seq("w"))
+    val scored = rows.select("doc_id", "wa", "wb", "cnt")
+      .join(model, Seq("wa", "wb"))
       .crossJoin(broadcast(tot))
       // log-ratio in tenk units: nll_raw - nll_target (both quantized
       // independently, mirrored in the oracle)
