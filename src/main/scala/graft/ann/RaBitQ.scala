@@ -117,11 +117,22 @@ object RaBitQ {
     * @param absRes |o'| (normalized abs residual)
     * @return (code per dim in [0, 2^exBits−1], ipnorm = 1/⟨u+0.5, |o'|⟩) */
   def fastQuantize(absRes: Array[Double], exBits: Int): (Array[Int], Double) = {
+    val (code, ipnorm, _) = fastQuantizeT(absRes, exBits)
+    (code, ipnorm)
+  }
+
+  /** [[fastQuantize]] widened with the selected scale t — the b5/b5b
+    * oracle sidecar persists t so the code APPLICATION (the clamped
+    * linear quantization `min(⌊t·|o'_d|+ε⌋, 2^exBits−1)`, the packed
+    * byte-sum, and ipnorm/xipnorm) is recomputable in exact SQL
+    * arithmetic, while the t-SEARCH itself (this heap-driven threshold
+    * scan) stays pinned input. */
+  def fastQuantizeT(absRes: Array[Double], exBits: Int): (Array[Int], Double, Double) = {
     val d = absRes.length
     val maxLevel = (1 << exBits) - 1
     var maxO = 0.0
     locally { var i = 0; while (i < d) { if (absRes(i) > maxO) maxO = absRes(i); i += 1 } }
-    if (maxO <= 0.0) return (new Array[Int](d), 1.0)
+    if (maxO <= 0.0) return (new Array[Int](d), 1.0, 0.0)
     val eps = 1e-5
     val nEnum = 10
     val tStart = (maxLevel / 3).toDouble / maxO // integer division as in the reference
@@ -167,7 +178,7 @@ object RaBitQ {
     }
     var ipnorm = 1.0 / num2
     if (!java.lang.Double.isFinite(ipnorm)) ipnorm = 1.0
-    (code, ipnorm)
+    (code, ipnorm, bestT)
   }
 
   /** Query-side state for scanning one cluster (reference Searcher

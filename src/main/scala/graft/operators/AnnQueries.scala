@@ -76,7 +76,7 @@ object AnnQueries {
   /** The b3/b9 centroid sidecar (raw-space centroids widened to
     * double): written by BOTH queries so each is self-contained under
     * a Verify subset run; identical content, idempotent overwrite. */
-  private def writeCentroidSidecar(
+  private[operators] def writeCentroidSidecar(
       spark: SparkSession, m: graft.ann.IVFModel): DataFrame = {
     import spark.implicits._
     val cents = m.centroids.zipWithIndex
@@ -100,34 +100,97 @@ object AnnQueries {
       .orderBy("vec_id")
   }
 
-  /** b4: RaBitQ 1-bit code summary (popcount + factors). */
-  def rabitqCode(spark: SparkSession, dir: String): DataFrame =
+  /** The b4/b5/b5b residual sidecar: per entry, the quantizer's exact
+    * input — the rotated residual rot(x) − rot(centroid) widened to
+    * double (the float subtraction is recomputed with the entry's OWN
+    * model rotator, bit-equal to quantizeRow's) — plus the optimal
+    * scale t that fastQuantize selected (pinned input, the b6b
+    * query-quantization discipline). From these the oracle recomputes
+    * the ENTIRE quantizer surface in SQL: sign bits, popcount, x2,
+    * fac_err (b4), the clamped code, the bit-packed byte sum, and
+    * ipnorm/xipnorm (b5/b5b). Written only under Verify. */
+  private def writeResidualSidecar(
+      spark: SparkSession, dir: String, bits: Int, name: String): Unit = {
+    if (!OracleSide.enabled) return
+    import spark.implicits._
+    val m = model(spark, dir, bits)
+    val exBits = m.params.exBits
+    val bc = spark.sparkContext.broadcast((m.rotator, m.rotatedCentroids))
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id").cast(LongType).as("eid"), col("embedding"))
+    val rows = m.index.toDF().select(col("id"), col("cluster_id"))
+      .join(emb, col("id") === col("eid"))
+      .select(col("id"), col("cluster_id"), col("embedding"))
+      .as[(Long, Int, Array[Float])]
+      .map { case (id, cid, vec) =>
+        val (rot, rotCents) = bc.value
+        val rx = rot.rotate(vec)
+        val cR = rotCents(cid)
+        val d = rot.paddedDim
+        val res = new Array[Float](d)
+        var i = 0
+        while (i < d) { res(i) = rx(i) - cR(i); i += 1 }
+        // |o'| exactly as RaBitQ.quantize builds it (double chains)
+        var x2 = 0.0
+        i = 0
+        while (i < d) { x2 += res(i).toDouble * res(i); i += 1 }
+        val x = math.sqrt(x2)
+        val abs = new Array[Double](d)
+        i = 0
+        while (i < d) {
+          abs(i) = math.abs(if (x > 0) res(i) / x else 0.0); i += 1
+        }
+        val bestT = RaBitQ.fastQuantizeT(abs, exBits)._3
+        (id, cid, res.map(_.toDouble).toSeq, bestT)
+      }
+      .toDF("vec_id", "cluster_id", "r", "best_t")
+    OracleSide.write(rows, name)
+  }
+
+  /** b4: RaBitQ 1-bit code summary (popcount + factors).
+    * Hash-certified: the rotated residual persists as a sidecar (see
+    * [[writeResidualSidecar]]) and the oracle recomputes the popcount
+    * from the residual signs and the x2/fac_err factor chains
+    * (Quantizer.hpp:407-430 algebra) in-order in SQL — a drift in the
+    * sign rule, the normalization, or either factor fails the hash. */
+  def rabitqCode(spark: SparkSession, dir: String): DataFrame = {
+    writeResidualSidecar(spark, dir, bits = 4, "b45_entries")
     model(spark, dir).index.toDF()
       .select(col("id").as("vec_id"), col("cluster_id"),
         col("sum_xb").cast("int").as("popcount"),
-        round(col("x2"), 4).as("x2"),
-        round(col("fac_err"), 4).as("fac_err"))
+        round(col("x2").cast("double"), 4).as("x2"),
+        round(col("fac_err").cast("double"), 4).as("fac_err"))
       .orderBy("vec_id")
+  }
 
-  /** b5: extended-code summary (code checksum + rerank factor). */
+  /** b5: extended-code summary (code checksum + rerank factor).
+    * Hash-certified: from the persisted residual + scale t the oracle
+    * recomputes the clamped code min(⌊t·|o'_d|+ε⌋, 2^exBits−1), the
+    * sign-flip (Quantizer.hpp:480-487), the byte sum of the bit-packed
+    * stream (packBits ORs disjoint bit ranges, so each byte is an
+    * exact integer SUM of per-dim contributions — closed form, no
+    * iteration), and ipnorm → xipnorm (fast_quantize's trailing
+    * chain). Only the t-SEARCH is pinned input. */
   def exrabitqCode(spark: SparkSession, dir: String): DataFrame =
-    exrabitqCodeFor(spark, dir, bits = 4)
+    exrabitqCodeFor(spark, dir, bits = 4, "b45_entries")
 
   /** b5b: the same surface at B=8 — the reference's other headline
     * config (README `create_index ... 8`; Quantizer.hpp supports
     * B ∈ {3,4,5,7,8,9}, exercised across the sweep by AnnSpec). */
   def exrabitqCodeB8(spark: SparkSession, dir: String): DataFrame =
-    exrabitqCodeFor(spark, dir, bits = 8)
+    exrabitqCodeFor(spark, dir, bits = 8, "b5b_entries")
 
-  private def exrabitqCodeFor(spark: SparkSession, dir: String, bits: Int): DataFrame = {
+  private def exrabitqCodeFor(
+      spark: SparkSession, dir: String, bits: Int, sidecar: String): DataFrame = {
     import spark.implicits._
+    writeResidualSidecar(spark, dir, bits, sidecar)
     // typed map kernel (not a UDF): the checksum runs inside the
     // deserializer pipeline and the plan stays codegen'd end-to-end
     model(spark, dir, bits).index
       .map(e => (e.id, byteSum(e.ex_code), e.xipnorm))
       .toDF("vec_id", "code_sum", "xipnorm")
       .select(col("vec_id"), col("code_sum"),
-        round(col("xipnorm"), 6).as("xipnorm"))
+        round(col("xipnorm").cast("double"), 6).as("xipnorm"))
       .orderBy("vec_id")
   }
 
@@ -540,6 +603,12 @@ object AnnQueries {
     // index copies (each carries the full code set)
     graft.Scratch.materialize("b13_idx") { idxDir =>
       val m = model(spark, dir)
+      // hash-certified: the streamed index's per-cluster counts must
+      // equal the argmin counts DuckDB recomputes over the persisted
+      // centroids (b9's certification applied to the STREAM-built
+      // index) — a stream path that dropped, duplicated, or misrouted
+      // any vector fails the hash
+      writeCentroidSidecar(spark, m)
       m.saveMeta(idxDir)
       val src = graft.streaming.EventOps.symlinkedDir(dir, "embeddings.parquet")
       IVFIndex.appendStream(spark, m, src, idxDir)
@@ -574,6 +643,12 @@ object AnnQueries {
   def indexLifecycle(spark: SparkSession, dir: String): DataFrame =
     graft.Scratch.materialize("b15_idx") { idxDir =>
       val m = model(spark, dir)
+      // hash-certified: the surviving per-cluster counts must equal
+      // the argmin counts over the persisted centroids RESTRICTED to
+      // the even ids — the delete/compact/reload chain is under the
+      // hash gate (a tombstone missed, applied twice, or leaked by
+      // compact changes a count and fails it)
+      writeCentroidSidecar(spark, m)
       // packed=false: the packed sidecar is a pure scan cache that the
       // compact below would immediately invalidate and rebuild — an
       // index about to absorb deletes + compaction should not pay a
@@ -672,6 +747,65 @@ object AnnQueries {
       |LEFT JOIN rat ON rat.query_id = a.query_id
       |ORDER BY a.query_id, a.rk""".stripMargin
 
+  /** The quantizer-surface oracle for b5/b5b: recomputes the clamped
+    * code at the persisted scale t, the sign-flip, the byte sum of the
+    * bit-packed stream (packBits ORs DISJOINT bit ranges, so each
+    * byte — including the trailing pad — is an exact integer SUM of
+    * per-dim contributions ((f·2^s) mod 256) + (f·2^s) div 256 with
+    * s = (exBits·dim) mod 8: closed form, no iteration), and the
+    * ipnorm → xipnorm trailing chain, all from the residual sidecar. */
+  private def exCodeSql(sidecar: String, exBits: Int): String = {
+    val mask = (1 << exBits) - 1
+    s"""WITH e AS (SELECT vec_id, r, best_t FROM ${OracleSide.sql(sidecar)}),
+      |t AS (
+      |  SELECT vec_id, best_t, r,
+      |    list_sum(list_transform(r, v -> v*v)) AS x2d
+      |  FROM e),
+      |u AS (
+      |  SELECT vec_id, best_t, sqrt(x2d) AS x,
+      |    list_transform(r, v ->
+      |      abs(CASE WHEN sqrt(x2d) > 0 THEN v / sqrt(x2d) ELSE 0.0 END)) AS a,
+      |    list_transform(r, v -> CASE WHEN v > 0 THEN 1 ELSE 0 END) AS bit
+      |  FROM t),
+      |c AS (
+      |  SELECT vec_id, x, bit, a,
+      |    list_transform(a, v ->
+      |      LEAST(CAST(floor(best_t * v + 1e-5) AS INT), $mask)) AS code
+      |  FROM u),
+      |s AS (
+      |  SELECT vec_id, x,
+      |    list_sum(list_transform(list_zip(code, a),
+      |      p -> (p[1] + 0.5) * p[2])) AS num2,
+      |    list_transform(list_zip(code, bit),
+      |      p -> CASE WHEN p[2] = 1 THEN p[1] ELSE $mask - p[1] END) AS flipped
+      |  FROM c)
+      |SELECT vec_id,
+      |  CAST(list_sum(list_transform(flipped, (f, i) ->
+      |    ((f * (1 << (($exBits*(i-1)) % 8))) % 256)
+      |      + (f * (1 << (($exBits*(i-1)) % 8))) // 256)) AS BIGINT) AS code_sum,
+      |  ROUND(CAST(CAST(
+      |    (CASE WHEN num2 = 0 THEN 1.0 ELSE 1.0/num2 END) * 2.0 * x
+      |    AS REAL) AS DOUBLE), 6) AS xipnorm
+      |FROM s ORDER BY vec_id""".stripMargin
+  }
+
+  /** The argmin-count oracle shared by b13/b15: per-cluster counts
+    * recomputed from the persisted centroids (b9's certification
+    * applied to the stream-built / delete-compacted index). */
+  private def argminCountSql(cent: String, where: String): String =
+    s"""WITH c AS (SELECT cluster_id, centroid FROM $cent),
+      |d AS (
+      |  SELECT e.vec_id, c.cluster_id,
+      |    list_sum(list_transform(
+      |      list_zip(CAST(e.embedding AS DOUBLE[]), c.centroid),
+      |      x -> (x[1]-x[2])*(x[1]-x[2]))) AS d2
+      |  FROM embeddings e CROSS JOIN c),
+      |a AS (SELECT vec_id, cluster_id FROM (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+      |    ORDER BY d2, cluster_id) AS rn FROM d) t WHERE rn = 1)
+      |SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_vectors
+      |FROM a$where GROUP BY cluster_id ORDER BY cluster_id""".stripMargin
+
   val oracles: Map[String, String] = {
     val cent = OracleSide.sql("b3_centroids")
     val b6e = OracleSide.sql("b6_entries")
@@ -679,6 +813,47 @@ object AnnQueries {
     val b6bq = OracleSide.sql("b6b_query")
     val res = OracleSide.sql("b_search_results")
     Map(
+      // Quantizer.hpp:407-430 1-bit factor algebra from the residual
+      // sidecar: popcount from the residual signs, x2 = Σr², fac_err
+      // from the normalized-residual chain — each double chain mirrored
+      // in-order, each float narrowing CAST AS REAL
+      "b4_rabitq_code" ->
+        s"""WITH e AS (SELECT vec_id, cluster_id, r
+          |  FROM ${OracleSide.sql("b45_entries")}),
+          |t AS (
+          |  SELECT vec_id, cluster_id, r,
+          |    CAST(len(r) AS DOUBLE) AS d,
+          |    list_sum(list_transform(r, v -> v*v)) AS x2d
+          |  FROM e),
+          |u AS (
+          |  SELECT vec_id, cluster_id, d, x2d, sqrt(x2d) AS x,
+          |    CAST(list_sum(list_transform(r,
+          |      v -> CASE WHEN v > 0 THEN 1 ELSE 0 END)) AS INT) AS popcount,
+          |    list_sum(list_transform(r, v ->
+          |      abs(CASE WHEN sqrt(x2d) > 0 THEN v / sqrt(x2d) ELSE 0.0 END)))
+          |      AS sum_abs
+          |  FROM t),
+          |f AS (
+          |  SELECT vec_id, cluster_id, popcount, x2d, x, d,
+          |    CASE WHEN sum_abs * (1.0/sqrt(d)) = 0 THEN 0.8
+          |         ELSE sum_abs * (1.0/sqrt(d)) END AS oobar
+          |  FROM u)
+          |SELECT vec_id, cluster_id, popcount,
+          |  ROUND(CAST(CAST(x2d AS REAL) AS DOUBLE), 4) AS x2,
+          |  ROUND(CAST(CAST(
+          |    sqrt(greatest(0.0, 1.0 - oobar*oobar) / (oobar*oobar))
+          |      * (2.0/sqrt(d - 1)) * 2.0 * x
+          |    AS REAL) AS DOUBLE), 4) AS fac_err
+          |FROM f ORDER BY vec_id""".stripMargin,
+      "b5_exrabitq_code" -> exCodeSql("b45_entries", exBits = 3),
+      "b5b_exrabitq_b8" -> exCodeSql("b5b_entries", exBits = 7),
+      // the STREAM-built index must land exactly the batch argmin
+      // assignment (counts recomputed from the persisted centroids)
+      "b13_stream_index" -> argminCountSql(cent, ""),
+      // ...and the delete→compact→reload chain must keep exactly the
+      // even-id rows of that assignment
+      "b15_index_lifecycle" ->
+        argminCountSql(cent, " WHERE vec_id % 2 = 0"),
       "b7_ivf_search" -> certifiedSearchSql("b7_results"),
       "b7b_ivf_search_b8" -> certifiedSearchSql("b7b_results"),
       "b16_search_quantized" -> certifiedSearchSql("b16_results"),

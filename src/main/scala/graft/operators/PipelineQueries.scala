@@ -84,14 +84,26 @@ object PipelineQueries {
 
   /** c11: media payloads → stub-encoder embeddings → exact top-3
     * self-search. The full multimodal → similarity bridge: identical
-    * payloads surface as rank-1/2 neighbors. Rows-only (the histogram
-    * encoder is not SQL-expressible); pinned by OpsSpec. */
+    * payloads surface as rank-1/2 neighbors. Hash-certified (the b12
+    * discipline): the stub-encoder FEATURES persist as a sidecar
+    * (pinned input — the byte-histogram encoder itself is the
+    * stand-in a real codec replaces, spec-pinned by OpsSpec), and the
+    * oracle recomputes the ENTIRE search from them in SQL: every
+    * exact squared distance, the (d², id) ranking, and the top-3
+    * cut. */
   def mediaEmbedSearch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     // eager localCheckpoint: the extraction pass feeds both the query
     // collect and the search scan — without it the whole corpus would
     // be re-embedded twice (and a cache() would leak, see Dedup)
     val feats = Multimodal.featureExtract(spark, Tables.documents(spark, dir))
       .localCheckpoint(true)
+    if (OracleSide.enabled)
+      OracleSide.write(
+        feats.as[(Long, Array[Float])]
+          .map { case (id, v) => (id, v.map(_.toDouble).toSeq) }
+          .toDF("vec_id", "f"),
+        "c11_features")
     val queries = feats.filter(col("vec_id") < 4)
       .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
     graft.ann.KnnExact.topK(spark, feats, queries, k = 3)
@@ -130,18 +142,26 @@ object PipelineQueries {
 
   /** c23: SemDeDup — the b2/b3 k-means assignment routes the
     * within-cluster cosine pruning; keeps the min-id representative
-    * per semantic-duplicate group. Rows-only (k-means is not
-    * SQL-expressible); pinned by OpsSpec + golden. */
-  def semDedup(spark: SparkSession, dir: String): DataFrame =
+    * per semantic-duplicate group. Hash-certified: the oracle rebuilds
+    * the assignment from the persisted centroids (b3's certified
+    * argmin) and REPLAYS the greedy id-order scan with a recursive CTE
+    * that carries each cluster's kept set forward — every cosine, the
+    * fixed-point rounding, the ≥-threshold rule, and the keep/drop
+    * verdicts are recomputed in SQL (the c20 recursive-closure
+    * discipline applied to a sequential scan). */
+  def semDedup(spark: SparkSession, dir: String): DataFrame = {
+    val m = AnnQueries.model(spark, dir)
+    AnnQueries.writeCentroidSidecar(spark, m)
     graft.ops.Dedup.semDedup(
       // the raw index, not ivfAssign: the b3 query's orderBy (a full
       // range-shuffle) and sqrt/round distance column would be pure
       // wasted work — semDedup keeps only (vec_id, cluster_id) and
       // reshuffles by cluster anyway
-      AnnQueries.model(spark, dir).index.toDF()
+      m.index.toDF()
         .select(col("id").as("vec_id"), col("cluster_id")),
       Tables.embeddings(spark, dir), threshold = 0.3)
       .orderBy("vec_id")
+  }
 
   def substringDedup(spark: SparkSession, dir: String): DataFrame =
     Dedup.substringSpans(Tables.documents(spark, dir)).orderBy("doc_id")
@@ -632,7 +652,83 @@ object PipelineQueries {
        |FROM f ORDER BY doc_id""".stripMargin
   }
 
+  /** c11 oracle: the stub-encoder features are pinned input (the b12
+    * candidate-generation discipline); the exact top-3 self-search —
+    * every squared distance, the (d², id) ranking, the cut — is
+    * recomputed from them in SQL. */
+  private val MediaEmbedSql = {
+    val f = OracleSide.sql("c11_features")
+    s"""WITH f AS (SELECT vec_id, f FROM $f),
+      |q AS (SELECT vec_id AS query_id, f AS qv FROM f WHERE vec_id < 4),
+      |d AS (
+      |  SELECT q.query_id, b.vec_id AS neighbor_id,
+      |    list_sum(list_transform(list_zip(q.qv, b.f),
+      |      x -> (x[1]-x[2])*(x[1]-x[2]))) AS d2
+      |  FROM q CROSS JOIN f b)
+      |SELECT query_id, neighbor_id, CAST(rk AS INT) AS rk
+      |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+      |  ORDER BY d2, neighbor_id) AS rk FROM d) t
+      |WHERE rk <= 3 ORDER BY query_id, rk""".stripMargin
+  }
+
+  /** c23 oracle: assignment = the b3-certified argmin over the
+    * persisted centroids; the greedy id-order within-cluster scan is
+    * REPLAYED by a recursive CTE whose per-cluster state row carries
+    * the kept-id set and the decisions so far — each round decides the
+    * next-rank member against the kept set with the kernel's exact
+    * cosine chain (in-order double dot, √-norms, 1e-6 fixed-point,
+    * ≥ threshold). The final round's state per cluster unnests into
+    * the full verdict list. Sequential semantics, zero pinned
+    * verdicts. */
+  private val SemDedupSql = {
+    val cent = OracleSide.sql("b3_centroids")
+    s"""WITH RECURSIVE
+      |c AS (SELECT cluster_id, centroid FROM $cent),
+      |d AS (
+      |  SELECT e.vec_id, c.cluster_id,
+      |    CAST(e.embedding AS DOUBLE[]) AS v,
+      |    list_sum(list_transform(
+      |      list_zip(CAST(e.embedding AS DOUBLE[]), c.centroid),
+      |      x -> (x[1]-x[2])*(x[1]-x[2]))) AS d2
+      |  FROM embeddings e CROSS JOIN c),
+      |m AS (
+      |  SELECT CAST(vec_id AS BIGINT) AS vec_id, cluster_id, v,
+      |    sqrt(list_inner_product(v, v)) AS nrm,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY cluster_id
+      |      ORDER BY vec_id) AS INT) AS rk
+      |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+      |          ORDER BY d2, cluster_id) AS rn FROM d) t
+      |  WHERE rn = 1),
+      |g AS (
+      |  SELECT cluster_id, rk, [vec_id] AS kept_ids,
+      |    [{'vec_id': vec_id, 'keep': 1}] AS decided
+      |  FROM m WHERE rk = 1
+      |  UNION ALL
+      |  SELECT m.cluster_id, m.rk,
+      |    CASE WHEN dup THEN g.kept_ids
+      |         ELSE list_append(g.kept_ids, m.vec_id) END,
+      |    list_append(g.decided,
+      |      {'vec_id': m.vec_id, 'keep': CASE WHEN dup THEN 0 ELSE 1 END})
+      |  FROM g JOIN m ON m.cluster_id = g.cluster_id AND m.rk = g.rk + 1
+      |  CROSS JOIN LATERAL (
+      |    SELECT EXISTS (
+      |      SELECT 1 FROM m km
+      |      WHERE list_contains(g.kept_ids, km.vec_id)
+      |        AND floor(list_inner_product(m.v, km.v)
+      |              / (m.nrm * km.nrm) * 1e6 + 0.5)/1e6 >= 0.3
+      |    ) AS dup) x)
+      |SELECT u.vec_id, f.cluster_id, u.keep
+      |FROM (SELECT cluster_id, decided,
+      |        ROW_NUMBER() OVER (PARTITION BY cluster_id
+      |          ORDER BY rk DESC) AS rn
+      |      FROM g) f, UNNEST(f.decided) AS t(u)
+      |WHERE f.rn = 1
+      |ORDER BY u.vec_id""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "c11_media_embed" -> MediaEmbedSql,
+    "c23_semdedup" -> SemDedupSql,
     "c9_doc_fingerprint" -> FingerprintSql,
     "c2_dedup_minhash" -> minhashSummarySql,
     "c3_dedup_simhash" -> simhashSummarySql,

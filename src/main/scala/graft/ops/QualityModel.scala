@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.ml.classification.LogisticRegression
+import org.apache.spark.ml.classification.{LogisticRegression, LogisticRegressionModel}
 import org.apache.spark.ml.feature.HashingTF
 import org.apache.spark.ml.functions.vector_to_array
 import org.apache.spark.sql.DataFrame
@@ -111,11 +111,19 @@ object QualityModel {
     * the content-over-label spec plants genuinely distinct character
     * distributions and asserts the model reads the TEXT. */
   def langClassifier(docs: DataFrame, maxIter: Int = LangMaxIter): DataFrame = {
+    val feat = langFeatures(docs)
+    langScore(docs, feat, langFit(feat, maxIter))
+  }
+
+  /** The c43 featurization pass: char bi+trigrams in a typed kernel
+    * (one linear pass per doc; emits the n-gram multiset, hashed
+    * next — never a collected vocabulary), the c6 heuristic label
+    * join, and HashingTF. Split out so the phase profile
+    * ([[graft.C43Probe]]) can time featurize / fit / score
+    * separately on the exact production plan. */
+  private[graft] def langFeatures(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    // char bi+trigrams of the raw text in a typed kernel (one linear
-    // pass per doc; emits the n-gram multiset, hashed next — never a
-    // collected vocabulary)
     val grams = docs
       .filter(col("text").isNotNull)
       .select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
@@ -139,13 +147,28 @@ object QualityModel {
     val tf = new HashingTF()
       .setInputCol("grams").setOutputCol("features")
       .setNumFeatures(LangNumFeatures)
-    val feat = tf.transform(labeled)
-    // deterministic 75% hash slice (the c33 rule: never randomSplit)
+    tf.transform(labeled)
+  }
+
+  /** L-BFGS on the deterministic 75% hash slice (the c33 rule: never
+    * randomSplit). MLlib persists its internal Instance RDD for the
+    * iteration loop, so the 25 gradient passes do NOT re-read the
+    * featurization lineage — each is one treeAggregate job over the
+    * persisted instances. */
+  private[graft] def langFit(
+      feat: DataFrame, maxIter: Int): LogisticRegressionModel = {
     val train = feat.filter(pmod(xxhash64(col("doc_id")), lit(4)) < 3)
-    val lr = new LogisticRegression()
+    new LogisticRegression()
       .setFamily("multinomial")
       .setMaxIter(maxIter).setRegParam(0.01).setTol(1e-8)
-    val model = lr.fit(train)
+      .fit(train)
+  }
+
+  /** Broadcast-model scoring over the full featurized corpus + the
+    * null-text re-entry join (the c21 contract). */
+  private[graft] def langScore(
+      docs: DataFrame, feat: DataFrame,
+      model: LogisticRegressionModel): DataFrame = {
     val scored = model.transform(feat)
       .select(
         col("doc_id"),

@@ -72,6 +72,38 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("fastQuantizeT scale replays the code: c_d = min(⌊t·|o'_d|+ε⌋, max)") {
+    // the exact identity the b5/b5b oracle relies on: given the
+    // persisted scale t, the code APPLICATION is a closed-form per-dim
+    // expression — a change to either side breaks the hash gate AND
+    // this pin
+    val absVec = Gen.listOfN(64, Gen.chooseNum(0.0, 0.4)).map(_.toArray)
+    forAll2(absVec, Gen.oneOf(2, 3, 4, 6, 7, 8)) { (abs, exBits) =>
+      val (code, _, t) = RaBitQ.fastQuantizeT(abs, exBits)
+      val maxLevel = (1 << exBits) - 1
+      val replay = abs.map(a => math.min((t * a + 1e-5).toInt, maxLevel))
+      assert(code.sameElements(replay))
+    }
+  }
+
+  test("packBits byte sum equals the closed-form per-dim contribution sum") {
+    // packBits ORs DISJOINT bit ranges, so every byte (pad included) is
+    // an exact integer SUM of ((v·2^s) mod 256) + (v·2^s) div 256 with
+    // s = (exBits·d) mod 8 — the b5/b5b oracle's code_sum formula
+    forAll2(Gen.oneOf(2, 3, 4, 6, 7, 8), Gen.long) { (exBits, seed) =>
+      val rnd = new scala.util.Random(seed)
+      val mask = (1 << exBits) - 1
+      val values = Array.fill(64)(rnd.nextInt(mask + 1))
+      val packed = RaBitQ.packBits(values, exBits)
+      val bytes = packed.map(_ & 0xff).map(_.toLong).sum
+      val closed = values.zipWithIndex.map { case (v, i) =>
+        val shifted = v << ((i * exBits) & 7)
+        (shifted & 0xff).toLong + (shifted >> 8)
+      }.sum
+      assert(bytes === closed)
+    }
+  }
+
   test("quantize → estimate/rerank: rerank is finite and x2 exact") {
     val res = Gen.listOfN(64, Gen.chooseNum(-1.0f, 1.0f)).map(_.toArray)
     forAll(res) { r =>

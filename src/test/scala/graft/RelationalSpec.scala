@@ -29,16 +29,13 @@ class RelationalSpec extends AnyFunSuite {
     assert(oracleKeys.subsetOf(keys), s"orphan oracles: ${oracleKeys -- keys}")
     // rows-only queries are exactly the non-SQL-expressible ones
     val rowsOnly = keys -- oracleKeys
-    val expectedRowsOnly = Set("a6_vec_rotate", "b2_ivf_train", "b3_ivf_assign",
-      "b4_rabitq_code", "b5_exrabitq_code", "b5b_exrabitq_b8", "b6_rabitq_estimate",
-      "b7_ivf_search", "b7b_ivf_search_b8", "b8_ann_recall", "b9_index_build",
-      "b10_ann_ratio", "b11_nprobe_sweep", "b12_search_highacc",
-      "b13_stream_index", "b14_search_filtered", "b15_index_lifecycle",
-      "b16_search_quantized",
-      "c2_dedup_minhash", "c3_dedup_simhash", "c9_doc_fingerprint",
-      "c11_media_embed", "c23_semdedup", "c33_quality_classifier",
-      "c34_bpe_train", "c35_bpe_encode", "c43_lang_classifier",
-      "d6_stream_dedup")
+    // each is non-SQL-expressible for a structural reason: iterative
+    // training (b2 k-means, c33/c43 L-BFGS, c34/c35 BPE merge loop)
+    // or measured wall/QPS columns (b11); everything else is
+    // hash-certified against a DuckDB recomputation
+    val expectedRowsOnly = Set("b2_ivf_train", "b11_nprobe_sweep",
+      "c33_quality_classifier", "c34_bpe_train", "c35_bpe_encode",
+      "c43_lang_classifier")
     assert(rowsOnly.subsetOf(expectedRowsOnly), s"unexpected rows-only: ${rowsOnly -- expectedRowsOnly}")
   }
 
