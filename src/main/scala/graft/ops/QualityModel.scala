@@ -111,7 +111,19 @@ object QualityModel {
     * the content-over-label spec plants genuinely distinct character
     * distributions and asserts the model reads the TEXT. */
   def langClassifier(docs: DataFrame, maxIter: Int = LangMaxIter): DataFrame = {
-    val feat = langFeatures(docs)
+    // featurize ONCE (eager localCheckpoint, the c11/c42 staging
+    // pattern): unstaged, the gram kernel + heuristic-label join +
+    // HashingTF lineage is evaluated TWICE — under fit's instance
+    // materialization and again under scoring. Staging is the same
+    // storage class at 100 TB (MLlib already persists the featurized
+    // 75% train slice internally for the L-BFGS loop) while saving a
+    // full featurization pass. Measured (C43Probe, sf0.1): 5.25 →
+    // 3.14 s at 32 cores; identical outputs (golden-pinned). The
+    // residual wall is featurize 1.3 s + 25 treeAggregate jobs 1.7 s
+    // (fit intercept 0.4 s, ~0.05 s/iteration) — job floor, not
+    // gradient compute, and core-count-insensitive (8-core e2e 5.56 ≈
+    // 32-core 5.25 before staging, 3.18 ≈ 3.14 after).
+    val feat = langFeatures(docs).localCheckpoint(true)
     langScore(docs, feat, langFit(feat, maxIter))
   }
 
