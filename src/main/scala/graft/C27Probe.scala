@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** c27 occurrence-stream persist A/B (round-13): the scale probe
+  * showed c27 regressing 8.1 → 14.4 s at 100k docs after the LM
+  * restructure dropped the kernel-row cache. This measures the staged
+  * path with the narrow occurrence rows persisted vs recomputed, on
+  * BOTH corpora where the answer could differ: the bench table
+  * (SPARK_GRAFT_SF_DIR, natural-ish text, small model) and the
+  * ScaleProbe synthetic corpus (SPARK_GRAFT_PROBE_DOCS random-vocab
+  * docs → ~4M-row model, the adversarial shape). The persist knob is
+  * LmScore's SPARK_GRAFT_LM_PERSIST_OCC, read per call — this main
+  * flips it via system property-free env simulation by calling the
+  * staged path twice in one session. Prints one JSON line. */
+object C27Probe {
+  private def force(df: DataFrame): Unit =
+    df.queryExecution.toRdd.foreach(_ => ())
+
+  private def minOf(runs: Int)(body: => Unit): Double =
+    (0 until runs).map { _ =>
+      val t0 = System.nanoTime()
+      body
+      (System.nanoTime() - t0) / 1e9
+    }.drop(1).min
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val nDocs = sys.env.getOrElse("SPARK_GRAFT_PROBE_DOCS", "100000").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    // ScaleProbe's exact synthetic corpus (40 tokens, 5000-token
+    // random vocab, 10% near-dups), written to disk like the probe
+    val docs = spark.range(nDocs).select(col("id").as("doc_id")).as[Long]
+      .mapPartitions { iter =>
+        iter.map { id =>
+          val toks =
+            if (id % 10 == 0 && id > 0) {
+              val prev = new scala.util.Random(id - 1)
+              val p = (0 until 40).map(_ => s"w${prev.nextInt(5000)}").toArray
+              p(20) = "CHANGED"; p.toSeq
+            } else {
+              val rnd = new scala.util.Random(id)
+              (0 until 40).map(_ => s"w${rnd.nextInt(5000)}")
+            }
+          (id, toks.mkString(" "))
+        }
+      }.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("synth"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val dir = java.nio.file.Files.createTempDirectory("c27probe")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile); ()
+    }))
+    docs.write.mode("overwrite").parquet(dir.toString)
+    val probeDocs = spark.read.parquet(dir.toString)
+    val benchDocs = Tables.documents(spark, sfDir)
+    benchDocs.count(); probeDocs.count()
+
+    // the env knob is read per ngramLmStaged call; simulate both arms
+    // by temporarily setting it through the test seam
+    def timeArm(docsDf: DataFrame, persist: Boolean): Double =
+      minOf(3) {
+        force(ops.LmScore.ngramLmStagedForProbe(docsDf, persist))
+      }
+
+    val benchOff = timeArm(benchDocs, persist = false)
+    val benchOn = timeArm(benchDocs, persist = true)
+    val probeOff = timeArm(probeDocs, persist = false)
+    val probeOn = timeArm(probeDocs, persist = true)
+    println(f"""{"probe":"c27_occ_persist_ab","cpus":$cpus,"probe_docs":$nDocs,"sf_dir":"$sfDir",""" +
+      f""""bench_recompute_s":$benchOff%.2f,"bench_persist_s":$benchOn%.2f,""" +
+      f""""probe_recompute_s":$probeOff%.2f,"probe_persist_s":$probeOn%.2f}""")
+    spark.stop()
+  }
+}

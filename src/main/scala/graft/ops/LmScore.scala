@@ -150,16 +150,39 @@ object LmScore {
     // recompute class c42/c32 closed). Both persist; the bounded
     // per-doc result checkpoints eagerly so unpersist can never push
     // the final job back through the kernel (the c42 pattern).
+    // occurrence-stream persist: the model build and the scoring join
+    // are two corpus passes over the narrow hashed rows; whether the
+    // second pass is cheaper recomputed or read back from cache is
+    // scale-dependent (A/B'd at sf0.1 and the 100k-doc probe shape —
+    // results/c27_occ_persist_ab.json). SPARK_GRAFT_LM_PERSIST_OCC
+    // ∈ {1,0} overrides for measurement.
+    ngramLmStagedForProbe(docs,
+      sys.env.get("SPARK_GRAFT_LM_PERSIST_OCC") match {
+        case Some("1") => true
+        case Some("0") => false
+        case _ => PersistOccDefault
+      })
+  }
+
+  /** [[ngramLmStaged]] with the occurrence-persist choice explicit —
+    * the C27Probe A/B seam. */
+  private[graft] def ngramLmStagedForProbe(
+      docs: DataFrame, persistOcc: Boolean): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val rows = bigramRows(docs)
-    // rows deliberately unpersisted (the r13 c42 lesson): caching the
-    // corpus-sized occurrence stream costs more than the second narrow
-    // kernel pass; only the O(model) table persists
+    val rows0 = bigramRows(docs)
+    val rows = if (persistOcc) rows0.persist(lvl) else rows0
     val bc = rows.groupBy("ga", "gb", "ca", "cb", "ua", "ub")
       .agg(count(lit(1)).as("c2")).persist(lvl)
     try ngramScored(docs, rows, bc).localCheckpoint(true)
-    finally bc.unpersist(blocking = false)
+    finally {
+      bc.unpersist(blocking = false)
+      if (persistOcc) rows.unpersist(blocking = false)
+    }
   }
+
+  /** Default for the staged occurrence-stream persist (see
+    * [[ngramLmStaged]]); set from the committed A/B. */
+  private[graft] val PersistOccDefault = false
 
   /** The unpersisted c27 pipeline — the plan PlanSpec inspects (the
     * public [[ngramLm]] checkpoints eagerly, which erases the lineage
