@@ -89,21 +89,26 @@ plus the golden snapshots.
         f.write(f"| {k} | {'FAILED' if v < 0 else f'{v:.4f}'} |\n")
     f.write(f"| **total ({n_ok} queries)** | **{total:.4f}** |\n")
     dedup_total = sum(results.get(k, 0) for k in
-                      ("c19_verified_neardup", "c20_dedup_canonical")
+                      ("c19_verified_neardup", "c20_dedup_canonical",
+                       "c23_semdedup", "c9_doc_fingerprint")
                       if results.get(k, -1) >= 0)
     f.write(f"""
 Machine: {platform.platform()}, {os.cpu_count()} CPUs.
 
-**Reading the two dedup outliers honestly**: c19_verified_neardup and
-c20_dedup_canonical account for {dedup_total:.1f} s of the {total:.1f} s
+**Reading the oracle-formulation outliers honestly**:
+c19_verified_neardup, c20_dedup_canonical, c23_semdedup and
+c9_doc_fingerprint account for {dedup_total:.1f} s of the {total:.1f} s
 total. Their DuckDB times measure the *oracle formulation* -- a
-deliberately brute-force all-pairs jaccard (c19) and a recursive-CTE
-transitive closure (c20), written to be obviously-correct reference
-SQL -- while the Spark side runs the real algorithms (LSH candidate
-generation + verified pairs; distributed min-label propagation with
-pointer jumping). Those two rows certify correctness of the Spark
-results, not competitive DuckDB wall-time; on the remaining queries
-the two engines run genuinely comparable plans. They also dominate
+deliberately brute-force all-pairs jaccard (c19), a recursive-CTE
+transitive closure (c20), a round-by-round recursive replay of the
+sequential greedy scan (c23), and an exact-hugeint per-window hash
+fold (c9) -- written to be obviously-correct reference SQL, while the
+Spark side runs the real algorithms (LSH candidate generation +
+verified pairs; distributed min-label propagation with pointer
+jumping; one within-cluster greedy pass; the compiled rolling-hash
+kernel). Those rows certify correctness of the Spark results, not
+competitive DuckDB wall-time; on the remaining queries the two
+engines run genuinely comparable plans. They also dominate
 the total's RUN-TO-RUN variance: consecutive quiet-machine
 regenerations have moved c19/c20 by 15-25% (e.g. 252 -> 303 s across
 round-12 regens), so small vs_baseline shifts between rounds are
