@@ -623,6 +623,12 @@ object AnnQueries {
     * semi-join applied before estimation, broadcast or shuffled at the
     * planner's discretion (no hint — large allowed sets must not be
     * forced through the driver). */
+  // b14's filtered GT is verification scaffolding, not operator cost —
+  // cache it per dir like gtResults/gtDistResults (b7's treatment), so
+  // repeated bench runs measure the FILTERED SEARCH, not a GT rebuild
+  private val gtFilteredCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (DataFrame, DataFrame)]()
+
   def searchFiltered(spark: SparkSession, dir: String): DataFrame = {
     val m = model(spark, dir)
     val e = Tables.embeddings(spark, dir)
@@ -630,11 +636,15 @@ object AnnQueries {
     // certified vs the GT RESTRICTED to the allowed set (the filter is
     // SQL-derivable — vec_id % 2 = 0 — so the oracle rebuilds this GT
     // from `embeddings` alone; no extra sidecar needed for it)
-    val gtFiltered = graft.ann.KnnExact.topK(spark,
-      e.filter(col("vec_id") % 2 === 0), queryVectors(spark, dir), k = 10)
+    val (gtFiltered, gtFilteredD) = gtFilteredCache.computeIfAbsent(dir, _ => {
+      val gt = graft.ann.KnnExact.topK(spark,
+        e.filter(col("vec_id") % 2 === 0), queryVectors(spark, dir), k = 10)
+        .cache()
+      (gt, withExactL2(spark, dir, gt).cache())
+    })
     certifiedSearch(spark, dir,
       m.searchFiltered(spark, queryVectors(spark, dir), k = 10, nprobe = 12, allowed),
-      "b14_results", gtFiltered, withExactL2(spark, dir, gtFiltered))
+      "b14_results", gtFiltered, gtFilteredD)
   }
 
   /** b15: index lifecycle — save, tombstone-delete the odd ids,
