@@ -41,7 +41,17 @@ object QualityModel {
   def qualityClassifier(
       docs: DataFrame,
       targetSources: Seq[String] = LmScore.DsirTargetSources,
-      trainFraction: Int = 1): DataFrame = {
+      trainFraction: Int = 1): DataFrame =
+    qualityClassifierStagedForProbe(docs, targetSources, trainFraction,
+      stageFeat = true)
+
+  /** [[qualityClassifier]] with the featurization-staging choice
+    * explicit — the C33Probe A/B seam. */
+  private[graft] def qualityClassifierStagedForProbe(
+      docs: DataFrame,
+      targetSources: Seq[String],
+      trainFraction: Int,
+      stageFeat: Boolean): DataFrame = {
     val labeled = docs
       .filter(col("text").isNotNull)
       .select(
@@ -54,7 +64,14 @@ object QualityModel {
     val tf = new HashingTF()
       .setInputCol("toks").setOutputCol("features")
       .setNumFeatures(NumFeatures)
-    val feat = tf.transform(labeled)
+    // featurize ONCE (the c43 staging treatment): unstaged, the
+    // tokenize+hash lineage is evaluated under both fit's instance
+    // materialization and the scoring transform. Same storage class at
+    // scale — MLlib persists the featurized train slice internally for
+    // the L-BFGS loop anyway. A/B'd at sf0.1 and the 100k-doc probe
+    // shape (results/c33_stage_ab.json).
+    val feat0 = tf.transform(labeled)
+    val feat = if (stageFeat) feat0.localCheckpoint(true) else feat0
     // deterministic hash sample, never randomSplit: the trained model
     // must not depend on partitioning or a sampler's RNG stream
     val train = if (trainFraction <= 1) feat
