@@ -718,6 +718,16 @@ class CorpusSpec extends AnyFunSuite {
       df.collect().map(_.toString).sorted.toSeq
     assert(rowsOf(LmScore.ngramLmStaged(d)) == rowsOf(LmScore.ngramLmPlan(d)))
     assert(rowsOf(LmScore.dsirWeightStaged(d)) == rowsOf(LmScore.dsirWeightPlan(d)))
+    // the r13 A/B seams are pure mechanism knobs: both arms of the
+    // occurrence-persist choice (c27) and the featurization-staging
+    // choice (c33) must stay row-identical — a divergence would mean a
+    // knob silently changes RESULTS, not cost
+    assert(rowsOf(LmScore.ngramLmStagedForProbe(d, persistOcc = true)) ==
+      rowsOf(LmScore.ngramLmStagedForProbe(d, persistOcc = false)))
+    assert(rowsOf(graft.ops.QualityModel.qualityClassifierStagedForProbe(
+        d, LmScore.DsirTargetSources, 1, stageFeat = true)) ==
+      rowsOf(graft.ops.QualityModel.qualityClassifierStagedForProbe(
+        d, LmScore.DsirTargetSources, 1, stageFeat = false)))
     // gate routing: this inline corpus sits far below StagingMinBytes
     // (recompute path); a frame whose Catalyst estimate exceeds the
     // gate takes the staged path
