@@ -10,10 +10,11 @@ import org.apache.spark.sql.functions._
   * BOTH corpora where the answer could differ: the bench table
   * (SPARK_GRAFT_SF_DIR, natural-ish text, small model) and the
   * ScaleProbe synthetic corpus (SPARK_GRAFT_PROBE_DOCS random-vocab
-  * docs → ~4M-row model, the adversarial shape). The persist knob is
-  * LmScore's SPARK_GRAFT_LM_PERSIST_OCC, read per call — this main
-  * flips it via system property-free env simulation by calling the
-  * staged path twice in one session. Prints one JSON line. */
+  * docs → ~4M-row model, the adversarial shape). Both arms go through
+  * the explicit ngramLmStagedForProbe(docs, persistOcc) seam — the
+  * same code path production's SPARK_GRAFT_LM_PERSIST_OCC env knob
+  * selects (the knob itself is just the arm selector and is not
+  * exercised here). Prints one JSON line. */
 object C27Probe {
   private def force(df: DataFrame): Unit =
     df.queryExecution.toRdd.foreach(_ => ())
@@ -39,23 +40,9 @@ object C27Probe {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
-    // ScaleProbe's exact synthetic corpus (40 tokens, 5000-token
-    // random vocab, 10% near-dups), written to disk like the probe
-    val docs = spark.range(nDocs).select(col("id").as("doc_id")).as[Long]
-      .mapPartitions { iter =>
-        iter.map { id =>
-          val toks =
-            if (id % 10 == 0 && id > 0) {
-              val prev = new scala.util.Random(id - 1)
-              val p = (0 until 40).map(_ => s"w${prev.nextInt(5000)}").toArray
-              p(20) = "CHANGED"; p.toSeq
-            } else {
-              val rnd = new scala.util.Random(id)
-              (0 until 40).map(_ => s"w${rnd.nextInt(5000)}")
-            }
-          (id, toks.mkString(" "))
-        }
-      }.toDF("doc_id", "text")
+    // ScaleProbe's exact synthetic corpus (shared generator — one
+    // source of truth for the comparability claim)
+    val docs = ScaleProbe.synthDocs(spark, nDocs)
       .withColumn("lang", lit("en")).withColumn("source", lit("synth"))
       .withColumn("n_chars", length(col("text")).cast("long"))
     val dir = java.nio.file.Files.createTempDirectory("c27probe")

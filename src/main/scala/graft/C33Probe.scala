@@ -33,13 +33,10 @@ object C33Probe {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
-    // ScaleProbe's synthetic corpus with its 8-source relabelling (the
-    // shape the probe times c33 under: 25% target slice)
-    val docs = spark.range(nDocs).select(col("id").as("doc_id")).as[Long]
-      .mapPartitions(_.map { id =>
-        val rnd = new scala.util.Random(id)
-        (id, (0 until 40).map(_ => s"w${rnd.nextInt(5000)}").mkString(" "))
-      }).toDF("doc_id", "text")
+    // ScaleProbe's exact synthetic corpus (shared generator, near-dups
+    // included) with its 8-source relabelling — the shape the probe
+    // times c33 under: 25% target slice
+    val docs = ScaleProbe.synthDocs(spark, nDocs)
       .withColumn("lang", lit("en"))
       .withColumn("source", concat(lit("src"), (col("doc_id") % 8).cast("int")))
       .withColumn("n_chars", length(col("text")).cast("long"))

@@ -9,11 +9,12 @@ import org.apache.spark.sql.functions._
   * fit (25 distributed L-BFGS passes over MLlib's internally-persisted
   * instances), and score (broadcast-model transform + null re-entry
   * join) — measured on the exact production seams
-  * (ops.QualityModel.langFeatures/langFit/langScore), plus the
-  * UNSTAGED end-to-end wall (production c43, featurization evaluated
-  * by both the fit path and the scoring path) and a STAGED variant
-  * (featurization localCheckpointed once, shared by both) so the
-  * candidate fix is measured, not guessed. fit is also timed at
+  * (ops.QualityModel.langFeatures/langFit/langScore), plus an
+  * UNSTAGED arm (featurization lineage evaluated by both the fit path
+  * and the scoring path — the pre-r13 production shape, built
+  * explicitly from the seams since production now stages) and the
+  * STAGED arm (featurization localCheckpointed once, shared by both —
+  * what langClassifier ships) so the staging win stays measurable. fit is also timed at
   * maxIter=1: the delta to 25 isolates per-iteration treeAggregate
   * cost from fit's fixed overhead. Run at SPARK_GRAFT_CPUS ∈ {8, 32}
   * for the core-scaling row. Prints one JSON line. */
@@ -38,10 +39,16 @@ object C43Probe {
         (System.nanoTime() - t0) / 1e9
       }.drop(1).min // run 1 is JIT/codegen warmup
 
-    // end-to-end, production shape (featurization evaluated twice:
-    // once under fit's instance materialization, once under scoring)
+    // UNSTAGED arm, constructed explicitly from the seams
+    // (featurization lineage evaluated twice: once under fit's
+    // instance materialization, once under scoring). NOT
+    // langClassifier: since the r13 staging fix the production path
+    // checkpoints internally — calling it here would silently measure
+    // the staged plan in both arms
     val e2e = minOf(4) {
-      ops.QualityModel.langClassifier(docs)
+      val feat = ops.QualityModel.langFeatures(docs)
+      ops.QualityModel.langScore(docs, feat,
+          ops.QualityModel.langFit(feat, maxIter = 25))
         .queryExecution.toRdd.foreach(_ => ())
     }
 

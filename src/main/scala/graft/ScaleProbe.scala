@@ -15,7 +15,14 @@ object ScaleProbe {
   private def time[A](body: => A): (A, Double) = {
     val t0 = System.nanoTime()
     val a = body
-    (a, (System.nanoTime() - t0) / 1e9)
+    val sec = (System.nanoTime() - t0) / 1e9
+    // untimed epilogue (Bench's pattern): scratch dirs queued by
+    // streaming drains / temp-index queries are reaped BETWEEN
+    // measurements — without this only the JVM shutdown hook fires and
+    // a large probe run grows /tmp monotonically (d8's span store and
+    // the index copies are the big ones)
+    Scratch.reap()
+    (a, sec)
   }
   private def force(df: DataFrame): Unit =
     df.queryExecution.toRdd.foreach(_ => ())
@@ -27,6 +34,32 @@ object ScaleProbe {
       org.apache.commons.io.FileUtils.deleteQuietly(d.toFile); ()
     }))
     d
+  }
+
+  /** THE probe corpus: ~40 tokens per doc from a 5000-token random
+    * vocab, 10% near-dups (doc id−1 with one token changed). ONE copy
+    * shared by the focused A/B probes (C27Probe/C33Probe) — their
+    * "ScaleProbe's shape" comparability claim holds only if this
+    * generator is the single source of truth. */
+  private[graft] def synthDocs(
+      spark: SparkSession, nDocs: Int): DataFrame = {
+    import spark.implicits._
+    spark.range(nDocs).select(col("id").as("doc_id")).as[Long]
+      .mapPartitions { iter =>
+        iter.map { id =>
+          val toks =
+            if (id % 10 == 0 && id > 0) {
+              // near-dup of doc id-1 with one token changed
+              val prev = new scala.util.Random(id - 1)
+              val p = (0 until 40).map(_ => s"w${prev.nextInt(5000)}").toArray
+              p(20) = "CHANGED"; p.toSeq
+            } else {
+              val rnd = new scala.util.Random(id)
+              (0 until 40).map(_ => s"w${rnd.nextInt(5000)}")
+            }
+          (id, toks.mkString(" "))
+        }
+      }.toDF("doc_id", "text")
   }
 
   /** The probe's synthetic events table (4 events/doc in the full
@@ -120,23 +153,7 @@ object ScaleProbe {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
-    // --- synthetic docs: ~40 tokens from a small vocab, 10% near-dups ---
-    val docs = spark.range(nDocs).select(col("id").as("doc_id")).as[Long]
-      .mapPartitions { iter =>
-        iter.map { id =>
-          val toks =
-            if (id % 10 == 0 && id > 0) {
-              // near-dup of doc id-1 with one token changed
-              val prev = new scala.util.Random(id - 1)
-              val p = (0 until 40).map(_ => s"w${prev.nextInt(5000)}").toArray
-              p(20) = "CHANGED"; p.toSeq
-            } else {
-              val rnd = new scala.util.Random(id)
-              (0 until 40).map(_ => s"w${rnd.nextInt(5000)}")
-            }
-          (id, toks.mkString(" "))
-        }
-      }.toDF("doc_id", "text")
+    val docs = ScaleProbe.synthDocs(spark, nDocs)
     val docsDir = tempDir("probe_docs")
     docs.withColumn("lang", lit("en")).withColumn("source", lit("synth"))
       .withColumn("n_chars", length(col("text")).cast("long"))

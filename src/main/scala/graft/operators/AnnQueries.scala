@@ -109,9 +109,16 @@ object AnnQueries {
     * the ENTIRE quantizer surface in SQL: sign bits, popcount, x2,
     * fac_err (b4), the clamped code, the bit-packed byte sum, and
     * ipnorm/xipnorm (b5/b5b). Written only under Verify. */
+  // b4 and b5 share the bits=4 sidecar; write it once per (dir, bits)
+  // per JVM — the content is a pure function of both, and a second
+  // write is a full rotate + t-search pass over every entry
+  private val residualSidecarWritten =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(String, Int, String)]()
+
   private def writeResidualSidecar(
       spark: SparkSession, dir: String, bits: Int, name: String): Unit = {
     if (!OracleSide.enabled) return
+    if (!residualSidecarWritten.add((dir, bits, name))) return
     import spark.implicits._
     val m = model(spark, dir, bits)
     val exBits = m.params.exBits
@@ -709,6 +716,18 @@ object AnnQueries {
     "SQRT(list_sum(list_transform(list_zip(q.qvec, CAST(b.embedding AS DOUBLE[])), " +
       "x -> (x[1]-x[2])*(x[1]-x[2]))))"
 
+  /** The PRE-sqrt squared distance — the exact double KnnExact ranks
+    * by. RANKINGS must use this wherever the Spark side ranks by d²:
+    * sqrt collapses adjacent doubles (two distinct d² can round to one
+    * sqrt), so a sqrt-ranked oracle against a d²-ranked kernel flips
+    * the id tie-break on collapse and can flake the hash at the top-k
+    * cut. Where the Spark side itself ranks by the sqrt'd value
+    * (withExactL2's rk_exact), the oracle keeps ranking by [[DistSql]]
+    * — each pairing mirrors ITS kernel's key. */
+  private val D2Sql =
+    "list_sum(list_transform(list_zip(q.qvec, CAST(b.embedding AS DOUBLE[])), " +
+      "x -> (x[1]-x[2])*(x[1]-x[2])))"
+
   /** The shared oracle for the certified search rows (b7/b7b/b14/b16):
     * reads the search's persisted result list, recomputes every
     * verdict column from `embeddings` in SQL — exact distances, the
@@ -727,13 +746,22 @@ object AnnQueries {
       |  JOIN embeddings b ON r.neighbor_id = b.vec_id),
       |ar AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
       |  ORDER BY d, neighbor_id) AS rk_exact FROM ad),
-      |gt AS (
-      |  SELECT query_id, neighbor_id, d, rk FROM (
+      |gt0 AS (
+      |  -- cut by the PRE-sqrt d² rank: the Spark GT (KnnExact.topK)
+      |  -- ranks by d², and sqrt can collapse adjacent doubles
+      |  SELECT query_id, neighbor_id, d FROM (
       |    SELECT q.query_id, b.vec_id AS neighbor_id, $DistSql AS d,
       |      ROW_NUMBER() OVER (PARTITION BY q.query_id
-      |        ORDER BY $DistSql, b.vec_id) AS rk
+      |        ORDER BY $D2Sql, b.vec_id) AS rk2
       |    FROM qs q, embeddings b$gtWhere) t
-      |  WHERE rk <= 10),
+      |  WHERE rk2 <= 10),
+      |gt AS (
+      |  -- within-cut rank by the sqrt'd d — the key withExactL2's
+      |  -- rk_exact uses on the Spark side for the ratio pairing
+      |  SELECT query_id, neighbor_id, d,
+      |    ROW_NUMBER() OVER (PARTITION BY query_id
+      |      ORDER BY d, neighbor_id) AS rk
+      |  FROM gt0),
       |rec AS (
       |  SELECT r.query_id,
       |    SUM(CASE WHEN g.query_id IS NOT NULL THEN 1 ELSE 0 END)/10.0
@@ -883,13 +911,15 @@ object AnnQueries {
           |cand AS (SELECT DISTINCT query_id, neighbor_id
           |  FROM ${OracleSide.sql("b12_candidates")}),
           |cd AS (
-          |  SELECT c.query_id, c.neighbor_id, $DistSql AS d
+          |  -- rank by the PRE-sqrt d² (rerankExact's exact key; sqrt
+          |  -- can collapse adjacent doubles and flip the id tie-break)
+          |  SELECT c.query_id, c.neighbor_id, $D2Sql AS d2
           |  FROM cand c JOIN qs q USING (query_id)
           |  JOIN embeddings b ON c.neighbor_id = b.vec_id)
           |SELECT query_id, neighbor_id, CAST(rk AS INT) AS rk,
-          |  ROUND(d, 4) AS exact_d
+          |  ROUND(SQRT(d2), 4) AS exact_d
           |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-          |  ORDER BY d, neighbor_id) AS rk FROM cd) t
+          |  ORDER BY d2, neighbor_id) AS rk FROM cd) t
           |WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin,
       // argmin over vectors × persisted centroids; ties (exact double
       // d2) break to the lower cluster_id, like the strict-< scan in
@@ -973,11 +1003,15 @@ object AnnQueries {
       // (queries included), ties by (distance, vec_id) as in KnnExact
       "b8_ann_recall" ->
         s"""WITH gt AS (
+          |  -- cut by the PRE-sqrt d² rank (KnnExact's key; sqrt can
+          |  -- collapse adjacent doubles and flip the id tie-break)
           |  SELECT query_id, neighbor_id FROM (
           |    SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
           |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
-          |        ORDER BY list_distance(CAST(q.embedding AS DOUBLE[]),
-          |                               CAST(b.embedding AS DOUBLE[])),
+          |        ORDER BY list_sum(list_transform(
+          |            list_zip(CAST(q.embedding AS DOUBLE[]),
+          |                     CAST(b.embedding AS DOUBLE[])),
+          |            x -> (x[1]-x[2])*(x[1]-x[2]))),
           |                 b.vec_id) AS rk
           |    FROM embeddings q, embeddings b WHERE q.vec_id < 8) t
           |  WHERE rk <= 10),
@@ -1006,15 +1040,23 @@ object AnnQueries {
           |  FROM res r
           |  JOIN qs q ON r.query_id = q.query_id
           |  JOIN embeddings b ON r.neighbor_id = b.vec_id),
-          |gt AS (
-          |  SELECT query_id, d, rk FROM (
-          |    SELECT q.query_id,
+          |gt0 AS (
+          |  -- cut by the PRE-sqrt d² rank (the Spark GT cut is
+          |  -- KnnExact's d² ranking; sqrt can collapse doubles)
+          |  SELECT query_id, neighbor_id, d FROM (
+          |    SELECT q.query_id, b.vec_id AS neighbor_id,
           |      list_distance(q.qvec, CAST(b.embedding AS DOUBLE[])) AS d,
           |      ROW_NUMBER() OVER (PARTITION BY q.query_id
-          |        ORDER BY list_distance(q.qvec, CAST(b.embedding AS DOUBLE[])),
-          |                 b.vec_id) AS rk
+          |        ORDER BY $D2Sql, b.vec_id) AS rk2
           |    FROM qs q, embeddings b) t
-          |  WHERE rk <= 10),
+          |  WHERE rk2 <= 10),
+          |gt AS (
+          |  -- within-cut rank by (d, id) — withExactL2's key on the
+          |  -- Spark side of the ratio's rank pairing
+          |  SELECT query_id, d,
+          |    ROW_NUMBER() OVER (PARTITION BY query_id
+          |      ORDER BY d, neighbor_id) AS rk
+          |  FROM gt0),
           |rat AS (
           |  SELECT a.query_id,
           |    ROUND(SUM(CAST(floor(a.d/g.d*1e6 + 0.5) AS BIGINT))

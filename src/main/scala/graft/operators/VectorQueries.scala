@@ -175,11 +175,17 @@ object VectorQueries {
         | ROUND(list_sum(CAST(embedding AS DOUBLE[])), 6) AS checksum,
         | CAST(0.0 AS DOUBLE) AS tail_elem
         |FROM embeddings ORDER BY vec_id""".stripMargin,
+    // rank by the PRE-sqrt squared distance — KnnExact.topK's exact
+    // key: sqrt can collapse two adjacent d² doubles into one value
+    // and flip the id tie-break at the cut
     "b1_gt_topk" ->
       """SELECT query_id, neighbor_id, CAST(rk AS INT) AS rk FROM (
         | SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
         |  ROW_NUMBER() OVER (PARTITION BY q.vec_id
-        |    ORDER BY list_distance(CAST(q.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), b.vec_id) AS rk
+        |    ORDER BY list_sum(list_transform(
+        |        list_zip(CAST(q.embedding AS DOUBLE[]),
+        |                 CAST(b.embedding AS DOUBLE[])),
+        |        x -> (x[1]-x[2])*(x[1]-x[2]))), b.vec_id) AS rk
         | FROM embeddings q, embeddings b
         | WHERE q.vec_id < 8 AND b.vec_id >= 8) t
         |WHERE rk <= 10

@@ -482,13 +482,16 @@ object LmScore {
     * backoff penalties are integer multiples of [[BackoffTenk]]; doc
     * scores are integer sums — order- and engine-independent. */
   def trigramBackoff(docs: DataFrame): DataFrame = {
-    // The kernel rows feed the model build AND the scoring side —
-    // unpersisted, the trigram kernel would re-tokenize the corpus
-    // once per branch (measured 8.8 s at sf1 in the round-9 form).
-    // The occurrence stream and the two fan-out model tables persist;
-    // everything below them is O(model) work done once. The bounded
-    // result checkpoints eagerly (c32/Dedup pattern) so unpersist can
-    // never push the final job back through the kernel.
+    // The kernel rows feed the model build AND the scoring side. Only
+    // the two O(model) fan-out tables persist; the occurrence stream
+    // is deliberately RECOMPUTED per branch (the r13 c27/c42 choice:
+    // the narrow hashed-key kernel pass is cheaper than caching a
+    // corpus-sized stream — A/B'd for c27 in
+    // results/c27_occ_persist_ab.json; the r9 form whose re-tokenize
+    // cost 8.8 s at sf1 was the heavy STRING kernel this round
+    // replaced). The bounded result checkpoints eagerly (c32/Dedup
+    // pattern) so unpersist can never push the final job back through
+    // the kernel.
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val occ = trigramRows(docs)
     // t3 groups by the trigram key and CARRIES the derived-space keys
