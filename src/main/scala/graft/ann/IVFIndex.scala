@@ -836,15 +836,28 @@ object IVFIndex {
     val queries = sampled.takeSample(withReplacement = false, nq,
       params.seed ^ 0x51AB7E93C41D2F68L)
     val bcQ = spark.sparkContext.broadcast(queries)
-    // per-query bounded max-heaps of (dist, vec), merged associatively
+    // per-query bounded max-heaps of (dist, vec). The ordering is
+    // TOTAL — distance then lexicographic vector content — so the kept
+    // multiset is a pure function of the input set: RDD.reduce merges
+    // in task-COMPLETION order, and a distance-only heap would break
+    // equal-distance boundary ties by arrival, making the auto-split
+    // verdict (and hence the built index's K) run-dependent. Every
+    // other heap in the package tie-breaks by (dist, id); the probe's
+    // sampled vectors carry no id, so content is the stable key.
     type Heap = scala.collection.mutable.PriorityQueue[(Double, Array[Float])]
-    // n passed explicitly so the map-side closure captures only (n, k),
-    // never the driver's query array (that ships via the broadcast)
-    def newHeaps(n: Int): Array[Heap] =
-      Array.fill(n)(new Heap()(Ordering.by[(Double, Array[Float]), Double](_._1)))
+    val ord: Ordering[(Double, Array[Float])] =
+      new Ordering[(Double, Array[Float])] {
+        def compare(x: (Double, Array[Float]), y: (Double, Array[Float])): Int = {
+          val c = java.lang.Double.compare(x._1, y._1)
+          if (c != 0) c else java.util.Arrays.compare(x._2, y._2)
+        }
+      }
+    // n passed explicitly so the map-side closure captures only
+    // (n, k, ord), never the driver's query array (ships via broadcast)
+    def newHeaps(n: Int): Array[Heap] = Array.fill(n)(new Heap()(ord))
     def push(h: Heap, d: Double, v: Array[Float]): Unit = {
       if (h.size < k) h.enqueue((d, v))
-      else if (d < h.head._1) { h.dequeue(); h.enqueue((d, v)) }
+      else if (ord.lt((d, v), h.head)) { h.dequeue(); h.enqueue((d, v)) }
     }
     val heaps = sampled.mapPartitions { it =>
       val qs = bcQ.value
@@ -866,8 +879,11 @@ object IVFIndex {
     }
     bcQ.destroy()
     val nprobe = math.max(2, math.min(64, flat.length / 50))
+    // ONE flat-ranking implementation package-wide (deterministic
+    // (dist, id) order) — the probe must rank exactly like the search
+    // path it predicts
     def nearestSet(v: Array[Float], cents: Array[Array[Float]], n: Int): Array[Int] =
-      cents.indices.map(i => (l2sq(v, cents(i)), i)).sorted.take(n).map(_._2).toArray
+      CentroidRouter.rankFlat(cents, v, n)
     var flatHit = 0L; var splitHit = 0L; var totalGt = 0L
     var qi = 0
     while (qi < queries.length) {
@@ -1158,15 +1174,22 @@ object IVFIndex {
       }
       if (reset) {
         val batches = new Path(s"$indexPath/entries_batches")
-        if (onCheckpointReset == "fail" && fs.exists(batches))
+        // 'fail' must stop on ANY ingest history, not only unfolded
+        // batch data: after compact folds the batches (markers kept,
+        // batch dirs gone), a reset + silent re-ingest would duplicate
+        // every folded vector in the index — the exact loss mode this
+        // mode exists to stop
+        if (onCheckpointReset == "fail" && (fs.exists(batches) || hasMarkers))
           throw new IllegalStateException(
-            s"ingest checkpoint reset detected at $indexPath with committed-but-unfolded " +
-              "batch data under entries_batches. Deleting it is only lossless if the source " +
-              "dir still holds every ingested file. Either re-run with " +
-              "onCheckpointReset=\"reingest\" (asserts the source dir is complete; clears " +
-              "markers + batches and re-ingests everything), or run IVFModel.compact first " +
-              "to fold the batches into entries (then retire already-ingested source files " +
-              "yourself before re-running, or re-ingest will duplicate them).")
+            s"ingest checkpoint reset detected at $indexPath with ingest history " +
+              "(committed batch data and/or fold markers). Blind re-ingest would " +
+              "duplicate already-ingested vectors. If entries_batches still exists, " +
+              "either run IVFModel.compact first to fold it, or re-run with " +
+              "onCheckpointReset=\"reingest\" IF the source dir still holds every " +
+              "ingested file. If batches were already FOLDED by compact (markers " +
+              "only), the index already contains them: retire already-ingested " +
+              "source files yourself, then re-run with onCheckpointReset=\"reingest\" " +
+              "— re-ingesting the full source dir WILL duplicate folded vectors.")
         // the mismatched checkpoint must go too: in the (Some, Some)
         // arm a LIVE foreign checkpoint survives here, and the fresh
         // query would resume from its source-file offsets — silently
@@ -1446,10 +1469,16 @@ object IVFModel {
       import org.apache.hadoop.fs.Path
       val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
       val packedDir = new Path(s"$path/packed")
+      // overlay check filters batch dirs by DATA, exactly like
+      // entriesMinusDeletes: the _ingest_log markers survive compaction
+      // by design, so a marker-only check would permanently disable
+      // sidecar adoption after any ingest+compact cycle — turning
+      // compact's own sidecar rebuild into dead work and re-packing on
+      // every load forever
       if (fs.exists(new Path(packedDir, "_SUCCESS")) &&
           hasDataFiles(fs, packedDir) &&
           !fs.exists(new Path(s"$path/deletes")) &&
-          committedBatchDirs(fs, path).isEmpty)
+          !committedBatchDirs(fs, path).exists(hasDataFiles(fs, _)))
         m.packedAtRestDir = Some(packedDir.toString)
     }
     m
@@ -2031,7 +2060,13 @@ final class IVFModel(
     // reference shape (d=1536, K=4096) a 2048-query chunk costs ~10 Gflop
     // of pure driver math, so both run across all driver cores. ---
     if (rotatedCentroids.length >= IVFModel.RoutedRankingThreshold)
-      router // force the lazy NSW build once, outside the parallel loop
+      // force the lazy NSW build once, OUTSIDE the parallel loop — via
+      // an actual rank() call: touching `router` alone constructs the
+      // object but leaves its lazy neighbor graph unbuilt, so the
+      // multi-second build would run under the lazy-val monitor on one
+      // ForkJoin thread while every other ranking thread blocks (the
+      // buildWithCentroids/splitFatClusters idiom)
+      router.rank(rotatedCentroids(0), 1)
     val probes = new Array[(Long, Array[Float], Array[Int])](queries.length)
     java.util.stream.IntStream.range(0, queries.length).parallel().forEach { i =>
       val (qid, v) = queries(i)

@@ -21,6 +21,9 @@ object KnnExact {
   /** Bounded max-heap of (dist, id), keeping the k smallest with
     * deterministic (dist, id) lexicographic ordering. */
   final class BoundedTopK(k: Int) {
+    // k=0 would NPE on heap.peek() inside executor tasks — fail loudly
+    // on the driver instead
+    require(k > 0, s"top-k bound must be positive, got $k")
     private val heap = new java.util.PriorityQueue[(Double, Long)](
       math.max(1, k),
       // max-heap: worst (largest dist, then largest id) at the head

@@ -250,6 +250,13 @@ object RaBitQ {
   private[graft] def buildLut(
       r: Array[Float], bits: Int, lutBuf: Array[Int] = null): QueryLut = {
     val d = r.length
+    // lutSumPop accumulates Σu in an Int: bound is dim·(2^bits−1).
+    // Past it (paddedDim ≥ ~32832 at queryBits=16) the sum would wrap
+    // silently and the prune would drop true neighbors — fail loudly
+    // here, the single choke point every LUT query passes through
+    require(d.toLong * ((1L << bits) - 1) <= Int.MaxValue,
+      s"queryBits=$bits at dim=$d overflows the Int LUT accumulator " +
+        s"(bound: dim·(2^queryBits−1) ≤ ${Int.MaxValue}); lower queryBits")
     var vl = Float.MaxValue; var vr = Float.MinValue
     var i = 0
     while (i < d) { val v = r(i); if (v < vl) vl = v; if (v > vr) vr = v; i += 1 }
@@ -375,15 +382,11 @@ object RaBitQ {
     * (Params allows down to 4) would silently prune true neighbors
     * instead of just costing more reranks. */
   def estimateLowerLut(q: QueryCluster, signBits: Array[Long], x2: Float,
-      facIp: Float, facErr: Float): Double = {
-    val ql = q.qlut
-    val sp = lutSumPop(ql.lut, signBits)
-    val sum = (sp >>> 32).toInt
-    val pop = sp.toInt
-    val ip = ql.width.toDouble * sum + ql.vl.toDouble * pop - 0.5 * q.sumRes
-    x2 + q.sqrY - ip * facIp - facErr * q.y -
-      math.abs(facIp) * (0.5 * ql.width) * pop
-  }
+      facIp: Float, facErr: Float): Double =
+    // delegate to the packed core (the rerankDist precedent): the
+    // widened-bound arithmetic must exist ONCE so the per-entry path
+    // (AnnQueries/KernelProbe) and the packed scan can never diverge
+    estimateLowerLutPacked(q, signBits, 0, signBits.length, x2, facIp, facErr)
 
   /** Packed-layout twin of [[estimateLowerLut]]: sign bits read from
     * `base` in a run-contiguous array. Identical arithmetic (shared
