@@ -44,6 +44,10 @@ object Dedup {
   }
 
   private[graft] def shingles(text: String, k: Int): Array[String] = {
+    // null ≡ empty doc (one empty shingle, exactly like text = "") —
+    // the d8 rule: kernels must not NPE on foreign corpora, and every
+    // c2/c3/d6 caller flows through here
+    if (text == null) return Array("")
     val toks = text.split(' ')
     if (toks.length < k) Array(text)
     else Array.tabulate(toks.length - k + 1)(i => toks.slice(i, i + k).mkString(" ")).distinct
@@ -234,7 +238,8 @@ object Dedup {
   // ---------- SimHash (c3) ----------
   private[graft] def simHash64(text: String, seed: Int): Long = {
     val acc = new Array[Int](64)
-    text.split(' ').foreach { tok =>
+    // null ≡ empty doc (hash of the one empty token, like text = "")
+    (if (text == null) "" else text).split(' ').foreach { tok =>
       val h = hash64(tok, seed)
       var j = 0
       while (j < 64) {

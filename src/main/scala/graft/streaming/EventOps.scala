@@ -95,6 +95,21 @@ object EventOps {
       .parquet(symlinkedDir(dir, "events.parquet"))
   }
 
+  /** The package's ONE schema'd file-stream reader (optional
+    * per-trigger file cap). Eleven operators previously inlined this
+    * three-liner; a source-option change now lands in one place, so no
+    * operator can silently run under different trigger slicing than
+    * its siblings. */
+  private[streaming] def streamReader(
+      spark: SparkSession,
+      schema: org.apache.spark.sql.types.StructType,
+      srcDir: String,
+      maxFilesPerTrigger: Option[Int]): DataFrame = {
+    val reader = spark.readStream.schema(schema)
+    maxFilesPerTrigger.fold(reader)(n =>
+      reader.option("maxFilesPerTrigger", n)).parquet(srcDir)
+  }
+
   /** Drain a streaming DataFrame synchronously into a uniquely-named
     * memory table and return it as a batch DataFrame.
     *
@@ -117,7 +132,16 @@ object EventOps {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    df.sparkSession.table(name)
+    val spark = df.sparkSession
+    // materialize and RELEASE the memory sink: the sink pins the full
+    // result on the driver for the JVM lifetime otherwise, and the
+    // bench drains 13 streaming ops × 3 runs each (d12's interval-join
+    // fan-out is the largest output in the suite). localCheckpoint
+    // severs the reference; dropping the temp view lets the sink be
+    // collected (the Scratch.materialize discipline).
+    val out = spark.table(name).localCheckpoint(true)
+    spark.catalog.dropTempView(name)
+    out
   }
 
   /** Shared durable drain for the per-doc streaming rollups (d6, d8):

@@ -55,9 +55,7 @@ object StreamAsof {
     import spark.implicits._
     val retentionUs = retentionSec * 1000000L
     Tables.enableNanosAsLong(spark)
-    val reader = spark.readStream.schema(schema)
-    val raw = maxFilesPerTrigger.fold(reader)(n =>
-      reader.option("maxFilesPerTrigger", n)).parquet(srcDir)
+    val raw = EventOps.streamReader(spark, schema, srcDir, maxFilesPerTrigger)
 
     val tagged = Tables.nanosToTimestamp(raw)
       .filter(col("event_type").isin("click", "purchase"))

@@ -45,9 +45,7 @@ object StreamBloom {
       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     // frozen BEFORE the stream: the probe is the benchmark registry
     val evalProbe = Sketches.collectEvalProbe(batchDocs)
-    val reader = spark.readStream.schema(StreamDedup.docsSchema)
-    val raw = maxFilesPerTrigger.fold(reader)(n =>
-      reader.option("maxFilesPerTrigger", n)).parquet(srcDir)
+    val raw = EventOps.streamReader(spark, StreamDedup.docsSchema, srcDir, maxFilesPerTrigger)
 
     // SAME kernel + aggregation as batch c39 (shared code — the
     // oracle-equivalence claim depends on it)

@@ -46,9 +46,7 @@ object StreamCms {
     // frozen BEFORE the stream: candidates + exact counts are the
     // registry the live estimates converge on
     val (cands, trueCounts) = Sketches.collectHeavyRegistry(batchDocs)
-    val reader = spark.readStream.schema(StreamDedup.docsSchema)
-    val raw = maxFilesPerTrigger.fold(reader)(n =>
-      reader.option("maxFilesPerTrigger", n)).parquet(srcDir)
+    val raw = EventOps.streamReader(spark, StreamDedup.docsSchema, srcDir, maxFilesPerTrigger)
 
     // SAME kernel + aggregation as batch c41 (shared code — the
     // oracle-equivalence claim depends on it)

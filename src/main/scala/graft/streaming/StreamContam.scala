@@ -46,9 +46,7 @@ object StreamContam {
       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     import spark.implicits._
     val eval = CorpusOps.collectEvalSet(spark, evalSource)
-    val reader = spark.readStream.schema(embSchema)
-    val stream = maxFilesPerTrigger.fold(reader)(n =>
-      reader.option("maxFilesPerTrigger", n)).parquet(srcDir)
+    val stream = EventOps.streamReader(spark, embSchema, srcDir, maxFilesPerTrigger)
     val scored = CorpusOps.contamScore(
       stream.filter(col("vec_id") >= CorpusOps.EvalIdBound)
         .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])],

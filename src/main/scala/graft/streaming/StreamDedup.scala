@@ -64,9 +64,7 @@ object StreamDedup {
       sinkDir: Option[String] = None): DataFrame = {
     import spark.implicits._
     val retentionMs = retentionSec * 1000L
-    val reader = spark.readStream.schema(docsSchema)
-    val raw = maxFilesPerTrigger.fold(reader)(n =>
-      reader.option("maxFilesPerTrigger", n)).parquet(srcDir)
+    val raw = EventOps.streamReader(spark, docsSchema, srcDir, maxFilesPerTrigger)
 
     val bc = spark.sparkContext.broadcast(Dedup.hashCoefs(p))
     val bandRows = raw.select(col("doc_id"), col("text")).as[(Long, String)]

@@ -42,9 +42,7 @@ object StreamDropDup {
       schema: org.apache.spark.sql.types.StructType,
       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     Tables.enableNanosAsLong(spark)
-    val reader = spark.readStream.schema(schema)
-    val raw = maxFilesPerTrigger.fold(reader)(n =>
-      reader.option("maxFilesPerTrigger", n)).parquet(srcDir)
+    val raw = EventOps.streamReader(spark, schema, srcDir, maxFilesPerTrigger)
     val deduped = raw
       .select(col("user_id"), col("event_type"))
       .dropDuplicates("user_id", "event_type")

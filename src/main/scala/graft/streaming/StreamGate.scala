@@ -65,9 +65,7 @@ object StreamGate {
       maxFilesPerTrigger: Option[Int] = None,
       ledgerDir: Option[String] = None): DataFrame = {
     import spark.implicits._
-    val reader = spark.readStream.schema(StreamDedup.docsSchema)
-    val stream = maxFilesPerTrigger.fold(reader)(n =>
-      reader.option("maxFilesPerTrigger", n)).parquet(srcDir)
+    val stream = EventOps.streamReader(spark, StreamDedup.docsSchema, srcDir, maxFilesPerTrigger)
 
     // stream-static left join against the compacted canonical table:
     // per micro-batch, ledger-known hashes arrive pre-resolved

@@ -94,9 +94,8 @@ object StreamJoin {
       srcDir: String,
       schema: org.apache.spark.sql.types.StructType,
       maxFilesPerTrigger: Option[Int]): DataFrame = {
-    val reader = spark.readStream.schema(schema)
-    Tables.nanosToTimestamp(maxFilesPerTrigger.fold(reader)(n =>
-      reader.option("maxFilesPerTrigger", n)).parquet(srcDir))
+    Tables.nanosToTimestamp(
+      EventOps.streamReader(spark, schema, srcDir, maxFilesPerTrigger))
   }
 
   /** d12 LIVE-MODE state evidence: the same join drained under a real
@@ -123,17 +122,46 @@ object StreamJoin {
     val clicks = clickSide(side(spark, srcDir, schema, maxFilesPerTrigger))
       .withWatermark("c_ts", watermarkDelay)
     val name = s"graft_d12_live_${System.identityHashCode(schema)}_${System.nanoTime()}"
-    val q = joinAndProject(purchases, clicks).writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(name)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    val stateRows = q.recentProgress.toSeq
-      .filter(p => p.numInputRows > 0 || p.stateOperators.nonEmpty)
-      .flatMap(p => p.stateOperators.headOption.map(_.numRowsTotal))
-      .toArray
-    (spark.table(name), stateRows)
+    // per-batch state rows come from a LISTENER keyed by query name,
+    // not from q.recentProgress alone: Spark caps recentProgress at
+    // numRecentProgressUpdates (default 100), so a >100-trigger run
+    // would silently drop the earliest batches from the plateau
+    // measurement. recentProgress is still merged in (by batchId) as
+    // a backstop for any event the async bus hasn't delivered yet.
+    val byBatch = new java.util.concurrent.ConcurrentHashMap[Long, Long]()
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      import org.apache.spark.sql.streaming.StreamingQueryListener._
+      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+      override def onQueryProgress(e: QueryProgressEvent): Unit = {
+        val p = e.progress
+        if (p.name == name && (p.numInputRows > 0 || p.stateOperators.nonEmpty))
+          p.stateOperators.headOption.foreach(s =>
+            byBatch.put(p.batchId, s.numRowsTotal))
+      }
+    }
+    spark.streams.addListener(listener)
+    try {
+      val q = joinAndProject(purchases, clicks).writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      Thread.sleep(300) // listener bus delivers asynchronously
+      q.recentProgress.toSeq
+        .filter(p => p.numInputRows > 0 || p.stateOperators.nonEmpty)
+        .foreach(p => p.stateOperators.headOption.foreach(s =>
+          byBatch.putIfAbsent(p.batchId, s.numRowsTotal)))
+      val stateRows = {
+        import scala.jdk.CollectionConverters._
+        byBatch.asScala.toSeq.sortBy(_._1).map(_._2).toArray
+      }
+      // release the memory sink (the drainToTable discipline)
+      val out = spark.table(name).localCheckpoint(true)
+      spark.catalog.dropTempView(name)
+      (out, stateRows)
+    } finally spark.streams.removeListener(listener)
   }
 }

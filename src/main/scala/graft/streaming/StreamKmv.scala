@@ -48,9 +48,7 @@ object StreamKmv {
       k: Int = Sketches.KmvK,
       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     import spark.implicits._
-    val reader = spark.readStream.schema(StreamDedup.docsSchema)
-    val raw = maxFilesPerTrigger.fold(reader)(n =>
-      reader.option("maxFilesPerTrigger", n)).parquet(srcDir)
+    val raw = EventOps.streamReader(spark, StreamDedup.docsSchema, srcDir, maxFilesPerTrigger)
 
     // SAME kernel + aggregation as batch c37 (shared code — the
     // oracle-equivalence claim depends on it)

@@ -37,9 +37,7 @@ object StreamSample {
       spark: SparkSession,
       srcDir: String,
       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
-    val reader = spark.readStream.schema(StreamDedup.docsSchema)
-    val raw = maxFilesPerTrigger.fold(reader)(n =>
-      reader.option("maxFilesPerTrigger", n)).parquet(srcDir)
+    val raw = EventOps.streamReader(spark, StreamDedup.docsSchema, srcDir, maxFilesPerTrigger)
 
     // SAME kernel + aggregation as batch c40 (shared code — the
     // oracle-equivalence claim depends on it)

@@ -64,9 +64,7 @@ object StreamSpanDedup {
       sinkDir: Option[String] = None): DataFrame = {
     import spark.implicits._
     val retentionMs = retentionSec * 1000L
-    val reader = spark.readStream.schema(StreamDedup.docsSchema)
-    val raw = maxFilesPerTrigger.fold(reader)(n =>
-      reader.option("maxFilesPerTrigger", n)).parquet(srcDir)
+    val raw = EventOps.streamReader(spark, StreamDedup.docsSchema, srcDir, maxFilesPerTrigger)
 
     val winRows = raw.select(col("doc_id"), col("text")).as[(Long, String)]
       .flatMap { case (id, text) =>

@@ -46,6 +46,20 @@ class OpsSpec extends AnyFunSuite {
     assert(math.abs(est.head - exact) < 0.2, s"est=${est.head} exact=$exact")
   }
 
+  test("dedup kernels treat null text as the empty doc (no NPE)") {
+    // the d8 rule — kernels must not NPE on foreign corpora — applied
+    // to the c2/c3/d6 family: null ≡ "" exactly (same signature, same
+    // fingerprint), so a null-text row flows through the streaming
+    // dedup instead of permanently wedging the ingest query on
+    // checkpoint restart
+    val p = Dedup.MinHashParams()
+    val cs = Dedup.hashCoefs(p)
+    assert(Dedup.signatureOf(null, cs, p).sameElements(
+      Dedup.signatureOf("", cs, p)))
+    assert(Dedup.simHash64(null, 42) === Dedup.simHash64("", 42))
+    assert(Dedup.shingles(null, 5).sameElements(Dedup.shingles("", 5)))
+  }
+
   test("dedup summaries leave no cached plans behind") {
     // No clearCache here: the cacheManager is SESSION-SHARED, and
     // wiping it evicts other suites' caches (it cost the IVF index its
