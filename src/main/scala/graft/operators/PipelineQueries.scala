@@ -571,7 +571,7 @@ object PipelineQueries {
        |  JOIN br c ON a.band = c.band AND a.bucket = c.bucket
        |    AND a.doc_id < c.doc_id
        |  JOIN sz z ON z.band = a.band AND z.bucket = a.bucket
-       |  WHERE z.n BETWEEN 2 AND 1000),
+       |  WHERE z.n BETWEEN 2 AND ${graft.ops.Dedup.MinHashParams().maxBucket}),
        |pa AS (SELECT doc_id, COUNT(*) AS n FROM
        |  (SELECT id_a AS doc_id FROM pr UNION ALL SELECT id_b FROM pr)
        |  GROUP BY 1)
@@ -591,7 +591,7 @@ object PipelineQueries {
        |  ROW_NUMBER() OVER (PARTITION BY band, bucket ORDER BY doc_id) - 1 AS r
        |  FROM br)
        |SELECT doc_id,
-       |  CAST(SUM(CASE WHEN r < 1000 THEN r ELSE 0 END) AS BIGINT)
+       |  CAST(SUM(CASE WHEN r < ${graft.ops.Dedup.MinHashParams().maxBucket} THEN r ELSE 0 END) AS BIGINT)
        |    AS n_prior_candidates
        |FROM rk GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
@@ -610,7 +610,7 @@ object PipelineQueries {
        |  JOIN br c ON a.band = c.band AND a.bucket = c.bucket
        |    AND a.doc_id < c.doc_id
        |  JOIN sz z ON z.band = a.band AND z.bucket = a.bucket
-       |  WHERE z.n BETWEEN 2 AND 1000),
+       |  WHERE z.n BETWEEN 2 AND ${graft.ops.Dedup.SimHashMaxBucket}),
        |pr AS (
        |  SELECT p.id_a, p.id_b
        |  FROM pr0 p
@@ -1405,7 +1405,8 @@ object PipelineQueries {
          | CAST(len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) AS INT) AS n_zh
          |FROM t)
          |SELECT doc_id, n_en, n_de, n_fr, n_es, n_zh,
-         | CASE WHEN n_en + n_de + n_fr + n_es + n_zh = 0 THEN 'unknown'
+         | CASE WHEN n_en IS NULL THEN 'unknown'
+         |  WHEN n_en + n_de + n_fr + n_es + n_zh = 0 THEN 'unknown'
          |  WHEN n_en >= n_de AND n_en >= n_fr AND n_en >= n_es AND n_en >= n_zh THEN 'en'
          |  WHEN n_de >= n_fr AND n_de >= n_es AND n_de >= n_zh THEN 'de'
          |  WHEN n_fr >= n_es AND n_fr >= n_zh THEN 'fr'
@@ -1414,8 +1415,9 @@ object PipelineQueries {
     "c7_text_quality" ->
       s"""SELECT doc_id, CAST(length(text) AS INT) AS n_chars,
          | CAST(len(string_split(text,' ')) AS INT) AS n_tokens,
-         | ROUND(CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
-         |   / length(text), 6) AS punct_ratio,
+         | CASE WHEN length(text) = 0 THEN 0.0 ELSE
+         |  ROUND(CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
+         |   / length(text), 6) END AS punct_ratio,
          | ROUND(CAST(len(list_filter(string_split(text,' '), x -> x IN ($enList))) AS DOUBLE)
          |   / len(string_split(text,' ')), 6) AS stopword_ratio,
          | ROUND(CAST(list_sum(list_transform(string_split(text,' '), x -> length(x))) AS DOUBLE)

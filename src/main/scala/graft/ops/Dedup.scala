@@ -45,8 +45,9 @@ object Dedup {
 
   private[graft] def shingles(text: String, k: Int): Array[String] = {
     // null ≡ empty doc (one empty shingle, exactly like text = "") —
-    // the d8 rule: kernels must not NPE on foreign corpora, and every
-    // c2/c3/d6 caller flows through here
+    // the d8 rule: kernels must not NPE on foreign corpora. The same
+    // guard lives in shingleSetOf and simHash64: each tokenizing
+    // kernel in this file must hold the rule independently.
     if (text == null) return Array("")
     val toks = text.split(' ')
     if (toks.length < k) Array(text)
@@ -236,6 +237,10 @@ object Dedup {
   }
 
   // ---------- SimHash (c3) ----------
+  /** c3's bucket-size cap — the named twin of MinHashParams.maxBucket
+    * (previously an inline 1000 literal that couldn't be raised in
+    * lockstep with the minhash knob). Shared with the c3 oracle SQL. */
+  val SimHashMaxBucket = 1000
   private[graft] def simHash64(text: String, seed: Int): Long = {
     val acc = new Array[Int](64)
     // null ≡ empty doc (hash of the one empty token, like text = "")
@@ -294,7 +299,7 @@ object Dedup {
       // degenerate bucket of near-identical docs must not go quadratic
       val buckets = bands.groupBy("band", "bucket")
         .agg(collect_list("doc_id").as("ids"))
-        .filter(size(col("ids")).between(2, 1000))
+        .filter(size(col("ids")).between(2, SimHashMaxBucket))
       val pairs = buckets.select(col("ids")).as[Array[Long]]
         .flatMap(inBucketPairs)
         .toDF("id_a", "id_b")
@@ -321,6 +326,9 @@ object Dedup {
   /** Distinct word k-shingles; empty for docs shorter than k tokens
     * (DuckDB `range(1, n)` with n ≤ 0 is empty — same semantics). */
   private[graft] def shingleSetOf(text: String, k: Int): Array[String] = {
+    // null ≡ empty doc (no shingles, exactly like text = "") — the
+    // per-kernel d8 rule; c4/c19 reach here with unfiltered corpora
+    if (text == null) return Array.empty[String]
     val toks = text.split(' ')
     if (toks.length < k) Array.empty[String]
     else Array.tabulate(toks.length - k + 1)(i => toks.slice(i, i + k).mkString(" ")).distinct

@@ -173,7 +173,11 @@ object Retrieval {
       .select(col("doc_id").cast(LongType), col("text")).as[(Long, String)]
       .collect().sortBy(_._1)
       .flatMap { case (id, text) =>
-        text.split(" ", -1).take(HybridQueryTokens).distinct.map(t => (id, t))
+        // null text ≡ no query terms (the bm25Scores kernel's own
+        // rule) — without the guard a null-text query doc NPEs on the
+        // DRIVER before any job runs
+        if (text == null) Array.empty[(Long, String)]
+        else text.split(" ", -1).take(HybridQueryTokens).distinct.map(t => (id, t))
       }.toSeq
     val qterms = qpairs.toDF("query_id", "term")
     val lex = topK(bm25Scores(docs, qterms, qpairs.map(_._2).toSet), HybridLegK)

@@ -38,7 +38,11 @@ object TextAnalysis {
       markerCount(t, "es").as("n_es"),
       nZh.as("n_zh"))
     withCounts.withColumn("predicted",
-      when(col("n_en") + col("n_de") + col("n_fr") + col("n_es") + col("n_zh") === 0, "unknown")
+      // null text FIRST: under ANSI every count is NULL, so every
+      // when() below evaluates NULL (skipped) and a null doc would
+      // otherwise fall through to the 'zh' arm
+      when(col("n_en").isNull, "unknown")
+        .when(col("n_en") + col("n_de") + col("n_fr") + col("n_es") + col("n_zh") === 0, "unknown")
         .when(col("n_en") >= col("n_de") && col("n_en") >= col("n_fr") &&
           col("n_en") >= col("n_es") && col("n_en") >= col("n_zh"), "en")
         .when(col("n_de") >= col("n_fr") && col("n_de") >= col("n_es") &&
@@ -60,7 +64,11 @@ object TextAnalysis {
         col("doc_id"),
         nChars.as("n_chars"),
         size(t).as("n_tokens"),
-        round(nPunct.cast(DoubleType) / nChars, 6).as("punct_ratio"),
+        // empty text: 0/0 raises DIVIDE_BY_ZERO under ANSI (the
+        // gateMetrics guard, applied here too); null text stays NULL
+        when(nChars === 0, lit(0.0))
+          .otherwise(round(nPunct.cast(DoubleType) / nChars, 6))
+          .as("punct_ratio"),
         round(markerCount(t, "en").cast(DoubleType) / size(t), 6).as("stopword_ratio"),
         round(tokLenSum.cast(DoubleType) / size(t), 6).as("mean_token_len"))
       .orderBy("doc_id")

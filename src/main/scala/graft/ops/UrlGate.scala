@@ -153,6 +153,12 @@ object UrlGate {
       }
     }
     host = host.toLowerCase(Locale.ROOT)
+    // an FQDN trailing dot names the same host ('site.com.' ≡
+    // 'site.com') — strip it before every downstream use, else the
+    // dotted form gets its own dedup key AND its own registered
+    // domain (the 2-label path returns the host verbatim), letting a
+    // blocked domain bypass the blocklist and the per-domain cap
+    while (host.endsWith(".")) host = host.dropRight(1)
     if (host.startsWith("www.")) host = host.substring(4)
     if (host.isEmpty) return (null, null)
     // normalize the port NUMERICALLY before the default-port test:

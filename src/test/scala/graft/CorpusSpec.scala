@@ -364,6 +364,10 @@ class CorpusSpec extends AnyFunSuite {
     // empty path → root; root's slash is kept
     assert(canonicalize("http://a.com") == (("http://a.com/", "a.com")))
     assert(canonicalize("http://a.com/") == (("http://a.com/", "a.com")))
+    // FQDN trailing dot names the same host: same dedup key, same
+    // registered domain (a dotted host must not bypass the blocklist)
+    assert(canonicalize("http://a.com./x") == canonicalize("http://a.com/x"))
+    assert(canonicalize("http://www.a.com./x") == canonicalize("http://a.com/x"))
     // query-param reordering collides after the canonical sort
     assert(canonicalize("http://a.com/p?b=2&a=1") == canonicalize("http://a.com/p?a=1&b=2"))
     // tracking-only query drops the '?' entirely
