@@ -118,11 +118,17 @@ object AnnQueries {
   private def writeResidualSidecar(
       spark: SparkSession, dir: String, bits: Int, name: String): Unit = {
     if (!OracleSide.enabled) return
+    // memo membership means "the sidecar WAS written": register the
+    // key only after OracleSide.write returns, and roll it back if the
+    // rotate/t-search job dies mid-write, so a same-JVM retry rewrites
+    // instead of leaving b4/b5/b5b reading a missing/partial sidecar
     if (!residualSidecarWritten.add((dir, bits, name))) return
+    var written = false
     import spark.implicits._
     val m = model(spark, dir, bits)
     val exBits = m.params.exBits
     val bc = spark.sparkContext.broadcast((m.rotator, m.rotatedCentroids))
+    try {
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id").cast(LongType).as("eid"), col("embedding"))
     val rows = m.index.toDF().select(col("id"), col("cluster_id"))
@@ -152,6 +158,11 @@ object AnnQueries {
       }
       .toDF("vec_id", "cluster_id", "r", "best_t")
     OracleSide.write(rows, name)
+    written = true
+    } finally {
+      if (!written) residualSidecarWritten.remove((dir, bits, name))
+      bc.destroy()
+    }
   }
 
   /** b4: RaBitQ 1-bit code summary (popcount + factors).
@@ -632,7 +643,12 @@ object AnnQueries {
     * forced through the driver). */
   // b14's filtered GT is verification scaffolding, not operator cost —
   // cache it per dir like gtResults/gtDistResults (b7's treatment), so
-  // repeated bench runs measure the FILTERED SEARCH, not a GT rebuild
+  // repeated bench runs measure the FILTERED SEARCH, not a GT rebuild.
+  // JVM-lifetime by design (the gtCache contract): entries are keyed
+  // by dir, .cache()'d, and never unpersisted — correct for the
+  // driver/bench/spec processes, which never regenerate a dir's
+  // embeddings within one JVM; a long-lived service embedding this
+  // would need an evict hook shared with gtCache/gtDistCache
   private val gtFilteredCache =
     new java.util.concurrent.ConcurrentHashMap[String, (DataFrame, DataFrame)]()
 

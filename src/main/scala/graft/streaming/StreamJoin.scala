@@ -149,7 +149,15 @@ object StreamJoin {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      Thread.sleep(300) // listener bus delivers asynchronously
+      // the listener bus delivers asynchronously: poll (bounded) until
+      // the LAST batch's event has landed in byBatch rather than
+      // trusting a fixed sleep — a lagging bus on a >100-trigger run
+      // would otherwise drop early batches that recentProgress (capped
+      // at 100 entries) can no longer backstop
+      val lastBatch = Option(q.lastProgress).map(_.batchId)
+      val deadline = System.nanoTime() + 5_000_000_000L
+      while (lastBatch.exists(b => !byBatch.containsKey(b)) &&
+             System.nanoTime() < deadline) Thread.sleep(20)
       q.recentProgress.toSeq
         .filter(p => p.numInputRows > 0 || p.stateOperators.nonEmpty)
         .foreach(p => p.stateOperators.headOption.foreach(s =>

@@ -10,6 +10,17 @@ import sys, json, glob, os
 import duckdb
 
 sfdir, outdir = sys.argv[1], sys.argv[2]
+
+# The b5/b5b oracles use DuckDB's two-parameter indexed list lambda
+# ((f, i) -> ...) and // integer division; c23/c34/c35 use recursive
+# CTEs over LIST/STRUCT state. All are DuckDB >= 0.10 features — fail
+# LOUDLY on version drift instead of as an opaque oracle mismatch.
+_ver = tuple(int(x) for x in duckdb.__version__.split(".")[:2])
+assert _ver >= (0, 10), (
+    f"DuckDB {duckdb.__version__} too old for the oracle SQL dialect "
+    "(needs >= 0.10: indexed list lambdas, // division, recursive CTE "
+    "list state)")
+
 con = duckdb.connect()
 for f in glob.glob(f"{sfdir}/*.parquet"):
     name = os.path.basename(f).replace(".parquet", "")
