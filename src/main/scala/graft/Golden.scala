@@ -26,9 +26,11 @@ object Golden {
     * root, which is the sbt working directory). */
   val SnapshotPath = "src/test/resources/golden_sf0.001.tsv"
 
-  /** Measured (non-deterministic) columns, excluded from hashing. */
-  val excludedCols: Map[String, Set[String]] = Map(
-    "b11_nprobe_sweep" -> Set("wall_s", "qps"))
+  /** Measured (non-deterministic) columns, excluded from hashing.
+    * Empty since round 14 (b11's wall/QPS curve moved to the SweepCsv
+    * artifacts and the query result became fully deterministic); kept
+    * as the hook for any future measured column. */
+  val excludedCols: Map[String, Set[String]] = Map.empty
 
   /** Keys checked rows-only by the driver: every query without an
     * oracle. Derived, so a new rows-only query fails GoldenSpec until

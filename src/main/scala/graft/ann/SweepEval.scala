@@ -61,4 +61,52 @@ object SweepEval {
       }
       if (n == 0) 1.0 else sum / n
     }.sum / qids.length
+
+  /** The HASH-CERTIFIABLE fixed-point form of [[recall]]+[[avgRatio]]
+    * (b11's certified surface; the plain-double forms above stay
+    * behind the published CSV artifacts). Same pairing rules, but
+    * every cross-element accumulation is an exact integer sum so a
+    * SQL recomputation cannot drift on addition order (the b7
+    * exact-integer-micros discipline):
+    *   - per rank j: term = ⌊√(d²_ann(j)/d²_gt(j))·10⁶ + 0.5⌋ over
+    *     ranks with non-degenerate gt distance (d² > 1e-5);
+    *   - per query: r_q = ⌊Σterms/n + 0.5⌋ micros (10⁶ when n = 0 —
+    *     the reference's all-degenerate fallback);
+    *   - per sweep row: recall = ⌊hits·10⁴/(Q·k) + 0.5⌋/10⁴ and
+    *     ratio = ⌊Σr_q·10⁴/(10⁶·Q) + 0.5⌋/10⁴ — integer sums, one
+    *     division each, rounded to the published 4 decimals.
+    * Differences vs the double path are below the 4-decimal output
+    * grid. Returns (recall_at_10, avg_ratio). */
+  def certified(
+      qids: Array[Long],
+      annIds: Long => Array[Long],
+      gtSet: Long => Set[Long],
+      k: Int,
+      annDists: Long => Array[Double],
+      gtDist: (Long, Int) => Option[Double]): (Double, Double) = {
+    var hits = 0L
+    var rqSum = 0L
+    qids.foreach { q =>
+      val gt = gtSet(q)
+      annIds(q).foreach(n => if (gt.contains(n)) hits += 1)
+      val ds = annDists(q)
+      var micros = 0L
+      var n = 0
+      var j = 0
+      while (j < ds.length) {
+        gtDist(q, j + 1) match {
+          case Some(g) if g > 1e-5 =>
+            micros += math.floor(math.sqrt(ds(j) / g) * 1e6 + 0.5).toLong
+            n += 1
+          case _ => ()
+        }
+        j += 1
+      }
+      rqSum += (if (n == 0) 1000000L
+                else math.floor(micros.toDouble / n + 0.5).toLong)
+    }
+    val recall = math.floor(hits * 1e4 / (qids.length.toLong * k) + 0.5) / 1e4
+    val ratio = math.floor(rqSum * 1e4 / (1e6 * qids.length) + 0.5) / 1e4
+    (recall, ratio)
+  }
 }

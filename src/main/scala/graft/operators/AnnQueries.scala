@@ -525,15 +525,22 @@ object AnnQueries {
   }
 
   /** b11: nprobe-sweep evaluation harness — one row per nprobe with
-    * recall@10, average distance ratio, wall seconds and QPS (the
-    * reference publishes QPS — results/exrabitq/openai1536_exhaf4.csv
-    * has columns nprobe,QPS,recall,ratio; graft.SweepCsv emits that
-    * exact artifact shape). The Spark analogue of the reference's
-    * headline output (src/test_search.cpp:61-94 + get_nprobes →
-    * results CSV). Only the tiny per-sweep result lists (Q×k rows) are
-    * collected; distances come from the same broadcast-join used by
-    * b10. wall_s/qps are measured, so the driver checks this
-    * rows-only. */
+    * recall@10 and average distance ratio, the Spark analogue of the
+    * reference's headline output (src/test_search.cpp:61-94 +
+    * get_nprobes → results CSV). Only the tiny per-sweep result lists
+    * (Q×k rows) are collected; distances come from the same
+    * broadcast-join used by b10.
+    *
+    * Hash-certified (round 14): the per-nprobe result-id lists persist
+    * as the `b11_results` sidecar and the oracle recomputes exact
+    * distances, the exact GT, and the recall/ratio columns per rung —
+    * the b7 certified-search surface extended by the nprobe key, with
+    * SweepEval.certified's exact-integer-micros accumulation so SQL
+    * addition order cannot drift the hash. The MEASURED curve
+    * (wall/QPS per nprobe, the reference CSV's other columns —
+    * results/exrabitq/openai1536_exhaf4.csv shape) lives in the
+    * graft.SweepCsv artifact mains (results/sweep_*.csv), not in the
+    * certified query result: timings are evidence, not results. */
   def nprobeSweep(
       spark: SparkSession,
       dir: String,
@@ -551,44 +558,41 @@ object AnnQueries {
     // otherwise the first (smallest-nprobe) step pays the whole
     // assign+quantize build and the published latency curve inverts
     m.index.count()
-    // the per-nprobe searches ARE the latency measurement (the
-    // reference re-searches per nprobe too); only the tiny result ids
-    // come back per step. distinct: duplicate tags would merge two
-    // result lists into one ranking window and corrupt the ratio
+    // the per-nprobe searches run separately (the reference
+    // re-searches per nprobe too); only the tiny result ids come back
+    // per step. distinct: duplicate tags would merge two result lists
+    // into one ranking window and corrupt the ratio
     val perNp = nprobes.distinct.sorted.map { np =>
-      val t0 = System.nanoTime()
       val ids = m.search(spark, qs, k, math.min(np, m.params.k))
         .select("query_id", "neighbor_id").as[(Long, Long)].collect()
-      val wall = (System.nanoTime() - t0) / 1e9
-      (np, ids, wall)
+      (np, ids)
     }
     // ONE batched exact-distance job ranks every (nprobe, query) result
     // list at once, instead of a corpus-scan + window job per nprobe
-    val tagged = perNp.flatMap { case (np, ids, _) =>
+    val tagged = perNp.flatMap { case (np, ids) =>
       ids.map { case (q, n) => (np, q, n) }
     }.toDF("nprobe", "query_id", "neighbor_id")
+    OracleSide.write(tagged, "b11_results")
     val annDist: Map[(Int, Long, Int), Double] =
       withExactDist(spark, dir, tagged, extraKeys = Seq("nprobe"))
         .as[(Int, Long, Int, Double)].collect()
         .map { case (np, q, rk, d) => (np, q, rk) -> d }.toMap
-    // recall / get_ratio semantics live in the shared SweepEval kernel
-    // (also behind graft.SweepRef's published artifact — one
-    // implementation, two delegating callers)
+    // recall / get_ratio pairing rules live in the shared SweepEval
+    // kernel (also behind graft.SweepRef's published artifact); the
+    // certified fixed-point accumulation keeps the hash SQL-matchable
     val qids = qs.map(_._1)
-    val rows = perNp.map { case (np, ids, wall) =>
+    val rows = perNp.map { case (np, ids) =>
       val byQuery = ids.groupBy(_._1)
-      val recall = SweepEval.recall(qids,
-        q => byQuery.getOrElse(q, Array.empty[(Long, Long)]).map(_._2),
-        gtSets, k)
       // window ranks are dense from 1, so the compacted per-query
       // distance array pairs positionally with gt ranks
-      val ratio = SweepEval.avgRatio(qids,
+      val (recall, ratio) = SweepEval.certified(qids,
+        q => byQuery.getOrElse(q, Array.empty[(Long, Long)]).map(_._2),
+        gtSets, k,
         q => (1 to k).flatMap(rk => annDist.get((np, q, rk))).toArray,
         (q, rk) => gtDist.get((q, rk)))
-      (np, math.rint(recall * 1e4) / 1e4, math.rint(ratio * 1e4) / 1e4, wall,
-        math.rint(qs.length / wall * 1e2) / 1e2)
+      (np, recall, ratio)
     }
-    rows.toDF("nprobe", "recall_at_10", "avg_ratio", "wall_s", "qps")
+    rows.toDF("nprobe", "recall_at_10", "avg_ratio")
       .orderBy("nprobe")
   }
 
@@ -801,6 +805,71 @@ object AnnQueries {
       |LEFT JOIN rat ON rat.query_id = a.query_id
       |ORDER BY a.query_id, a.rk""".stripMargin
 
+  /** b11's oracle: the b7 certified-search recomputation extended by
+    * the nprobe key and aggregated to the sweep's one-row-per-rung
+    * shape. From the `b11_results` sidecar alone it recomputes exact
+    * distances, the exact GT top-10, per-rung hits, the rank-paired
+    * ratio terms in exact integer micros (SweepEval.certified's
+    * accumulation — integer sums, one division per published number),
+    * and the final 4-decimal recall/ratio columns. The grid LEFT JOIN
+    * realizes the kernel's all-degenerate fallback (r_q = 10⁶) for
+    * queries with no qualifying rank. */
+  private val NprobeSweepSql =
+    s"""WITH qs AS (
+      |  SELECT CAST(vec_id AS BIGINT) AS query_id,
+      |    CAST(embedding AS DOUBLE[]) AS qvec
+      |  FROM embeddings WHERE vec_id < 8),
+      |res AS (SELECT nprobe, query_id, neighbor_id
+      |  FROM ${OracleSide.sql("b11_results")}),
+      |ad AS (
+      |  SELECT r.nprobe, r.query_id, r.neighbor_id, $D2Sql AS d2
+      |  FROM res r JOIN qs q USING (query_id)
+      |  JOIN embeddings b ON r.neighbor_id = b.vec_id),
+      |ar AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY nprobe, query_id
+      |  ORDER BY d2, neighbor_id) AS rk FROM ad),
+      |gt AS (
+      |  SELECT query_id, neighbor_id, d2, rk2 AS rk FROM (
+      |    SELECT q.query_id, b.vec_id AS neighbor_id, $D2Sql AS d2,
+      |      ROW_NUMBER() OVER (PARTITION BY q.query_id
+      |        ORDER BY $D2Sql, b.vec_id) AS rk2
+      |    FROM qs q, embeddings b) t
+      |  WHERE rk2 <= 10),
+      |hit AS (
+      |  SELECT r.nprobe,
+      |    CAST(SUM(CASE WHEN g.query_id IS NOT NULL THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS hits
+      |  FROM res r LEFT JOIN gt g
+      |    ON r.query_id = g.query_id AND r.neighbor_id = g.neighbor_id
+      |  GROUP BY r.nprobe),
+      |terms AS (
+      |  SELECT a.nprobe, a.query_id,
+      |    CAST(SUM(CAST(floor(sqrt(a.d2/g.d2)*1e6 + 0.5) AS BIGINT))
+      |      AS BIGINT) AS micros,
+      |    CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM ar a JOIN gt g ON a.query_id = g.query_id AND a.rk = g.rk
+      |  WHERE g.d2 > 1e-5
+      |  GROUP BY a.nprobe, a.query_id),
+      |grid AS (SELECT n.nprobe, q.query_id
+      |  FROM (SELECT DISTINCT nprobe FROM res) n CROSS JOIN qs q),
+      |rq AS (
+      |  SELECT gr.nprobe, gr.query_id,
+      |    CASE WHEN t.n IS NULL THEN 1000000
+      |         ELSE CAST(floor(CAST(t.micros AS DOUBLE)/t.n + 0.5) AS BIGINT)
+      |    END AS rq
+      |  FROM grid gr LEFT JOIN terms t
+      |    ON t.nprobe = gr.nprobe AND t.query_id = gr.query_id),
+      |nq AS (SELECT CAST(count(*) AS BIGINT) AS q FROM qs)
+      |SELECT h.nprobe,
+      |  floor(h.hits * 1e4 / (nq.q * 10) + 0.5)/1e4 AS recall_at_10,
+      |  r.avg_ratio
+      |FROM hit h
+      |JOIN (SELECT nprobe,
+      |        floor(SUM(rq) * 1e4 / (1e6 * (SELECT q FROM nq)) + 0.5)/1e4
+      |          AS avg_ratio
+      |      FROM rq GROUP BY nprobe) r USING (nprobe)
+      |CROSS JOIN nq
+      |ORDER BY h.nprobe""".stripMargin
+
   /** The quantizer-surface oracle for b5/b5b: recomputes the clamped
     * code at the persisted scale t, the sign-flip, the byte sum of the
     * bit-packed stream (packBits ORs DISJOINT bit ranges, so each
@@ -909,6 +978,7 @@ object AnnQueries {
       "b15_index_lifecycle" ->
         argminCountSql(cent, " WHERE vec_id % 2 = 0"),
       "b7_ivf_search" -> certifiedSearchSql("b7_results"),
+      "b11_nprobe_sweep" -> NprobeSweepSql,
       "b7b_ivf_search_b8" -> certifiedSearchSql("b7b_results"),
       "b16_search_quantized" -> certifiedSearchSql("b16_results"),
       // b14's ground truth is restricted to the allowed-id set (the

@@ -210,9 +210,16 @@ object PipelineQueries {
   def bpeTrain(spark: SparkSession, dir: String): DataFrame =
     graft.ops.BpeTrain.bpeTrain(spark, Tables.documents(spark, dir))
 
-  def bpeEncode(spark: SparkSession, dir: String): DataFrame =
-    graft.ops.BpeTrain.bpeEncode(spark, Tables.documents(spark, dir))
+  def bpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val merges = graft.ops.BpeTrain.bpeTrain(spark, docs)
+    // pin the exact merge table the encode kernel consumes (itself
+    // hash-certified end-to-end by c34's oracle); c35's oracle replays
+    // the apply loop from it with a recursive CTE
+    OracleSide.write(merges.select("rank", "left", "right"), "c34_merges")
+    graft.ops.BpeTrain.bpeEncodeWith(spark, docs, merges)
       .orderBy("doc_id")
+  }
 
   def kmvDistinct(spark: SparkSession, dir: String): DataFrame =
     graft.ops.Sketches.kmvDistinct(spark, Tables.documents(spark, dir))
@@ -726,7 +733,131 @@ object PipelineQueries {
       |ORDER BY u.vec_id""".stripMargin
   }
 
+  /** c34/c35 oracle plumbing: both replay BpeTrain's iterative state
+    * machines with recursive CTEs (the c23 discipline). A word's
+    * symbol list is carried as a separator-framed string — every
+    * token wrapped as ␞tok␞ and concatenated — so ONE replace() per
+    * round applies a merge rule to all its left-to-right
+    * non-overlapping adjacent occurrences with the kernel's exact
+    * skip semantics: the pattern ␞a␞␞b␞ → ␞ab␞ consumes both frames,
+    * so a freshly merged token cannot re-merge within the round
+    * (BpeTrain.encodeWord's i += 2). chr(30) never occurs in the
+    * corpus (all-ASCII by construction, the c9 argument). */
+  private val BpeSep = "\u001E"
+  private def bpeInitSymsSql: String =
+    // word → framed symbol string, last char carrying the end mark
+    s"""'$BpeSep' || array_to_string(
+       |      list_append(cs[1:len(cs)-1], cs[len(cs)] || '${graft.ops.BpeTrain.EndMark}'),
+       |      '$BpeSep$BpeSep') || '$BpeSep'""".stripMargin
+
+  /** c34 oracle: the full training loop from `documents` alone — no
+    * sidecar. The recursive state is ONE row carrying the entire
+    * floored vocab as a list of {s, f} structs; each round a LATERAL
+    * unnests it, counts adjacent pairs weighted by word freq (zip of
+    * the symbol list against its own tail — overlapping occurrences
+    * counted, the kernel's loop), takes the argmax (freq DESC, pair
+    * ASC — the kernel's deterministic tie-break), floors it at
+    * MinPairFreq, and the recursive step applies the rule to every
+    * vocab entry. Recursion ends when the LATERAL yields no row. */
+  private val BpeTrainSql = {
+    import graft.ops.BpeTrain.{MinPairFreq, MinWordFreq, NumMerges}
+    s"""WITH RECURSIVE
+      |wf AS (
+      |  SELECT w, CAST(count(*) AS BIGINT) AS f
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS w
+      |        FROM documents WHERE text IS NOT NULL)
+      |  WHERE w <> '' GROUP BY w HAVING count(*) >= $MinWordFreq),
+      |w0 AS (
+      |  SELECT list({'s': s, 'f': f}) AS vocab FROM (
+      |    SELECT f, $bpeInitSymsSql AS s
+      |    FROM (SELECT f, string_split(w, '') AS cs FROM wf))),
+      |st AS (
+      |  SELECT 0 AS it, vocab,
+      |    CAST(NULL AS VARCHAR) AS l, CAST(NULL AS VARCHAR) AS r,
+      |    CAST(NULL AS BIGINT) AS pf
+      |  FROM w0
+      |  UNION ALL
+      |  SELECT it + 1,
+      |    list_transform(st.vocab, v -> {
+      |      's': replace(v.s, '$BpeSep' || b.l || '$BpeSep$BpeSep' || b.r || '$BpeSep',
+      |                        '$BpeSep' || b.l || b.r || '$BpeSep'),
+      |      'f': v.f}),
+      |    b.l, b.r, b.pf
+      |  FROM st
+      |  CROSS JOIN LATERAL (
+      |    SELECT pl AS l, pr AS r, CAST(SUM(cf) AS BIGINT) AS pf FROM (
+      |      SELECT pair[1] AS pl, pair[2] AS pr, f AS cf FROM (
+      |        SELECT unnest(list_zip(syms[1:len(syms)-1], syms[2:len(syms)])) AS pair, f
+      |        FROM (SELECT list_filter(string_split(u.s, '$BpeSep'), x -> x <> '') AS syms,
+      |                     u.f AS f
+      |              FROM UNNEST(st.vocab) AS t(u))))
+      |    GROUP BY pl, pr
+      |    HAVING SUM(cf) >= $MinPairFreq
+      |    ORDER BY pf DESC, pl, pr LIMIT 1) b
+      |  WHERE st.it < $NumMerges)
+      |SELECT CAST(it AS INT) AS rank, l AS "left", r AS "right",
+      |       l || r AS merged, pf AS pair_freq
+      |FROM st WHERE it >= 1 ORDER BY rank""".stripMargin
+  }
+
+  /** c35 oracle: the apply loop replayed per DISTINCT word against
+    * the pinned (and c34-certified) merge table: each round the
+    * LATERAL picks the lowest-rank rule whose (left, right) pair is
+    * adjacent in the word's framed state (a plain substring test),
+    * replace() applies it everywhere, and the word's last iteration
+    * is its token stream. Docs then join words back by position for
+    * n_words / n_bpe_tokens / the first-HeadTokens '|'-join, with the
+    * kernel's NULL-text and zero-word contracts. */
+  private val BpeEncodeSql = {
+    import graft.ops.BpeTrain.HeadTokens
+    val mg = OracleSide.sql("c34_merges")
+    s"""WITH RECURSIVE
+      |dw AS (
+      |  SELECT DISTINCT w
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS w
+      |        FROM documents WHERE text IS NOT NULL)
+      |  WHERE w <> ''),
+      |w0 AS (
+      |  SELECT w, $bpeInitSymsSql AS s
+      |  FROM (SELECT w, string_split(w, '') AS cs FROM dw)),
+      |enc AS (
+      |  SELECT w, s, 0 AS it FROM w0
+      |  UNION ALL
+      |  SELECT enc.w,
+      |    replace(enc.s, '$BpeSep' || b.l || '$BpeSep$BpeSep' || b.r || '$BpeSep',
+      |                   '$BpeSep' || b.l || b.r || '$BpeSep'),
+      |    it + 1
+      |  FROM enc
+      |  CROSS JOIN LATERAL (
+      |    SELECT m."left" AS l, m."right" AS r FROM $mg m
+      |    WHERE position('$BpeSep' || m."left" || '$BpeSep$BpeSep' || m."right" || '$BpeSep' IN enc.s) > 0
+      |    ORDER BY m.rank LIMIT 1) b),
+      |fin AS (
+      |  SELECT w, list_filter(string_split(s, '$BpeSep'), x -> x <> '') AS toks
+      |  FROM (SELECT w, s, ROW_NUMBER() OVER (PARTITION BY w ORDER BY it DESC) AS rn
+      |        FROM enc)
+      |  WHERE rn = 1),
+      |dwords AS (
+      |  SELECT doc_id, unnest(ws) AS w, unnest(range(1, len(ws) + 1)) AS i
+      |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+      |        FROM documents WHERE text IS NOT NULL)),
+      |agg AS (
+      |  SELECT d.doc_id,
+      |    CAST(count(*) AS INT) AS n_words,
+      |    CAST(sum(len(f.toks)) AS INT) AS n_bpe_tokens,
+      |    array_to_string(flatten(list(f.toks ORDER BY d.i))[1:$HeadTokens], '|') AS head_tokens
+      |  FROM dwords d JOIN fin f USING (w) GROUP BY d.doc_id)
+      |SELECT doc_id,
+      |  CASE WHEN text IS NULL THEN NULL ELSE CAST(coalesce(a.n_words, 0) AS INT) END AS n_words,
+      |  CASE WHEN text IS NULL THEN NULL ELSE CAST(coalesce(a.n_bpe_tokens, 0) AS INT) END AS n_bpe_tokens,
+      |  CASE WHEN text IS NULL THEN NULL ELSE coalesce(a.head_tokens, '') END AS head_tokens
+      |FROM documents LEFT JOIN agg a USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "c34_bpe_train" -> BpeTrainSql,
+    "c35_bpe_encode" -> BpeEncodeSql,
     "c11_media_embed" -> MediaEmbedSql,
     "c23_semdedup" -> SemDedupSql,
     "c9_doc_fingerprint" -> FingerprintSql,

@@ -27,10 +27,13 @@ import org.apache.spark.sql.functions._
   *    scale-CORRECT design, not a shortcut.
   *
   * Output: the learned merge table (rank, left, right, merged,
-  * pair_freq) — deterministic, golden-snapshot pinned (a merge rule
-  * table is not SQL-expressible: each argmax depends on all prior
-  * merges). The companion spec replays Sennrich's low/lower/lowest
-  * example, including two tie rounds.
+  * pair_freq) — deterministic, golden-snapshot pinned, and (round 14)
+  * hash-certified: the per-round argmax over all prior merges is
+  * replayed by a DuckDB recursive CTE that carries the whole floored
+  * vocab as list state (the c23 discipline), so the oracle recomputes
+  * the entire training loop from `documents` alone — no sidecar. The
+  * companion spec replays Sennrich's low/lower/lowest example,
+  * including two tie rounds.
   */
 object BpeTrain {
   /** Merge rounds to learn. Production raises this (30k–50k); each
@@ -178,14 +181,25 @@ object BpeTrain {
     * OOM). Output per doc: word count, BPE token count, and the
     * first [[HeadTokens]] tokens ('|'-joined) — enough for the golden
     * snapshot to pin the actual encoding, not just its size. NULL
-    * text propagates NULL metrics (the c21 contract). Not
-    * SQL-expressible (each merge depends on all prior merges);
-    * golden + spec-pinned. */
+    * text propagates NULL metrics (the c21 contract).
+    *
+    * Hash-certified (round 14): given the merge table — persisted as
+    * the `c34_merges` sidecar and itself certified by c34's oracle —
+    * the apply loop is a deterministic per-word state machine, and
+    * the oracle replays it with a recursive CTE over the distinct
+    * words (the c23 greedy-replay discipline). */
   def bpeEncode(spark: SparkSession, docs: DataFrame,
-      numMerges: Int = NumMerges): DataFrame = {
+      numMerges: Int = NumMerges): DataFrame =
+    bpeEncodeWith(spark, docs, bpeTrain(spark, docs, numMerges))
+
+  /** The encode stage against an explicit merge table — lets the
+    * caller persist the exact table the kernel consumes (c35's oracle
+    * sidecar) without training twice. */
+  def bpeEncodeWith(spark: SparkSession, docs: DataFrame,
+      merges: DataFrame): DataFrame = {
     import spark.implicits._
     val ranks: Map[(String, String), Int] =
-      bpeTrain(spark, docs, numMerges)
+      merges
         .select("left", "right", "rank").as[(String, String, Int)]
         .collect().map { case (a, b, r) => (a, b) -> r }.toMap
     val bc = spark.sparkContext.broadcast(ranks)
