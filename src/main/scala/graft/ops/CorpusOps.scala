@@ -456,18 +456,19 @@ object CorpusOps {
 
   /** Distinct `ContamShingle`-token shingles of `text` (empty when the
     * doc is shorter than one shingle). Kept as strings here: hashing
-    * happens AFTER the explode, in a codegen'd projection — an
-    * xxhash64 inside this lambda would run on the interpreted
-    * higher-order-function path (measurably ~2× slower). */
-  private[graft] def shingles: org.apache.spark.sql.Column = {
-    val t = split(col("text"), " ")
-    val k = ContamShingle
-    when(size(t) >= k,
-      array_distinct(transform(
-        sequence(lit(1), size(t) - lit(k - 1)),
-        i => concat_ws(" ", slice(t, i, lit(k))))))
-      .otherwise(array().cast("array<string>"))
-  }
+    * happens AFTER the explode, in a codegen'd projection.
+    *
+    * Round-14 form: the single-pass native expression
+    * [[graft.functions.DistinctShingles]] — value-identical to the
+    * declarative split → sequence → transform(slice → concat_ws " ") →
+    * array_distinct chain (that chain's HOF lambdas run INTERPRETED
+    * per element and dominated the c39 profile: 1.7 s of 3.2 s at
+    * sf0.1, shared with c17/d9/d14). The exactness contract lives in
+    * TextShingleFunctions' scaladoc; ShingleExprSpec pins the two
+    * formulations equal on the hostile shapes (consecutive/leading/
+    * trailing spaces, empty, null, <k tokens, duplicates). */
+  private[graft] def shingles: org.apache.spark.sql.Column =
+    graft.functions.TextShingleFunctions.textShingles(col("text"), ContamShingle)
 
   /** Exploded shingle hashes: one (doc_id, xxhash64(shingle)) row per
     * distinct shingle. The join/broadcast carry 8-byte longs, not

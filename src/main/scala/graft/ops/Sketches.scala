@@ -238,15 +238,19 @@ object Sketches {
     * and position derivation). */
   def bloomShinglePositions(docs: DataFrame): org.apache.spark.sql.Dataset[(String, Int)] = {
     import docs.sparkSession.implicits._
-    val sh = docs
+    docs
       .filter(col("doc_id") >= CorpusOps.EvalIdBound)
       .select(col("source"), CorpusOps.shingles.as("sh"))
       .select(col("source"), explode_outer(col("sh")).as("gs"))
       .where(col("gs").isNotNull)
-      .select(col("source"), md5(col("gs")).as("h"))
-    sh.select(col("source"), explode(array(
-        (0 until BloomHashes).map(i =>
-          conv(substring(col("h"), 1 + 4 * i, 4), 16, 10).cast("int")): _*)).as("p"))
+      // round-14 form: one native expression digests the shingle and
+      // slices the positions from the raw md5 bytes — value-identical
+      // to md5 → 4× conv(substring(h, 1+4i, 4), 16, 10) (hex slice =
+      // byte pair), without materializing the hex string or the
+      // four-conv projection; the DuckDB oracle keeps the hex form
+      .select(col("source"), explode(
+        graft.functions.TextShingleFunctions
+          .bloomPositionsCol(col("gs"), BloomHashes)).as("p"))
       .as[(String, Int)]
   }
 
@@ -422,15 +426,16 @@ object Sketches {
     * codegen. SHARED by batch c41 and streaming d15. */
   def cmsFlatPositions(docs: DataFrame): org.apache.spark.sql.Dataset[(String, Int)] = {
     import docs.sparkSession.implicits._
-    val occ = docs
+    docs
       .filter(col("text").isNotNull)
       .select(col("source"), explode(split(col("text"), " ")).as("w"))
       .where(col("w") =!= "")
-      .select(col("source"), md5(col("w")).as("h"))
-    occ.select(col("source"), explode(array(
-        (0 until CmsDepth).map(i =>
-          (conv(substring(col("h"), 1 + 4 * i, 4), 16, 10).cast("int") % CmsWidth
-            + lit(i * CmsWidth)).cast("int")): _*)).as("p"))
+      // round-14 form: digest-byte slices via one native expression
+      // (value-identical to md5 → conv(substring) % width + i·width;
+      // the DuckDB oracle keeps the hex form)
+      .select(col("source"), explode(
+        graft.functions.TextShingleFunctions
+          .cmsPositionsCol(col("w"), CmsDepth, CmsWidth)).as("p"))
       .as[(String, Int)]
   }
 
@@ -557,11 +562,9 @@ object Sketches {
       trueCounts: Map[(String, String), Long]): DataFrame = {
     import bySrc.sparkSession.implicits._
     val weighted = bySrc
-      .select(col("source"), md5(col("w")).as("h"), col("count"))
-      .select(col("source"), explode(array(
-          (0 until CmsDepth).map(i =>
-            (conv(substring(col("h"), 1 + 4 * i, 4), 16, 10).cast("int") % CmsWidth
-              + lit(i * CmsWidth)).cast("int")): _*)).as("p"),
+      .select(col("source"), explode(
+          graft.functions.TextShingleFunctions
+            .cmsPositionsCol(col("w"), CmsDepth, CmsWidth)).as("p"),
         col("count"))
       .as[(String, Int, Long)]
     val agg = new CmsWeightedAgg(CmsDepth, CmsWidth)
