@@ -94,6 +94,13 @@ object Bench {
       // never change a value, only the task count)
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
         sys.env.getOrElse("SPARK_GRAFT_CACHED_AQE", "true"))
+      // A/B knob: false = AQE coalesces post-shuffle partitions to the
+      // advisory size instead of keeping one per core — at bench scale
+      // the model-table stages of the staged operators (c42/c27/c19)
+      // are kilobytes across 32 tasks, pure scheduling overhead
+      // (results/c42_parallelism_ab.json)
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        sys.env.getOrElse("SPARK_GRAFT_PARALLELISM_FIRST", "true"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
     val spark = (sys.env.get("SPARK_GRAFT_STATE_STORE").map(_.toLowerCase) match {

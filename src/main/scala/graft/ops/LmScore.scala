@@ -493,7 +493,17 @@ object LmScore {
     // pattern) so unpersist can never push the final job back through
     // the kernel.
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val occ = trigramRows(docs)
+    // same A/B seam as c27's (SPARK_GRAFT_LM_PERSIST_OCC): whether the
+    // scoring pass re-runs the kernel or reads the cached stream is
+    // scale-dependent; the committed default follows the measured A/B
+    // (results/c42_occ_persist_ab.json)
+    val persistOcc = sys.env.get("SPARK_GRAFT_LM_PERSIST_OCC") match {
+      case Some("1") => true
+      case Some("0") => false
+      case _ => PersistOccDefault
+    }
+    val occ0 = trigramRows(docs)
+    val occ = if (persistOcc) occ0.persist(lvl) else occ0
     // t3 groups by the trigram key and CARRIES the derived-space keys
     // (functionally determined by the trigram — same cardinality);
     // b2 likewise carries the w2/w3 keys for its own fan-out
@@ -508,6 +518,7 @@ object LmScore {
     finally {
       t3.unpersist(blocking = false)
       b2.unpersist(blocking = false)
+      if (persistOcc) occ.unpersist(blocking = false)
     }
   }
 

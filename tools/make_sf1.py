@@ -23,12 +23,26 @@ Offsets are max(key)+1 per table, applied to every foreign-key use:
   events   : event_id, user_id (per-user session shapes preserved)
 
 Usage: python3 tools/make_sf1.py [srcDir] [dstDir] [reps]
+
+The default destination is PERSISTENT (.scratch/sf1 inside the repo,
+gitignored): the round-13 spot-check found ~2x wall swings on unchanged
+code between per-round /tmp rebuilds, making cross-round sf1 ratios
+unreadable. Building once and reusing the same files (same row-group
+layout, same page cache behavior) removes the rebuild as a variable;
+the marker file records provenance and makes the build idempotent.
 """
 import duckdb, glob, os, shutil, sys
 
 src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-dst = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf1"
+dst = sys.argv[2] if len(sys.argv) > 2 else     os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 ".scratch", "sf1")
 reps = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+
+marker = os.path.join(dst, ".built")
+stamp = f"src={src} reps={reps} tables=10"
+if os.path.exists(marker) and open(marker).read().strip() == stamp:
+    print(f"{dst} already built ({stamp}); delete {marker} to force a rebuild")
+    sys.exit(0)
 
 os.makedirs(dst, exist_ok=True)
 con = duckdb.connect()
@@ -104,3 +118,5 @@ _dst_ts = pq.read_schema(f"{evdir}/part-00.parquet").field("ts").type
 assert _dst_ts == _src_ts, f"ts encoding changed: {_src_ts} -> {_dst_ts}"
 print(f"events\t{total} rows in {reps} files (ts kept {_dst_ts})")
 print(f"wrote {reps}x replicas of {src} to {dst}")
+with open(marker, "w") as f:
+    f.write(stamp + "\n")

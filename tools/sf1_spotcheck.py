@@ -19,10 +19,10 @@ sf1 section of BASELINE.md (idempotent; make_baseline.py re-appends
 the section from the json on a full regeneration).
 
 Usage:
-  python3 tools/make_sf1.py                     # build /tmp/sf1 once
+  python3 tools/make_sf1.py                     # build .scratch/sf1 once (persistent)
   SPARK_GRAFT_BENCH_ONLY=e1_q1_agg,e3_q5_multijoin,c17_contamination,d1_sessionize,c24_substring_dedup,c25_bm25_search,c27_lm_perplexity,c28_dsir_weight,c31_boilerplate,c32_budget_select,c39_bloom_contain,c41_heavy_hitters \
-    SPARK_GRAFT_SF_DIR=/tmp/sf1 sbt "runMain graft.Bench" | grep '"metric"' > /tmp/sf1_bench.json
-  python3 tools/sf1_spotcheck.py <oracle_sql.json> [/tmp/sf1] [/tmp/sf1_bench.json]
+    SPARK_GRAFT_SF_DIR=.scratch/sf1 sbt "runMain graft.Bench" | grep '"metric"' > /tmp/sf1_bench.json
+  python3 tools/sf1_spotcheck.py <oracle_sql.json> [.scratch/sf1] [/tmp/sf1_bench.json]
 """
 import duckdb, glob, json, os, sys, time
 
@@ -131,7 +131,9 @@ def append_sf1_section(baseline_md="BASELINE.md",
 
 if __name__ == "__main__":
     oracle_path = sys.argv[1]
-    sfdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf1"
+    sfdir = sys.argv[2] if len(sys.argv) > 2 else os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".scratch", "sf1")
     bench_json = sys.argv[3] if len(sys.argv) > 3 else None
 
     oracle = json.load(open(oracle_path))
