@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Focused A/B probe for d8_stream_spans at probe scale — the round-13
+  * verdict's largest 100×-probe wall (87.7 s at 500k docs / ~16.5M live
+  * span states vs 6.45 s for batch c24 over the same spans: the gap is
+  * state-store machinery, not the span kernel). Knobs, one JSON line
+  * per run (same corpus generator as ScaleProbe, so rows are
+  * comparable with scale_probe_r13_500k.json):
+  *
+  *   SPARK_GRAFT_PROBE_DOCS      corpus size (default 500000)
+  *   SPARK_GRAFT_CPUS            threads (default 32)
+  *   SPARK_GRAFT_STATE_STORE     rocksdb (default; heap OOMs ~16M
+  *                               states per 32-thread JVM) | hdfs
+  *   SPARK_GRAFT_SHUFFLE         state-shard count (default = cpus)
+  *   SPARK_GRAFT_ROCKS_CHANGELOG 1 = changelog checkpointing (commits
+  *                               ship the delta, snapshots go async)
+  *                               instead of the default full-snapshot
+  *                               upload per commit
+  *   SPARK_GRAFT_ROCKS_UNMANAGED 1 = disable boundedMemoryUsage
+  */
+object D8Probe {
+  def main(args: Array[String]): Unit = {
+    val nDocs = sys.env.getOrElse("SPARK_GRAFT_PROBE_DOCS", "500000").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val provider = sys.env.getOrElse("SPARK_GRAFT_STATE_STORE", "rocksdb")
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
+    val changelog = sys.env.get("SPARK_GRAFT_ROCKS_CHANGELOG").contains("1")
+    val builder = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-d8-probe")
+      .config("spark.sql.shuffle.partitions", shuffle)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+    val withProvider = provider match {
+      case "rocksdb" => builder
+        .config("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        .config(
+          "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+          changelog.toString)
+      case _ => builder
+    }
+    val spark = withProvider.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try {
+      import spark.implicits._
+      val docs = ScaleProbe.synthDocs(spark, nDocs)
+      val docsDir = java.nio.file.Files.createTempDirectory("d8probe_docs")
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        org.apache.commons.io.FileUtils.deleteQuietly(docsDir.toFile); ()
+      }))
+      docs.withColumn("lang", lit("en")).withColumn("source", lit("synth"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .write.mode("overwrite").parquet(docsDir.toString)
+      val t0 = System.nanoTime()
+      val out = graft.streaming.StreamSpanDedup
+        .streamingSpanDedupFromDir(spark, docsDir.toString)
+      out.queryExecution.toRdd.foreach(_ => ())
+      val wall = (System.nanoTime() - t0) / 1e9
+      Scratch.reap()
+      println(
+        f"""{"probe":"d8_ab","n_docs":$nDocs,"cpus":$cpus,""" +
+          f""""provider":"$provider","shuffle":$shuffle,""" +
+          f""""changelog":$changelog,"wall_s":$wall%.2f}""")
+    } finally spark.stop()
+  }
+}

@@ -149,6 +149,14 @@ object ScaleProbe {
       // and is the deployment conf any big stateful stream runs with
       .config("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      // changelog checkpointing: commits ship the batch's delta and
+      // snapshots go async, instead of a full RocksDB snapshot upload
+      // per commit — the large-state deployment conf. Measured on d8
+      // at 500k docs / 16.5M span states: 75.5 -> 55.4 s same-session
+      // (results/d8_provider_ab_r14.json)
+      .config(
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+        "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
@@ -473,6 +481,14 @@ object D12Probe {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      // changelog checkpointing: commits ship the batch's delta and
+      // snapshots go async, instead of a full RocksDB snapshot upload
+      // per commit — the large-state deployment conf. Measured on d8
+      // at 500k docs / 16.5M span states: 75.5 -> 55.4 s same-session
+      // (results/d8_provider_ab_r14.json)
+      .config(
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+        "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try {

@@ -36,7 +36,16 @@ import graft.ops.Dedup
   * (`spark.sql.streaming.stateStore.providerClass`) — the default
   * HDFSBacked provider keeps every state row on-heap and OOMs around
   * ~16M live spans per 32-thread JVM (measured: 500k×40-token docs in
-  * one batch; the same probe completes on RocksDB — see ScaleProbe).
+  * one batch; the same probe completes on RocksDB — see ScaleProbe) —
+  * AND with changelog checkpointing
+  * (`...stateStore.rocksdb.changelogCheckpointing.enabled=true`):
+  * commits then ship the batch's delta instead of a full snapshot,
+  * 75.5 → 55.4 s at 500k docs (results/d8_provider_ab_r14.json).
+  * The remaining wall is a state-INGEST floor, linear in spans (batch
+  * c24 computes the identical spans in 6.45 s at 500k; the other
+  * ~49 s is RocksDB ingest+commit of 16.5M states — the price of
+  * incremental-gate semantics); keep state shards ≈ cores (8 shards
+  * serialize ingest, 64 add per-store commit overhead).
   *
   * Determinism + oracle: with the default single-file source the
   * AvailableNow drain runs ONE batch, the watermark never advances
