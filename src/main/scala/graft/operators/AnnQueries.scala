@@ -129,36 +129,36 @@ object AnnQueries {
     val exBits = m.params.exBits
     val bc = spark.sparkContext.broadcast((m.rotator, m.rotatedCentroids))
     try {
-    val emb = Tables.embeddings(spark, dir)
-      .select(col("vec_id").cast(LongType).as("eid"), col("embedding"))
-    val rows = m.index.toDF().select(col("id"), col("cluster_id"))
-      .join(emb, col("id") === col("eid"))
-      .select(col("id"), col("cluster_id"), col("embedding"))
-      .as[(Long, Int, Array[Float])]
-      .map { case (id, cid, vec) =>
-        val (rot, rotCents) = bc.value
-        val rx = rot.rotate(vec)
-        val cR = rotCents(cid)
-        val d = rot.paddedDim
-        val res = new Array[Float](d)
-        var i = 0
-        while (i < d) { res(i) = rx(i) - cR(i); i += 1 }
-        // |o'| exactly as RaBitQ.quantize builds it (double chains)
-        var x2 = 0.0
-        i = 0
-        while (i < d) { x2 += res(i).toDouble * res(i); i += 1 }
-        val x = math.sqrt(x2)
-        val abs = new Array[Double](d)
-        i = 0
-        while (i < d) {
-          abs(i) = math.abs(if (x > 0) res(i) / x else 0.0); i += 1
+      val emb = Tables.embeddings(spark, dir)
+        .select(col("vec_id").cast(LongType).as("eid"), col("embedding"))
+      val rows = m.index.toDF().select(col("id"), col("cluster_id"))
+        .join(emb, col("id") === col("eid"))
+        .select(col("id"), col("cluster_id"), col("embedding"))
+        .as[(Long, Int, Array[Float])]
+        .map { case (id, cid, vec) =>
+          val (rot, rotCents) = bc.value
+          val rx = rot.rotate(vec)
+          val cR = rotCents(cid)
+          val d = rot.paddedDim
+          val res = new Array[Float](d)
+          var i = 0
+          while (i < d) { res(i) = rx(i) - cR(i); i += 1 }
+          // |o'| exactly as RaBitQ.quantize builds it (double chains)
+          var x2 = 0.0
+          i = 0
+          while (i < d) { x2 += res(i).toDouble * res(i); i += 1 }
+          val x = math.sqrt(x2)
+          val abs = new Array[Double](d)
+          i = 0
+          while (i < d) {
+            abs(i) = math.abs(if (x > 0) res(i) / x else 0.0); i += 1
+          }
+          val bestT = RaBitQ.fastQuantizeT(abs, exBits)._3
+          (id, cid, res.map(_.toDouble).toSeq, bestT)
         }
-        val bestT = RaBitQ.fastQuantizeT(abs, exBits)._3
-        (id, cid, res.map(_.toDouble).toSeq, bestT)
-      }
-      .toDF("vec_id", "cluster_id", "r", "best_t")
-    OracleSide.write(rows, name)
-    written = true
+        .toDF("vec_id", "cluster_id", "r", "best_t")
+      OracleSide.write(rows, name)
+      written = true
     } finally {
       if (!written) residualSidecarWritten.remove((dir, bits, name))
       bc.destroy()

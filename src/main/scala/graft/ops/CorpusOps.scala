@@ -463,7 +463,7 @@ object CorpusOps {
     * declarative split → sequence → transform(slice → concat_ws " ") →
     * array_distinct chain (that chain's HOF lambdas run INTERPRETED
     * per element and dominated the c39 profile: 1.7 s of 3.2 s at
-    * sf0.1, shared with c17/d9/d14). The exactness contract lives in
+    * sf0.1, shared with c17/c39/d14). The exactness contract lives in
     * TextShingleFunctions' scaladoc; ShingleExprSpec pins the two
     * formulations equal on the hostile shapes (consecutive/leading/
     * trailing spaces, empty, null, <k tokens, duplicates). */

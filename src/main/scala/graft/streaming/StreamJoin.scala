@@ -154,7 +154,13 @@ object StreamJoin {
       // trusting a fixed sleep — a lagging bus on a >100-trigger run
       // would otherwise drop early batches that recentProgress (capped
       // at 100 entries) can no longer backstop
-      val lastBatch = Option(q.lastProgress).map(_.batchId)
+      // only wait for a batch the listener WOULD record (same filter):
+      // a final zero-row, stateless progress event is never stored, and
+      // waiting for it would stall the full deadline on every drain
+      val lastBatch = Option(q.lastProgress)
+        .filter(p => p.numInputRows > 0 || p.stateOperators.nonEmpty)
+        .filter(_.stateOperators.nonEmpty)
+        .map(_.batchId)
       val deadline = System.nanoTime() + 5_000_000_000L
       while (lastBatch.exists(b => !byBatch.containsKey(b)) &&
              System.nanoTime() < deadline) Thread.sleep(20)

@@ -84,6 +84,11 @@ def sf1_section(spot):
              f"10x-replicated tables (`tools/make_sf1.py`, ~sf1: "
              f"{spot.get('lineitem_rows', '~6M')} lineitem rows), where the",
              "data is large enough for the plans themselves to dominate.",
+             "Since round 14 the tables are PERSISTENT (`.scratch/sf1`,",
+             "built once, reused across rounds): round 13 measured ~2x wall",
+             "swings on unchanged code between per-round /tmp rebuilds, so",
+             "cross-round sf1 comparison is only valid against rows produced",
+             "from the same persistent build (this one and later).",
              "Produced by `tools/sf1_spotcheck.py`; machine-readable copy:",
              "`results/sf1_spotcheck.json`.",
              "",
