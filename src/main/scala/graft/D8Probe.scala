@@ -20,6 +20,10 @@ import org.apache.spark.sql.functions._
   *                               instead of the default full-snapshot
   *                               upload per commit
   *   SPARK_GRAFT_ROCKS_UNMANAGED 1 = disable boundedMemoryUsage
+  *   SPARK_GRAFT_PROBE_OP        spans (default) | kmv — which
+  *                               streaming operator to drive (kmv =
+  *                               d11, the small-state control for the
+  *                               changelog-default trade)
   */
 object D8Probe {
   def main(args: Array[String]): Unit = {
@@ -56,14 +60,19 @@ object D8Probe {
       docs.withColumn("lang", lit("en")).withColumn("source", lit("synth"))
         .withColumn("n_chars", length(col("text")).cast("long"))
         .write.mode("overwrite").parquet(docsDir.toString)
+      val op = sys.env.getOrElse("SPARK_GRAFT_PROBE_OP", "spans")
       val t0 = System.nanoTime()
-      val out = graft.streaming.StreamSpanDedup
-        .streamingSpanDedupFromDir(spark, docsDir.toString)
+      val out = op match {
+        case "kmv" => graft.streaming.StreamKmv
+          .streamingKmvFromDir(spark, docsDir.toString)
+        case _ => graft.streaming.StreamSpanDedup
+          .streamingSpanDedupFromDir(spark, docsDir.toString)
+      }
       out.queryExecution.toRdd.foreach(_ => ())
       val wall = (System.nanoTime() - t0) / 1e9
       Scratch.reap()
       println(
-        f"""{"probe":"d8_ab","n_docs":$nDocs,"cpus":$cpus,""" +
+        f"""{"probe":"d8_ab","op":"$op","n_docs":$nDocs,"cpus":$cpus,""" +
           f""""provider":"$provider","shuffle":$shuffle,""" +
           f""""changelog":$changelog,"wall_s":$wall%.2f}""")
     } finally spark.stop()
