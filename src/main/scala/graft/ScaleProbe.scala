@@ -12,6 +12,21 @@ import graft.ops.Dedup
   * `SPARK_GRAFT_PROBE_DOCS=100000 sbt "runMain graft.ScaleProbe"`.
   */
 object ScaleProbe {
+  /** The large-state streaming deployment conf, shared by every probe
+    * session: the default HDFSBackedStateStoreProvider keeps all state
+    * rows on the JVM heap and OOMs the d8 span store at 500k docs
+    * (~16.5M distinct span states) — RocksDB spills to native
+    * memory + disk; changelog checkpointing makes each commit ship the
+    * batch's DELTA (snapshots go async) instead of a full RocksDB
+    * snapshot upload — measured on d8 at 500k docs: 75.5 → 55.4 s
+    * same-session (results/d8_provider_ab_r14.json), neutral for
+    * small-state streams (d11 5.66 vs 5.69 s). */
+  private[graft] val largeStateConf: Map[String, String] = Map(
+    "spark.sql.streaming.stateStore.providerClass" ->
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" ->
+      "true")
+
   private def time[A](body: => A): (A, Double) = {
     val t0 = System.nanoTime()
     val a = body
@@ -142,21 +157,9 @@ object ScaleProbe {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
-      // the production state-store for large streaming state: the
-      // default HDFSBackedStateStoreProvider keeps every state row on
-      // the JVM heap and OOMs the d8 span store at 500k docs (~16.5M
-      // distinct span states); RocksDB spills to native memory + disk
-      // and is the deployment conf any big stateful stream runs with
-      .config("spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      // changelog checkpointing: commits ship the batch's delta and
-      // snapshots go async, instead of a full RocksDB snapshot upload
-      // per commit — the large-state deployment conf. Measured on d8
-      // at 500k docs / 16.5M span states: 75.5 -> 55.4 s same-session
-      // (results/d8_provider_ab_r14.json)
-      .config(
-        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
-        "true")
+      // the large-state streaming deployment conf (RocksDB provider +
+      // changelog checkpointing) — shared, see [[ScaleProbe.largeStateConf]]
+      .config(ScaleProbe.largeStateConf)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
@@ -479,16 +482,9 @@ object D12Probe {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      // changelog checkpointing: commits ship the batch's delta and
-      // snapshots go async, instead of a full RocksDB snapshot upload
-      // per commit — the large-state deployment conf. Measured on d8
-      // at 500k docs / 16.5M span states: 75.5 -> 55.4 s same-session
-      // (results/d8_provider_ab_r14.json)
-      .config(
-        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
-        "true")
+      // the large-state streaming deployment conf (RocksDB provider +
+      // changelog checkpointing) — shared, see [[ScaleProbe.largeStateConf]]
+      .config(ScaleProbe.largeStateConf)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try {

@@ -30,7 +30,7 @@ object SweepCsv {
       .getOrCreate()
     try {
       import spark.implicits._
-      val rows = operators.AnnQueries.nprobeSweep(spark, sfDir)
+      val rows = operators.AnnQueries.nprobeSweepTimed(spark, sfDir)
         .select("nprobe", "qps", "recall_at_10", "avg_ratio")
         .as[(Int, Double, Double, Double)].collect()
       val csv = ("nprobe,QPS,recall,ratio" +: rows.map { case (np, qps, r, ratio) =>

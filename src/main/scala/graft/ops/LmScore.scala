@@ -156,13 +156,17 @@ object LmScore {
     // scale-dependent (A/B'd at sf0.1 and the 100k-doc probe shape —
     // results/c27_occ_persist_ab.json). SPARK_GRAFT_LM_PERSIST_OCC
     // ∈ {1,0} overrides for measurement.
-    ngramLmStagedForProbe(docs,
-      sys.env.get("SPARK_GRAFT_LM_PERSIST_OCC") match {
-        case Some("1") => true
-        case Some("0") => false
-        case _ => PersistOccDefault
-      })
+    ngramLmStagedForProbe(docs, persistOccFromEnv)
   }
+
+  /** The SPARK_GRAFT_LM_PERSIST_OCC ∈ {1,0} override, shared by the
+    * c27 and c42 staged paths so the knob can never diverge. */
+  private[graft] def persistOccFromEnv: Boolean =
+    sys.env.get("SPARK_GRAFT_LM_PERSIST_OCC") match {
+      case Some("1") => true
+      case Some("0") => false
+      case _ => PersistOccDefault
+    }
 
   /** [[ngramLmStaged]] with the occurrence-persist choice explicit —
     * the C27Probe A/B seam. */
@@ -497,11 +501,7 @@ object LmScore {
     // scoring pass re-runs the kernel or reads the cached stream is
     // scale-dependent; the committed default follows the measured A/B
     // (results/c42_occ_persist_ab.json)
-    val persistOcc = sys.env.get("SPARK_GRAFT_LM_PERSIST_OCC") match {
-      case Some("1") => true
-      case Some("0") => false
-      case _ => PersistOccDefault
-    }
+    val persistOcc = persistOccFromEnv
     val occ0 = trigramRows(docs)
     val occ = if (persistOcc) occ0.persist(lvl) else occ0
     // t3 groups by the trigram key and CARRIES the derived-space keys

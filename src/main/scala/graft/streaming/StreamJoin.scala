@@ -154,11 +154,11 @@ object StreamJoin {
       // trusting a fixed sleep — a lagging bus on a >100-trigger run
       // would otherwise drop early batches that recentProgress (capped
       // at 100 entries) can no longer backstop
-      // only wait for a batch the listener WOULD record (same filter):
-      // a final zero-row, stateless progress event is never stored, and
+      // only wait for a batch the listener WOULD record (its effective
+      // store condition: a state-operator entry exists): a final
+      // zero-row, stateless progress event is never stored, and
       // waiting for it would stall the full deadline on every drain
       val lastBatch = Option(q.lastProgress)
-        .filter(p => p.numInputRows > 0 || p.stateOperators.nonEmpty)
         .filter(_.stateOperators.nonEmpty)
         .map(_.batchId)
       val deadline = System.nanoTime() + 5_000_000_000L
