@@ -125,11 +125,30 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), s"eval side not broadcast:\n$p")
     assert(!p.contains("SortMergeJoin"), s"corpus side fell into a shuffle join:\n$p")
     // the inferred explode pre-filter must not re-evaluate the shingle
-    // transform in the scan stage (explode_outer avoids it): the
-    // array_distinct expression appears once per side (eval + corpus),
+    // expression in the scan stage (explode_outer avoids it): the
+    // single-pass shingle kernel appears once per side (eval + corpus),
     // never a third time inside a filter
-    assert("array_distinct".r.findAllIn(p).length <= 2,
+    assert("text_shingles".r.findAllIn(p).length <= 2,
       s"shingle-recomputing pre-filter is back:\n$p")
+  }
+
+  test("c17/c39 shingles run the single-pass native expressions (no interpreted HOF chain)") {
+    val p17 = plan(operators.PipelineQueries.contamination(spark, sf))
+    assert(p17.contains("text_shingles"), s"c17 lost the native shingle kernel:\n$p17")
+    assert(!p17.contains("array_distinct"),
+      s"c17 regressed to the interpreted HOF shingle chain:\n$p17")
+    val p39 = plan(operators.PipelineQueries.bloomContain(spark, sf))
+    assert(p39.contains("text_shingles") && p39.contains("md5_slice_positions"),
+      s"c39 lost a native kernel:\n$p39")
+    assert(!p39.contains("array_distinct") && !p39.contains("conv("),
+      s"c39 regressed to the hex-slice projection:\n$p39")
+    // c41 checkpoints eagerly (its plan is a Scan ExistingRDD), so its
+    // shared cmsFlatPositions kernel is pinned through the streaming
+    // twin's lazy plan instead
+    val p15 = plan(graft.ops.Sketches.cmsFlatPositions(
+      Tables.documents(spark, sf)).toDF())
+    assert(p15.contains("md5_slice_positions"),
+      s"the CMS position kernel lost the native expression:\n$p15")
   }
 
   test("c22 domain mix broadcasts the rate table and keeps the corpus unshuffled") {
