@@ -68,11 +68,17 @@ abstract class VecBinaryExpression extends BinaryExpression {
 
   /** Shared codegen: emits the length check, null-element handling and
     * accumulation; `combineJava(a, b)` is the Java expression added to
-    * the accumulator. */
+    * the accumulator. The element getters are hoisted into locals so a
+    * combine that uses each operand twice (l2sq's (a-b)·(a-b)) still
+    * pays exactly two polymorphic ArrayData accessor calls per element
+    * — the call sites see UnsafeArrayData, GenericArrayData AND
+    * ColumnarArray, so the JIT cannot be trusted to devirtualize+CSE
+    * them on the hottest per-row loop in the library. */
   protected def genLoop(ctx: CodegenContext, ev: ExprCode)(
       combineJava: (String, String) => String): ExprCode =
     nullSafeCodeGen(ctx, ev, (x, y) => {
       val n = ctx.freshName("n"); val s = ctx.freshName("s"); val i = ctx.freshName("i")
+      val va = ctx.freshName("va"); val vb = ctx.freshName("vb")
       s"""
          |int $n = $x.numElements();
          |if ($n != $y.numElements()) {
@@ -82,7 +88,9 @@ abstract class VecBinaryExpression extends BinaryExpression {
          |double $s = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }
-         |  $s += ${combineJava(getter(x, leftSide = true, i), getter(y, leftSide = false, i))};
+         |  double $va = ${getter(x, leftSide = true, i)};
+         |  double $vb = ${getter(y, leftSide = false, i)};
+         |  $s += ${combineJava(va, vb)};
          |}
          |${ev.value} = $s;
        """.stripMargin
@@ -296,15 +304,27 @@ object VectorFunctions {
     concat(a, array_repeat(lit(0.0f), padCount))
   }
   /** Scalar Java kernels, for typed/mapPartitions paths. Both sides
-    * must have the same length (callers pad/validate upstream). */
+    * must have the same length — enforced loudly, matching the SQL
+    * expressions' policy: a silent min-length truncation would turn a
+    * missed padding step into a partial distance that only surfaces
+    * as mysteriously bad recall. */
   def l2sq(a: Array[Float], b: Array[Float]): Double = {
-    var s = 0.0; var i = 0; val n = math.min(a.length, b.length)
+    val n = requireSameDim(a, b, "l2sq")
+    var s = 0.0; var i = 0
     while (i < n) { val d = a(i).toDouble - b(i); s += d * d; i += 1 }
     s
   }
   def dot(a: Array[Float], b: Array[Float]): Double = {
-    var s = 0.0; var i = 0; val n = math.min(a.length, b.length)
+    val n = requireSameDim(a, b, "dot")
+    var s = 0.0; var i = 0
     while (i < n) { s += a(i).toDouble * b(i); i += 1 }
     s
+  }
+  private def requireSameDim(
+      a: Array[Float], b: Array[Float], name: String): Int = {
+    if (a.length != b.length)
+      throw new IllegalArgumentException(
+        s"$name: vector lengths differ (${a.length} vs ${b.length})")
+    a.length
   }
 }

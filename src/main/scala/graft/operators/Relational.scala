@@ -32,10 +32,20 @@ object Relational {
     * floor(x·1e6 + 0.5) is the same IEEE double op in Spark and DuckDB
     * (equivalent to HALF_UP for the non-negative money values here, and
     * unlike Spark's round() it avoids a per-row BigDecimal), the
-    * accumulation is a plain long sum, and the final /1e6 is exact for
-    * 6-decimal inputs. Oracle: SUM(CAST(floor(x*1e6+0.5) AS BIGINT))/1e6. */
+    * accumulation is an exact integer sum, and the final /1e6 is exact
+    * for 6-decimal inputs. The accumulator is DECIMAL(38,0), not LONG:
+    * sum_charge contributes ~1e11 micro-units per row, so a Long total
+    * overflows 2^63 around ~1e8 rows per group (≈ sf60 — far below the
+    * design scale), where DuckDB's SUM(BIGINT) silently promotes to
+    * HUGEINT; decimal(38) matches that headroom, and its final
+    * to-double conversion is correctly rounded, so values (and the
+    * oracle hash) are bit-identical to the long path wherever the long
+    * path didn't overflow. Oracle: SUM(CAST(floor(x*1e6+0.5) AS
+    * BIGINT))/1e6 (HUGEINT-promoted). Shared by e1/e7/e13/e16/e17 —
+    * one copy of the oracle-critical rounding formula. */
   private def microSum(c: Column): Column =
-    (sum(floor(c * lit(1e6) + lit(0.5)).cast(LongType)) / lit(1e6)).as("_")
+    (sum(floor(c * lit(1e6) + lit(0.5)).cast(DecimalType(38, 0)))
+      .cast(DoubleType) / lit(1e6)).as("_")
 
   /** e1: pricing-summary aggregation (TPC-H Q1 shape). */
   def q1Agg(spark: SparkSession, dir: String): DataFrame =
@@ -115,7 +125,7 @@ object Relational {
     Tables.lineitem(spark, dir)
       .rollup("l_returnflag", "l_linestatus")
       .agg(
-        (sum(floor(col("l_quantity") * lit(1e6) + lit(0.5)).cast(LongType)) / lit(1e6)).as("sum_qty"),
+        microSum(col("l_quantity")).as("sum_qty"),
         count(lit(1)).as("n"))
       .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
 
@@ -184,12 +194,21 @@ object Relational {
     val w = Window.partitionBy("user_id")
       .orderBy(col("ts"), col("tag"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, 0)
-    def lastClick(c: Column): Column =
-      last(when(col("tag") === 0, c), ignoreNulls = true).over(w)
+    // the latest click carries as ONE struct (non-null exactly on click
+    // rows), not per-column: independent ignoreNulls carries would mix
+    // fields from different clicks when a click column is NULL (e.g. a
+    // NULL value would resurrect the previous click's value under the
+    // latest click's id — a row no ASOF join could produce)
+    val lastClick = last(
+      when(col("tag") === 0,
+        struct(col("event_id").as("id"), unix_micros(col("ts")).as("us"),
+          col("value").as("v"))),
+      ignoreNulls = true).over(w)
     ev
-      .withColumn("click_event_id", lastClick(col("event_id")))
-      .withColumn("click_us", lastClick(unix_micros(col("ts"))))
-      .withColumn("click_value", lastClick(col("value")))
+      .withColumn("_c", lastClick)
+      .withColumn("click_event_id", col("_c.id"))
+      .withColumn("click_us", col("_c.us"))
+      .withColumn("click_value", col("_c.v"))
       .filter(col("tag") === 1)
       .select(col("event_id"), col("user_id"),
         unix_micros(col("ts")).as("purchase_us"),
@@ -265,7 +284,7 @@ object Relational {
     Tables.lineitem(spark, dir)
       .cube("l_returnflag", "l_linestatus")
       .agg(
-        (sum(floor(col("l_quantity") * lit(1e6) + lit(0.5)).cast(LongType)) / lit(1e6)).as("sum_qty"),
+        microSum(col("l_quantity")).as("sum_qty"),
         count(lit(1)).as("n"))
       .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
 
@@ -337,15 +356,13 @@ object Relational {
     * can't touch the arithmetic; the oracle is the UNION ALL
     * formulation DuckDB evaluates over the same aggregate CTE. */
   def unpivotAgg(spark: SparkSession, dir: String): DataFrame = {
-    def micro(c: org.apache.spark.sql.Column) =
-      sum(floor(c * lit(1e6) + lit(0.5)).cast(LongType)) / lit(1e6)
     Tables.lineitem(spark, dir)
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
-        micro(col("l_quantity")).as("sum_qty"),
-        micro(col("l_extendedprice")).as("sum_price"),
-        micro(col("l_discount")).as("sum_disc"),
-        micro(col("l_tax")).as("sum_tax"))
+        microSum(col("l_quantity")).as("sum_qty"),
+        microSum(col("l_extendedprice")).as("sum_price"),
+        microSum(col("l_discount")).as("sum_disc"),
+        microSum(col("l_tax")).as("sum_tax"))
       .unpivot(
         Array(col("l_returnflag"), col("l_linestatus")),
         Array(col("sum_qty"), col("sum_price"), col("sum_disc"), col("sum_tax")),
@@ -368,7 +385,7 @@ object Relational {
         Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
         col("l_returnflag"), col("l_linestatus"))
       .agg(
-        (sum(floor(col("l_quantity") * lit(1e6) + lit(0.5)).cast(LongType)) / lit(1e6)).as("sum_qty"),
+        microSum(col("l_quantity")).as("sum_qty"),
         count(lit(1)).as("n"))
       .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
 
@@ -382,15 +399,20 @@ object Relational {
     * l_partkey, so both join children arrive HASH-PARTITIONED ON THE
     * JOIN KEY and the full-outer sort-merge join adds NO third
     * exchange (PlanSpec pins exactly two exchanges in the plan). The
-    * two year-slices read from one scan with the year predicate
-    * pushed to parquet row-group pruning; output is O(parts), never
+    * two year-slices filter with HALF-OPEN TIMESTAMP RANGES, not
+    * year() — `year(col) = y` is a function of the column, so parquet
+    * would receive no data filter and each slice would scan the full
+    * table; the range form reaches PushedFilters and prunes row
+    * groups (equivalent under the UTC session: year(ts) = y ⟺
+    * ts ∈ [y-01-01, y+1-01-01)). Output is O(parts), never
     * O(lineitems). Quantity sums are exact integer micros (microSum,
     * the e1 rule), counts BIGINT, and the null pads survive to the
     * output so the hash check certifies outer semantics bit-exactly. */
   def fullOuterJoin(spark: SparkSession, dir: String): DataFrame = {
     val l = Tables.lineitem(spark, dir)
     def yearAgg(y: Int, qty: String, n: String) =
-      l.filter(year(col("l_shipdate")) === y)
+      l.filter(col("l_shipdate") >= lit(s"$y-01-01").cast(TimestampType) &&
+          col("l_shipdate") < lit(s"${y + 1}-01-01").cast(TimestampType))
         .groupBy("l_partkey")
         .agg(microSum(col("l_quantity")).as(qty), count(lit(1)).as(n))
     val a = yearAgg(1995, "qty95", "n95")

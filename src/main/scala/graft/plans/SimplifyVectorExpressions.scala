@@ -39,10 +39,18 @@ object SimplifyVectorExpressions extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformAllExpressions {
+      // radius / near filters (distance below a constant)
       case LessThan(SqrtOfL2Sq(v), NonNegLit(c))           => LessThan(v, Literal(c * c))
       case LessThanOrEqual(SqrtOfL2Sq(v), NonNegLit(c))    => LessThanOrEqual(v, Literal(c * c))
       case GreaterThan(NonNegLit(c), SqrtOfL2Sq(v))        => GreaterThan(Literal(c * c), v)
       case GreaterThanOrEqual(NonNegLit(c), SqrtOfL2Sq(v)) => GreaterThanOrEqual(Literal(c * c), v)
+      // far / outlier filters (distance above a constant) — the mirror
+      // image (diversity sampling, contamination distance gates); the
+      // identical monotonicity argument applies
+      case GreaterThan(SqrtOfL2Sq(v), NonNegLit(c))        => GreaterThan(v, Literal(c * c))
+      case GreaterThanOrEqual(SqrtOfL2Sq(v), NonNegLit(c)) => GreaterThanOrEqual(v, Literal(c * c))
+      case LessThan(NonNegLit(c), SqrtOfL2Sq(v))           => LessThan(Literal(c * c), v)
+      case LessThanOrEqual(NonNegLit(c), SqrtOfL2Sq(v))    => LessThanOrEqual(Literal(c * c), v)
     }
 
   /** Add the rule to an already-running session. */

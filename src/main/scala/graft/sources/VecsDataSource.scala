@@ -40,31 +40,40 @@ private[sources] object VecsFiles {
     Option(options.get("path")).toSeq ++ multi
   }
 
-  /** Expand a file-or-directory path to its data files, skipping job
-    * markers / checksums (_SUCCESS, .crc, dotfiles), sorted by path. */
+  /** THE (file, row_id, vec) schema of every vector source — one
+    * definition for the fvecs/ivecs and fbin/ibin families, so a
+    * schema evolution can never make them silently disagree. */
+  def vecSchema(isFloat: Boolean): StructType =
+    StructType(Seq(
+      StructField("file", StringType, nullable = false),
+      StructField("row_id", LongType, nullable = false),
+      StructField("vec", ArrayType(if (isFloat) FloatType else IntegerType,
+        containsNull = false), nullable = false)))
+
+  /** Expand a file-or-directory path to its data files, RECURSIVELY
+    * (per-shard subdirectory layouts are the norm for multi-TB vector
+    * corpora — a one-level listing would silently return a subset),
+    * skipping job markers / checksums (_SUCCESS, .crc, dotfiles) and
+    * any subtree under a skipped directory name, sorted by path. */
   def listDataFiles(
       hadoopConf: org.apache.hadoop.conf.Configuration,
       p: String): Seq[org.apache.hadoop.fs.FileStatus] = {
     val path = new Path(p)
     val fs = path.getFileSystem(hadoopConf)
-    val files =
-      if (fs.getFileStatus(path).isDirectory)
-        fs.listStatus(path).toSeq.filter { f =>
-          val n = f.getPath.getName
-          f.isFile && !n.startsWith("_") && !n.startsWith(".")
-        }
-      else Seq(fs.getFileStatus(path))
-    files.sortBy(_.getPath.toString)
+    def skip(n: String): Boolean = n.startsWith("_") || n.startsWith(".")
+    def walk(st: org.apache.hadoop.fs.FileStatus): Seq[org.apache.hadoop.fs.FileStatus] =
+      if (st.isDirectory)
+        fs.listStatus(st.getPath).toSeq
+          .filterNot(c => skip(c.getPath.getName)).flatMap(walk)
+      else Seq(st)
+    val root = fs.getFileStatus(path)
+    walk(root).sortBy(_.getPath.toString)
   }
 }
 
 abstract class VecsProviderBase(isFloat: Boolean) extends TableProvider with DataSourceRegister {
-  private def elemType: DataType = if (isFloat) FloatType else IntegerType
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    StructType(Seq(
-      StructField("file", StringType, nullable = false),
-      StructField("row_id", LongType, nullable = false),
-      StructField("vec", ArrayType(elemType, containsNull = false), nullable = false)))
+    VecsFiles.vecSchema(isFloat)
   override def getTable(
       schema: StructType, partitioning: Array[Transform], properties: JMap[String, String]): Table =
     new VecsTable(schema, properties.asScala.toMap, isFloat, shortName())
@@ -144,9 +153,20 @@ class VecsPartitionReader(p: VecsPartition, isFloat: Boolean, conf: Serializable
     (b3 << 24) | (b2 << 16) | (b1 << 8) | b0
   }
 
+  /** Loud ceiling on a single record's dim: a negative or absurd value
+    * means the file is not in this format (e.g. an .fbin count header
+    * read as an fvecs dim, or a truncated record) — fail with the file
+    * named instead of NegativeArraySizeException / a multi-GB alloc. */
+  private val MaxDim = 1 << 20
+
   override def next(): Boolean = {
     if (bytesRead >= p.length) return false
     val dim = readLeInt()
+    if (dim <= 0 || dim > MaxDim)
+      throw new java.io.IOException(
+        s"${p.file}: record dim $dim at offset ${bytesRead - 4} is outside " +
+          s"(0, $MaxDim] — not a valid fvecs/ivecs stream (an .fbin/.ibin " +
+          "file read as fvecs shows up exactly like this)")
     rowId += 1
     val bb = readRecord(dim)
     if (isFloat) {
@@ -178,12 +198,8 @@ class VecsPartitionReader(p: VecsPartition, isFloat: Boolean, conf: Serializable
 // ---------------------------------------------------------------------------
 
 abstract class BinProviderBase(isFloat: Boolean) extends TableProvider with DataSourceRegister {
-  private def elemType: DataType = if (isFloat) FloatType else IntegerType
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    StructType(Seq(
-      StructField("file", StringType, nullable = false),
-      StructField("row_id", LongType, nullable = false),
-      StructField("vec", ArrayType(elemType, containsNull = false), nullable = false)))
+    VecsFiles.vecSchema(isFloat)
   override def getTable(
       schema: StructType, partitioning: Array[Transform], properties: JMap[String, String]): Table =
     new BinTable(schema, properties.asScala.toMap, isFloat, shortName())

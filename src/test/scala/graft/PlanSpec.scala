@@ -72,6 +72,22 @@ class PlanSpec extends AnyFunSuite {
       .select("vec_id").as[Long].collect().toSet
     val got = filtered.select("vec_id").as[Long].collect().toSet
     assert(got == expect && got.nonEmpty)
+    // the mirrored far-filter shape (distance ABOVE a constant) is
+    // covered by the same rule — diversity/outlier gates must not keep
+    // paying the per-row sqrt just because the comparison flipped
+    // threshold 1.4 splits this corpus (some vectors nearer, some
+    // farther) so both the rewrite AND the semantics are exercised
+    val far = emb.filter(vec_l2($"embedding", lit(q).cast("array<float>")) > 1.4)
+    val farPlan = far.queryExecution.optimizedPlan.toString
+    assert(!farPlan.toUpperCase.contains("SQRT"), s"sqrt survived the > shape:\n$farPlan")
+    val farExpect = emb
+      .filter(vec_l2sq($"embedding", lit(q).cast("array<float>")) > 1.4 * 1.4)
+      .select("vec_id").as[Long].collect().toSet
+    val farGot = far.select("vec_id").as[Long].collect().toSet
+    assert(farGot == farExpect,
+      s"far-shape semantics drifted: ${farGot.size} vs ${farExpect.size}")
+    assert(farGot.nonEmpty && farGot.size < emb.count(),
+      "far threshold does not split the corpus — pick a new one")
   }
 
   test("e1 aggregation is map-side partial with the date filter applied pre-agg") {
