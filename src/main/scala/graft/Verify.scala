@@ -33,16 +33,29 @@ object Verify {
       System.err.println(s"[verify] SUBSET MODE: ${ks.size} of " +
         s"${SparkEntry.queries.size} queries; oracle_sql.json covers only the subset")
     }
+    var failed = List.empty[String]
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
+      // delete any PREVIOUS run's output for this query up front: a
+      // query that fails below must leave NO parquet behind, so the
+      // DuckDB compare fails loudly ("no spark output") instead of
+      // silently certifying a stale result from before the regression
+      val dir = Paths.get(outDir, name)
+      if (Files.exists(dir))
+        org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        failed ::= name
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       Scratch.reap() // b13/b15 temp index dirs — deferred janitorial work
     }
+    if (failed.nonEmpty)
+      System.err.println(
+        s"[verify] ${failed.size} queries failed (no output written): " +
+          failed.reverse.mkString(", "))
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

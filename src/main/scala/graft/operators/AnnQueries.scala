@@ -793,7 +793,7 @@ object AnnQueries {
     s"""WITH qs AS (
       |  SELECT CAST(vec_id AS BIGINT) AS query_id,
       |    CAST(embedding AS DOUBLE[]) AS qvec
-      |  FROM embeddings WHERE vec_id < 8),
+      |  FROM embeddings WHERE vec_id < ${VectorQueries.QueryN}),
       |res AS (SELECT query_id, rk, neighbor_id FROM ${OracleSide.sql(sidecar)}),
       |ad AS (
       |  SELECT r.query_id, r.rk, r.neighbor_id, $DistSql AS d
@@ -853,7 +853,7 @@ object AnnQueries {
     s"""WITH qs AS (
       |  SELECT CAST(vec_id AS BIGINT) AS query_id,
       |    CAST(embedding AS DOUBLE[]) AS qvec
-      |  FROM embeddings WHERE vec_id < 8),
+      |  FROM embeddings WHERE vec_id < ${VectorQueries.QueryN}),
       |res AS (SELECT nprobe, query_id, neighbor_id
       |  FROM ${OracleSide.sql("b11_results")}),
       |ad AS (
@@ -1028,7 +1028,7 @@ object AnnQueries {
         s"""WITH qs AS (
           |  SELECT CAST(vec_id AS BIGINT) AS query_id,
           |    CAST(embedding AS DOUBLE[]) AS qvec
-          |  FROM embeddings WHERE vec_id < 8),
+          |  FROM embeddings WHERE vec_id < ${VectorQueries.QueryN}),
           |cand AS (SELECT DISTINCT query_id, neighbor_id
           |  FROM ${OracleSide.sql("b12_candidates")}),
           |cd AS (
@@ -1134,7 +1134,7 @@ object AnnQueries {
           |                     CAST(b.embedding AS DOUBLE[])),
           |            x -> (x[1]-x[2])*(x[1]-x[2]))),
           |                 b.vec_id) AS rk
-          |    FROM embeddings q, embeddings b WHERE q.vec_id < 8) t
+          |    FROM embeddings q, embeddings b WHERE q.vec_id < ${VectorQueries.QueryN}) t
           |  WHERE rk <= 10),
           |a AS (SELECT query_id, neighbor_id FROM $res)
           |SELECT a.query_id,
@@ -1150,7 +1150,7 @@ object AnnQueries {
         s"""WITH qs AS (
           |  SELECT CAST(vec_id AS BIGINT) AS query_id,
           |    CAST(embedding AS DOUBLE[]) AS qvec
-          |  FROM embeddings WHERE vec_id < 8),
+          |  FROM embeddings WHERE vec_id < ${VectorQueries.QueryN}),
           |res AS (SELECT query_id, neighbor_id FROM $res),
           |ann AS (
           |  SELECT r.query_id,

@@ -855,6 +855,36 @@ object PipelineQueries {
       |ORDER BY doc_id""".stripMargin
   }
 
+  /** The c27 LM-scoring CTE core (b/r/bc/uc/vv/sc over a `t` CTE the
+    * caller provides) — ONE copy composed verbatim into c27, c45 and
+    * c46 (the bm25CteSql discipline): a quantization fix can no longer
+    * land in one copy and surface as a driver-time hash failure on a
+    * different query. */
+  private val LmScoreCtes =
+    """b AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+      |      FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i FROM t)),
+      |r AS (SELECT doc_id, w1, w2, CAST(count(*) AS BIGINT) AS cnt FROM b GROUP BY 1, 2, 3),
+      |bc AS (SELECT w1, w2, CAST(sum(cnt) AS BIGINT) AS c2 FROM r GROUP BY 1, 2),
+      |uc AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM bc GROUP BY 1),
+      |vv AS (SELECT CAST(count(DISTINCT w2) AS BIGINT) AS v FROM bc),
+      |sc AS (SELECT doc_id, CAST(sum(cnt) AS INT) AS n_bigrams,
+      |  CAST(sum(cnt * CAST(floor(ln(CAST(c1 + v AS DOUBLE)/(c2 + 1.0)) * 1e4 + 0.5) AS BIGINT)) AS BIGINT) AS sum_tenk
+      | FROM r JOIN bc USING (w1, w2) JOIN uc USING (w1) CROSS JOIN vv
+      | GROUP BY doc_id)""".stripMargin.replace("\n", "\n         |")
+
+  /** c45's integer-exact per-lang thirds (h/cum/th over a `q` CTE the
+    * caller provides) — shared verbatim by c45 and c46. */
+  private val PplThirdsCtes =
+    """h AS (SELECT lang, ppl_q, CAST(count(*) AS BIGINT) AS c
+      |      FROM q WHERE ppl_q IS NOT NULL GROUP BY 1, 2),
+      |cum AS (SELECT lang, ppl_q,
+      |  sum(c) OVER (PARTITION BY lang ORDER BY ppl_q) AS cc,
+      |  sum(c) OVER (PARTITION BY lang) AS n FROM h),
+      |th AS (SELECT lang,
+      |  min(CASE WHEN 3 * cc >= n THEN ppl_q END) AS t1,
+      |  min(CASE WHEN 3 * cc >= 2 * n THEN ppl_q END) AS t2
+      | FROM cum GROUP BY lang)""".stripMargin.replace("\n", "\n         |")
+
   val oracles: Map[String, String] = Map(
     "c34_bpe_train" -> BpeTrainSql,
     "c35_bpe_encode" -> BpeEncodeSql,
@@ -1017,16 +1047,7 @@ object PipelineQueries {
       // bigram, integer tenk sums, one trailing DOUBLE/DOUBLE division
       s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
          |  FROM documents WHERE text IS NOT NULL),
-         |b AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2
-         |      FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i FROM t)),
-         |r AS (SELECT doc_id, w1, w2, CAST(count(*) AS BIGINT) AS cnt FROM b GROUP BY 1, 2, 3),
-         |bc AS (SELECT w1, w2, CAST(sum(cnt) AS BIGINT) AS c2 FROM r GROUP BY 1, 2),
-         |uc AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM bc GROUP BY 1),
-         |vv AS (SELECT CAST(count(DISTINCT w2) AS BIGINT) AS v FROM bc),
-         |sc AS (SELECT doc_id, CAST(sum(cnt) AS INT) AS n_bigrams,
-         |  CAST(sum(cnt * CAST(floor(ln(CAST(c1 + v AS DOUBLE)/(c2 + 1.0)) * 1e4 + 0.5) AS BIGINT)) AS BIGINT) AS sum_tenk
-         | FROM r JOIN bc USING (w1, w2) JOIN uc USING (w1) CROSS JOIN vv
-         | GROUP BY doc_id)
+         |$LmScoreCtes
          |SELECT d.doc_id, sc.n_bigrams,
          | CAST(sc.sum_tenk AS DOUBLE) / CAST(CAST(sc.n_bigrams AS BIGINT) * 10000 AS DOUBLE) AS mean_nll,
          | CAST(CAST(sc.sum_tenk AS DOUBLE) / CAST(CAST(sc.n_bigrams AS BIGINT) * 10000 AS DOUBLE)
@@ -1077,29 +1098,12 @@ object PipelineQueries {
       // never the corpus - same shape as the Spark driver computation.
       s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
          |  FROM documents WHERE text IS NOT NULL),
-         |b AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2
-         |      FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i FROM t)),
-         |r AS (SELECT doc_id, w1, w2, CAST(count(*) AS BIGINT) AS cnt FROM b GROUP BY 1, 2, 3),
-         |bc AS (SELECT w1, w2, CAST(sum(cnt) AS BIGINT) AS c2 FROM r GROUP BY 1, 2),
-         |uc AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM bc GROUP BY 1),
-         |vv AS (SELECT CAST(count(DISTINCT w2) AS BIGINT) AS v FROM bc),
-         |sc AS (SELECT doc_id, CAST(sum(cnt) AS INT) AS n_bigrams,
-         |  CAST(sum(cnt * CAST(floor(ln(CAST(c1 + v AS DOUBLE)/(c2 + 1.0)) * 1e4 + 0.5) AS BIGINT)) AS BIGINT) AS sum_tenk
-         | FROM r JOIN bc USING (w1, w2) JOIN uc USING (w1) CROSS JOIN vv
-         | GROUP BY doc_id),
+         |$LmScoreCtes,
          |q AS (SELECT d.doc_id, d.lang, sc.n_bigrams,
          |  CAST(floor(CAST(sc.sum_tenk AS DOUBLE) / CAST(CAST(sc.n_bigrams AS BIGINT) * 10000 AS DOUBLE)
          |    * ${graft.ops.LmScore.PplQScale}) AS INT) AS ppl_q
          | FROM documents d LEFT JOIN sc USING (doc_id)),
-         |h AS (SELECT lang, ppl_q, CAST(count(*) AS BIGINT) AS c
-         |      FROM q WHERE ppl_q IS NOT NULL GROUP BY 1, 2),
-         |cum AS (SELECT lang, ppl_q,
-         |  sum(c) OVER (PARTITION BY lang ORDER BY ppl_q) AS cc,
-         |  sum(c) OVER (PARTITION BY lang) AS n FROM h),
-         |th AS (SELECT lang,
-         |  min(CASE WHEN 3 * cc >= n THEN ppl_q END) AS t1,
-         |  min(CASE WHEN 3 * cc >= 2 * n THEN ppl_q END) AS t2
-         | FROM cum GROUP BY lang)
+         |$PplThirdsCtes
          |SELECT q.doc_id, q.lang, q.n_bigrams, q.ppl_q,
          | CASE WHEN q.ppl_q IS NULL THEN 'none'
          |      WHEN q.ppl_q <= th.t1 THEN 'head'
@@ -1160,29 +1164,12 @@ object PipelineQueries {
          |FROM lc),
          |t AS (SELECT doc_id, string_split(text, ' ') AS w
          |  FROM s1 WHERE text IS NOT NULL),
-         |b AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2
-         |      FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i FROM t)),
-         |r AS (SELECT doc_id, w1, w2, CAST(count(*) AS BIGINT) AS cnt FROM b GROUP BY 1, 2, 3),
-         |bc AS (SELECT w1, w2, CAST(sum(cnt) AS BIGINT) AS c2 FROM r GROUP BY 1, 2),
-         |uc AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM bc GROUP BY 1),
-         |vv AS (SELECT CAST(count(DISTINCT w2) AS BIGINT) AS v FROM bc),
-         |sc AS (SELECT doc_id, CAST(sum(cnt) AS INT) AS n_bigrams,
-         |  CAST(sum(cnt * CAST(floor(ln(CAST(c1 + v AS DOUBLE)/(c2 + 1.0)) * 1e4 + 0.5) AS BIGINT)) AS BIGINT) AS sum_tenk
-         | FROM r JOIN bc USING (w1, w2) JOIN uc USING (w1) CROSS JOIN vv
-         | GROUP BY doc_id),
+         |$LmScoreCtes,
          |q AS (SELECT s1.doc_id, lang.lang, sc.n_bigrams,
          |  CAST(floor(CAST(sc.sum_tenk AS DOUBLE) / CAST(CAST(sc.n_bigrams AS BIGINT) * 10000 AS DOUBLE)
          |    * ${graft.ops.LmScore.PplQScale}) AS INT) AS ppl_q
          | FROM s1 LEFT JOIN sc USING (doc_id) JOIN lang USING (doc_id)),
-         |h AS (SELECT lang, ppl_q, CAST(count(*) AS BIGINT) AS c
-         |      FROM q WHERE ppl_q IS NOT NULL GROUP BY 1, 2),
-         |cum AS (SELECT lang, ppl_q,
-         |  sum(c) OVER (PARTITION BY lang ORDER BY ppl_q) AS cc,
-         |  sum(c) OVER (PARTITION BY lang) AS n FROM h),
-         |th AS (SELECT lang,
-         |  min(CASE WHEN 3 * cc >= n THEN ppl_q END) AS t1,
-         |  min(CASE WHEN 3 * cc >= 2 * n THEN ppl_q END) AS t2
-         | FROM cum GROUP BY lang),
+         |$PplThirdsCtes,
          |tier AS (SELECT q.doc_id, q.lang, q.n_bigrams, q.ppl_q,
          | CASE WHEN q.ppl_q IS NULL THEN 'none'
          |      WHEN q.ppl_q <= th.t1 THEN 'head'

@@ -108,7 +108,14 @@ object VectorQueries {
   /** THE query workload for b1/b7/b8/b10: the first `n` embeddings.
     * Single source of truth — all search/metric queries must agree on
     * this set for recall/ratio parity. */
-  def queryVectors(spark: SparkSession, dir: String, n: Int = 8): Array[(Long, Array[Float])] =
+  /** The query-workload size shared by every b-row: the filter bound
+    * that splits queries (vec_id < QueryN) from the base set
+    * (vec_id >= QueryN), threaded through queryVectors, gtTopK, and
+    * every oracle string — one constant, so query set and base set
+    * can never silently desynchronize. */
+  val QueryN = 8
+
+  def queryVectors(spark: SparkSession, dir: String, n: Int = QueryN): Array[(Long, Array[Float])] =
     Tables.embeddings(spark, dir)
       .filter(col("vec_id") < n)
       .select(col("vec_id").cast(LongType), col("embedding"))
@@ -120,7 +127,7 @@ object VectorQueries {
     * vec_id < 8, base is the rest (compute_gt.py equivalent). */
   def gtTopK(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
-    KnnExact.topK(spark, e.filter(col("vec_id") >= 8), queryVectors(spark, dir), k = 10)
+    KnnExact.topK(spark, e.filter(col("vec_id") >= QueryN), queryVectors(spark, dir), k = 10)
       .orderBy("query_id", "rk")
   }
 
@@ -170,16 +177,22 @@ object VectorQueries {
       """SELECT vec_id, CAST(len(embedding) AS INT) AS dim,
         | ROUND(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))), 6) AS norm
         |FROM embeddings ORDER BY vec_id""".stripMargin,
+    // dim-generic: padded_dim = ceil(dim/96)*96 and the probed tail
+    // element is the REAL component when dim > 80 — a testdata regen
+    // at another dim shifts both sides together instead of failing the
+    // hash as a phantom vector-kernel bug
     "a5_vec_pad" ->
-      """SELECT vec_id, CAST(96 AS INT) AS padded_dim,
+      """SELECT vec_id,
+        | CAST(((len(embedding) + 95) // 96) * 96 AS INT) AS padded_dim,
         | ROUND(list_sum(CAST(embedding AS DOUBLE[])), 6) AS checksum,
-        | CAST(0.0 AS DOUBLE) AS tail_elem
+        | CASE WHEN len(embedding) >= 81 THEN CAST(embedding[81] AS DOUBLE)
+        |      ELSE CAST(0.0 AS DOUBLE) END AS tail_elem
         |FROM embeddings ORDER BY vec_id""".stripMargin,
     // rank by the PRE-sqrt squared distance — KnnExact.topK's exact
     // key: sqrt can collapse two adjacent d² doubles into one value
     // and flip the id tie-break at the cut
     "b1_gt_topk" ->
-      """SELECT query_id, neighbor_id, CAST(rk AS INT) AS rk FROM (
+      s"""SELECT query_id, neighbor_id, CAST(rk AS INT) AS rk FROM (
         | SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
         |  ROW_NUMBER() OVER (PARTITION BY q.vec_id
         |    ORDER BY list_sum(list_transform(
@@ -187,7 +200,7 @@ object VectorQueries {
         |                 CAST(b.embedding AS DOUBLE[])),
         |        x -> (x[1]-x[2])*(x[1]-x[2]))), b.vec_id) AS rk
         | FROM embeddings q, embeddings b
-        | WHERE q.vec_id < 8 AND b.vec_id >= 8) t
+        | WHERE q.vec_id < $QueryN AND b.vec_id >= $QueryN) t
         |WHERE rk <= 10
         |ORDER BY query_id, rk""".stripMargin,
   )

@@ -95,7 +95,14 @@ object TextAnalysis {
   def fingerprint(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
     docs.select(col("doc_id").cast(LongType), col("text")).as[(Long, String)]
-      .map { case (id, text) => val (full, win) = fingerprintOf(text); (id, full, win) }
+      .map { case (id, text) =>
+        // null text → NULL metrics (the per-kernel foreign-corpus rule,
+        // Dedup's contract) — exactly the row the oracle's NULL
+        // propagation emits; testdata has no null text, so hashes are
+        // unchanged where they were ever computed
+        if (text == null) (id, None: Option[Long], None: Option[Long])
+        else { val (full, win) = fingerprintOf(text); (id, Some(full), Some(win)) }
+      }
       .toDF("doc_id", "full_hash", "min_window_hash")
       .orderBy("doc_id")
   }
