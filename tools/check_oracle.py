@@ -1,8 +1,11 @@
 #!/usr/bin/env python3
 """Local stand-in for the driver's correctness gate: run each
 SparkEntry.oracleSql in DuckDB over the sf tables, compare with the
-parquet written by graft.Verify (columns sorted by name, rows sorted,
-values compared with float tolerance-free equality after repr-rounding).
+parquet written by graft.Verify (columns sorted by name, rows sorted by
+a total repr key, values compared with exact equality — the oracle SQL
+quantizes/ROUND()s every float itself, so no tolerance is applied here;
+an unrounded float column in a future oracle will rightly FAIL on
+summation-order ULPs rather than be papered over).
 
 Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
 """
@@ -24,7 +27,9 @@ assert _ver >= (0, 10), (
 con = duckdb.connect()
 for f in glob.glob(f"{sfdir}/*.parquet"):
     name = os.path.basename(f).replace(".parquet", "")
-    con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{f}'")
+    # directory-style tables (make_sf1.py's multi-file layout) glob
+    src = f"{f}/*.parquet" if os.path.isdir(f) else f
+    con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{src}'")
 
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
 fails = 0
@@ -36,8 +41,13 @@ for key, sql in sorted(oracle.items()):
         exp = con.execute(sql).fetch_arrow_table()
     except Exception as e:
         print(f"FAIL {key}: oracle error {e}"); fails += 1; continue
-    got = con.execute(
-        f"SELECT * FROM '{got_dir}/*.parquet'").fetch_arrow_table()
+    try:
+        got = con.execute(
+            f"SELECT * FROM '{got_dir}/*.parquet'").fetch_arrow_table()
+    except Exception as e:
+        # one unreadable output dir must record a FAIL, not abort the
+        # gate for the ~100 other queries
+        print(f"FAIL {key}: spark output unreadable {e}"); fails += 1; continue
     ecols, gcols = sorted(exp.column_names), sorted(got.column_names)
     if ecols != gcols:
         print(f"FAIL {key}: cols {gcols} != {ecols}"); fails += 1; continue
@@ -46,7 +56,11 @@ for key, sql in sorted(oracle.items()):
     if etypes != gtypes:
         print(f"FAIL {key}: types {gtypes} != {etypes}"); fails += 1; continue
     def rowkey(row):
-        return tuple((v is None, v) for v in row)
+        # total order over ANY value shape (None inside lists, structs
+        # decoded to dicts): repr is deterministic for identical data,
+        # and both sides sort with the same key, so equal multisets of
+        # rows always align
+        return tuple((v is None, repr(v)) for v in row)
     e_rows = sorted([tuple(r[c] for c in ecols) for r in exp.to_pylist()], key=rowkey)
     g_rows = sorted([tuple(r[c] for c in gcols) for r in got.to_pylist()], key=rowkey)
     if len(e_rows) != len(g_rows):

@@ -28,9 +28,16 @@ for f in glob.glob(f"{sfdir}/*.parquet"):
     name = os.path.basename(f).replace(".parquet", "")
     con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{table_source(f)}'")
 
-# warmup: read every table once (page cache + footer/codec init),
-# parity with graft.Bench's table-count warmup pass
+# warmup: touch every table's BYTES once (page cache), not just its
+# footer — DuckDB answers count(*) from row-group metadata without
+# reading data pages, so the old count-based warmup left the first
+# timed run paying cold I/O; min-of-3 hid it, runs=1 would not
 for f in glob.glob(f"{sfdir}/*.parquet"):
+    files = glob.glob(f"{f}/*.parquet") if os.path.isdir(f) else [f]
+    for part in files:
+        with open(part, "rb") as fh:
+            while fh.read(1 << 22):
+                pass
     name = os.path.basename(f).replace(".parquet", "")
     con.execute(f"SELECT count(*) FROM {name}").fetchone()
 

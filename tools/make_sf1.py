@@ -118,5 +118,16 @@ _dst_ts = pq.read_schema(f"{evdir}/part-00.parquet").field("ts").type
 assert _dst_ts == _src_ts, f"ts encoding changed: {_src_ts} -> {_dst_ts}"
 print(f"events\t{total} rows in {reps} files (ts kept {_dst_ts})")
 print(f"wrote {reps}x replicas of {src} to {dst}")
+# coverage check: every source table must have landed in dst — a table
+# added to testdata later must fail THIS build loudly, not surface as a
+# missing-table error in some sf1 query with no hint the build is stale
+import glob as _glob
+_src_tables = {os.path.basename(f) for f in _glob.glob(f"{src}/*.parquet")}
+_dst_tables = {os.path.basename(f) for f in _glob.glob(f"{dst}/*.parquet")}
+_missing = _src_tables - _dst_tables
+assert not _missing, (
+    f"sf1 build incomplete: {sorted(_missing)} exist in {src} but were "
+    "not replicated — extend the REPL/dimension lists in make_sf1.py")
+
 with open(marker, "w") as f:
     f.write(stamp + "\n")

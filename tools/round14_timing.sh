@@ -3,7 +3,7 @@
 # the machine). Order matters: sidecars first, then the DuckDB
 # baseline over them, then the Spark bench snapshot, then the sf1
 # spot-check on the persistent .scratch/sf1 tables.
-set -e
+set -e -o pipefail
 cd /root/repo
 exec > /tmp/round14_timing.log 2>&1
 
@@ -19,6 +19,7 @@ SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 sbt -batch "runMain 
 cat results/bench_r14.json
 
 echo "=== [4/4] sf1 spot-check on the persistent tables ==="
+python3 tools/make_sf1.py   # idempotent: millisecond no-op when built
 SPARK_GRAFT_BENCH_ONLY=e1_q1_agg,e3_q5_multijoin,c17_contamination,d1_sessionize,c24_substring_dedup,c25_bm25_search,c27_lm_perplexity,c28_dsir_weight,c31_boilerplate,c32_budget_select,c39_bloom_contain,c41_heavy_hitters,c42_trigram_lm \
   SPARK_GRAFT_SF_DIR=/root/repo/.scratch/sf1 SPARK_GRAFT_CPUS=32 sbt -batch "runMain graft.Bench" | grep -F '"metric"' > /tmp/sf1_bench.json
 python3 tools/sf1_spotcheck.py /tmp/verify_sf01/oracle_sql.json /root/repo/.scratch/sf1 /tmp/sf1_bench.json

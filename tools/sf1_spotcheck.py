@@ -20,7 +20,7 @@ the section from the json on a full regeneration).
 
 Usage:
   python3 tools/make_sf1.py                     # build .scratch/sf1 once (persistent)
-  SPARK_GRAFT_BENCH_ONLY=e1_q1_agg,e3_q5_multijoin,c17_contamination,d1_sessionize,c24_substring_dedup,c25_bm25_search,c27_lm_perplexity,c28_dsir_weight,c31_boilerplate,c32_budget_select,c39_bloom_contain,c41_heavy_hitters \
+  SPARK_GRAFT_BENCH_ONLY=e1_q1_agg,e3_q5_multijoin,c17_contamination,d1_sessionize,c24_substring_dedup,c25_bm25_search,c27_lm_perplexity,c28_dsir_weight,c31_boilerplate,c32_budget_select,c39_bloom_contain,c41_heavy_hitters,c42_trigram_lm \
     SPARK_GRAFT_SF_DIR=.scratch/sf1 sbt "runMain graft.Bench" | grep '"metric"' > /tmp/sf1_bench.json
   python3 tools/sf1_spotcheck.py <oracle_sql.json> [.scratch/sf1] [/tmp/sf1_bench.json]
 """
@@ -80,7 +80,7 @@ def sf1_section(spot):
              "",
              "At sf0.1 most oracle queries finish in DuckDB in <50 ms — the",
              "per-query ratios above measure Spark's per-job fixed cost, not",
-             "plan cost. This section re-times twelve representative queries on",
+             "plan cost. This section re-times the QUERIES list (13 queries) on",
              f"10x-replicated tables (`tools/make_sf1.py`, ~sf1: "
              f"{spot.get('lineitem_rows', '~6M')} lineitem rows), where the",
              "data is large enough for the plans themselves to dominate.",
@@ -145,10 +145,17 @@ if __name__ == "__main__":
     duck = run_duckdb(sfdir, oracle)
     spark = {}
     if bench_json and os.path.exists(bench_json):
+        # tolerate an sbt [info] prefix AND an empty/garbled file — a
+        # stale bench json must degrade to spark={}, not crash after
+        # minutes of DuckDB timing
         line = open(bench_json).read().strip().split("\n")[-1]
-        bench = json.loads(line[line.index("{"):])  # tolerate an sbt [info] prefix
-        spark = {k: v for k, v in bench.get("queries", {}).items()
-                 if k in QUERIES and v >= 0}
+        if "{" in line:
+            bench = json.loads(line[line.index("{"):])
+            spark = {k: v for k, v in bench.get("queries", {}).items()
+                     if k in QUERIES and v >= 0}
+        else:
+            print(f"WARNING: {bench_json} has no JSON line; spark side empty",
+                  file=sys.stderr)
     con = duckdb.connect()
     nli = con.execute(
         f"SELECT count(*) FROM '{table_source(f'{sfdir}/lineitem.parquet')}'"
