@@ -30,22 +30,32 @@ object Relational {
 
   /** Exact order-independent money sum on the hot path: per-row
     * floor(x·1e6 + 0.5) is the same IEEE double op in Spark and DuckDB
-    * (equivalent to HALF_UP for the non-negative money values here, and
-    * unlike Spark's round() it avoids a per-row BigDecimal), the
-    * accumulation is an exact integer sum, and the final /1e6 is exact
-    * for 6-decimal inputs. The accumulator is DECIMAL(38,0), not LONG:
-    * sum_charge contributes ~1e11 micro-units per row, so a Long total
-    * overflows 2^63 around ~1e8 rows per group (≈ sf60 — far below the
-    * design scale), where DuckDB's SUM(BIGINT) silently promotes to
-    * HUGEINT; decimal(38) matches that headroom, and its final
-    * to-double conversion is correctly rounded, so values (and the
-    * oracle hash) are bit-identical to the long path wherever the long
-    * path didn't overflow. Oracle: SUM(CAST(floor(x*1e6+0.5) AS
-    * BIGINT))/1e6 (HUGEINT-promoted). Shared by e1/e7/e13/e16/e17 —
-    * one copy of the oracle-critical rounding formula. */
-  private def microSum(c: Column): Column =
-    (sum(floor(c * lit(1e6) + lit(0.5)).cast(DecimalType(38, 0)))
-      .cast(DoubleType) / lit(1e6)).as("_")
+    * (equivalent to HALF_UP for the NON-NEGATIVE money values this is
+    * contracted for, and unlike Spark's round() it avoids a per-row
+    * BigDecimal), then a TWO-LANE long accumulation: sum(m >> 20) and
+    * sum(m & 0xFFFFF), recombined as hi·2²⁰ + lo in doubles.
+    *
+    * Why two lanes: a single Long total of sum_charge-sized micros
+    * (~1e11 per row) overflows 2⁶³ around 1e8 rows per group (≈ sf60)
+    * while DuckDB's SUM(BIGINT) silently promotes to HUGEINT; a
+    * DECIMAL(38,0) accumulator fixes that but measured +57% on the
+    * e-row bench (precision-38 sums run on BigDecimal). The split
+    * lanes stay primitive-long: the hi lane overflows only past
+    * ~9e13 rows per GROUP (rows·1e5 vs 2⁶³) — beyond the design
+    * scale — and the combine is EXACT-TO-IEEE at every magnitude:
+    * hi·2²⁰ is exactly representable (exponent shift of an exact
+    * long ≤ 2⁵³), lo is exact, and one IEEE add of two exact doubles
+    * returns the correctly-rounded true integer sum — the identical
+    * double DuckDB produces converting its exact HUGEINT. So the hash
+    * gate holds bit-for-bit at any scale either engine can run.
+    * Oracle: SUM(CAST(floor(x*1e6+0.5) AS BIGINT))/1e6
+    * (HUGEINT-promoted). Shared by e1/e7/e13/e16/e17 — one copy of
+    * the oracle-critical rounding formula. */
+  private def microSum(c: Column): Column = {
+    val m = floor(c * lit(1e6) + lit(0.5)).cast(LongType)
+    ((sum(shiftright(m, 20)).cast(DoubleType) * lit(1048576.0) +
+      sum(m.bitwiseAND(lit(0xFFFFFL))).cast(DoubleType)) / lit(1e6)).as("_")
+  }
 
   /** e1: pricing-summary aggregation (TPC-H Q1 shape). */
   def q1Agg(spark: SparkSession, dir: String): DataFrame =
