@@ -36,7 +36,10 @@ import org.apache.spark.unsafe.types.UTF8String
   *    digest bytes (byte pair (2i, 2i+1)) without materializing the
   *    hex string. Bloom (c39/d14): width 2¹⁶, unstrided; CMS
   *    (c41/d15): width CmsWidth, strided rows. NULL in → NULL out
-  *    (md5's rule; callers filter nulls first).
+  *    (md5's rule) — deliberately NOT the old projection's
+  *    array-of-NULLs shape; every call site filters nulls upstream,
+  *    and ShingleExprSpec pins both the non-null equivalence and this
+  *    boundary difference.
   */
 object TextKernels {
   private val md5Local =

@@ -44,16 +44,6 @@ class AnnSpec extends AnyFunSuite {
     assert(r1.matrix.zip(r2.matrix).forall { case (a, b) => a.sameElements(b) })
   }
 
-  test("fastQuantize codes are in range and ipnorm positive") {
-    val rnd = new scala.util.Random(3)
-    val abs = Array.fill(64)(math.abs(rnd.nextGaussian()) / 8.0)
-    for (exBits <- Seq(2, 3, 4, 7)) {
-      val (code, ipnorm) = RaBitQ.fastQuantize(abs, exBits)
-      assert(code.forall(c => c >= 0 && c <= (1 << exBits) - 1))
-      assert(ipnorm > 0 && java.lang.Double.isFinite(ipnorm))
-    }
-  }
-
   test("exCode bit-packing roundtrips for every supported width") {
     val rnd = new scala.util.Random(17)
     for (exBits <- Seq(2, 3, 4, 6, 7, 8)) {
@@ -72,6 +62,7 @@ class AnnSpec extends AnyFunSuite {
     val exBits = 3
     // residual plays both data and geometry roles: query at origin-ish
     var errEst = 0.0; var errEx = 0.0; var n = 0
+    var lbViol = 0
     for (_ <- 1 to 50) {
       val res = randVec(rnd, d)
       val q = RaBitQ.quantize(res, exBits)
@@ -81,9 +72,15 @@ class AnnSpec extends AnyFunSuite {
       val exact = l2sq(qres, res)
       val (est, lower) = RaBitQ.estimate(qc, q)
       val ex = RaBitQ.rerank(qc, q, exBits)
-      assert(lower <= exact + 1e-6 || lower <= est, "lower bound should rarely exceed exact")
+      // the bound is probabilistic (the random-query test below pins
+      // >95%); here the CORRELATED regime must hold at least as often —
+      // a per-sample hard assert would flake, a disjunct with
+      // `lower <= est` is vacuously true (lower = est − err·y, both
+      // factors non-negative)
+      if (lower > exact + 1e-6) lbViol += 1
       errEst += math.abs(est - exact); errEx += math.abs(ex - exact); n += 1
     }
+    assert(lbViol <= 2, s"lower bound violated on $lbViol/50 correlated queries")
     assert(errEx / n < errEst / n, "extended code must improve on the sign code")
     assert(errEx / n < 0.5, s"rerank mean abs error too high: ${errEx / n}")
   }
@@ -98,17 +95,15 @@ class AnnSpec extends AnyFunSuite {
       val qres = randVec(rnd, d)
       val qc = RaBitQ.QueryCluster(qres, qres.map(_.toDouble).sum, dot(qres, qres))
       val exact = l2sq(qres, res)
-      val (_, lower) = RaBitQ.estimate(qc, qc0(q))
+      val (_, lower) = RaBitQ.estimate(qc, q)
       if (lower <= exact + 1e-9) holds += 1
       total += 1
     }
     assert(holds.toDouble / total > 0.95, s"lower bound held only $holds/$total")
   }
-  private def qc0(q: RaBitQ.Quantized): RaBitQ.Quantized = q
 
   test("IVF search recall@10 >= 0.9 vs exact GT at sf0.001") {
     import spark.implicits._
-    val m = operators.AnnQueries.model(spark, sf)
     val approx = operators.AnnQueries.ivfSearch(spark, sf)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
     val exact = operators.VectorQueries.gtTopKAll(spark, sf)

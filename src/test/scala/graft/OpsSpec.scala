@@ -250,16 +250,6 @@ class OpsSpec extends AnyFunSuite {
     assert(got.count(_ == (7L, 9L)) == 2)
   }
 
-  test("mulModM61 matches BigInt arithmetic") {
-    val m = BigInt(2).pow(61) - 1
-    val rnd = new scala.util.Random(9)
-    for (_ <- 1 to 1000) {
-      val a = (rnd.nextLong() & Long.MaxValue) % ((1L << 61) - 1)
-      val b = (rnd.nextLong() & Long.MaxValue) % ((1L << 61) - 1)
-      assert(BigInt(Dedup.mulModM61(a, b)) == (BigInt(a) * BigInt(b)) % m)
-    }
-  }
-
   test("simhash: near-identical docs collide, unrelated do not") {
     val base = (1 to 100).map(i => s"tok$i").mkString(" ")
     val near = (1 to 100).map(i => if (i == 50) "changed" else s"tok$i").mkString(" ")

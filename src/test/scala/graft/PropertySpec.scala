@@ -15,10 +15,15 @@ class PropertySpec extends AnyFunSuite {
   private def forAll[A](g: Gen[A], n: Int = 200)(f: A => Unit): Unit = {
     var seed = org.scalacheck.rng.Seed(42L)
     val params = Gen.Parameters.default
+    var executed = 0
     (0 until n).foreach { _ =>
-      g.apply(params, seed).foreach(f)
+      g.apply(params, seed).foreach { a => executed += 1; f(a) }
       seed = seed.next
     }
+    // a filtered generator (suchThat etc.) returns None per rejected
+    // seed — a property must never pass vacuously on zero samples
+    assert(executed >= n / 2,
+      s"generator produced only $executed/$n samples — property is near-vacuous")
   }
   private def forAll2[A, B](ga: Gen[A], gb: Gen[B])(f: (A, B) => Unit): Unit =
     forAll(Gen.zip(ga, gb))(t => f(t._1, t._2))

@@ -106,8 +106,13 @@ class RelationalSpec extends AnyFunSuite {
     // at least one genuinely outer row on each side in this testdata
     assert(out.exists(r => r.isNullAt(r.fieldIndex("n95"))), "no 1996-only part")
     assert(out.exists(r => r.isNullAt(r.fieldIndex("n96"))), "no 1995-only part")
-    // one matched cell checked against the direct aggregate
-    val both = out.find(r => !r.isNullAt(r.fieldIndex("n95")) && !r.isNullAt(r.fieldIndex("n96"))).get
+    // one matched cell checked against the direct aggregate — assert
+    // the fixture property by name instead of dying in a bare .get
+    val bothOpt = out.find(r =>
+      !r.isNullAt(r.fieldIndex("n95")) && !r.isNullAt(r.fieldIndex("n96")))
+    assert(bothOpt.nonEmpty,
+      "fixture lost its both-years part: 1995 and 1996 partkeys are disjoint")
+    val both = bothOpt.get
     val exp = li.filter(year(col("l_shipdate")) === 1995 && col("l_partkey") === both.getLong(0))
       .agg(count(lit(1))).first().getLong(0)
     assert(both.getLong(both.fieldIndex("n95")) == exp)

@@ -497,6 +497,12 @@ class StreamingSpec extends AnyFunSuite {
     }
     assert(multi.count(r => r._1 == "A" && r._2 == 1) == 3,
       "A's matrix grows (and must emit) every trigger")
+    // guard the fixture invariant the B selection rests on: B appears
+    // only in the first two files, so it must emit in exactly those
+    // two triggers — a re-emitting sink or a fixture drift would
+    // otherwise make maxBy pick an arbitrary tied row for B silently
+    assert(multi.count(r => r._1 == "B" && r._2 == 1) == 2,
+      "B must emit exactly twice (files 1 and 2 carry source B)")
   }
 
   test("d16 streaming sample: reservoir grows per trigger, final sample equals batch") {
