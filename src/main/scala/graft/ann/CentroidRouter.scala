@@ -124,10 +124,21 @@ final class CentroidRouter(
 }
 
 object CentroidRouter {
-  /** Exact flat ranking over an arbitrary centroid array. */
-  def rankFlat(centroids: Array[Array[Float]], q: Array[Float], nprobe: Int): Array[Int] =
-    centroids.indices
-      .map(i => (l2sq(q, centroids(i)), i))
-      .sortBy(t => (t._1, t._2))
-      .take(math.min(nprobe, centroids.length)).map(_._2).toArray
+  /** Exact flat ranking over an arbitrary centroid array — bounded
+    * top-nprobe selection (KnnExact's heap), not a full K-sort: this
+    * runs per query per chunk on the driver, where the old
+    * sort-everything form allocated K boxed tuples and paid O(K log K)
+    * for typically nprobe ≤ 64 results. Order out is ascending
+    * (dist, id) — identical to the sorted form. */
+  def rankFlat(centroids: Array[Array[Float]], q: Array[Float], nprobe: Int): Array[Int] = {
+    val n = math.min(nprobe, centroids.length)
+    if (n <= 0) return Array.empty
+    val top = new graft.ann.KnnExact.BoundedTopK(n)
+    var i = 0
+    while (i < centroids.length) {
+      top.insert(l2sq(q, centroids(i)), i.toLong)
+      i += 1
+    }
+    top.drain().sortBy(t => (t._1, t._2)).map(_._2.toInt).toArray
+  }
 }

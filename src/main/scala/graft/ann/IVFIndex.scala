@@ -1078,16 +1078,10 @@ object IVFIndex {
     // exact flat path stays in raw space, byte-identical to before
     val best =
       if (assignRouter != null) assignRouter.rank(rot_x, 1)(0)
-      else {
-        var b = 0; var bestD = Double.MaxValue
-        var c = 0
-        while (c < cents.length) {
-          val d = l2sq(vec, cents(c))
-          if (d < bestD) { bestD = d; b = c }
-          c += 1
-        }
-        b
-      }
+      // the flat arm IS nearestCentroid's flat arm (one strict-< scan
+      // in raw space) — one kernel, so assignment can never drift from
+      // the split-sizing/self-probe passes that use it
+      else IVFIndex.nearestCentroid(vec, cents, null)
     val cRot = rotCents(best)
     val residual = new Array[Float](rot.paddedDim)
     var i = 0
@@ -1555,6 +1549,13 @@ final class IVFModel(
     val rotatedCentroids: Array[Array[Float]],
     val index: Dataset[IVFIndex.Entry]) extends Serializable {
   import IVFIndex.Entry
+
+  /** The ACTUAL cell count — ≥ params.k when the fat-cluster split
+    * enriched the centroid set (params.k stays the REQUESTED K, which
+    * the meta persists). Every nprobe cap must use this, not params.k:
+    * capping at the requested K on an enriched index silently
+    * under-probes and loses recall with no error. */
+  def numClusters: Int = centroids.length
 
   /** Search-time driver state (NSW router, centroid broadcast),
     * SHARED across [[withQueryBits]] copies — both depend only on the
@@ -2049,6 +2050,11 @@ final class IVFModel(
       queries: Array[(Long, Array[Float])],
       k: Int,
       nprobe: Int): DataFrame = {
+    // fail loudly on the driver: nprobe <= 0 would silently return an
+    // empty frame (empty probe set -> isin filter drops everything),
+    // which reads as "no neighbors" instead of a caller bug
+    require(k > 0, s"search k must be positive, got $k")
+    require(nprobe > 0, s"nprobe must be positive, got $nprobe")
     import spark.implicits._
     val exBits = params.exBits
     val queryBits = params.queryBits

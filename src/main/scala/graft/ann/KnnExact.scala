@@ -79,6 +79,10 @@ object KnnExact {
       k: Int,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
+    // validate BEFORE launching the corpus job: the heaps are built
+    // inside executor tasks, where BoundedTopK's own require would
+    // fail as 4x-retried task errors instead of one driver exception
+    require(k > 0, s"top-k bound must be positive, got $k")
     import spark.implicits._
     val qb = spark.sparkContext.broadcast(queries)
     val ds = base.select(col(idCol).cast(LongType), col(vecCol)).as[(Long, Array[Float])]

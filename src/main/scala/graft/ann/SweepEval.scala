@@ -24,6 +24,9 @@ object SweepEval {
       annIds: Long => Array[Long],
       gtSet: Long => Set[Long],
       k: Int): Double = {
+    // an empty batch would yield NaN flowing silently into the
+    // published CSV / certified surface — fail loudly instead
+    require(qids.nonEmpty && k > 0, s"empty sweep batch (q=${qids.length}, k=$k)")
     var hits = 0L
     qids.foreach { q =>
       val gt = gtSet(q)
@@ -46,7 +49,8 @@ object SweepEval {
   def avgRatio(
       qids: Array[Long],
       annDists: Long => Array[Double],
-      gtDist: (Long, Int) => Option[Double]): Double =
+      gtDist: (Long, Int) => Option[Double]): Double = {
+    require(qids.nonEmpty, "empty sweep batch")
     qids.map { q =>
       val ds = annDists(q)
       var sum = 0.0
@@ -61,6 +65,7 @@ object SweepEval {
       }
       if (n == 0) 1.0 else sum / n
     }.sum / qids.length
+  }
 
   /** The HASH-CERTIFIABLE fixed-point form of [[recall]]+[[avgRatio]]
     * (b11's certified surface; the plain-double forms above stay
@@ -84,6 +89,7 @@ object SweepEval {
       k: Int,
       annDists: Long => Array[Double],
       gtDist: (Long, Int) => Option[Double]): (Double, Double) = {
+    require(qids.nonEmpty && k > 0, s"empty sweep batch (q=${qids.length}, k=$k)")
     var hits = 0L
     var rqSum = 0L
     qids.foreach { q =>

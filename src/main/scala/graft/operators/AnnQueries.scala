@@ -33,7 +33,7 @@ object AnnQueries {
     * clusters. b16 reuses these so its result list is directly
     * comparable to b7's. */
   private val SearchK = 10
-  private def searchNprobe(m: graft.ann.IVFModel): Int = 3 * m.params.k / 4
+  private def searchNprobe(m: graft.ann.IVFModel): Int = 3 * m.numClusters / 4
 
   private def searchResults(spark: SparkSession, dir: String, bits: Int = 4): DataFrame =
     searchCache.computeIfAbsent((dir, bits), _ => {
@@ -570,7 +570,7 @@ object AnnQueries {
     // corrupt the ratio
     val perNp = nprobes.distinct.sorted.map { np =>
       val t0 = System.nanoTime()
-      val ids = m.search(spark, qs, k, math.min(np, m.params.k))
+      val ids = m.search(spark, qs, k, math.min(np, m.numClusters))
         .select("query_id", "neighbor_id").as[(Long, Long)].collect()
       val wall = (System.nanoTime() - t0) / 1e9
       (np, ids, wall)
