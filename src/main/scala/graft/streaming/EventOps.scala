@@ -89,10 +89,19 @@ object EventOps {
     * TIMESTAMP micros (see Tables.nanosToTimestamp, which consumers
     * apply when they need a real timestamp). */
   private def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    val (schema, src) = eventsSchemaAndDir(spark, dir)
+    streamReader(spark, schema, src, maxFilesPerTrigger = None)
+  }
+
+  /** The shared events-stream entry prologue (nanos conf + footer
+    * schema + symlinked source dir) — used by every operator that
+    * streams the events table (d3/d4 here, d10/d12/d13 entries), so a
+    * change to how the events schema is derived lands once. */
+  private[streaming] def eventsSchemaAndDir(
+      spark: SparkSession, dir: String): (org.apache.spark.sql.types.StructType, String) = {
     Tables.enableNanosAsLong(spark)
-    val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    spark.readStream.schema(schema)
-      .parquet(symlinkedDir(dir, "events.parquet"))
+    (spark.read.parquet(s"$dir/events.parquet").schema,
+      symlinkedDir(dir, "events.parquet"))
   }
 
   /** The package's ONE schema'd file-stream reader (optional
@@ -178,7 +187,19 @@ object EventOps {
                else writer)
         .start()
       q.awaitTermination()
-      reSum(spark.read.parquet(s"$outDir/data")).orderBy("doc_id")
+      // a zero-batch drain (empty landing directory — a legal state for
+      // a durable deployment's first run) writes no data dir; surface
+      // an empty result with the right schema (derived by running the
+      // per-batch transform on an empty slice), not a PATH_NOT_FOUND /
+      // schema-inference crash
+      val dataDir = new org.apache.hadoop.fs.Path(s"$outDir/data")
+      val fs = dataDir.getFileSystem(spark.sessionState.newHadoopConf())
+      if (!fs.exists(dataDir)) {
+        val emptyBatch = spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], src.schema)
+        reSum(perBatch(emptyBatch)).orderBy("doc_id")
+      } else
+        reSum(spark.read.parquet(s"$outDir/data")).orderBy("doc_id")
     }
     sinkDir match {
       case Some(out) => drainAndRead(out, durable = true)

@@ -40,9 +40,8 @@ object StreamAsof {
   /** d10 entry: stream the events table of `dir` (schema from the
     * parquet footer — a driver-side metadata read, like d3's). */
   def streamingAsof(spark: SparkSession, dir: String): DataFrame = {
-    Tables.enableNanosAsLong(spark)
-    streamingAsofFromDir(spark, EventOps.symlinkedDir(dir, "events.parquet"),
-      spark.read.parquet(s"$dir/events.parquet").schema)
+    val (schema, src) = EventOps.eventsSchemaAndDir(spark, dir)
+    streamingAsofFromDir(spark, src, schema)
   }
 
   def streamingAsofFromDir(

@@ -113,7 +113,13 @@ object StreamDedup {
               (id, n)
             }
             state.update(BucketState(ids, ts))
-            val maxTsMs = batch.map(_._4.getTime).max
+            // last-seen never regresses (the d8 rule): an in-watermark
+            // but OLDER batch must not pull the eviction bound forward
+            // past a surviving member's true latest sighting — the
+            // bound covers the newest timestamp across batch AND state
+            val maxTsMs = math.max(
+              batch.map(_._4.getTime).max,
+              if (ts.isEmpty) Long.MinValue else ts.max)
             state.setTimeoutTimestamp(maxTsMs + retentionMs)
             out.iterator
           }

@@ -30,10 +30,8 @@ import graft.Tables
 object StreamDropDup {
   /** d13 entry: stream the events table of `dir`. */
   def streamingDropDup(spark: SparkSession, dir: String): DataFrame = {
-    Tables.enableNanosAsLong(spark)
-    streamingDropDupFromDir(spark,
-      EventOps.symlinkedDir(dir, "events.parquet"),
-      spark.read.parquet(s"$dir/events.parquet").schema)
+    val (schema, src) = EventOps.eventsSchemaAndDir(spark, dir)
+    streamingDropDupFromDir(spark, src, schema)
   }
 
   def streamingDropDupFromDir(

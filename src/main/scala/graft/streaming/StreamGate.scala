@@ -37,8 +37,10 @@ import graft.ops.CorpusOps
   * `ledgerDir` set — ledger-resolved hashes are answered by a
   * stream-static join and never touch the state store, so state holds
   * only hashes first seen AFTER the snapshot. Re-compact periodically
-  * and restart to keep it flat. Text must be non-null (the typed
-  * state encoder carries the quality ratios as primitive doubles). */
+  * and restart to keep it flat. Null text is tolerated (round 14: the
+  * metric columns ride as Options, so a foreign corpus classifies
+  * through gateDecision exactly as the batch twin does — the
+  * per-kernel null rule every sibling stream already upholds). */
 object StreamGate {
   /** d7 entry: stream the documents table of `dir`. */
   def streamingCorpusGate(spark: SparkSession, dir: String): DataFrame =
@@ -82,11 +84,15 @@ object StreamGate {
     }
 
     val withKeep = withLedger
-      .as[(Long, Int, Double, Double, String, Option[Long])]
+      // Option metrics: a null-text doc carries null n_tokens/ratios
+      // (exactly the batch twin's columns) — a primitive decoder would
+      // kill the query on the first foreign-corpus row
+      .as[(Long, Option[Int], Option[Double], Option[Double], String, Option[Long])]
       .groupByKey(_._5)
       .flatMapGroupsWithState(
         OutputMode.Append, GroupStateTimeout.NoTimeout)(
-        (_: String, rows: Iterator[(Long, Int, Double, Double, String, Option[Long])],
+        (_: String,
+            rows: Iterator[(Long, Option[Int], Option[Double], Option[Double], String, Option[Long])],
             state: GroupState[Long]) => {
           // Single-pass fold. The batch-min id must be known before the
           // FIRST row is emitted (Append mode cannot retract), so the
@@ -95,7 +101,7 @@ object StreamGate {
           // sort, no hash/ledger copies. The buffer is bounded by the
           // largest single-batch duplicate class, not the corpus.
           val buf = scala.collection.mutable.ArrayBuffer
-            .empty[(Long, Int, Double, Double)]
+            .empty[(Long, Option[Int], Option[Double], Option[Double])]
           var minId = Long.MaxValue
           var ledger: Option[Long] = None
           while (rows.hasNext) {

@@ -67,10 +67,8 @@ object StreamJoin {
 
   /** d12 entry: stream the events table of `dir` on both sides. */
   def streamingIntervalJoin(spark: SparkSession, dir: String): DataFrame = {
-    Tables.enableNanosAsLong(spark)
-    streamingIntervalJoinFromDir(spark,
-      EventOps.symlinkedDir(dir, "events.parquet"),
-      spark.read.parquet(s"$dir/events.parquet").schema)
+    val (schema, src) = EventOps.eventsSchemaAndDir(spark, dir)
+    streamingIntervalJoinFromDir(spark, src, schema)
   }
 
   def streamingIntervalJoinFromDir(
@@ -154,13 +152,20 @@ object StreamJoin {
       // trusting a fixed sleep — a lagging bus on a >100-trigger run
       // would otherwise drop early batches that recentProgress (capped
       // at 100 entries) can no longer backstop
-      // only wait for a batch the listener WOULD record (its effective
-      // store condition: a state-operator entry exists): a final
-      // zero-row, stateless progress event is never stored, and
-      // waiting for it would stall the full deadline on every drain
-      val lastBatch = Option(q.lastProgress)
+      // wait for the newest batch the listener WOULD record (its
+      // effective store condition: a state-operator entry exists). The
+      // target comes from recentProgress's max STATEFUL batchId, not
+      // just lastProgress: when the final event is the zero-row
+      // stateless commit, lastProgress alone would skip the wait and a
+      // lagging bus could still lose early batches past the 100-entry
+      // recentProgress cap — the exact gap this poll exists to close.
+      // (A stateless final event also can't stall the deadline: the
+      // target is then the latest STATEFUL batch, which the bus either
+      // has delivered or will.)
+      val lastBatch = (Option(q.lastProgress).toSeq ++ q.recentProgress.toSeq)
         .filter(_.stateOperators.nonEmpty)
         .map(_.batchId)
+        .maxOption
       val deadline = System.nanoTime() + 5_000_000_000L
       while (lastBatch.exists(b => !byBatch.containsKey(b)) &&
              System.nanoTime() < deadline) Thread.sleep(20)
