@@ -32,6 +32,7 @@ object D8Probe {
     val provider = sys.env.getOrElse("SPARK_GRAFT_STATE_STORE", "rocksdb")
     val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val changelog = sys.env.get("SPARK_GRAFT_ROCKS_CHANGELOG").contains("1")
+    val unmanaged = sys.env.get("SPARK_GRAFT_ROCKS_UNMANAGED").contains("1")
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-d8-probe")
@@ -46,6 +47,9 @@ object D8Probe {
         .config(
           "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
           changelog.toString)
+        .config(
+          "spark.sql.streaming.stateStore.rocksdb.boundedMemoryUsage",
+          (!unmanaged).toString)
       case _ => builder
     }
     val spark = withProvider.getOrCreate()

@@ -130,7 +130,12 @@ case class DistinctShingles(child: Expression, k: Int)
     import org.apache.spark.sql.catalyst.expressions.codegen.Block._
     import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
     val c = child.genCode(ctx)
-    val kernel = TextKernels.getClass.getName.stripSuffix("$") + ".MODULE$"
+    // The object's class is `graft.functions.TextKernels$` and MODULE$
+    // lives on THAT class — stripping the `$` would reference the mirror
+    // class, which has no MODULE$ field, and Janino would reject the
+    // generated code (silently de-codegen-ing the whole stage via the
+    // fallback). CodegenSpec pins compilation with fallback disabled.
+    val kernel = TextKernels.getClass.getName + ".MODULE$"
     ev.copy(
       code = code"""
         ${c.code}
@@ -165,7 +170,9 @@ case class Md5SlicePositions(
     TextKernels.md5Positions(s.asInstanceOf[UTF8String], hashes, width, strided)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val kernel = TextKernels.getClass.getName.stripSuffix("$") + ".MODULE$"
+    // See DistinctShingles.doGenCode: the MODULE$ field is on the
+    // `TextKernels$` class itself, so the `$` must be kept.
+    val kernel = TextKernels.getClass.getName + ".MODULE$"
     nullSafeCodeGen(ctx, ev, s =>
       s"${ev.value} = $kernel.md5Positions($s, $hashes, $width, $strided);")
   }

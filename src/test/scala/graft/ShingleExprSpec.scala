@@ -130,4 +130,57 @@ class ShingleExprSpec extends AnyFunSuite {
       .as[(Long, Option[Seq[Int]])].collect().toMap
     assert(gotC === expC)
   }
+
+  test("generated code COMPILES: fallback disabled, CODEGEN_ONLY") {
+    // Round-14's generated Java referenced `TextKernels.MODULE$`, which
+    // does not exist (MODULE$ lives on the `TextKernels$` object class,
+    // not the mirror class) — Janino rejected it and Spark silently ran
+    // every stage containing these expressions INTERPRETED via the
+    // fallback, so the value tests above never caught it. This pin
+    // turns the silent fallback into a hard failure: with
+    // codegen.fallback=false a Janino error aborts the query, and with
+    // factoryMode=CODEGEN_ONLY even non-whole-stage projections must
+    // compile.
+    val confs = Map(
+      "spark.sql.codegen.fallback" -> "false",
+      "spark.sql.codegen.factoryMode" -> "CODEGEN_ONLY")
+    val prev = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val d = Seq(
+        (1L, "a b c d e f g"),
+        (2L, "x y x y x y"),
+        (3L, null.asInstanceOf[String])).toDF("id", "text")
+      val rows = d.select(
+          col("id"),
+          TextShingleFunctions.textShingles(col("text"), 3).as("sh"),
+          when(col("text").isNotNull,
+            TextShingleFunctions.bloomPositionsCol(col("text"), 4)).as("bp"),
+          when(col("text").isNotNull,
+            TextShingleFunctions.cmsPositionsCol(col("text"), 4, 1024)).as("cp"))
+        .as[(Long, Seq[String], Option[Seq[Int]], Option[Seq[Int]])]
+        .collect().sortBy(_._1)
+      assert(rows.length == 3)
+      assert(rows(0)._2 == Seq("a b c", "b c d", "c d e", "d e f", "e f g"))
+      assert(rows(1)._2 == Seq("x y x", "y x y"))
+      assert(rows(0)._3.exists(_.length == 4))
+      assert(rows(0)._4.exists(_.forall(p => p >= 0 && p < 4 * 1024)))
+      assert(rows(2)._2.isEmpty && rows(2)._3.isEmpty && rows(2)._4.isEmpty)
+      // and the stage really is whole-stage-codegen'd, not just compiled
+      // (a literal local Seq constant-folds to LocalTableScan, so use a
+      // range-backed frame that survives as a real codegen stage)
+      val ranged = spark.range(100).select(concat_ws(" ",
+        lit("a"), lit("b"), col("id").cast("string"), lit("c")).as("text"))
+      val shingled = ranged
+        .select(TextShingleFunctions.textShingles(col("text"), 2).as("sh"))
+      assert(shingled.count() == 100)
+      val plan = shingled.queryExecution.executedPlan
+      assert(plan.exists(
+        _.isInstanceOf[org.apache.spark.sql.execution.WholeStageCodegenExec]),
+        s"expected a WholeStageCodegen span, got:\n$plan")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
