@@ -885,7 +885,112 @@ object PipelineQueries {
       |  min(CASE WHEN 3 * cc >= 2 * n THEN ppl_q END) AS t2
       | FROM cum GROUP BY lang)""".stripMargin.replace("\n", "\n         |")
 
+  /** c33's trained-classifier SCORING under the hash gate (round-15,
+    * the b6 pinned-input precedent): the micro-quantized fitted weights
+    * are the sidecar, and the oracle re-derives every token's feature
+    * index ([[MurmurSql]] replays HashingTF.indexOf), the exact integer
+    * margin, and the floor-quantized sigmoid from `documents` + the
+    * sidecar alone. Training itself stays spec-pinned (L-BFGS). */
+  private def C33ScoringSql: String =
+    "WITH RECURSIVE\n" +
+      """toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |  FROM documents WHERE text IS NOT NULL),
+        |mm_v AS (SELECT DISTINCT token FROM toks),
+        |""".stripMargin +
+      MurmurSql.cte("mm_v", graft.ops.QualityModel.NumFeatures) + ",\n" +
+      s"""tfx AS (SELECT t.doc_id, m.idx, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM toks t JOIN mm_idx m USING (token) GROUP BY 1, 2),
+         |wts AS (SELECT feature, w_micro FROM ${OracleSide.sql("c33_weights")}),
+         |mrg AS (SELECT tfx.doc_id,
+         |   SUM(tfx.cnt * COALESCE(w.w_micro, 0))
+         |     + (SELECT w_micro FROM wts WHERE feature = -1) AS m
+         |  FROM tfx LEFT JOIN (SELECT * FROM wts WHERE feature >= 0) w
+         |    ON tfx.idx = w.feature
+         |  GROUP BY tfx.doc_id),
+         |sc AS (SELECT doc_id,
+         |   floor(1e6/(1 + exp(-(m/1e6))) + 0.5) AS p_micro FROM mrg)
+         |SELECT d.doc_id,
+         | CASE WHEN d.text IS NULL THEN NULL
+         |  ELSE CAST(COALESCE(d.source IN (${graft.ops.LmScore.dsirTargetSqlList}),
+         |    FALSE) AS INT) END AS label,
+         | sc.p_micro/1e6 AS quality_score,
+         | CASE WHEN d.text IS NULL THEN NULL
+         |  ELSE CAST(sc.p_micro >= ${(graft.ops.QualityModel.KeepMin * 1e6).toLong}
+         |    AS INT) END AS keep
+         |FROM documents d LEFT JOIN sc USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin
+
+  /** c43's scoring surface, same treatment as [[C33ScoringSql]] for the
+    * multinomial head: per-class integer margins from the pinned
+    * weights over re-derived hashed char bi+trigrams, first-max
+    * prediction, and the floor-quantized softmax confidence — the
+    * denominator sums exp of max-shifted EXACT integer differences in
+    * fixed ascending class order, replaying the kernel's IEEE chain. */
+  private def C43ScoringSql: String = {
+    val nCls = graft.ops.QualityModel.LangClasses.length
+    val clsList = graft.ops.QualityModel.LangClasses.map(s => s"'$s'").mkString(", ")
+    val pivCols = (0 until nCls)
+      .map(c => s"MAX(CASE WHEN cls = $c THEN m END) AS m$c").mkString(",\n         |   ")
+    val greatest = s"GREATEST(${(0 until nCls).map("m" + _).mkString(", ")})"
+    val predCase = "CASE " +
+      (0 until nCls - 1).map(c => s"WHEN m$c = mm THEN $c").mkString(" ") +
+      s" ELSE ${nCls - 1} END"
+    val expSum = (0 until nCls).map(c => s"exp((m$c - mm)/1e6)").mkString(" + ")
+    "WITH RECURSIVE\n" +
+      """gsrc AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+        |gr AS (
+        |  SELECT doc_id, substr(text, CAST(i AS INT), 2) AS token
+        |  FROM (SELECT doc_id, text, unnest(range(1, length(text))) AS i FROM gsrc)
+        |  UNION ALL
+        |  SELECT doc_id, substr(text, CAST(i AS INT), 3) AS token
+        |  FROM (SELECT doc_id, text, unnest(range(1, length(text)-1)) AS i FROM gsrc)),
+        |mm_v AS (SELECT DISTINCT token FROM gr),
+        |""".stripMargin +
+      MurmurSql.cte("mm_v", graft.ops.QualityModel.LangNumFeatures) + ",\n" +
+      s"""tfx AS (SELECT g.doc_id, m.idx, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM gr g JOIN mm_idx m USING (token) GROUP BY 1, 2),
+         |wts AS (SELECT cls, feature, w_micro FROM ${OracleSide.sql("c43_weights")}),
+         |dots AS (SELECT tfx.doc_id, w.cls, SUM(tfx.cnt * w.w_micro) AS dot
+         |  FROM tfx JOIN (SELECT * FROM wts WHERE feature >= 0) w
+         |    ON tfx.idx = w.feature
+         |  GROUP BY 1, 2),
+         |seed AS (SELECT doc_id, unnest(range(0, $nCls)) AS cls FROM gsrc),
+         |mrg AS (SELECT s.doc_id, s.cls,
+         |   COALESCE(d.dot, 0)
+         |     + (SELECT w_micro FROM wts i WHERE i.feature = -1 AND i.cls = s.cls) AS m
+         |  FROM seed s LEFT JOIN dots d ON d.doc_id = s.doc_id AND d.cls = s.cls),
+         |piv AS (SELECT doc_id,
+         |   $pivCols
+         |  FROM mrg GROUP BY doc_id),
+         |mx AS (SELECT *, $greatest AS mm FROM piv),
+         |sm AS (SELECT doc_id, $predCase AS pred, $expSum AS s FROM mx),
+         |ht AS (SELECT doc_id, string_split(text, ' ') AS w, text FROM gsrc),
+         |hc AS (SELECT doc_id,
+         | CAST(len(list_filter(w, x -> x IN ($enList))) AS INT) AS n_en,
+         | CAST(len(list_filter(w, x -> x IN (${TextAnalysis.markerSqlList("de")}))) AS INT) AS n_de,
+         | CAST(len(list_filter(w, x -> x IN (${TextAnalysis.markerSqlList("fr")}))) AS INT) AS n_fr,
+         | CAST(len(list_filter(w, x -> x IN (${TextAnalysis.markerSqlList("es")}))) AS INT) AS n_es,
+         | CAST(len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) AS INT) AS n_zh
+         |FROM ht),
+         |heur AS (SELECT doc_id,
+         | CASE WHEN n_en + n_de + n_fr + n_es + n_zh = 0 THEN 'unknown'
+         |  WHEN n_en >= n_de AND n_en >= n_fr AND n_en >= n_es AND n_en >= n_zh THEN 'en'
+         |  WHEN n_de >= n_fr AND n_de >= n_es AND n_de >= n_zh THEN 'de'
+         |  WHEN n_fr >= n_es AND n_fr >= n_zh THEN 'fr'
+         |  WHEN n_es >= n_zh THEN 'es' ELSE 'zh' END AS predicted
+         |FROM hc)
+         |SELECT d.doc_id,
+         | h.predicted AS heuristic_lang,
+         | list_value($clsList)[sm.pred + 1] AS pred_lang,
+         | floor(1e6/sm.s + 0.5)/1e6 AS confidence,
+         | CAST(list_value($clsList)[sm.pred + 1] = h.predicted AS INT) AS agree
+         |FROM documents d LEFT JOIN sm USING (doc_id) LEFT JOIN heur h USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "c33_quality_classifier" -> C33ScoringSql,
+    "c43_lang_classifier" -> C43ScoringSql,
     "c34_bpe_train" -> BpeTrainSql,
     "c35_bpe_encode" -> BpeEncodeSql,
     "c11_media_embed" -> MediaEmbedSql,

@@ -2,7 +2,6 @@ package graft.ops
 
 import org.apache.spark.ml.classification.{LogisticRegression, LogisticRegressionModel}
 import org.apache.spark.ml.feature.HashingTF
-import org.apache.spark.ml.functions.vector_to_array
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, IntegerType}
@@ -26,16 +25,32 @@ import org.apache.spark.sql.types.{DoubleType, IntegerType}
   * rounded to 1e-6 (golden-stable) and a keep flag at
   * [[QualityModel.KeepMin]].
   *
-  * No DuckDB oracle (L-BFGS is not SQL-expressible) — rows-only +
-  * golden snapshot, like b2's k-means; the spec pins separation on
-  * planted clean/junk corpora.
+  * TRAINING has no DuckDB oracle (L-BFGS is not SQL-expressible) —
+  * spec-pinned instead. SCORING is hash-certified since round 15: the
+  * fitted weights quantize to integer micro-units (the c27 quantized-ln
+  * discipline — the doc margin becomes an exact integer dot product,
+  * order- and engine-independent) and persist as an OracleSide sidecar;
+  * the oracle re-derives every token's feature index with
+  * [[graft.operators.MurmurSql]], recomputes the margins, and applies
+  * the same floor-quantized sigmoid/softmax.
   */
 object QualityModel {
   /** Hashed feature space. 2^10 is plenty for the synthetic vocab;
-    * production raises it (the hashing trick is size-agnostic). */
+    * production raises it (the hashing trick is size-agnostic). Must
+    * stay a power of two (MurmurSql's nonNegativeMod shortcut). */
   val NumFeatures = 1024
   /** Class-1 (curated-like) probability at/above which a doc is kept. */
   val KeepMin = 0.5
+
+  /** Weight quantum: fitted doubles round to 1e-6 units, making every
+    * margin an exact integer sum (|w|·tokens ≈ 2e7·1e3 ≪ 2^63). */
+  private def micro(x: Double): Long = math.floor(x * 1e6 + 0.5).toLong
+
+  /** floor-quantized sigmoid in micro-units, as a Column over a
+    * micro-margin: floor(1e6·σ(m/1e6) + 0.5). Mirrors the oracle SQL
+    * text exactly — one transcendental on an identical double. */
+  private def sigmoidMicro(m: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    floor(lit(1e6) / (lit(1.0) + exp(-(m / lit(1e6)))) + lit(0.5))
 
   /** c33: train on the weak curated-vs-raw label, score every doc. */
   def qualityClassifier(
@@ -79,13 +94,36 @@ object QualityModel {
     val lr = new LogisticRegression()
       .setMaxIter(25).setRegParam(0.01).setTol(1e-8)
     val model = lr.fit(train)
-    val scored = model.transform(feat)
-      .select(
-        col("doc_id"),
-        col("label").cast(IntegerType).as("label"),
-        round(element_at(vector_to_array(col("probability")), 2), 6)
-          .as("quality_score"))
-      .withColumn("keep", (col("quality_score") >= lit(KeepMin)).cast(IntegerType))
+    // Scoring runs on QUANTIZED weights (micro-units), not
+    // model.transform: the margin becomes an exact integer dot product
+    // over the hashed term counts, so DuckDB can replay it bit-for-bit
+    // from the pinned weights — see the object scaladoc. The scoring
+    // pass itself is the same shape as before: a broadcast weight
+    // array and one narrow map over the featurized corpus.
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val wq: Array[Long] = model.coefficients.toArray.map(micro)
+    val iq: Long = micro(model.intercept)
+    graft.operators.OracleSide.write(
+      ((-1, iq) +: wq.toSeq.zipWithIndex.map { case (w, f) => (f, w) })
+        .toDF("feature", "w_micro"),
+      "c33_weights")
+    val bw = spark.sparkContext.broadcast(wq)
+    val margins = feat
+      .select(col("doc_id").cast("long"), col("label"), col("features"))
+      .as[(Long, Double, org.apache.spark.ml.linalg.Vector)]
+      .map { case (id, label, v) =>
+        var m = iq
+        v.foreachActive((i, x) => m += x.toLong * bw.value(i))
+        (id, label.toInt, m)
+      }
+      .toDF("doc_id", "label", "m_micro")
+    val pMicro = sigmoidMicro(col("m_micro"))
+    val scored = margins.select(
+      col("doc_id"),
+      col("label"),
+      (pMicro / lit(1e6)).as("quality_score"),
+      (pMicro >= lit((KeepMin * 1e6).toLong)).cast(IntegerType).as("keep"))
     // null-text docs re-enter with NULL metrics (the c21 contract every
     // sibling op follows) — a downstream gate must still see the doc
     docs.select("doc_id").join(scored, Seq("doc_id"), "left")
@@ -124,9 +162,11 @@ object QualityModel {
     * Scale shape = c33's: the n-gram kernel is a narrow map (no
     * vocabulary collected — hashing trick), training is MLlib's
     * distributed L-BFGS over the bounded slice, scoring broadcasts
-    * the model. Rows-only + golden (L-BFGS is not SQL-expressible);
-    * the content-over-label spec plants genuinely distinct character
-    * distributions and asserts the model reads the TEXT. */
+    * the quantized weights. Training is spec-pinned (L-BFGS is not
+    * SQL-expressible; the content-over-label spec plants genuinely
+    * distinct character distributions and asserts the model reads the
+    * TEXT); scoring is hash-certified from the pinned weights since
+    * round 15 (see the object scaladoc). */
   def langClassifier(docs: DataFrame, maxIter: Int = LangMaxIter): DataFrame = {
     // featurize ONCE (eager localCheckpoint, the c11/c42 staging
     // pattern): unstaged, the gram kernel + heuristic-label join +
@@ -194,18 +234,62 @@ object QualityModel {
   }
 
   /** Broadcast-model scoring over the full featurized corpus + the
-    * null-text re-entry join (the c21 contract). */
+    * null-text re-entry join (the c21 contract). Like c33's binary
+    * path, scoring runs on QUANTIZED weights: per-class margins are
+    * exact integer dot products, prediction is first-max over the
+    * integer margins, and confidence is the floor-quantized softmax of
+    * the winner — exp runs once per class on a max-shifted EXACT
+    * integer difference, summed in fixed class order, so the oracle
+    * replays the identical IEEE chain from the pinned weights. */
   private[graft] def langScore(
       docs: DataFrame, feat: DataFrame,
       model: LogisticRegressionModel): DataFrame = {
-    val scored = model.transform(feat)
-      .select(
-        col("doc_id"),
-        col("heuristic_lang"),
-        element_at(lit(LangClasses.toArray),
-          col("prediction").cast(IntegerType) + 1).as("pred_lang"),
-        round(array_max(vector_to_array(col("probability"))), 6)
-          .as("confidence"))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val nCls = LangClasses.length
+    val cm = model.coefficientMatrix
+    // MLlib sizes the matrix to max(label)+1 — TAIL classes absent
+    // from the training slice get no row. They can never be predicted,
+    // so they enter the quantized surface as a -2^50-micro margin
+    // sentinel (exp of -1.1e9 is exactly 0.0 in both engines, and the
+    // magnitude keeps every m - mx subtraction far from Long range).
+    val trained = model.numClasses
+    val NegInfMicro = -(1L << 50)
+    val wq: Array[Array[Long]] =
+      Array.tabulate(nCls, LangNumFeatures)((c, f) =>
+        if (c < trained) micro(cm(c, f)) else 0L)
+    val iq: Array[Long] = Array.tabulate(nCls)(c =>
+      if (c < trained) micro(model.interceptVector(c)) else NegInfMicro)
+    graft.operators.OracleSide.write(
+      (0 until nCls).flatMap { c =>
+        (-1, c, iq(c)) +: (0 until LangNumFeatures)
+          .map(f => (f, c, wq(c)(f))).filter(_._3 != 0L)
+      }.toDF("feature", "cls", "w_micro"),
+      "c43_weights")
+    val bw = spark.sparkContext.broadcast((wq, iq))
+    val classes = LangClasses.toArray
+    val scored = feat
+      .select(col("doc_id").cast("long"), col("heuristic_lang"), col("features"))
+      .as[(Long, String, org.apache.spark.ml.linalg.Vector)]
+      .map { case (id, heur, v) =>
+        val (w, ic) = bw.value
+        val m = ic.clone()
+        v.foreachActive { (i, x) =>
+          val xi = x.toLong
+          var c = 0
+          while (c < m.length) { m(c) += xi * w(c)(i); c += 1 }
+        }
+        var mx = m(0); var pred = 0
+        var c = 1
+        while (c < m.length) { if (m(c) > mx) { mx = m(c); pred = c }; c += 1 }
+        // softmax denominator in FIXED ascending class order — the
+        // winner's numerator is exp(0) = 1, so confidence = 1/S
+        var s = 0.0
+        c = 0
+        while (c < m.length) { s += math.exp((m(c) - mx).toDouble / 1e6); c += 1 }
+        (id, heur, classes(pred), math.floor(1e6 / s + 0.5) / 1e6)
+      }
+      .toDF("doc_id", "heuristic_lang", "pred_lang", "confidence")
       .withColumn("agree",
         (col("pred_lang") === col("heuristic_lang")).cast(IntegerType))
     docs.select("doc_id").join(scored, Seq("doc_id"), "left")

@@ -29,14 +29,15 @@ class RelationalSpec extends AnyFunSuite {
     assert(oracleKeys.subsetOf(keys), s"orphan oracles: ${oracleKeys -- keys}")
     // rows-only queries are exactly the non-SQL-expressible ones
     val rowsOnly = keys -- oracleKeys
-    // each is non-SQL-expressible for a structural reason: iterative
-    // training (b2 k-means, c33/c43 L-BFGS); everything else —
-    // including the c34/c35 BPE merge loops (recursive-CTE replay) and
-    // b11's sweep (fixed-point recall/ratio recomputation, walls moved
-    // to the SweepCsv artifacts), both since round 14 — is
-    // hash-certified against a DuckDB recomputation
-    val expectedRowsOnly = Set("b2_ivf_train",
-      "c33_quality_classifier", "c43_lang_classifier")
+    // only b2's k-means TRAINING loop remains non-SQL-expressible
+    // (and it is transitively certified: five hash-green queries
+    // recompute argmins over its persisted centroids). Everything
+    // else — the c34/c35 BPE merge loops (recursive-CTE replay),
+    // b11's sweep (round 14), and since round 15 the c33/c43
+    // classifier SCORING surfaces (pinned micro-quantized weights +
+    // MurmurSql feature-index replay) — is hash-certified against a
+    // DuckDB recomputation
+    val expectedRowsOnly = Set("b2_ivf_train")
     assert(rowsOnly.subsetOf(expectedRowsOnly), s"unexpected rows-only: ${rowsOnly -- expectedRowsOnly}")
   }
 
