@@ -45,6 +45,61 @@ object Bench {
       } else Map.empty
     } catch { case _: Throwable => Map.empty }
 
+  /** Sentinel queries for the drift check: trivially cheap, untouched
+    * for many rounds, pure narrow maps — if their walls move, the
+    * MACHINE moved. (a2/a4 per the round-14 lesson: they drifted
+    * +30-65% together for hours with zero code change.) */
+  private[graft] val DriftSentinels = Seq("a2_vec_dot", "a4_vec_norm")
+
+  /** Relative band a sentinel may move (either direction) before the
+    * snapshot self-reports environmental drift. */
+  private[graft] val DriftBand = 1.3
+
+  /** Worst sentinel movement of `cur` vs `ref` as (ratio, key,
+    * verdict); None when no sentinel is present in both maps. */
+  private[graft] def drift(
+      ref: Map[String, Double],
+      cur: Map[String, Double]): Option[(Double, String, String)] = {
+    val moves = DriftSentinels.flatMap { k =>
+      for {
+        a <- ref.get(k) if a > 0
+        b <- cur.get(k) if b > 0
+      } yield (math.max(a / b, b / a), k)
+    }
+    moves.sortBy(-_._1).headOption.map { case (r, k) =>
+      (r, k, if (r > DriftBand) "env-drift-suspected" else "ok")
+    }
+  }
+
+  /** The per-query min map of a previous bench snapshot JSON; empty on
+    * any problem (first run, corrupt file) or an sf-tag mismatch (an
+    * sf1 spot-check snapshot must not adjudicate an sf0.1 run) —
+    * drift is advisory. */
+  private[graft] def readSnapshotQueries(
+      path: String, benchSf: String): Map[String, Double] =
+    try {
+      val p = java.nio.file.Paths.get(path)
+      if (!java.nio.file.Files.isReadable(p)) Map.empty
+      else {
+        val node = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(java.nio.file.Files.readString(p))
+        val sfNode = node.get("sf")
+        val sfOk = sfNode != null && sfNode.isTextual &&
+          java.nio.file.Paths.get(sfNode.asText()).getFileName.toString == benchSf
+        val q = node.get("queries")
+        if (!sfOk || q == null || !q.isObject) Map.empty
+        else {
+          val it = q.fields()
+          val b = Map.newBuilder[String, Double]
+          while (it.hasNext) {
+            val e = it.next()
+            if (e.getValue.isNumber) b += e.getKey -> e.getValue.asDouble()
+          }
+          b.result()
+        }
+      }
+    } catch { case _: Throwable => Map.empty }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -162,7 +217,7 @@ object Bench {
       }
       // a query must succeed on EVERY run to report a time — an
       // intermittent crash must not masquerade as a fast min
-      name -> (if (secs.forall(_ >= 0)) secs.min else -1.0)
+      (name, if (secs.forall(_ >= 0)) secs.min else -1.0, secs)
     }
     def esc(s: String): String = s.flatMap {
       case '"' => "\\\""
@@ -170,9 +225,16 @@ object Bench {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     }
-    val qs = results.map { case (k, v) => "\"" + esc(k) + "\":" + v }
+    val qs = results.map { case (k, v, _) => "\"" + esc(k) + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    // round-15 dispersion discipline: every committed number carries
+    // its spread — all raw runs per query, so a ±30% single-shot swing
+    // adjudicates itself (noise shows as in-run dispersion or as a
+    // drift-sentinel hit, never as a silent "regression")
+    val qruns = results.map { case (k, _, rs) =>
+      "\"" + esc(k) + "\":" + rs.map(r => f"$r%.3f").mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val total = results.collect { case (_, v, _) if v >= 0 => v }.sum
 
     // vs-baseline: results/baseline_duckdb.tsv (tools/make_baseline.py)
     // holds DuckDB min-of-N wall times for every oracle query. Totals
@@ -189,7 +251,7 @@ object Bench {
       if (baseline.isEmpty || only.isDefined) ""
       else {
         val common = results.collect {
-          case (k, v) if v >= 0 && baseline.contains(k) => (v, baseline(k))
+          case (k, v, _) if v >= 0 && baseline.contains(k) => (v, baseline(k))
         }
         val sparkTot = common.map(_._1).sum
         val duckTot = common.map(_._2).sum
@@ -198,8 +260,26 @@ object Bench {
         if (common.isEmpty || duckTot <= 0) ""
         else s""","spark_oracle_total_sec":$sparkTot,"duckdb_total_sec":$duckTot,"vs_baseline":${sparkTot / duckTot}"""
       }
+    // drift sentinel (round 15): the trivial a-rows never change code
+    // round-to-round, so if THEY moved vs the previous full snapshot,
+    // the machine moved, not the code — three rounds of ±30% swings
+    // (r12-r14: c2/c3/c37/d11) were adjudicated by hand this way; now
+    // the snapshot carries the verdict itself. Read BEFORE overwrite.
+    val driftJson = {
+      val ref = readSnapshotQueries("results/bench_last.json",
+        java.nio.file.Paths.get(sfDir).getFileName.toString)
+      drift(ref, results.map { case (k, v, _) => k -> v }.toMap) match {
+        case Some((worst, key, verdict)) =>
+          if (verdict != "ok")
+            System.err.println(f"[bench] DRIFT SENTINEL: $key moved " +
+              f"$worst%.2fx vs results/bench_last.json — environmental " +
+              "drift suspected; re-run quiet before reading regressions")
+          s""","drift":{"worst_sentinel_ratio":${f"$worst%.3f"},"worst_sentinel":"$key","verdict":"$verdict"}"""
+        case None => ""
+      }
+    }
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries":$qs$vsBaseline,"sf":"${esc(sfDir)}"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries":$qs,"query_runs":$qruns$vsBaseline$driftJson,"sf":"${esc(sfDir)}"}"""
     println(line)
     // the same line, durably: the round-8 committed BENCH artifact
     // truncated mid-list in log capture, losing the total and the a*/b*

@@ -52,6 +52,41 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.readBaseline("/nonexistent/baseline.tsv", "sf0.1") === Map.empty)
   }
 
+  test("drift sentinel: flags a sentinel moved past the band, either way") {
+    val ref = Map("a2_vec_dot" -> 0.10, "a4_vec_norm" -> 0.10)
+    // inside the band (1.2x): ok
+    assert(Bench.drift(ref, Map("a2_vec_dot" -> 0.12, "a4_vec_norm" -> 0.10))
+      .exists(_._3 == "ok"))
+    // slower past the band
+    val slow = Bench.drift(ref, Map("a2_vec_dot" -> 0.15, "a4_vec_norm" -> 0.10))
+    assert(slow.exists(d => d._3 == "env-drift-suspected" && d._2 == "a2_vec_dot"))
+    // FASTER past the band is drift too (the machine moved, not the code)
+    assert(Bench.drift(ref, Map("a2_vec_dot" -> 0.10, "a4_vec_norm" -> 0.07))
+      .exists(_._3 == "env-drift-suspected"))
+    // worst sentinel wins
+    val worst = Bench.drift(ref,
+      Map("a2_vec_dot" -> 0.14, "a4_vec_norm" -> 0.20)).get
+    assert(worst._2 == "a4_vec_norm" && worst._1 > 1.9)
+    // no sentinel overlap (first run / failed rows): advisory silence
+    assert(Bench.drift(Map.empty, ref).isEmpty)
+    assert(Bench.drift(ref.map { case (k, _) => k -> -1.0 }, ref).isEmpty)
+  }
+
+  test("drift reference parser: queries map, sf-gated, never crashes") {
+    val f = Files.createTempFile("bench_snap", ".json")
+    Files.write(f, ("""{"metric":"total","value":1.0,"queries":""" +
+      """{"a2_vec_dot":0.1,"a4_vec_norm":0.2,"bad":"x"},""" +
+      """"sf":"/root/testdata/sf0.1"}""").getBytes("UTF-8"))
+    assert(Bench.readSnapshotQueries(f.toString, "sf0.1") ===
+      Map("a2_vec_dot" -> 0.1, "a4_vec_norm" -> 0.2))
+    // an sf1 snapshot must not adjudicate an sf0.1 run
+    assert(Bench.readSnapshotQueries(f.toString, "sf1") === Map.empty)
+    // garbage and absence are silent
+    Files.write(f, "not json".getBytes("UTF-8"))
+    assert(Bench.readSnapshotQueries(f.toString, "sf0.1") === Map.empty)
+    assert(Bench.readSnapshotQueries("/nonexistent.json", "sf0.1") === Map.empty)
+  }
+
   test("the committed baseline TSV parses and carries the oracle surface") {
     // the real artifact the driver-run bench reads: sf-tagged sf0.1,
     // every key a SparkEntry query with a SQL oracle
