@@ -40,14 +40,21 @@ object Relational {
     * while DuckDB's SUM(BIGINT) silently promotes to HUGEINT; a
     * DECIMAL(38,0) accumulator fixes that but measured +57% on the
     * e-row bench (precision-38 sums run on BigDecimal). The split
-    * lanes stay primitive-long: the hi lane overflows only past
-    * ~9e13 rows per GROUP (rows·1e5 vs 2⁶³) — beyond the design
-    * scale — and the combine is EXACT-TO-IEEE at every magnitude:
-    * hi·2²⁰ is exactly representable (exponent shift of an exact
-    * long ≤ 2⁵³), lo is exact, and one IEEE add of two exact doubles
-    * returns the correctly-rounded true integer sum — the identical
-    * double DuckDB produces converting its exact HUGEINT. So the hash
-    * gate holds bit-for-bit at any scale either engine can run.
+    * lanes stay primitive-long, with three regimes PropertySpec pins
+    * against BigInt (= DuckDB HUGEINT) truth at max-magnitude micros
+    * (~2e11, the sum_charge row ceiling):
+    *  - rows/group ≤ ~9e9 (2⁵³/1e6 — ~3 TB in ONE group): both lane
+    *    totals ≤ 2⁵³, so hi/lo convert exactly, hi·2²⁰ is an exact
+    *    exponent shift, and the one IEEE add returns the
+    *    correctly-rounded true sum — BIT-FOR-BIT the double DuckDB
+    *    produces converting its exact HUGEINT.
+    *  - ≤ ~8.8e12 rows/group (2⁶³ over the lo lane's 2²⁰-1 per-row
+    *    max): lanes still never wrap, result within 1 ulp of the
+    *    HUGEINT rounding (two extra roundings) — value-correct; a
+    *    last-ulp hash divergence is possible in principle.
+    *  - past that the LO lane (not hi — it is the 10× tighter bound)
+    *    wraps and the value is wrong: ~100× beyond the 100 TB shape
+    *    (1e11 rows/group), accepted as the design ceiling.
     * Oracle: SUM(CAST(floor(x*1e6+0.5) AS BIGINT))/1e6
     * (HUGEINT-promoted). Shared by e1/e7/e13/e16/e17 — one copy of
     * the oracle-critical rounding formula. */

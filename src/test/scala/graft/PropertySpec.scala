@@ -250,6 +250,60 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("microSum two-lane algebra: regimes pinned vs HUGEINT truth at 2^63-scale counts") {
+    // Mirror of Relational.microSum's accumulation, with per-value
+    // COUNTS simulated by multiplication: Long addition is associative
+    // mod 2^64, so count·x (wrapping) IS the wrapped repeated sum the
+    // executor lanes would produce — this lets the property drive the
+    // lanes to 2^63-scale row counts no test cluster could materialize.
+    // Truth is BigInt (= DuckDB's exact HUGEINT), converted by Java's
+    // correctly-rounded doubleValue (= DuckDB's HUGEINT→DOUBLE cast).
+    def lanes(pairs: Seq[(Long, Long)]): (Long, Long) = {
+      var hi = 0L; var lo = 0L
+      pairs.foreach { case (m, c) => hi += c * (m >> 20); lo += c * (m & 0xFFFFFL) }
+      (hi, lo)
+    }
+    def combine(hl: (Long, Long)): Double =
+      hl._1.toDouble * 1048576.0 + hl._2.toDouble
+    def truth(pairs: Seq[(Long, Long)]): BigInt =
+      pairs.map { case (m, c) => BigInt(m) * c }.sum
+    val MaxMicro = 205_000_000_000L // the sum_charge per-row ceiling (~2e11)
+
+    // regime 1 — bit-exact: both lane totals ≤ 2^53 (≲ 9e9 rows/group,
+    // ~3 TB in ONE group). Random multisets at full magnitude.
+    val pair = Gen.zip(Gen.chooseNum(0L, MaxMicro), Gen.chooseNum(1L, 100_000_000L))
+    forAll(Gen.listOfN(20, pair), n = 100) { pairs =>
+      assert(combine(lanes(pairs)) === truth(pairs).toDouble)
+    }
+    // ...including the adversarial all-mask-bits edge right under 2^53
+    val edge = Seq((MaxMicro | 0xFFFFFL, 8_500_000_000L))
+    assert(combine(lanes(edge)) === truth(edge).toDouble)
+
+    // regime 2 — lanes past 2^53 but far from wrap (~1e12 rows/group):
+    // value-correct within ulps of the HUGEINT rounding (three
+    // roundings instead of one), no longer guaranteed bit-exact
+    val big = Seq((MaxMicro, 1_000_000_000_000L), (0xFFFFFL, 999_999_999_999L))
+    val t2 = truth(big).toDouble
+    assert(math.abs(combine(lanes(big)) - t2) <= 2 * math.ulp(t2))
+
+    // regime 3 — the REAL cliff is the LO lane (per-row ≤ 2^20-1, so it
+    // wraps ~10x earlier than hi's ~1e5 per-row): past ~8.8e12
+    // rows/group the value is WRONG, not just inexact. Pinning the
+    // cliff documents the design ceiling (~100x beyond the 100 TB
+    // shape's 1e11 rows/group).
+    val wrap = Seq((0xFFFFFL, 9_000_000_000_000L)) // lo ≈ 9.44e18 > 2^63
+    assert(math.abs(combine(lanes(wrap)) - truth(wrap).toDouble) >
+      1e6 * math.ulp(truth(wrap).toDouble))
+
+    // ...and the single-long-lane accumulator microSum replaced in r14
+    // wraps FOUR ORDERS OF MAGNITUDE earlier (~4.5e7 max-magnitude
+    // rows, i.e. around sf60) — the regression this lane fixed
+    val sf60 = Seq((MaxMicro, 50_000_000L))
+    val naive = sf60.foldLeft(0L) { case (a, (m, c)) => a + c * m }
+    assert(naive < 0, "expected the single-lane sum to wrap at sf60 scale")
+    assert(combine(lanes(sf60)) === truth(sf60).toDouble)
+  }
+
   test("packed-sidecar binary blobs roundtrip longs and floats exactly") {
     import graft.ann.IVFIndex.{bytesToFloats, bytesToLongs, floatsToBytes, longsToBytes}
     val longs = Gen.containerOf[Array, Long](Gen.chooseNum(Long.MinValue, Long.MaxValue))
