@@ -432,6 +432,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(multi.count(_._1 == "big") == 3, "big should emit once per trigger")
   }
 
+  test("StateStoreConf presets: largeState (RocksDB+changelog) value-equal to default") {
+    // the round-14 d8/d12 provider finding as a library surface: the
+    // preset must be a pure DEPLOYMENT choice — same rows, different
+    // state machinery. Drive the d8 span gate (the preset's target
+    // workload) once under each conf in the same session; provider +
+    // changelog binding happens at each query's fresh checkpoint.
+    val dir = java.nio.file.Files.createTempDirectory("sspreset")
+    writeDocsFile(dir, "f1.parquet", 1000000L, Seq(
+      (1L, "a b c d e f g h i j k l m n o p q r s t u v w x y z0"),
+      (2L, "a b c d e f g h i j k l m n o p q r s t u v w x y z1"),
+      (3L, "totally different text with no shared twenty token runs at all " +
+        "padding tokens q w e r t y u i o p")))
+    val large = graft.streaming.StateStoreConf.largeState(4)
+    assert(large("spark.sql.streaming.stateStore.providerClass")
+      .contains("RocksDB"))
+    assert(graft.streaming.StateStoreConf.smallState(32)(
+      "spark.sql.shuffle.partitions") == "8")
+    val prev = large.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    def run(): Array[(Long, Int)] =
+      graft.streaming.StreamSpanDedup
+        .streamingSpanDedupFromDir(spark, dir.toString)
+        .collect().map(r => (r.getLong(0), r.getInt(2))).sortBy(_._1)
+    val default = run()
+    large.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val rocks = run()
+      assert(rocks.sameElements(default),
+        s"preset changed VALUES: ${rocks.toSeq} vs ${default.toSeq}")
+      assert(default.nonEmpty)
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("d14 streaming bloom: last emission per source equals the batch sketch under any split") {
     val dir = java.nio.file.Files.createTempDirectory("d14_multi")
     val evalRow = (1L, "alpha bravo charlie delta echo foxtrot", "eval") // 2 eval shingles
