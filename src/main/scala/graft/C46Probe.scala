@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+import org.apache.spark.sql.SparkSession
+
+/** Stage-boundary persist audit for c46 (the composed e2e pipeline,
+  * suite rank #2 at 2.29 s in r14): its five certified stages share
+  * the c44→c6→c27 survivor prefix, and the audit question is whether
+  * each survivor set materializes ONCE (persist / exchange reuse) or
+  * the prefix recomputes per downstream consumer. Reports, per staging
+  * variant (SPARK_GRAFT_C46_STAGE = none | s2 | tiers | both):
+  * min wall, job count, and the final plan's documents-scan /
+  * ReusedExchange / InMemoryTableScan node counts. One JSON line per
+  * run; the committed artifact is results/c46_stage_profile_r15.json.
+  * Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+  * SPARK_GRAFT_CPUS (default 32). */
+object C46Probe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val variant = sys.env.getOrElse("SPARK_GRAFT_C46_STAGE", "default")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-c46-probe")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    @volatile var jobs = 0
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onJobStart(j: SparkListenerJobStart): Unit = jobs += 1
+    })
+    try {
+      val walls = (0 until 4).map { _ =>
+        Thread.sleep(200)
+        jobs = 0
+        val t0 = System.nanoTime()
+        operators.PipelineQueries.pipelineE2e(spark, sfDir)
+          .queryExecution.toRdd.foreach(_ => ())
+        val w = (System.nanoTime() - t0) / 1e9
+        Scratch.reap()
+        (w, jobs)
+      }
+      // final-plan shape: how many times does the documents scan (and
+      // each cached stage) appear in the LAST run's executed plan
+      val plan = operators.PipelineQueries.pipelineE2e(spark, sfDir)
+        .queryExecution.executedPlan
+      def countIn(p: org.apache.spark.sql.execution.SparkPlan,
+          pred: org.apache.spark.sql.execution.SparkPlan => Boolean): Int = {
+        var n = 0
+        def walk(q: org.apache.spark.sql.execution.SparkPlan): Unit = {
+          if (pred(q)) n += 1
+          q.children.foreach(walk)
+          q match {
+            case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+              walk(a.executedPlan)
+            case i: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+              walk(i.relation.cachedPlan)
+            case q2: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+              walk(q2.plan)
+            case _ =>
+          }
+        }
+        walk(p)
+        n
+      }
+      val scans = countIn(plan, {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.relation.location.rootPaths.exists(_.toString.contains("documents"))
+        case _ => false
+      })
+      val reused = countIn(plan,
+        _.isInstanceOf[org.apache.spark.sql.execution.adaptive.AQEShuffleReadExec]) // counted for context
+      val reusedEx = countIn(plan,
+        _.isInstanceOf[org.apache.spark.sql.execution.exchange.ReusedExchangeExec])
+      val cached = countIn(plan,
+        _.isInstanceOf[org.apache.spark.sql.execution.columnar.InMemoryTableScanExec])
+      val wallsJ = walls.map(w => f"${w._1}%.3f").mkString("[", ",", "]")
+      println(f"""{"probe":"c46_stage_profile","variant":"$variant","cpus":$cpus,""" +
+        f""""sf_dir":"$sfDir","wall_s_min":${walls.drop(1).map(_._1).min}%.3f,""" +
+        f""""walls_s":$wallsJ,"jobs_last":${walls.last._2},""" +
+        f""""documents_scans_in_plan":$scans,"reused_exchanges":$reusedEx,""" +
+        f""""aqe_shuffle_reads":$reused,"in_memory_scans":$cached}""")
+    } finally spark.stop()
+  }
+}

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Scale adjudication for the LM family (c27 / c28 / c42) — the
+  * round-14 verdict's one perf-weak row is c42 at 3.03× DuckDB on a
+  * 0.51 s denominator, with a committed floor profile (24 AQE stages,
+  * slowest 0.6 s) claiming the gap is per-stage scheduling, not plan
+  * cost. That claim predicts the ratio COLLAPSES once DuckDB itself
+  * does multi-second work: Spark's fixed per-stage cost amortizes
+  * while both engines' data-proportional work grows in step. This
+  * probe measures the Spark side on the persistent documents-only
+  * slice (`tools/make_lm_slice.py`, default `.scratch/sf5lm` = 50×
+  * sf0.1 docs); `tools/lm_slice_duckdb.py` times the same three oracle
+  * SQL texts on the same files, and the committed JSON pair is the
+  * adjudication artifact.
+  *
+  * Env: SPARK_GRAFT_SF_DIR (default .scratch/sf5lm), SPARK_GRAFT_CPUS
+  * (default 32), SPARK_GRAFT_RUNS (default 4, first discarded as
+  * warmup, MIN of the rest reported — the Bench protocol). Prints one
+  * JSON line with per-query min walls and all raw runs (the round-15
+  * dispersion discipline: every committed number carries its spread).
+  */
+object LmScaleProbe {
+  private val Keys = Seq("c27_lm_perplexity", "c28_dsir_weight", "c42_trigram_lm")
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", ".scratch/sf5lm")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "4").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-lm-scale-probe")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try {
+      val results = Keys.map { k =>
+        val walls = (0 until runs).map { _ =>
+          val t0 = System.nanoTime()
+          SparkEntry.queries(k)(spark, sfDir)
+            .queryExecution.toRdd.foreach(_ => ())
+          (System.nanoTime() - t0) / 1e9
+        }
+        Scratch.reap()
+        val timed = walls.drop(1)
+        (k, timed.min, walls)
+      }
+      val fields = results.map { case (k, mn, ws) =>
+        val raw = ws.map(w => f"$w%.3f").mkString("[", ",", "]")
+        f""""$k":{"min_s":$mn%.3f,"runs_s":$raw}"""
+      }.mkString(",")
+      println(s"""{"probe":"lm_scale","sf_dir":"$sfDir","cpus":$cpus,$fields}""")
+    } finally spark.stop()
+  }
+}
