@@ -274,8 +274,15 @@ object PipelineQueries {
     val lang = TextAnalysis.langId(s1)
       .select(col("doc_id"), col("predicted").as("lang"))
     // survivors carry the PREDICTED lang into the tiering stage — the
-    // composition point a whole-corpus c45 rerun would miss
-    val s2 = s1.select(col("doc_id"), col("text")).join(lang, Seq("doc_id"))
+    // composition point a whole-corpus c45 rerun would miss.
+    // s2 feeds TWO eager consumers (pplBucket materializes internally;
+    // budgetSelect scans it again), so its url-gate + lang-id prefix
+    // evaluates twice when lazy. The C46Probe A/B (SPARK_GRAFT_C46_S2,
+    // results/c46_stage_profile_r15.json) measures the staging choice;
+    // the committed default follows it.
+    val s2Lazy = s1.select(col("doc_id"), col("text")).join(lang, Seq("doc_id"))
+    val s2 = if (sys.env.get("SPARK_GRAFT_C46_S2").contains("lazy")) s2Lazy
+      else s2Lazy.localCheckpoint(true)
     val tiers = graft.ops.LmScore.pplBucket(s2)
     val sel = CorpusOps.budgetSelect(
       s2.join(tiers.filter(col("kept") === 1).select("doc_id"),
