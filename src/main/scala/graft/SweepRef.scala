@@ -147,6 +147,14 @@ object SweepRef {
       .master(s"local[$cpus]")
       .appName("graft-sweep-ref")
       .config("spark.sql.shuffle.partitions", cpus)
+      // d=1536 float arrays are ~6 KB/row: the default 4096-row
+      // columnar batch tries to reserve multi-MB contiguous child
+      // vectors per column and the r15 rerun died in
+      // WritableColumnVector.reserve on the base read-back. 512 rows
+      // keeps batches ~3 MB; array-heavy tables want batch size sized
+      // to ROW BYTES, not row count (the same rule a 100 TB embedding
+      // table needs).
+      .config("spark.sql.parquet.columnarReaderBatchSize", "512")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
