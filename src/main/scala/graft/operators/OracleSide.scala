@@ -38,7 +38,10 @@ object OracleSide {
   def sql(name: String): String = s"'$Dir/$name/*.parquet'"
 
   /** Persist `df` as the sidecar `name` iff enabled (single file —
-    * these tables are at most a few hundred rows by contract). */
+    * these tables are model-sized by contract: at most a few hundred
+    * rows for the ANN sidecars, and bounded by the hashed feature
+    * space for the classifier weights — c43's nonzero multinomial
+    * matrix is the largest at ≤ 6·4096 rows, ~200 KB). */
   def write(df: DataFrame, name: String): Unit =
     if (enabled)
       df.coalesce(1).write.mode("overwrite").parquet(s"$Dir/$name")
