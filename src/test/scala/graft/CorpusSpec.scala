@@ -488,6 +488,42 @@ class CorpusSpec extends AnyFunSuite {
     assert(again == out.map { case (k, v) => k -> v._2 }, "re-train diverged")
   }
 
+  test("c33/c43 quantized scoring is faithful to the un-quantized model") {
+    // The hash gate certifies that DuckDB replays the QUANTIZED
+    // arithmetic — but a wrong quantization would be replayed
+    // faithfully by both engines and still hash-match. This pins the
+    // other side: the micro-quantized kernel must reproduce
+    // model.transform's probabilities to within the quantization error
+    // (weight rounding ≤ 0.5e-6 per unit count; sigmoid/softmax are
+    // 1/4-Lipschitz, so per-doc drift is ~1e-5 at fixture sizes).
+    import org.apache.spark.ml.functions.vector_to_array
+    val en = (0L until 30L).map(i => (i, s"the and of to a in is item$i"))
+    val de = (0L until 30L).map(i => (100L + i, s"der die und das nicht ist ding$i"))
+    val zh = (0L until 30L).map(i => (200L + i, s"一二三四五 nr$i"))
+    val d = (en ++ de ++ zh).toDF("doc_id", "text")
+    val feat = graft.ops.QualityModel.langFeatures(d).localCheckpoint(true)
+    val model = graft.ops.QualityModel.langFit(feat, 25)
+    val kernel = graft.ops.QualityModel.langScore(d, feat, model).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("pred_lang"), r.getAs[Double]("confidence")))).toMap
+    val direct = model.transform(feat)
+      .select(col("doc_id"),
+        col("prediction").cast("int").as("p"),
+        org.apache.spark.sql.functions.array_max(
+          vector_to_array(col("probability"))).as("conf"))
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((graft.ops.QualityModel.LangClasses(r.getAs[Int]("p")),
+          r.getAs[Double]("conf")))).toMap
+    assert(kernel.keySet == direct.keySet)
+    kernel.foreach { case (id, (pl, conf)) =>
+      assert(pl == direct(id)._1,
+        s"doc $id: quantized pred $pl != model pred ${direct(id)._1}")
+      assert(math.abs(conf - direct(id)._2) < 1e-4,
+        s"doc $id: quantized conf $conf vs model ${direct(id)._2}")
+    }
+  }
+
   test("c43 lang classifier: reads character distributions, reproduces the heuristic on text alone") {
     // three planted character distributions; labels come from the c6
     // heuristic, but the MODEL sees only hashed char n-grams — perfect
