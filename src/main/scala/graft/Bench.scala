@@ -72,11 +72,14 @@ object Bench {
   }
 
   /** The per-query min map of a previous bench snapshot JSON; empty on
-    * any problem (first run, corrupt file) or an sf-tag mismatch (an
-    * sf1 spot-check snapshot must not adjudicate an sf0.1 run) —
-    * drift is advisory. */
+    * any problem (first run, corrupt file), an sf-tag mismatch (an
+    * sf1 spot-check snapshot must not adjudicate an sf0.1 run), or a
+    * machine-config mismatch (a CPUS=8 A/B run legitimately moves the
+    * sentinels — comparing across configs would both false-alarm AND
+    * poison the reference for the next standard run; snapshots
+    * predating the cpus field are accepted) — drift is advisory. */
   private[graft] def readSnapshotQueries(
-      path: String, benchSf: String): Map[String, Double] =
+      path: String, benchSf: String, benchCpus: Int): Map[String, Double] =
     try {
       val p = java.nio.file.Paths.get(path)
       if (!java.nio.file.Files.isReadable(p)) Map.empty
@@ -86,8 +89,11 @@ object Bench {
         val sfNode = node.get("sf")
         val sfOk = sfNode != null && sfNode.isTextual &&
           java.nio.file.Paths.get(sfNode.asText()).getFileName.toString == benchSf
+        val cpusNode = node.get("cpus")
+        val cpusOk = cpusNode == null ||
+          (cpusNode.isNumber && cpusNode.asInt() == benchCpus)
         val q = node.get("queries")
-        if (!sfOk || q == null || !q.isObject) Map.empty
+        if (!sfOk || !cpusOk || q == null || !q.isObject) Map.empty
         else {
           val it = q.fields()
           val b = Map.newBuilder[String, Double]
@@ -101,6 +107,9 @@ object Bench {
     } catch { case _: Throwable => Map.empty }
 
   def main(args: Array[String]): Unit = {
+    // f"%.3f" under a comma-decimal default locale would emit invalid
+    // JSON (query_runs, drift) — pin ROOT like every JSON-emitting main
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
@@ -267,7 +276,7 @@ object Bench {
     // the snapshot carries the verdict itself. Read BEFORE overwrite.
     val driftJson = {
       val ref = readSnapshotQueries("results/bench_last.json",
-        java.nio.file.Paths.get(sfDir).getFileName.toString)
+        java.nio.file.Paths.get(sfDir).getFileName.toString, cpus.toInt)
       drift(ref, results.map { case (k, v, _) => k -> v }.toMap) match {
         case Some((worst, key, verdict)) =>
           if (verdict != "ok")
@@ -279,7 +288,7 @@ object Bench {
       }
     }
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries":$qs,"query_runs":$qruns$vsBaseline$driftJson,"sf":"${esc(sfDir)}"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"cpus":${cpus.toInt},"queries":$qs,"query_runs":$qruns$vsBaseline$driftJson,"sf":"${esc(sfDir)}"}"""
     println(line)
     // the same line, durably: the round-8 committed BENCH artifact
     // truncated mid-list in log capture, losing the total and the a*/b*

@@ -7,13 +7,18 @@ import org.apache.spark.sql.SparkSession
   * suite rank #2 at 2.29 s in r14): its five certified stages share
   * the c44→c6→c27 survivor prefix, and the audit question is whether
   * each survivor set materializes ONCE (persist / exchange reuse) or
-  * the prefix recomputes per downstream consumer. Reports, per staging
-  * variant (SPARK_GRAFT_C46_STAGE = none | s2 | tiers | both):
-  * min wall, job count, and the final plan's documents-scan /
-  * ReusedExchange / InMemoryTableScan node counts. One JSON line per
-  * run; the committed artifact is results/c46_stage_profile_r15.json.
+  * the prefix recomputes per downstream consumer. Reports min wall,
+  * job count, and the EXECUTED final plan's documents-scan /
+  * ReusedExchange / InMemoryTableScan node counts (taken from the last
+  * timed run's DataFrame after execution, so AQE's runtime reuse nodes
+  * are visible). One JSON line per run; the committed artifact is
+  * results/c46_stage_profile_r15.json.
   * Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
-  * SPARK_GRAFT_CPUS (default 32). */
+  * SPARK_GRAFT_CPUS (default 32), SPARK_GRAFT_C46_S2 = lazy to A/B the
+  * s2 survivor-prefix staging (the pipelineE2e seam), and
+  * SPARK_GRAFT_C46_STAGE as a free-form LABEL stamped into the JSON so
+  * each A/B row names the configuration it ran (the label does not
+  * itself change any staging). */
 object C46Probe {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -34,20 +39,25 @@ object C46Probe {
       override def onJobStart(j: SparkListenerJobStart): Unit = jobs += 1
     })
     try {
+      var lastDf: org.apache.spark.sql.DataFrame = null
       val walls = (0 until 4).map { _ =>
         Thread.sleep(200)
         jobs = 0
         val t0 = System.nanoTime()
-        operators.PipelineQueries.pipelineE2e(spark, sfDir)
-          .queryExecution.toRdd.foreach(_ => ())
+        val df = operators.PipelineQueries.pipelineE2e(spark, sfDir)
+        df.queryExecution.toRdd.foreach(_ => ())
+        lastDf = df
         val w = (System.nanoTime() - t0) / 1e9
         Scratch.reap()
         (w, jobs)
       }
       // final-plan shape: how many times does the documents scan (and
-      // each cached stage) appear in the LAST run's executed plan
-      val plan = operators.PipelineQueries.pipelineE2e(spark, sfDir)
-        .queryExecution.executedPlan
+      // each cached stage) appear in the LAST run's EXECUTED plan —
+      // inspected after the foreach, so AQE's materialized stages and
+      // ReusedExchange nodes are present (a fresh unexecuted query
+      // would structurally report zero reuse regardless of runtime
+      // behavior)
+      val plan = lastDf.queryExecution.executedPlan
       def countIn(p: org.apache.spark.sql.execution.SparkPlan,
           pred: org.apache.spark.sql.execution.SparkPlan => Boolean): Int = {
         var n = 0

@@ -25,9 +25,12 @@ object LmScaleProbe {
   private val Keys = Seq("c27_lm_perplexity", "c28_dsir_weight", "c42_trigram_lm")
 
   def main(args: Array[String]): Unit = {
+    // locale-safe JSON (the D12Probe rule for every JSON-emitting main)
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", ".scratch/sf5lm")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "4").toInt
+    // first run is discarded as warmup, so ≥ 2 or the min is undefined
+    val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "4").toInt.max(2)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-lm-scale-probe")

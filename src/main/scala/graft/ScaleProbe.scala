@@ -22,10 +22,9 @@ object ScaleProbe {
     * same-session (results/d8_provider_ab_r14.json), neutral for
     * small-state streams (d11 5.66 vs 5.69 s). */
   private[graft] val largeStateConf: Map[String, String] =
-    graft.streaming.StateStoreConf.largeState(
-      sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
-      // probes set shuffle partitions themselves (the A/B knob)
-      .removed("spark.sql.shuffle.partitions")
+    // store conf only — probes set shuffle partitions themselves
+    // (their A/B knob)
+    graft.streaming.StateStoreConf.largeStateStore
 
   private def time[A](body: => A): (A, Double) = {
     val t0 = System.nanoTime()
@@ -156,6 +155,9 @@ object ScaleProbe {
   }
 
   def main(args: Array[String]): Unit = {
+    // f"%.3f" under a comma-decimal default locale would emit invalid
+    // JSON (the D12Probe rule — applies to every JSON-emitting main)
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val nDocs = sys.env.getOrElse("SPARK_GRAFT_PROBE_DOCS", "100000").toInt
     val nVecs = sys.env.getOrElse("SPARK_GRAFT_PROBE_VECS", "200000").toInt
     val dim = sys.env.getOrElse("SPARK_GRAFT_PROBE_DIM", "64").toInt

@@ -33,6 +33,15 @@ import org.apache.spark.sql.types.{DoubleType, IntegerType}
   * the oracle re-derives every token's feature index with
   * [[graft.operators.MurmurSql]], recomputes the margins, and applies
   * the same floor-quantized sigmoid/softmax.
+  *
+  * Residual cross-engine assumption (the lnTenk/c27 class, accepted
+  * precedent): the ONE transcendental per lane (exp) runs on an
+  * IDENTICAL exact-integer-derived double in both engines, but
+  * java.lang.Math.exp and DuckDB's libm exp are each only ~0.5-1 ulp
+  * accurate with no bit-identity guarantee — a doc whose quantized
+  * sigmoid/softmax lands within one ulp of a floor(·1e6+0.5) boundary
+  * could flip p_micro by 1 between engines. Probability ~1e-10 per
+  * doc; every integer lane before and after the exp is exact.
   */
 object QualityModel {
   /** Hashed feature space. 2^10 is plenty for the synthetic vocab;
@@ -197,12 +206,27 @@ object QualityModel {
       .filter(col("text").isNotNull)
       .select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
       .map { case (id, text) =>
-        val out = new scala.collection.mutable.ArrayBuffer[String](2 * text.length)
+        // grams are CODE-POINT bi/trigrams: the oracle re-derives them
+        // with DuckDB substr/length, which count code points, while a
+        // naive Java substring counts UTF-16 units and would split
+        // surrogate pairs on non-BMP text (different UTF-8 bytes →
+        // different hashed features → hash-gate divergence). Identical
+        // output for BMP text, so existing hashes are unchanged.
+        val n = text.length
+        val bounds = new scala.collection.mutable.ArrayBuffer[Int](n + 1)
         var i = 0
-        while (i < text.length - 1) {
-          out += text.substring(i, i + 2)
-          if (i < text.length - 2) out += text.substring(i, i + 3)
-          i += 1
+        while (i < n) {
+          bounds += i
+          i += Character.charCount(text.codePointAt(i))
+        }
+        bounds += n
+        val cp = bounds.length - 1
+        val out = new scala.collection.mutable.ArrayBuffer[String](2 * cp)
+        var j = 0
+        while (j < cp - 1) {
+          out += text.substring(bounds(j), bounds(j + 2))
+          if (j < cp - 2) out += text.substring(bounds(j), bounds(j + 3))
+          j += 1
         }
         (id, out.toSeq)
       }

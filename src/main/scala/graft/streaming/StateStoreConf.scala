@@ -34,15 +34,19 @@ object StateStoreConf {
   val RocksDbProvider: String =
     "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
 
+  /** The span-scale STORE conf alone (RocksDB + changelog
+    * checkpointing), for harnesses that manage their shard count
+    * themselves (ScaleProbe's A/B knob). */
+  val largeStateStore: Map[String, String] = Map(
+    "spark.sql.streaming.stateStore.providerClass" -> RocksDbProvider,
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" ->
+      "true")
+
   /** Span-scale preset: RocksDB + changelog checkpointing, state
     * shards = cores. */
   def largeState(cores: Int): Map[String, String] = {
     require(cores > 0, s"cores must be positive, got $cores")
-    Map(
-      "spark.sql.streaming.stateStore.providerClass" -> RocksDbProvider,
-      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" ->
-        "true",
-      "spark.sql.shuffle.partitions" -> cores.toString)
+    largeStateStore + ("spark.sql.shuffle.partitions" -> cores.toString)
   }
 
   /** Sketch-scale preset: heap provider (the Spark default), shards

@@ -72,19 +72,27 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.drift(ref.map { case (k, _) => k -> -1.0 }, ref).isEmpty)
   }
 
-  test("drift reference parser: queries map, sf-gated, never crashes") {
+  test("drift reference parser: queries map, sf- and cpus-gated, never crashes") {
     val f = Files.createTempFile("bench_snap", ".json")
     Files.write(f, ("""{"metric":"total","value":1.0,"queries":""" +
       """{"a2_vec_dot":0.1,"a4_vec_norm":0.2,"bad":"x"},""" +
       """"sf":"/root/testdata/sf0.1"}""").getBytes("UTF-8"))
-    assert(Bench.readSnapshotQueries(f.toString, "sf0.1") ===
+    assert(Bench.readSnapshotQueries(f.toString, "sf0.1", 32) ===
       Map("a2_vec_dot" -> 0.1, "a4_vec_norm" -> 0.2))
     // an sf1 snapshot must not adjudicate an sf0.1 run
-    assert(Bench.readSnapshotQueries(f.toString, "sf1") === Map.empty)
+    assert(Bench.readSnapshotQueries(f.toString, "sf1", 32) === Map.empty)
+    // a snapshot from a DIFFERENT machine config must not adjudicate
+    // either (a CPUS=8 A/B legitimately moves the sentinels); absent
+    // cpus (pre-r15 snapshots) stays accepted
+    Files.write(f, ("""{"metric":"total","cpus":8,"queries":""" +
+      """{"a2_vec_dot":0.1},"sf":"/root/testdata/sf0.1"}""").getBytes("UTF-8"))
+    assert(Bench.readSnapshotQueries(f.toString, "sf0.1", 32) === Map.empty)
+    assert(Bench.readSnapshotQueries(f.toString, "sf0.1", 8) ===
+      Map("a2_vec_dot" -> 0.1))
     // garbage and absence are silent
     Files.write(f, "not json".getBytes("UTF-8"))
-    assert(Bench.readSnapshotQueries(f.toString, "sf0.1") === Map.empty)
-    assert(Bench.readSnapshotQueries("/nonexistent.json", "sf0.1") === Map.empty)
+    assert(Bench.readSnapshotQueries(f.toString, "sf0.1", 32) === Map.empty)
+    assert(Bench.readSnapshotQueries("/nonexistent.json", "sf0.1", 32) === Map.empty)
   }
 
   test("the committed baseline TSV parses and carries the oracle surface") {

@@ -15,7 +15,8 @@ oracle_path = sys.argv[1]
 slice_dir = sys.argv[2] if len(sys.argv) > 2 else os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     ".scratch", "sf5lm")
-runs = int(sys.argv[3]) if len(sys.argv) > 3 else 4
+# first run is discarded as warmup, so the min needs >= 2
+runs = max(2, int(sys.argv[3])) if len(sys.argv) > 3 else 4
 
 KEYS = ["c27_lm_perplexity", "c28_dsir_weight", "c42_trigram_lm"]
 oracle = json.load(open(oracle_path))
