@@ -18,6 +18,19 @@ class PlanSpec extends AnyFunSuite {
   private def plan(df: org.apache.spark.sql.DataFrame): String =
     df.queryExecution.executedPlan.toString
 
+  test("c46 final plan reads only materialized stages (no documents re-scan)") {
+    // the composed pipeline stages its survivor prefix (s2 checkpoint)
+    // and pplBucket checkpoints its result, so the FINAL plan must
+    // consume checkpointed RDDs only — a parquet scan of documents
+    // here means some consumer went back through the whole
+    // c44→c6→c27 prefix (the recompute the r15 staging closed)
+    val p = plan(operators.PipelineQueries.pipelineE2e(spark, sf))
+    assert(!p.contains("FileScan parquet"),
+      s"c46 final plan re-scans parquet:\n$p")
+    assert(p.contains("ExistingRDD") || p.contains("Scan ExistingRDD"),
+      s"expected checkpoint scans in:\n$p")
+  }
+
   test("e3 star join broadcasts every dimension (no sort-merge join)") {
     val p = plan(operators.Relational.q5MultiJoin(spark, sf))
     assert(p.contains("BroadcastHashJoin"))
