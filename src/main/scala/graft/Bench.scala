@@ -55,19 +55,51 @@ object Bench {
     * snapshot self-reports environmental drift. */
   private[graft] val DriftBand = 1.3
 
+  /** Relative band for the MEDIAN cur/ref ratio across all common
+    * queries (the round-16 third signal): the r15 snapshot was
+    * uniformly ~15-20% elevated yet stamped drift-ok because both
+    * sentinels sat just under 1.3 — a fleet-wide shift needs a
+    * fleet-wide statistic. The median is robust to the handful of
+    * rows whose code genuinely changed in a round. */
+  private[graft] val MedianBand = 1.15
+
+  /** Median of cur/ref over every query timed in BOTH maps; None when
+    * fewer than 5 overlap (a subset run must not adjudicate the
+    * machine from 2 rows). */
+  private[graft] def medianRatio(
+      ref: Map[String, Double],
+      cur: Map[String, Double]): Option[Double] = {
+    val rs = cur.toSeq.flatMap { case (k, b) =>
+      ref.get(k).collect { case a if a > 0 && b > 0 => b / a }
+    }.sorted
+    if (rs.length < 5) None
+    else Some(
+      if (rs.length % 2 == 1) rs(rs.length / 2)
+      else (rs(rs.length / 2 - 1) + rs(rs.length / 2)) / 2)
+  }
+
   /** Worst sentinel movement of `cur` vs `ref` as (ratio, key,
-    * verdict); None when no sentinel is present in both maps. */
+    * verdict); None when no sentinel is present in both maps. The
+    * verdict folds in the median gate: `env-drift-suspected` when a
+    * sentinel trips its band, else `env-elevated` when the all-query
+    * median moved past [[MedianBand]] in either direction (sentinels
+    * quiet but the whole fleet shifted), else `ok`. */
   private[graft] def drift(
       ref: Map[String, Double],
-      cur: Map[String, Double]): Option[(Double, String, String)] = {
+      cur: Map[String, Double]): Option[(Double, String, String, Option[Double])] = {
     val moves = DriftSentinels.flatMap { k =>
       for {
         a <- ref.get(k) if a > 0
         b <- cur.get(k) if b > 0
       } yield (math.max(a / b, b / a), k)
     }
+    val med = medianRatio(ref, cur)
     moves.sortBy(-_._1).headOption.map { case (r, k) =>
-      (r, k, if (r > DriftBand) "env-drift-suspected" else "ok")
+      val verdict =
+        if (r > DriftBand) "env-drift-suspected"
+        else if (med.exists(m => math.max(m, 1 / m) > MedianBand)) "env-elevated"
+        else "ok"
+      (r, k, verdict, med)
     }
   }
 
@@ -228,12 +260,7 @@ object Bench {
       // intermittent crash must not masquerade as a fast min
       (name, if (secs.forall(_ >= 0)) secs.min else -1.0, secs)
     }
-    def esc(s: String): String = s.flatMap {
-      case '"' => "\\\""
-      case '\\' => "\\\\"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    }
+    def esc(s: String): String = ProbeJson.esc(s)
     val qs = results.map { case (k, v, _) => "\"" + esc(k) + "\":" + v }
       .mkString("{", ",", "}")
     // round-15 dispersion discipline: every committed number carries
@@ -278,12 +305,16 @@ object Bench {
       val ref = readSnapshotQueries("results/bench_last.json",
         java.nio.file.Paths.get(sfDir).getFileName.toString, cpus.toInt)
       drift(ref, results.map { case (k, v, _) => k -> v }.toMap) match {
-        case Some((worst, key, verdict)) =>
+        case Some((worst, key, verdict, med)) =>
           if (verdict != "ok")
-            System.err.println(f"[bench] DRIFT SENTINEL: $key moved " +
-              f"$worst%.2fx vs results/bench_last.json — environmental " +
-              "drift suspected; re-run quiet before reading regressions")
-          s""","drift":{"worst_sentinel_ratio":${f"$worst%.3f"},"worst_sentinel":"$key","verdict":"$verdict"}"""
+            System.err.println(f"[bench] DRIFT: verdict=$verdict ($key " +
+              f"moved $worst%.2fx" +
+              med.fold("")(m => f", all-query median $m%.3fx") +
+              " vs results/bench_last.json) — re-run quiet before " +
+              "reading regressions")
+          val medJson = med.fold("")(m =>
+            s""","median_ratio":${f"$m%.3f"},"median_band":$MedianBand""")
+          s""","drift":{"worst_sentinel_ratio":${f"$worst%.3f"},"worst_sentinel":"$key"$medJson,"verdict":"$verdict"}"""
         case None => ""
       }
     }

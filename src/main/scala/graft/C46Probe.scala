@@ -21,8 +21,14 @@ import org.apache.spark.sql.SparkSession
   * itself change any staging). */
 object C46Probe {
   def main(args: Array[String]): Unit = {
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // parsed once so a non-numeric env value fails HERE, not as a bare
+    // garbage token inside the emitted JSON line
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    // the A/B arm is chosen by the PROBE and passed as a parameter —
+    // the library path has no env read (ADVICE r15)
+    val stageS2 = !sys.env.get("SPARK_GRAFT_C46_S2").contains("lazy")
     val variant = sys.env.getOrElse("SPARK_GRAFT_C46_STAGE", "default")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -44,7 +50,7 @@ object C46Probe {
         Thread.sleep(200)
         jobs = 0
         val t0 = System.nanoTime()
-        val df = operators.PipelineQueries.pipelineE2e(spark, sfDir)
+        val df = operators.PipelineQueries.pipelineE2e(spark, sfDir, stageS2)
         df.queryExecution.toRdd.foreach(_ => ())
         lastDf = df
         val w = (System.nanoTime() - t0) / 1e9
@@ -89,8 +95,8 @@ object C46Probe {
       val cached = countIn(plan,
         _.isInstanceOf[org.apache.spark.sql.execution.columnar.InMemoryTableScanExec])
       val wallsJ = walls.map(w => f"${w._1}%.3f").mkString("[", ",", "]")
-      println(f"""{"probe":"c46_stage_profile","variant":"$variant","cpus":$cpus,""" +
-        f""""sf_dir":"$sfDir","wall_s_min":${walls.drop(1).map(_._1).min}%.3f,""" +
+      println(f"""{"probe":"c46_stage_profile","variant":"${ProbeJson.esc(variant)}","cpus":$cpus,""" +
+        f""""sf_dir":"${ProbeJson.esc(sfDir)}","wall_s_min":${walls.drop(1).map(_._1).min}%.3f,""" +
         f""""walls_s":$wallsJ,"jobs_last":${walls.last._2},""" +
         f""""documents_scans_in_plan":$scans,"reused_exchanges":$reusedEx,""" +
         f""""aqe_shuffle_reads":$reused,"in_memory_scans":$cached}""")

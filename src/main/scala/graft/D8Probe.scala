@@ -19,7 +19,11 @@ import org.apache.spark.sql.functions._
   *                               ship the delta, snapshots go async)
   *                               instead of the default full-snapshot
   *                               upload per commit
-  *   SPARK_GRAFT_ROCKS_UNMANAGED 1 = disable boundedMemoryUsage
+  *   SPARK_GRAFT_ROCKS_BOUNDED   1 = enable rocksdb boundedMemoryUsage
+  *                               (opt-in; Spark's default is false and
+  *                               the 500 MB default cap can bind at
+  *                               span-state scale — the mode that ran
+  *                               is stamped into the JSON row)
   *   SPARK_GRAFT_PROBE_OP        spans (default) | kmv — which
   *                               streaming operator to drive (kmv =
   *                               d11, the small-state control for the
@@ -32,7 +36,11 @@ object D8Probe {
     val provider = sys.env.getOrElse("SPARK_GRAFT_STATE_STORE", "rocksdb")
     val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val changelog = sys.env.get("SPARK_GRAFT_ROCKS_CHANGELOG").contains("1")
-    val unmanaged = sys.env.get("SPARK_GRAFT_ROCKS_UNMANAGED").contains("1")
+    // boundedMemoryUsage is opt-IN (Spark's own default is false):
+    // flipping it by default made cross-round d8 walls non-like-for-
+    // like, and the 500 MB default cap can bind at span-state scale
+    // (ADVICE r15). Whatever mode ran is stamped into the JSON row.
+    val bounded = sys.env.get("SPARK_GRAFT_ROCKS_BOUNDED").contains("1")
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-d8-probe")
@@ -49,7 +57,7 @@ object D8Probe {
           changelog.toString)
         .config(
           "spark.sql.streaming.stateStore.rocksdb.boundedMemoryUsage",
-          (!unmanaged).toString)
+          bounded.toString)
       case _ => builder
     }
     val spark = withProvider.getOrCreate()
@@ -76,9 +84,9 @@ object D8Probe {
       val wall = (System.nanoTime() - t0) / 1e9
       Scratch.reap()
       println(
-        f"""{"probe":"d8_ab","op":"$op","n_docs":$nDocs,"cpus":$cpus,""" +
-          f""""provider":"$provider","shuffle":$shuffle,""" +
-          f""""changelog":$changelog,"wall_s":$wall%.2f}""")
+        f"""{"probe":"d8_ab","op":"${ProbeJson.esc(op)}","n_docs":$nDocs,"cpus":${cpus.toInt},""" +
+          f""""provider":"${ProbeJson.esc(provider)}","shuffle":${shuffle.toInt},""" +
+          f""""changelog":$changelog,"bounded_memory":$bounded,"wall_s":$wall%.2f}""")
     } finally spark.stop()
   }
 }

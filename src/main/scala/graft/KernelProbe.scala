@@ -140,9 +140,91 @@ object KernelProbe {
       }
       acc
     }
-    runEntry(); runPacked() // JIT warmup
+    // --- 3b. packed layout, fields hoisted to locals outside the
+    // entry loop (the scanRuns-shape question: `run.sign`/`run.x2` are
+    // var fields — does re-loading them per entry cost the 10% the r15
+    // roofline measured at d=1536?) ---
+    def runPackedHoist(): (Double, Long) = inThreads { t =>
+      val qc = prep()
+      val runs = packedSets(t)
+      var acc = 0L
+      var it = 0
+      while (it < iters) {
+        var b = 0
+        while (b < runs.length) {
+          val run = runs(b)
+          val sign = run.sign
+          val x2s = run.x2
+          val ips = run.facIp
+          val errs = run.facErr
+          val n = run.n
+          var i = 0
+          var sb = 0
+          while (i < n) {
+            val lo = RaBitQ.estimateLowerLutPacked(qc, sign, sb, words,
+              x2s(i), ips(i), errs(i))
+            if (lo < -1e18) acc += 1
+            i += 1
+            sb += words
+          }
+          b += 1
+        }
+        it += 1
+      }
+      acc
+    }
+    // --- 3c. fused single-stream layout: entry i's record is
+    // [words sign longs][1 long: (x2.bits<<32)|facIp.bits]
+    // [1 long: (facErr.bits<<32)] — estimate touches exactly ONE
+    // sequential stream instead of sign + 3 factor columns (4
+    // hardware-prefetch streams/thread → 128 on 32 threads, past the
+    // per-core tracker budget; the entry-object layout wins today
+    // because TLAB allocation order makes it ~1 stream already). ---
+    val stride = words + 2
+    val fusedSets: Array[Array[Long]] = entrySets.map { es =>
+      val a = new Array[Long](es.length * stride)
+      var i = 0
+      while (i < es.length) {
+        val e = es(i)
+        System.arraycopy(e.sign_bits, 0, a, i * stride, words)
+        a(i * stride + words) =
+          (java.lang.Float.floatToRawIntBits(e.x2).toLong << 32) |
+            (java.lang.Float.floatToRawIntBits(e.fac_ip).toLong & 0xFFFFFFFFL)
+        a(i * stride + words + 1) =
+          java.lang.Float.floatToRawIntBits(e.fac_err).toLong << 32
+        i += 1
+      }
+      a
+    }
+    def runFused(): (Double, Long) = inThreads { t =>
+      val qc = prep()
+      val a = fusedSets(t)
+      val nE = nPerThread
+      var acc = 0L
+      var it = 0
+      while (it < iters) {
+        var i = 0
+        var sb = 0
+        while (i < nE) {
+          val f0 = a(sb + words)
+          val f1 = a(sb + words + 1)
+          val lo = RaBitQ.estimateLowerLutPacked(qc, a, sb, words,
+            java.lang.Float.intBitsToFloat((f0 >>> 32).toInt),
+            java.lang.Float.intBitsToFloat(f0.toInt),
+            java.lang.Float.intBitsToFloat((f1 >>> 32).toInt))
+          if (lo < -1e18) acc += 1
+          i += 1
+          sb += stride
+        }
+        it += 1
+      }
+      acc
+    }
+    runEntry(); runPacked(); runPackedHoist(); runFused() // JIT warmup
     val (wallE, _) = runEntry()
     val (wallP, _) = runPacked()
+    val (wallH, _) = runPackedHoist()
+    val (wallF, _) = runFused()
     val totalEst = threads.toDouble * iters * nPerThread
     def usPer(w: Double) = w / totalEst * 1e6
     def gbps(w: Double) = totalEst * bytesPerEntry / w / 1e9
@@ -153,10 +235,15 @@ object KernelProbe {
         s""""entry_us_per_est":${usPer(wallE)},"entry_gbps":${gbps(wallE)},""" +
         s""""packed_us_per_est":${usPer(wallP)},"packed_gbps":${gbps(wallP)},""" +
         s""""packed_speedup":${wallE / wallP},""" +
+        s""""packed_hoist_us_per_est":${usPer(wallH)},""" +
+        s""""packed_hoist_speedup":${wallE / wallH},""" +
+        s""""fused_us_per_est":${usPer(wallF)},""" +
+        s""""fused_speedup":${wallE / wallF},""" +
         s""""pct_of_bandwidth_packed":${100.0 * gbps(wallP) / streamGbps}}""" + "\n"
     print(line)
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get("results"))
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("results/kernel_roofline.json"), line)
+    val out = sys.env.getOrElse("SPARK_GRAFT_PROBE_OUT", "results/kernel_roofline.json")
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(out).toAbsolutePath.getParent)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line)
   }
 }

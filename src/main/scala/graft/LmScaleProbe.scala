@@ -15,20 +15,35 @@ import org.apache.spark.sql.SparkSession
   * SQL texts on the same files, and the committed JSON pair is the
   * adjudication artifact.
   *
+  * Round 16 generalizes the probe to ANY oracle-identical key list
+  * (SPARK_GRAFT_KEYS, comma-separated) so the same instrument
+  * adjudicates the remaining unproven sf1 ratios (c32 / e3 / e1 /
+  * c25 / d1) on the sf50 / sf100lm slices — the c42 treatment,
+  * verbatim.
+  *
   * Env: SPARK_GRAFT_SF_DIR (default .scratch/sf5lm), SPARK_GRAFT_CPUS
   * (default 32), SPARK_GRAFT_RUNS (default 4, first discarded as
-  * warmup, MIN of the rest reported — the Bench protocol). Prints one
+  * warmup, MIN of the rest reported — the Bench protocol),
+  * SPARK_GRAFT_KEYS (default the LM trio). Prints one
   * JSON line with per-query min walls and all raw runs (the round-15
   * dispersion discipline: every committed number carries its spread).
   */
 object LmScaleProbe {
-  private val Keys = Seq("c27_lm_perplexity", "c28_dsir_weight", "c42_trigram_lm")
+  private val DefaultKeys =
+    Seq("c27_lm_perplexity", "c28_dsir_weight", "c42_trigram_lm")
 
   def main(args: Array[String]): Unit = {
     // locale-safe JSON (the D12Probe rule for every JSON-emitting main)
     java.util.Locale.setDefault(java.util.Locale.ROOT)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", ".scratch/sf5lm")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // parsed to Int so a non-numeric env value fails here, not as a
+    // garbage bare token in the emitted JSON (ADVICE r15)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val keys = sys.env.get("SPARK_GRAFT_KEYS")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(DefaultKeys)
+    keys.foreach(k => require(SparkEntry.queries.contains(k),
+      s"unknown query key '$k' in SPARK_GRAFT_KEYS"))
     // first run is discarded as warmup, so ≥ 2 or the min is undefined
     val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "4").toInt.max(2)
     val spark = SparkSession.builder()
@@ -41,7 +56,7 @@ object LmScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try {
-      val results = Keys.map { k =>
+      val results = keys.map { k =>
         val walls = (0 until runs).map { _ =>
           val t0 = System.nanoTime()
           SparkEntry.queries(k)(spark, sfDir)
@@ -54,9 +69,10 @@ object LmScaleProbe {
       }
       val fields = results.map { case (k, mn, ws) =>
         val raw = ws.map(w => f"$w%.3f").mkString("[", ",", "]")
-        f""""$k":{"min_s":$mn%.3f,"runs_s":$raw}"""
+        f""""${ProbeJson.esc(k)}":{"min_s":$mn%.3f,"runs_s":$raw}"""
       }.mkString(",")
-      println(s"""{"probe":"lm_scale","sf_dir":"$sfDir","cpus":$cpus,$fields}""")
+      println(
+        s"""{"probe":"lm_scale","sf_dir":"${ProbeJson.esc(sfDir)}","cpus":$cpus,$fields}""")
     } finally spark.stop()
   }
 }

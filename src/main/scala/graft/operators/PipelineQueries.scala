@@ -264,7 +264,16 @@ object PipelineQueries {
     * (CCNet: Wenzek et al., arXiv:1911.00359). One row per URL-gate
     * survivor; selection columns NULL for tier-dropped docs, selected
     * coalesced to 0. */
-  def pipelineE2e(spark: SparkSession, dir: String): DataFrame = {
+  def pipelineE2e(spark: SparkSession, dir: String): DataFrame =
+    pipelineE2e(spark, dir, stageS2 = true)
+
+  /** `stageS2 = false` runs the s2 survivor prefix lazily — probe-only
+    * (C46Probe's A/B arm). A parameter rather than an env var read in
+    * the library path: a stray value in the environment must never
+    * silently change the committed default
+    * (results/c46_stage_profile_r15.json picked staged). */
+  private[graft] def pipelineE2e(
+      spark: SparkSession, dir: String, stageS2: Boolean): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val gate = graft.ops.UrlGate.urlGate(
         docs.select(col("doc_id"),
@@ -277,12 +286,11 @@ object PipelineQueries {
     // composition point a whole-corpus c45 rerun would miss.
     // s2 feeds TWO eager consumers (pplBucket materializes internally;
     // budgetSelect scans it again), so its url-gate + lang-id prefix
-    // evaluates twice when lazy. The C46Probe A/B (SPARK_GRAFT_C46_S2,
-    // results/c46_stage_profile_r15.json) measures the staging choice;
-    // the committed default follows it.
+    // evaluates twice when lazy. The C46Probe A/B
+    // (results/c46_stage_profile_r15.json) measures the staging
+    // choice; the committed default follows it.
     val s2Lazy = s1.select(col("doc_id"), col("text")).join(lang, Seq("doc_id"))
-    val s2 = if (sys.env.get("SPARK_GRAFT_C46_S2").contains("lazy")) s2Lazy
-      else s2Lazy.localCheckpoint(true)
+    val s2 = if (stageS2) s2Lazy.localCheckpoint(true) else s2Lazy
     val tiers = graft.ops.LmScore.pplBucket(s2)
     val sel = CorpusOps.budgetSelect(
       s2.join(tiers.filter(col("kept") === 1).select("doc_id"),

@@ -50,9 +50,20 @@ object StateStoreConf {
   }
 
   /** Sketch-scale preset: heap provider (the Spark default), shards
-    * follow state volume. */
+    * follow state volume. The provider and changelog flag are PINNED
+    * explicitly, not left to the session default: presets may be
+    * applied per-query via `spark.conf.set`, and switching from
+    * [[largeState]] to this one mid-session would otherwise silently
+    * run sketch-scale streams on the span-scale RocksDB provider (the
+    * session conf keeps the last value set). */
   def smallState(cores: Int): Map[String, String] = {
     require(cores > 0, s"cores must be positive, got $cores")
-    Map("spark.sql.shuffle.partitions" -> math.min(8, cores).toString)
+    Map(
+      "spark.sql.streaming.stateStore.providerClass" ->
+        ("org.apache.spark.sql.execution.streaming." +
+          "state.HDFSBackedStateStoreProvider"),
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" ->
+        "false",
+      "spark.sql.shuffle.partitions" -> math.min(8, cores).toString)
   }
 }

@@ -72,6 +72,35 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.drift(ref.map { case (k, _) => k -> -1.0 }, ref).isEmpty)
   }
 
+  test("median gate: fleet-wide elevation trips env-elevated when sentinels stay quiet") {
+    // the r15 failure mode: every row uniformly ~1.2x but both
+    // sentinels under the 1.3 band -> stamped ok. The median gate is
+    // the third signal.
+    val ref = (1 to 10).map(i => s"q$i" -> 1.0).toMap +
+      ("a2_vec_dot" -> 0.10) + ("a4_vec_norm" -> 0.10)
+    val elevated = ref.map { case (k, v) => k -> v * 1.2 }
+    val d = Bench.drift(ref, elevated).get
+    assert(d._3 == "env-elevated", d.toString)
+    assert(d._4.exists(m => math.abs(m - 1.2) < 1e-9))
+    // uniformly FASTER past the band trips too (machine moved)
+    assert(Bench.drift(ref, ref.map { case (k, v) => k -> v / 1.2 })
+      .exists(_._3 == "env-elevated"))
+    // a sentinel past ITS band outranks the median verdict
+    val sentinelHit = elevated + ("a2_vec_dot" -> 0.14)
+    assert(Bench.drift(ref, sentinelHit).exists(_._3 == "env-drift-suspected"))
+    // inside both bands: ok, median still reported
+    val calm = Bench.drift(ref, ref.map { case (k, v) => k -> v * 1.1 }).get
+    assert(calm._3 == "ok" && calm._4.exists(m => math.abs(m - 1.1) < 1e-9))
+    // a few genuinely-changed rows cannot trip the fleet statistic
+    val twoMovers = ref + ("q1" -> 3.0) + ("q2" -> 3.0)
+    assert(Bench.drift(ref, twoMovers).exists(_._3 == "ok"))
+    // sub-5 overlap: median undefined, sentinel verdict stands alone
+    val tiny = Map("a2_vec_dot" -> 0.12, "a4_vec_norm" -> 0.12)
+    val dTiny = Bench.drift(ref, tiny).get
+    assert(dTiny._4.isEmpty && dTiny._3 == "ok")
+    assert(Bench.medianRatio(ref, tiny).isEmpty)
+  }
+
   test("drift reference parser: queries map, sf- and cpus-gated, never crashes") {
     val f = Files.createTempFile("bench_snap", ".json")
     Files.write(f, ("""{"metric":"total","value":1.0,"queries":""" +

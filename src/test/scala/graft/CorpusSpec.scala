@@ -509,19 +509,33 @@ class CorpusSpec extends AnyFunSuite {
     val direct = model.transform(feat)
       .select(col("doc_id"),
         col("prediction").cast("int").as("p"),
-        org.apache.spark.sql.functions.array_max(
-          vector_to_array(col("probability"))).as("conf"))
+        vector_to_array(col("probability")).as("probs"))
       .collect()
-      .map(r => r.getAs[Long]("doc_id") ->
-        ((graft.ops.QualityModel.LangClasses(r.getAs[Int]("p")),
-          r.getAs[Double]("conf")))).toMap
+      .map { r =>
+        val probs = r.getAs[scala.collection.Seq[Double]]("probs").toSeq
+        val sorted = probs.sorted(Ordering[Double].reverse)
+        r.getAs[Long]("doc_id") ->
+          ((graft.ops.QualityModel.LangClasses(r.getAs[Int]("p")),
+            sorted.head, sorted.head - sorted(1)))
+      }.toMap
     assert(kernel.keySet == direct.keySet)
+    // argmax equality is only well-defined where the model itself is
+    // decisive: a top-two gap inside the quantization drift (~1e-5)
+    // can legitimately flip under exact-integer arithmetic, so the
+    // pred assertion is gated on the gap (ADVICE r15) — and the
+    // fixture must actually exercise it (min-gap guard below).
+    val predGapBound = 1e-4
     kernel.foreach { case (id, (pl, conf)) =>
-      assert(pl == direct(id)._1,
-        s"doc $id: quantized pred $pl != model pred ${direct(id)._1}")
-      assert(math.abs(conf - direct(id)._2) < 1e-4,
-        s"doc $id: quantized conf $conf vs model ${direct(id)._2}")
+      val (dl, dconf, gap) = direct(id)
+      if (gap > predGapBound)
+        assert(pl == dl, s"doc $id: quantized pred $pl != model pred $dl (gap $gap)")
+      assert(math.abs(conf - dconf) < 1e-4,
+        s"doc $id: quantized conf $conf vs model $dconf")
     }
+    val decisive = direct.values.count(_._3 > predGapBound)
+    assert(decisive >= direct.size / 2,
+      s"fixture degenerate: only $decisive/${direct.size} docs have a " +
+        s"top-two gap above $predGapBound — the pred assertion would be vacuous")
   }
 
   test("c43 lang classifier: reads character distributions, reproduces the heuristic on text alone") {
