@@ -94,6 +94,7 @@ object SparkEntry {
     "d6_stream_dedup" -> (PipelineQueries.streamingNearDup(_, _)),
     "d7_stream_gate" -> (PipelineQueries.streamingCorpusGate(_, _)),
     "d8_stream_spans" -> (PipelineQueries.streamingSpanDedup(_, _)),
+    "d8b_stream_spans_mb" -> (PipelineQueries.streamingSpanDedupMb(_, _)),
     "d9_stream_contam" -> (PipelineQueries.streamingEmbedContam(_, _)),
     "d10_stream_asof" -> (PipelineQueries.streamingAsof(_, _)),
     "d11_stream_kmv" -> (PipelineQueries.streamingKmv(_, _)),

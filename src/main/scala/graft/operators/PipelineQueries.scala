@@ -341,6 +341,9 @@ object PipelineQueries {
   def streamingSpanDedup(spark: SparkSession, dir: String): DataFrame =
     graft.streaming.StreamSpanDedup.streamingSpanDedup(spark, dir)
 
+  def streamingSpanDedupMb(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamSpanDedup.streamingSpanDedupMultiBatch(spark, dir)
+
   def streamingAsof(spark: SparkSession, dir: String): DataFrame =
     graft.streaming.StreamAsof.streamingAsof(spark, dir)
 
@@ -1437,6 +1440,62 @@ object PipelineQueries {
          |SELECT cnt.doc_id, cnt.n_windows, cnt.n_dup_windows,
          | COALESCE(cv.dup_tokens, 0) AS dup_tokens
          |FROM cnt LEFT JOIN cv USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "d8b_stream_spans_mb" -> {
+      // the 3-trigger replay: trigger k = ntile(3) bucket k of doc_id
+      // order; watermark at trigger k = max event time of triggers < k
+      // minus the 60 s delay. Event time is BaseEpochSec + doc_id, so
+      // the epoch base cancels and every expiry comparison runs in
+      // doc-id units: a prior holder (last sighting x) is still live
+      // at trigger k iff x + RET + DELAY >= max_doc(triggers < k).
+      // Per span the three batch steps unroll: eh1 = min doc of b1;
+      // eh_k = live prior holder else min doc of b_k; a window is dup
+      // iff its doc != its trigger's effective holder. Timeout removal
+      // equals the data-path expiry check because the watermark is
+      // monotone (StreamSpanDedup.streamingSpanDedupMultiBatch).
+      val horizon = graft.streaming.StreamSpanDedup.MultiBatchRetentionSec + 60L
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w,
+         |  ntile(3) OVER (ORDER BY doc_id) AS b FROM documents),
+         |win AS (SELECT doc_id, b, unnest(range(1, len(w) - ${Dedup.SpanK - 2})) AS p, w
+         |        FROM t WHERE len(w) >= ${Dedup.SpanK}),
+         |wk AS (SELECT doc_id, b, p,
+         |  md5(array_to_string(w[p:p+${Dedup.SpanK - 1}], ' ')) AS key FROM win),
+         |bm AS (SELECT
+         |  max(CASE WHEN b = 1 THEN doc_id END) AS md1,
+         |  max(CASE WHEN b <= 2 THEN doc_id END) AS md2 FROM wk),
+         |agg AS (SELECT key,
+         |  min(CASE WHEN b = 1 THEN doc_id END) AS m1,
+         |  max(CASE WHEN b = 1 THEN doc_id END) AS x1,
+         |  min(CASE WHEN b = 2 THEN doc_id END) AS m2,
+         |  max(CASE WHEN b = 2 THEN doc_id END) AS x2,
+         |  min(CASE WHEN b = 3 THEN doc_id END) AS m3
+         | FROM wk GROUP BY key),
+         |st AS (SELECT key, m1, m2, m3,
+         |  CASE WHEN m2 IS NULL THEN NULL
+         |       WHEN m1 IS NOT NULL AND x1 + $horizon >= bm.md1 THEN m1
+         |       ELSE m2 END AS eh2,
+         |  CASE WHEN m2 IS NOT NULL THEN x2 ELSE x1 END AS t2d
+         | FROM agg CROSS JOIN bm),
+         |eff AS (SELECT st.key, st.m1 AS eh1, st.eh2,
+         |  CASE WHEN st.m3 IS NULL THEN NULL
+         |       WHEN COALESCE(st.eh2, st.m1) IS NOT NULL
+         |            AND st.t2d + $horizon >= bm.md2 THEN COALESCE(st.eh2, st.m1)
+         |       ELSE st.m3 END AS eh3
+         | FROM st CROSS JOIN bm),
+         |d AS (SELECT wk.doc_id, wk.p,
+         |  CAST(wk.doc_id != CASE wk.b WHEN 1 THEN eff.eh1 WHEN 2 THEN eff.eh2
+         |                    ELSE eff.eh3 END AS INT) AS dup
+         | FROM wk JOIN eff USING (key)),
+         |cov AS (SELECT doc_id,
+         |  LEAST(${Dedup.SpanK}, COALESCE(lead(p) OVER (PARTITION BY doc_id ORDER BY p),
+         |    p + ${Dedup.SpanK}) - p) AS c
+         | FROM d WHERE dup = 1),
+         |cv AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS dup_tokens FROM cov GROUP BY doc_id),
+         |cnt AS (SELECT doc_id, CAST(count(*) AS INT) AS n_windows,
+         |  CAST(sum(dup) AS INT) AS n_dup_windows FROM d GROUP BY doc_id)
+         |SELECT cnt.doc_id, cnt.n_windows, cnt.n_dup_windows,
+         | COALESCE(cv.dup_tokens, 0) AS dup_tokens
+         |FROM cnt LEFT JOIN cv USING (doc_id) ORDER BY doc_id""".stripMargin
+    },
     "c25_bm25_search" ->
       (s"WITH ${bm25CteSql(
         s"bq(query_id, term) AS (VALUES ${graft.ops.Retrieval.bmQuerySql})")}" +

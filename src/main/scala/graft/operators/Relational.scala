@@ -101,12 +101,25 @@ object Relational {
     val asiaNations = Tables.nation(spark, dir)
       .join(broadcast(Tables.region(spark, dir).filter(col("r_name") === "ASIA")),
         col("n_regionkey") === col("r_regionkey"))
-    Tables.lineitem(spark, dir)
-      .join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(Tables.customer(spark, dir)), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(Tables.supplier(spark, dir)),
-        col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+    // Join shape is the 100 TB one (the r16 sf50 adjudication caught
+    // the old plan broadcasting CUSTOMER — a fact-proportional table,
+    // 7.5M rows at sf50, 58 s wall):
+    //  - only the constant-size dims (nation×region) carry an explicit
+    //    broadcast hint; supplier-in-ASIA is reduced by that broadcast
+    //    FIRST and then left to AQE, which broadcasts it while small
+    //    and falls back to a shuffle join when it grows with SF;
+    //  - orders⋈customer goes first (both shuffle on custkey, the two
+    //    SMALLER tables), so lineitem shuffles exactly ONCE, on
+    //    l_orderkey, pruned to four columns.
+    val asiaSup = Tables.supplier(spark, dir)
       .join(broadcast(asiaNations), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_nationkey"), col("n_name"))
+    val oc = o.join(Tables.customer(spark, dir),
+      col("o_custkey") === col("c_custkey"))
+    Tables.lineitem(spark, dir)
+      .join(oc, col("l_orderkey") === col("o_orderkey"))
+      .join(asiaSup,
+        col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
       .groupBy("n_name")
       .agg(sum(revenueExpr).cast(DoubleType).as("revenue"))
       .orderBy(col("revenue").desc, col("n_name"))

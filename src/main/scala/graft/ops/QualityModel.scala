@@ -193,6 +193,33 @@ object QualityModel {
     langScore(docs, feat, langFit(feat, maxIter))
   }
 
+  /** The c43 gram kernel as a pure function (fuzzed directly by
+    * PropertySpec): CODE-POINT bi/trigrams. The oracle re-derives
+    * grams with DuckDB substr/length, which count code points, while
+    * a naive Java substring counts UTF-16 units and would split
+    * surrogate pairs on non-BMP text (different UTF-8 bytes →
+    * different hashed features → hash-gate divergence). Identical
+    * output for BMP text. */
+  private[graft] def gramsOf(text: String): Seq[String] = {
+    val n = text.length
+    val bounds = new scala.collection.mutable.ArrayBuffer[Int](n + 1)
+    var i = 0
+    while (i < n) {
+      bounds += i
+      i += Character.charCount(text.codePointAt(i))
+    }
+    bounds += n
+    val cp = bounds.length - 1
+    val out = new scala.collection.mutable.ArrayBuffer[String](2 * cp)
+    var j = 0
+    while (j < cp - 1) {
+      out += text.substring(bounds(j), bounds(j + 2))
+      if (j < cp - 2) out += text.substring(bounds(j), bounds(j + 3))
+      j += 1
+    }
+    out.toSeq
+  }
+
   /** The c43 featurization pass: char bi+trigrams in a typed kernel
     * (one linear pass per doc; emits the n-gram multiset, hashed
     * next — never a collected vocabulary), the c6 heuristic label
@@ -205,31 +232,7 @@ object QualityModel {
     val grams = docs
       .filter(col("text").isNotNull)
       .select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
-      .map { case (id, text) =>
-        // grams are CODE-POINT bi/trigrams: the oracle re-derives them
-        // with DuckDB substr/length, which count code points, while a
-        // naive Java substring counts UTF-16 units and would split
-        // surrogate pairs on non-BMP text (different UTF-8 bytes →
-        // different hashed features → hash-gate divergence). Identical
-        // output for BMP text, so existing hashes are unchanged.
-        val n = text.length
-        val bounds = new scala.collection.mutable.ArrayBuffer[Int](n + 1)
-        var i = 0
-        while (i < n) {
-          bounds += i
-          i += Character.charCount(text.codePointAt(i))
-        }
-        bounds += n
-        val cp = bounds.length - 1
-        val out = new scala.collection.mutable.ArrayBuffer[String](2 * cp)
-        var j = 0
-        while (j < cp - 1) {
-          out += text.substring(bounds(j), bounds(j + 2))
-          if (j < cp - 2) out += text.substring(bounds(j), bounds(j + 3))
-          j += 1
-        }
-        (id, out.toSeq)
-      }
+      .map { case (id, text) => (id, gramsOf(text)) }
       .toDF("doc_id", "grams")
     val heuristic = TextAnalysis.langId(docs.filter(col("text").isNotNull))
       .select(col("doc_id"), col("predicted").as("heuristic_lang"))

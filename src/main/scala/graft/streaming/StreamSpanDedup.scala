@@ -64,6 +64,83 @@ object StreamSpanDedup {
   def streamingSpanDedup(spark: SparkSession, dir: String): DataFrame =
     streamingSpanDedupFromDir(spark, EventOps.symlinkedDir(dir, "documents.parquet"))
 
+  /** Per-(table-dir, n) cache of the deterministic multi-file source
+    * layout — the split is pure function of the table, and Bench runs
+    * the query several times (the symlinkedDir precedent). */
+  private val mbSrcCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), String]()
+
+  /** Deterministic n-file split of the documents table for a
+    * multi-trigger drain: bucket k = ntile(n) over doc_id order (the
+    * same ANSI ntile the oracle computes), one parquet file per
+    * bucket, strictly increasing modification times so the file
+    * source's oldest-first ordering ingests bucket k as trigger k.
+    * The layout is harness plumbing (a production ingest has real
+    * arrival order); the OPERATOR under test is the unchanged d8
+    * pipeline. */
+  private[graft] def multiBatchDocsDir(
+      spark: SparkSession, dir: String, n: Int): String =
+    mbSrcCache.computeIfAbsent((dir, n), _ => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_d8b_src")
+      tmp.toFile.deleteOnExit() // registered FIRST: deleteOnExit runs LIFO,
+      // so the per-file hooks below fire before the (then-empty) dir's
+      val docs = graft.Tables.documents(spark, dir)
+      val withB = docs.withColumn("b",
+        ntile(n).over(Window.orderBy("doc_id")))
+      (1 to n).foreach { k =>
+        val stage = java.nio.file.Files.createTempDirectory("graft_d8b_stage")
+        withB.filter(col("b") === k).drop("b")
+          .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+        val part = stage.toFile.listFiles()
+          .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+          .getOrElse(sys.error(s"no part file written for batch $k"))
+        val dst = tmp.resolve(f"batch$k%02d.parquet")
+        java.nio.file.Files.move(part.toPath, dst)
+        // distinct mtimes: FileStreamSource orders available files by
+        // modification time; equal stamps would leave trigger order
+        // undefined and the replay oracle wrong
+        require(dst.toFile.setLastModified(1000000000L + k * 60000L),
+          s"could not stamp mtime on $dst")
+        dst.toFile.deleteOnExit()
+        org.apache.commons.io.FileUtils.deleteDirectory(stage.toFile)
+      }
+      tmp.toString
+    })
+
+  /** d8b: the UNCHANGED d8 pipeline driven through a deterministic
+    * ≥3-trigger drain (one file per trigger over the ntile(3) doc_id
+    * split), with retention tightened to 60 s so cross-batch EVICTION
+    * and first-holder HANDOFF actually occur at verify scale — the
+    * multi-batch semantics the single-batch d8 hash cannot touch.
+    *
+    * Determinism: trigger k's watermark is fixed by construction
+    * (max event time of triggers < k minus the 60 s delay; event time
+    * = BaseEpochSec + doc_id, and trigger k holds a doc_id RANGE), so
+    * the ordered-arrival rule replays exactly in SQL: the oracle
+    * unrolls the three batch steps per span — batch-1 holder = min
+    * doc; batch-k holder = prior holder if its last sighting is
+    * within retention of the batch watermark, else the batch's min
+    * doc; a row is dup iff its doc ≠ its batch's effective holder.
+    * Since event time is BaseEpochSec + doc_id, the epoch base cancels
+    * from every watermark comparison and the replay runs in doc-id
+    * units (x_prior + RET + DELAY ≥ max_doc_of_prior_batches). Late
+    * rows cannot occur (trigger k's doc_ids all exceed every earlier
+    * doc_id, so event times sit above the watermark by construction),
+    * and state timeout-removal is equivalent to the data-path expiry
+    * check because the watermark is monotone. */
+  def streamingSpanDedupMultiBatch(spark: SparkSession, dir: String): DataFrame =
+    streamingSpanDedupFromDir(spark,
+      multiBatchDocsDir(spark, dir, MultiBatchN),
+      retentionSec = MultiBatchRetentionSec,
+      watermarkDelay = "60 seconds",
+      maxFilesPerTrigger = Some(1))
+
+  /** d8b trigger count and retention — shared with the oracle
+    * generator (the SQL unrolls exactly [[MultiBatchN]] batch steps at
+    * this retention). */
+  private[graft] val MultiBatchN = 3
+  private[graft] val MultiBatchRetentionSec = 60L
+
   def streamingSpanDedupFromDir(
       spark: SparkSession,
       srcDir: String,

@@ -321,4 +321,154 @@ class PropertySpec extends AnyFunSuite {
             java.lang.Float.floatToRawIntBits(b(i))))
     }
   }
+
+  // --- c44 URL-gauntlet fuzzer (ADVICE/VERDICT r15 task 6) ---------
+  // URLs are GENERATED FROM COMPONENTS, so the expected canonical form
+  // is construction-derived truth (never re-parsed): any parser bug in
+  // UrlGate.canonicalize diverges from the component-built expectation.
+  private case class UrlParts(
+      scheme: String, schemeUp: Boolean, userinfo: Option[String],
+      hostKind: Int, labels: List[String], www: String, dots: Int,
+      port: Option[String], segs: List[String], trailingSlash: Boolean,
+      params: List[(String, Option[String])], emptyChunks: Int,
+      fragment: Option[String])
+
+  private val urlGen: Gen[UrlParts] = {
+    val label = Gen.oneOf("site-1", "xn--site-1", "blog", "example",
+      "co", "uk", "com", "au", "a1", "b-2")
+    val pname = Gen.oneOf("a", "z", "b2", "Z", "utm_source", "UTM_X",
+      "fbclid", "REF", "gclid", "mc_cid", "Ref")
+    val pval = Gen.option(Gen.oneOf("1", "x9", "Qq", ""))
+    for {
+      scheme <- Gen.oneOf("http", "https", "ftp")
+      schemeUp <- Gen.oneOf(true, false)
+      userinfo <- Gen.option(Gen.oneOf("u:p", "a@b:c", "x"))
+      hostKind <- Gen.frequency(6 -> 0, 1 -> 1, 1 -> 2) // named/ipv4/ipv6
+      nLabels <- Gen.chooseNum(1, 4)
+      labels <- Gen.listOfN(nLabels, label)
+      www <- Gen.oneOf("", "www.", "WWW.", "wWw.")
+      dots <- Gen.chooseNum(0, 2)
+      port <- Gen.option(Gen.oneOf("80", "443", "0080", "8080", "000",
+        "", "65536999"))
+      nSegs <- Gen.chooseNum(0, 3)
+      segs <- Gen.listOfN(nSegs, Gen.oneOf("p", "q2", "X", ""))
+      trailingSlash <- Gen.oneOf(true, false)
+      nParams <- Gen.chooseNum(0, 5)
+      params <- Gen.listOfN(nParams, Gen.zip(pname, pval))
+      emptyChunks <- Gen.chooseNum(0, 2)
+      fragment <- Gen.option(Gen.oneOf("sec", "a?b", ""))
+    } yield UrlParts(scheme, schemeUp, userinfo, hostKind, labels, www,
+      dots, port, segs, trailingSlash, params, emptyChunks, fragment)
+  }
+
+  test("c44 fuzz: canonicalize equals the component-derived expectation on 1k hostile URLs") {
+    forAll(urlGen, 1000) { u =>
+      val hostRaw = u.hostKind match {
+        case 1 => "10.0.3.7"
+        case 2 => "[2001:DB8::1]"
+        case _ => u.www + u.labels.mkString(".") + ("." * u.dots)
+      }
+      val rawQ = {
+        val chunks = u.params.map { case (n, v) =>
+          v.fold(n)(n + "=" + _) } ++ List.fill(u.emptyChunks)("")
+        if (chunks.isEmpty) "" else "?" + chunks.mkString("&")
+      }
+      val rawPath =
+        if (u.segs.isEmpty && !u.trailingSlash) ""
+        else "/" + u.segs.mkString("/") + (if (u.trailingSlash) "/" else "")
+      val raw = (if (u.schemeUp) u.scheme.toUpperCase else u.scheme) +
+        "://" + u.userinfo.fold("")(_ + "@") +
+        hostRaw + u.port.fold("")(":" + _) +
+        rawPath + rawQ + u.fragment.fold("")("#" + _)
+
+      // expected canonical host: lowercase, strip trailing dots, strip
+      // ONE leading www. (the documented pipeline, independently coded)
+      var h = hostRaw.toLowerCase(java.util.Locale.ROOT)
+      while (h.endsWith(".")) h = h.dropRight(1)
+      if (h.startsWith("www.")) h = h.substring(4)
+      // expected port: digits-only, numerically normalized, defaults dropped
+      val expPort = u.port match {
+        case None => ""
+        case Some(p) if p.isEmpty => ""
+        case Some(p) =>
+          val s = p.dropWhile(_ == '0')
+          val pn = if (s.isEmpty) "0" else s
+          if ((u.scheme == "http" && pn == "80") ||
+            (u.scheme == "https" && pn == "443")) "" else ":" + pn
+      }
+      val expPath = {
+        val p0 = if (rawPath.isEmpty) "/" else rawPath
+        if (p0.length > 1 && p0.endsWith("/")) p0.dropRight(1) else p0
+      }
+      val expQ = {
+        val kept = u.params.map { case (n, v) => v.fold(n)(n + "=" + _) }
+          .filter(_.nonEmpty)
+          .filterNot { chunk =>
+            val eq = chunk.indexOf('=')
+            val name = (if (eq >= 0) chunk.substring(0, eq) else chunk)
+              .toLowerCase(java.util.Locale.ROOT)
+            name.startsWith("utm_") ||
+              graft.ops.UrlGate.TrackingNames.contains(name)
+          }.sorted
+        if (kept.isEmpty) "" else "?" + kept.mkString("&")
+      }
+      val expCanon = u.scheme + "://" + h + expPort + expPath + expQ
+      val expDomain =
+        if (h.startsWith("[")) h
+        else {
+          val ls = h.split('.')
+          if (ls.nonEmpty && ls.last.nonEmpty && ls.last.forall(_.isDigit)) h
+          else if (ls.length <= 2) h
+          else {
+            val last2 = ls(ls.length - 2) + "." + ls(ls.length - 1)
+            if (graft.ops.UrlGate.PublicSuffixes.contains(last2))
+              ls(ls.length - 3) + "." + last2
+            else last2
+          }
+        }
+      val (canon, dom) = graft.ops.UrlGate.canonicalize(raw)
+      assert(canon == expCanon, s"raw=$raw")
+      assert(dom == expDomain, s"raw=$raw")
+    }
+    // degenerate inputs: null and scheme-less stay (null, null)
+    assert(graft.ops.UrlGate.canonicalize(null) == ((null, null)))
+    assert(graft.ops.UrlGate.canonicalize("site.com/x") == ((null, null)))
+    assert(graft.ops.UrlGate.canonicalize("://x") == ((null, null)))
+  }
+
+  // --- c43 gram-kernel fuzzer: surrogate pairs / CJK (task 6) ------
+  test("c43 fuzz: gramsOf equals code-point-array grams on 1k non-BMP strings") {
+    val cpGen = Gen.frequency(
+      4 -> Gen.chooseNum(97, 122), // ASCII letters
+      1 -> Gen.const(32), // space
+      3 -> Gen.chooseNum(0x4E00, 0x9FFF), // CJK
+      2 -> Gen.chooseNum(0x1F300, 0x1F6FF), // emoji (surrogate pairs)
+      1 -> Gen.chooseNum(0x1D100, 0x1D1FF), // musical (surrogate pairs)
+      1 -> Gen.chooseNum(0xD800, 0xDFFF)) // LONE surrogates (hostile)
+    val textGen = for {
+      n <- Gen.chooseNum(0, 12)
+      cps <- Gen.listOfN(n, cpGen)
+    } yield cps
+    forAll(textGen, 1000) { cps =>
+      // build the string from raw code points (lone surrogates become
+      // their UTF-16 char verbatim, like real-world broken text)
+      val sb = new java.lang.StringBuilder
+      cps.foreach { c =>
+        if (Character.isBmpCodePoint(c)) sb.append(c.toChar)
+        else sb.appendCodePoint(c)
+      }
+      val text = sb.toString
+      // independent expectation: walk the JDK's own code-point stream
+      val arr = text.codePoints().toArray
+      val exp = scala.collection.mutable.ArrayBuffer.empty[String]
+      var j = 0
+      while (j < arr.length - 1) {
+        exp += new String(arr, j, 2)
+        if (j < arr.length - 2) exp += new String(arr, j, 3)
+        j += 1
+      }
+      val got = graft.ops.QualityModel.gramsOf(text)
+      assert(got == exp.toSeq, s"cps=${cps.mkString(",")}")
+    }
+  }
 }
