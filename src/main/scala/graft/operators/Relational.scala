@@ -111,15 +111,29 @@ object Relational {
     //  - orders⋈customer goes first (both shuffle on custkey, the two
     //    SMALLER tables), so lineitem shuffles exactly ONCE, on
     //    l_orderkey, pruned to four columns.
+    // shuffle_hash hints on the build sides: Spark's default SMJ
+    // SORTS the 300M-row lineitem shuffle (12.9 GB spill, 183 s at
+    // sf50 — results/e3_scale_fix_r16.json); a shuffled hash join
+    // builds on the smaller side (customer; then the date-filtered
+    // orders⋈customer product, 13× smaller than lineitem) and streams
+    // the fact side unsorted. Build-side memory scales DOWN with the
+    // partition count, so the hint stays valid at cluster scale.
     val asiaSup = Tables.supplier(spark, dir)
       .join(broadcast(asiaNations), col("s_nationkey") === col("n_nationkey"))
       .select(col("s_suppkey"), col("s_nationkey"), col("n_name"))
-    val oc = o.join(Tables.customer(spark, dir),
+    val oc = o.join(Tables.customer(spark, dir).hint("shuffle_hash"),
       col("o_custkey") === col("c_custkey"))
+    // broadcast-prefilter lineitem by the ASIA-supplier dim BEFORE the
+    // orderkey shuffle: only ~1/|regions| of line items survive, so the
+    // one fact shuffle carries 1.1 GB instead of 5.6 GB at sf50.
+    // Supplier is 600× smaller than lineitem at every TPC-H SF; at the
+    // scale where one region's suppliers outgrow a broadcast, drop
+    // this hint and AQE falls back to the shuffle form.
     Tables.lineitem(spark, dir)
-      .join(oc, col("l_orderkey") === col("o_orderkey"))
-      .join(asiaSup,
-        col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(asiaSup), col("l_suppkey") === col("s_suppkey"))
+      .join(oc.hint("shuffle_hash"),
+        col("l_orderkey") === col("o_orderkey") &&
+          col("c_nationkey") === col("s_nationkey"))
       .groupBy("n_name")
       .agg(sum(revenueExpr).cast(DoubleType).as("revenue"))
       .orderBy(col("revenue").desc, col("n_name"))
