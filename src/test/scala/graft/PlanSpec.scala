@@ -31,10 +31,16 @@ class PlanSpec extends AnyFunSuite {
       s"expected checkpoint scans in:\n$p")
   }
 
-  test("e3 star join broadcasts every dimension (no sort-merge join)") {
+  test("e3: dims broadcast, fact joins are shuffled-hash, nothing sorts") {
+    // the r16 scale shape (results/e3_scale_fix_r16.json): nation/
+    // region/ASIA-supplier ride broadcasts; orders⋈customer and
+    // lineitem⋈oc build hash maps on the smaller side and stream the
+    // fact unsorted — an SMJ here re-grows the 300M-row sort+spill
+    // the sf50 adjudication caught
     val p = plan(operators.Relational.q5MultiJoin(spark, sf))
     assert(p.contains("BroadcastHashJoin"))
-    assert(!p.contains("SortMergeJoin"), "a dimension fell back to SMJ")
+    assert(p.contains("ShuffledHashJoin"), s"fact join lost the shuffle_hash build:\n$p")
+    assert(!p.contains("SortMergeJoin"), "a join fell back to SMJ")
   }
 
   test("e2 pushes the segment filter into the customer scan") {

@@ -137,4 +137,27 @@ SURVEY SS6. The 2x bar is evaluated on the totals ratio reported by
 if append_sf1_section():
     print("re-appended sf1 spot-check section from results/sf1_spotcheck.json")
 
+# ...and every OTHER marker-delimited block the previous BASELINE.md
+# carried (lm-scale-adjudication, scale-adjudication-r16, any future
+# one) — the r16 regen silently dropped two adjudication blocks
+# because only the sf1 section had a re-append hook
+import re, subprocess
+try:
+    prev = subprocess.run(["git", "show", "HEAD:BASELINE.md"],
+                          capture_output=True, text=True, check=True).stdout
+    cur = open("BASELINE.md").read()
+    restored = []
+    for m in re.finditer(r"<!-- ([\w-]+):begin -->.*?<!-- \1:end -->",
+                         prev, re.DOTALL):
+        tag = m.group(1)
+        if f"<!-- {tag}:begin -->" not in cur:
+            cur += "\n" + m.group(0) + "\n"
+            restored.append(tag)
+    if restored:
+        with open("BASELINE.md", "w") as f:
+            f.write(cur)
+        print(f"re-appended marker blocks from HEAD: {', '.join(restored)}")
+except Exception as e:  # a fresh repo without HEAD must not fail the regen
+    print(f"marker-block restore skipped: {e}")
+
 print(f"\ntotal {total:.4f} s over {n_ok} queries -> BASELINE.md + results/baseline_duckdb.tsv")
