@@ -233,6 +233,7 @@ object Bench {
     // production — pick it for the expected state, then live with it).
     val streamingKeys = Set("d3_stream_agg", "d4_stream_user_stats",
       "d6_stream_dedup", "d7_stream_gate", "d8_stream_spans",
+      "d8b_stream_spans_mb",
       "d9_stream_contam", "d10_stream_asof", "d11_stream_kmv",
       "d12_stream_join", "d13_stream_dropdup", "d14_stream_bloom",
       "d15_stream_cms", "d16_stream_sample")
