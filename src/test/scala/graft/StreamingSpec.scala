@@ -723,4 +723,43 @@ class StreamingSpec extends AnyFunSuite {
         (if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
     assert(kept(3L) == 1L, s"in-retention click lost: $kept")
   }
+
+  test("d8b multi-batch source: exactly N files, strictly increasing mtimes, ntile doc ranges") {
+    // the oracle's replay is only valid if trigger k == ntile bucket k:
+    // the layout must be one file per bucket, oldest-first in bucket
+    // order, and bucket contents must be contiguous doc_id ranges
+    val dir = graft.streaming.StreamSpanDedup
+      .multiBatchDocsDir(spark, "/root/testdata/sf0.001", 3)
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    assert(files.length == 3, s"want 3 batch files: ${files.mkString(",")}")
+    assert(files.sliding(2).forall { case Array(a, b) =>
+      a.lastModified < b.lastModified
+    }, "mtimes must strictly increase in batch order")
+    val ranges = files.map { f =>
+      val ids = spark.read.parquet(f.getPath)
+        .select("doc_id").as[Long].collect().sorted
+      (ids.min, ids.max, ids.length)
+    }
+    // contiguous, ordered, ANSI ntile sizing (earlier buckets take the
+    // remainder) over the full table
+    val total = ranges.map(_._3).sum
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").count()
+    assert(total == docs, s"split lost rows: $total vs $docs")
+    assert(ranges.sliding(2).forall { case Array(a, b) => a._2 < b._1 },
+      s"bucket doc ranges must be ordered and disjoint: ${ranges.mkString(",")}")
+    val base = total.toInt / 3; val rem = total.toInt % 3
+    val expectSizes = (0 until 3).map(i => base + (if (i < rem) 1 else 0))
+    assert(ranges.map(_._3).toSeq == expectSizes,
+      s"ntile sizing mismatch: ${ranges.map(_._3).toSeq} vs $expectSizes")
+  }
+
+  test("d8b is deterministic across invocations (same final table)") {
+    def run() = graft.operators.PipelineQueries
+      .streamingSpanDedupMb(spark, "/root/testdata/sf0.001")
+      .as[(Long, Int, Int, Long)].collect().toSeq.sorted
+    val a = run(); val b = run()
+    assert(a == b, "d8b diverged between two drains of the same input")
+    assert(a.nonEmpty && a.map(_._2).sum > 0, "no windows produced")
+  }
 }
