@@ -79,11 +79,15 @@ object Bench {
   }
 
   /** Worst sentinel movement of `cur` vs `ref` as (ratio, key,
-    * verdict); None when no sentinel is present in both maps. The
+    * verdict); None only when NEITHER signal is computable (no
+    * sentinel pair overlaps AND fewer than 5 common queries). The
     * verdict folds in the median gate: `env-drift-suspected` when a
     * sentinel trips its band, else `env-elevated` when the all-query
     * median moved past [[MedianBand]] in either direction (sentinels
-    * quiet but the whole fleet shifted), else `ok`. */
+    * quiet — or absent — but the whole fleet shifted), else `ok`.
+    * A snapshot whose sentinels both failed (-1) must not silence the
+    * fleet-wide statistic: with no sentinel pair the ratio reports -1
+    * and key `none`, and the median alone adjudicates. */
   private[graft] def drift(
       ref: Map[String, Double],
       cur: Map[String, Double]): Option[(Double, String, String, Option[Double])] = {
@@ -94,12 +98,16 @@ object Bench {
       } yield (math.max(a / b, b / a), k)
     }
     val med = medianRatio(ref, cur)
-    moves.sortBy(-_._1).headOption.map { case (r, k) =>
-      val verdict =
-        if (r > DriftBand) "env-drift-suspected"
-        else if (med.exists(m => math.max(m, 1 / m) > MedianBand)) "env-elevated"
-        else "ok"
-      (r, k, verdict, med)
+    val medTrips = med.exists(m => math.max(m, 1 / m) > MedianBand)
+    moves.sortBy(-_._1).headOption match {
+      case Some((r, k)) =>
+        val verdict =
+          if (r > DriftBand) "env-drift-suspected"
+          else if (medTrips) "env-elevated"
+          else "ok"
+        Some((r, k, verdict, med))
+      case None =>
+        med.map(_ => (-1.0, "none", if (medTrips) "env-elevated" else "ok", med))
     }
   }
 

@@ -95,7 +95,10 @@ object C46Probe {
       val cached = countIn(plan,
         _.isInstanceOf[org.apache.spark.sql.execution.columnar.InMemoryTableScanExec])
       val wallsJ = walls.map(w => f"${w._1}%.3f").mkString("[", ",", "]")
-      println(f"""{"probe":"c46_stage_profile","variant":"${ProbeJson.esc(variant)}","cpus":$cpus,""" +
+      // stage_s2 stamps the arm that actually RAN (the D8Probe
+      // discipline) — the free-text variant label alone could
+      // mis-record which arm produced the walls
+      println(f"""{"probe":"c46_stage_profile","variant":"${ProbeJson.esc(variant)}","stage_s2":$stageS2,"cpus":$cpus,""" +
         f""""sf_dir":"${ProbeJson.esc(sfDir)}","wall_s_min":${walls.drop(1).map(_._1).min}%.3f,""" +
         f""""walls_s":$wallsJ,"jobs_last":${walls.last._2},""" +
         f""""documents_scans_in_plan":$scans,"reused_exchanges":$reusedEx,""" +

@@ -181,7 +181,11 @@ object KernelProbe {
     // per-core tracker budget; the entry-object layout wins today
     // because TLAB allocation order makes it ~1 stream already). ---
     val stride = words + 2
-    val fusedSets: Array[Array[Long]] = entrySets.map { es =>
+    // lazy: only the fused variant reads these, and eagerly building
+    // them adds ~870 MB of never-read heap (d=1536, 32×131072) to the
+    // default packed run — GC noise in the very pairs the one-variant-
+    // per-JVM protocol exists to keep clean
+    lazy val fusedSets: Array[Array[Long]] = entrySets.map { es =>
       val a = new Array[Long](es.length * stride)
       var i = 0
       while (i < es.length) {

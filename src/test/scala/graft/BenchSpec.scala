@@ -67,9 +67,22 @@ class BenchSpec extends AnyFunSuite {
     val worst = Bench.drift(ref,
       Map("a2_vec_dot" -> 0.14, "a4_vec_norm" -> 0.20)).get
     assert(worst._2 == "a4_vec_norm" && worst._1 > 1.9)
-    // no sentinel overlap (first run / failed rows): advisory silence
+    // no sentinel overlap AND no median basis (first run / tiny
+    // overlap): advisory silence
     assert(Bench.drift(Map.empty, ref).isEmpty)
     assert(Bench.drift(ref.map { case (k, _) => k -> -1.0 }, ref).isEmpty)
+  }
+
+  test("median gate fires even when both sentinels failed (-1) in the reference") {
+    // a snapshot whose sentinel rows crashed must not silence the
+    // fleet statistic: ratio reports -1/none, median adjudicates alone
+    val ref = (1 to 10).map(i => s"q$i" -> 1.0).toMap +
+      ("a2_vec_dot" -> -1.0) + ("a4_vec_norm" -> -1.0)
+    val elevated = ref.map { case (k, v) => k -> v * 1.2 }
+    val d = Bench.drift(ref, elevated).get
+    assert(d._1 == -1.0 && d._2 == "none" && d._3 == "env-elevated", d.toString)
+    val calm = Bench.drift(ref, ref.map { case (k, v) => k -> v * 1.05 }).get
+    assert(calm._2 == "none" && calm._3 == "ok")
   }
 
   test("median gate: fleet-wide elevation trips env-elevated when sentinels stay quiet") {

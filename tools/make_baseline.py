@@ -22,6 +22,16 @@ sfdir = sys.argv[1]
 oracle_path = sys.argv[2]
 runs = int(sys.argv[3]) if len(sys.argv) > 3 else 3
 
+# capture the PRE-regen BASELINE.md now, before the overwrite below:
+# the marker-block restore at the bottom must see blocks appended
+# since the last commit (the adjudicate -> regen -> commit-once flow),
+# so reading HEAD there is not enough
+try:
+    with open("BASELINE.md") as _f:
+        pre_regen_baseline = _f.read()
+except OSError:
+    pre_regen_baseline = ""
+
 con = duckdb.connect()
 threads = con.execute("SELECT current_setting('threads')").fetchone()[0]
 for f in glob.glob(f"{sfdir}/*.parquet"):
@@ -140,15 +150,15 @@ if append_sf1_section():
 # ...and every OTHER marker-delimited block the previous BASELINE.md
 # carried (lm-scale-adjudication, scale-adjudication-r16, any future
 # one) — the r16 regen silently dropped two adjudication blocks
-# because only the sf1 section had a re-append hook
-import re, subprocess
+# because only the sf1 section had a re-append hook. Restore source is
+# the file contents captured at script start (NOT git HEAD): a block
+# appended after the last commit must survive the regen too.
+import re
 try:
-    prev = subprocess.run(["git", "show", "HEAD:BASELINE.md"],
-                          capture_output=True, text=True, check=True).stdout
     cur = open("BASELINE.md").read()
     restored = []
     for m in re.finditer(r"<!-- ([\w-]+):begin -->.*?<!-- \1:end -->",
-                         prev, re.DOTALL):
+                         pre_regen_baseline, re.DOTALL):
         tag = m.group(1)
         if f"<!-- {tag}:begin -->" not in cur:
             cur += "\n" + m.group(0) + "\n"
@@ -156,8 +166,8 @@ try:
     if restored:
         with open("BASELINE.md", "w") as f:
             f.write(cur)
-        print(f"re-appended marker blocks from HEAD: {', '.join(restored)}")
-except Exception as e:  # a fresh repo without HEAD must not fail the regen
+        print(f"re-appended marker blocks: {', '.join(restored)}")
+except Exception as e:  # a fresh repo must not fail the regen
     print(f"marker-block restore skipped: {e}")
 
 print(f"\ntotal {total:.4f} s over {n_ok} queries -> BASELINE.md + results/baseline_duckdb.tsv")

@@ -17,7 +17,9 @@ import duckdb
 
 oracle_path = sys.argv[1]
 slice_dir = sys.argv[2]
-keys = [k for k in sys.argv[3].split(",") if k.strip()]
+# trim each key: the Spark twin (LmScaleProbe) does .map(_.trim), and
+# "c32, e3" must mean the same keys on both sides of the A/B
+keys = [k.strip() for k in sys.argv[3].split(",") if k.strip()]
 # first run is discarded as warmup, so the min needs >= 2
 runs = max(2, int(sys.argv[4])) if len(sys.argv) > 4 else 4
 
