@@ -46,13 +46,19 @@ object LmScaleProbe {
       s"unknown query key '$k' in SPARK_GRAFT_KEYS"))
     // first run is discarded as warmup, so ≥ 2 or the min is undefined
     val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "4").toInt.max(2)
-    val spark = SparkSession.builder()
+    // SPARK_GRAFT_LOCAL_DIR (e.g. /dev/shm/spark-local): shuffle/spill
+    // dir override, the PlanDump hook — isolates the local-disk
+    // shuffle tax (this VM's virtio disk writes ~330 MB/s) from the
+    // plan cost. The dir used is stamped into the JSON row.
+    val localDir = sys.env.get("SPARK_GRAFT_LOCAL_DIR")
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-lm-scale-probe")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
+    val spark = localDir.fold(builder)(d => builder.config("spark.local.dir", d))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try {
@@ -71,8 +77,10 @@ object LmScaleProbe {
         val raw = ws.map(w => f"$w%.3f").mkString("[", ",", "]")
         f""""${ProbeJson.esc(k)}":{"min_s":$mn%.3f,"runs_s":$raw}"""
       }.mkString(",")
+      val localJson = localDir.fold("")(d =>
+        s""","local_dir":"${ProbeJson.esc(d)}"""")
       println(
-        s"""{"probe":"lm_scale","sf_dir":"${ProbeJson.esc(sfDir)}","cpus":$cpus,$fields}""")
+        s"""{"probe":"lm_scale","sf_dir":"${ProbeJson.esc(sfDir)}","cpus":$cpus$localJson,$fields}""")
     } finally spark.stop()
   }
 }
