@@ -232,12 +232,18 @@ object CorpusOps {
     * Shared by [[packChunks]]'s two passes (the partial-sum job and
     * the output job reuse the same shuffle files). */
   private[graft] def packRuns(
-      docs: DataFrame): org.apache.spark.sql.Dataset[(Long, String, Int)] = {
+      docs: DataFrame): org.apache.spark.sql.Dataset[(Long, String, Option[Int])] = {
     val spark = docs.sparkSession
     import spark.implicits._
+    // n_tokens is NULLABLE: size(split(NULL, ' ')) is NULL under
+    // Spark's default (non-legacy) sizeOfNull, and a null-text doc
+    // must flow through as a NULL-metric row (the d8 foreign-corpus
+    // rule; the oracle's len(string_split(...)) NULL-propagates the
+    // same way) — a bare Int field here would abort the whole job on
+    // the first null-text doc with a non-nullable-field error
     docs.select(col("doc_id").cast(LongType), col("source"),
         size(split(col("text"), " ")).as("n_tokens"))
-      .as[(Long, String, Int)]
+      .as[(Long, String, Option[Int])]
       .repartitionByRange(col("source"), col("doc_id"))
       .sortWithinPartitions("source", "doc_id")
   }
@@ -314,7 +320,10 @@ object CorpusOps {
           if (hasCur) out += ((cur, sum))
           cur = s; sum = 0L; hasCur = true
         }
-        sum += n
+        // a null-text doc contributes nothing to the running total —
+        // the oracle's windowed SUM ignores its NULL n_tokens the
+        // same way
+        sum += n.getOrElse(0)
       }
       if (hasCur) out += ((cur, sum))
       Iterator.single(out.toArray)
@@ -333,10 +342,17 @@ object CorpusOps {
       var cum = 0L
       it.map { case (id, s, n) =>
         if (!hasCur || s != cur) { cur = s; hasCur = true; cum = off.getOrElse(s, 0L) }
-        val start = cum
-        cum += n
-        val bin = start / PackBudget // ints ≥ 0: integer division = floor
-        (id, s, n, bin, start - bin * PackBudget)
+        n match {
+          case Some(nt) =>
+            val start = cum
+            cum += nt
+            val bin = start / PackBudget // ints ≥ 0: integer division = floor
+            (id, s, n, Some(bin), Some(start - bin * PackBudget))
+          case None =>
+            // null-text doc: NULL n_tokens/bin/offset, running sum
+            // unmoved — exactly the oracle's cum - n_tokens on a NULL
+            (id, s, n, None: Option[Long], None: Option[Long])
+        }
       }
     }.toDF("doc_id", "source", "n_tokens", "bin", "offset")
   }
@@ -410,34 +426,44 @@ object CorpusOps {
       col("source"),
       size(split(col("text"), " ")).as("n_tok"),
       length(col("text")).as("n_chars"))
-    // the value histogram is the ONLY pass over raw rows
+    // the value histogram is the ONLY pass over raw rows. Null-text
+    // docs form a NULL n_tok bucket: the oracle's count(*) INCLUDES
+    // them while min/max/avg/quantile_cont/sum IGNORE NULLs — so
+    // n_docs counts every bucket but all value machinery (means,
+    // ranks, cumulative counts) runs over the non-null buckets only.
     val hist = t.groupBy("source", "n_tok").agg(
       count(lit(1)).as("cnt"),
       sum(col("n_chars").cast(LongType)).as("chars"))
+    val vCnt = when(col("n_tok").isNotNull, col("cnt"))
     // cumulative ranks per source over DISTINCT token values: the
-    // window input is the bounded histogram, never the corpus
-    val cum = sum("cnt").over(Window.partitionBy("source").orderBy("n_tok")
+    // window input is the bounded histogram, never the corpus. ASC
+    // puts the NULL bucket first, and vCnt keeps it out of every rank.
+    val cum = sum(vCnt).over(Window.partitionBy("source").orderBy("n_tok")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    val n = sum("cnt").over(Window.partitionBy("source"))
+    val n = sum(vCnt).over(Window.partitionBy("source"))
     val h = hist.withColumn("cum", cum).withColumn("n", n)
     // the value at 0-based rank r lives on the unique histogram row
-    // with cum − cnt ≤ r < cum (conditional max finds it)
+    // with cum − cnt ≤ r < cum (conditional max finds it; the NULL
+    // bucket's n_tok contributes nothing)
     def valueAt(rank: Column): Column =
       max(when(col("cum") - col("cnt") <= rank && rank < col("cum"), col("n_tok")))
     def rank(p: Double): Column = lit(p) * (col("n") - 1).cast("double")
     val agg = h.groupBy("source").agg(
       sum("cnt").as("n_docs"),
+      sum(vCnt).as("n_vals"),
       min("n_tok").as("min_tokens"),
       max("n_tok").as("max_tokens"),
-      // sum(v·cnt)/n over exact integer sums ≡ avg over raw rows (all
-      // partial double sums are exact integers far below 2^53)
-      round(sum(col("n_tok").cast(LongType) * col("cnt")) / sum("cnt"), 6)
+      // sum(v·cnt)/n_vals over exact integer sums ≡ avg over raw
+      // non-null rows (all partial double sums are exact integers far
+      // below 2^53); NULL/NULL = NULL for an all-null source, = avg()
+      round(sum(col("n_tok").cast(LongType) * col("cnt")) / sum(vCnt), 6)
         .as("mean_tokens"),
       valueAt(floor(rank(0.5))).as("p50_lo"), valueAt(ceil(rank(0.5))).as("p50_hi"),
       valueAt(floor(rank(0.9))).as("p90_lo"), valueAt(ceil(rank(0.9))).as("p90_hi"),
       sum("chars").as("total_chars"))
     def interp(p: Double, lo: Column, hi: Column): Column = {
-      val r = lit(p) * (col("n_docs") - 1).cast("double")
+      // quantile_cont's rank base is the NON-NULL value count
+      val r = lit(p) * (col("n_vals") - 1).cast("double")
       when(floor(r) === ceil(r), lo.cast("double"))
         .otherwise((ceil(r) - r) * lo + (r - floor(r)) * hi)
     }

@@ -281,6 +281,14 @@ object Dedup {
       maxHamming: Int = 3,
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
+    // 4×16-bit bands guarantee candidate recall only for hamming ≤ 3
+    // (pigeonhole: 3 flipped bits cannot touch all 4 bands). A larger
+    // maxHamming would pass the filter but silently MISS pairs whose
+    // differing bits span all bands — fail loudly instead.
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"simHashSummary's 4x16-bit banding guarantees recall only for " +
+        s"maxHamming <= 3, got $maxHamming — widen the banding before " +
+        "raising the threshold")
     import spark.implicits._
     // persisted for this call only (scanned 4×: band explosion, both
     // pair-join sides, the final per-doc select); the result is
@@ -344,16 +352,28 @@ object Dedup {
       .map { case (id, t) => (id, shingleSetOf(t, k)) }
     val a = sets.toDF("id_a", "sa")
     val b = sets.toDF("id_b", "sb")
-    // intersection/union via codegen'd collection builtins (shingle
-    // sets are already distinct, so sizes are true set cardinalities);
-    // floor(x*1e6+0.5)/1e6 = HALF_UP for non-negatives, matching
-    // ROUND(x, 6) in both engines (rint would be half-even)
-    val inter = size(array_intersect(col("sa"), col("sb"))).cast("double")
-    val uni = size(col("sa")) + size(col("sb")) - inter
     a.join(b, col("id_b") === col("id_a") + 1)
       .select(col("id_a"), col("id_b"),
-        when(uni === 0d, lit(null).cast("double"))
-          .otherwise(floor(inter / uni * 1e6 + 0.5) / 1e6).as("jaccard"))
+        jaccardExpr(col("sa"), col("sb")).as("jaccard"))
+  }
+
+  /** Exact set-jaccard of two distinct-element array columns, rounded
+    * HALF_UP to 6 decimals, NULL when both sets are empty.
+    * Intersection/union via codegen'd collection builtins (inputs are
+    * already distinct, so sizes are true set cardinalities);
+    * floor(x*1e6+0.5)/1e6 = HALF_UP for non-negatives, matching
+    * ROUND(x, 6) in both engines (rint would be half-even). The ONE
+    * definition behind both c4 (ngramJaccardPairs) and c19's
+    * verification step (verifiedNearDups): their oracle-equivalence
+    * claim ("verification is c4's exact jaccard") depends on the two
+    * surfaces never forking this arithmetic. */
+  private[graft] def jaccardExpr(
+      sa: org.apache.spark.sql.Column,
+      sb: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val inter = size(array_intersect(sa, sb)).cast("double")
+    val uni = size(sa) + size(sb) - inter
+    when(uni === 0d, lit(null).cast("double"))
+      .otherwise(floor(inter / uni * 1e6 + 0.5) / 1e6)
   }
 
   // ---------- LSH-verified near-dups (c19 = c2's candidates → exact) ----------
@@ -413,10 +433,7 @@ object Dedup {
       val sets = repDocs.select(col("doc_id"), col("text"))
         .as[(Long, String)]
         .map { case (id, t) => (id, shingleSetOf(t, shingleK)) }
-      val inter = size(array_intersect(col("sa"), col("sb"))).cast("double")
-      val uni = size(col("sa")) + size(col("sb")) - inter
-      val jac = when(uni === 0d, lit(null).cast("double"))
-        .otherwise(floor(inter / uni * 1e6 + 0.5) / 1e6)
+      val jac = jaccardExpr(col("sa"), col("sb"))
       val verifiedReps = cand
         .join(sets.toDF("id_a", "sa"), "id_a")
         .join(sets.toDF("id_b", "sb"), "id_b")

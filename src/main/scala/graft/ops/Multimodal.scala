@@ -45,6 +45,9 @@ object Multimodal {
   def decode(spark: SparkSession, docs: DataFrame): Dataset[MediaMeta] = {
     import spark.implicits._
     withPayload(docs)
+      // null payloads (null-text docs: encode null-propagates) are
+      // excluded, the frameRows rule — the kernel dereferences bytes
+      .filter(col("payload").isNotNull)
       .select(col("doc_id").cast(LongType), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, p) => decodeStub(id, p) })
@@ -54,6 +57,7 @@ object Multimodal {
   def sampleFrames(spark: SparkSession, docs: DataFrame, stride: Int = 4): DataFrame = {
     import spark.implicits._
     withPayload(docs)
+      .filter(col("payload").isNotNull) // the frameRows rule
       .select(col("doc_id").cast(LongType), col("payload"))
       .as[(Long, Array[Byte])]
       .flatMap { case (id, p) =>
@@ -74,6 +78,7 @@ object Multimodal {
   def featureExtract(spark: SparkSession, docs: DataFrame, dim: Int = 64): DataFrame = {
     import spark.implicits._
     withPayload(docs)
+      .filter(col("payload").isNotNull) // the frameRows rule
       .select(col("doc_id").cast(LongType), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, p) =>

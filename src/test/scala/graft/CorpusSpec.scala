@@ -204,6 +204,45 @@ class CorpusSpec extends AnyFunSuite {
     assert(out(2L) == ((0, "too_short")), out.toString)
   }
 
+  test("pack chunks: a null-text doc flows through as NULL metrics without moving the sum") {
+    // the oracle: len(string_split(NULL)) is NULL; the windowed SUM
+    // ignores it; bin/offset = f(cum - NULL) = NULL. Before the fix
+    // the typed Int field aborted the whole job on the first such doc.
+    val words10 = (1 to 10).map(_ => "w").mkString(" ")
+    val d = Seq((1L, words10, "s"), (2L, null: String, "s"), (3L, words10, "s"))
+      .toDF("doc_id", "text", "source")
+    val out = CorpusOps.packChunks(d).orderBy("doc_id").collect()
+    assert(out(0).getAs[Int]("n_tokens") == 10 && out(0).getAs[Long]("offset") == 0L)
+    assert(out(1).isNullAt(out(1).fieldIndex("n_tokens"))
+      && out(1).isNullAt(out(1).fieldIndex("bin"))
+      && out(1).isNullAt(out(1).fieldIndex("offset")), out.mkString(","))
+    assert(out(2).getAs[Long]("offset") == 10L, out.mkString(","))
+  }
+
+  test("corpus stats: null-text docs count in n_docs but not in value statistics") {
+    // DuckDB: count(*) includes the NULL row; min/max/avg/
+    // quantile_cont/sum all ignore it — the rank base is the NON-NULL
+    // value count
+    def mk(n: Int) = (1 to n).map(_ => "w").mkString(" ")
+    val d = Seq((0L, mk(10), "s"), (1L, mk(20), "s"), (2L, mk(30), "s"),
+        (3L, null: String, "s"))
+      .toDF("doc_id", "text", "source")
+    val r = CorpusOps.corpusStats(d).collect().head
+    assert(r.getAs[Long]("n_docs") == 4L, r.toString)
+    assert(r.getAs[Int]("min_tokens") == 10 && r.getAs[Int]("max_tokens") == 30)
+    assert(r.getAs[Double]("mean_tokens") == 20.0, r.toString)
+    assert(r.getAs[Double]("p50_tokens") == 20.0, r.toString) // rank 0.5·(3−1)=1
+    assert(math.abs(r.getAs[Double]("p90_tokens") - 28.0) < 1e-9, r.toString) // 20+0.8·10
+    assert(r.getAs[Long]("total_chars") == 19L + 39L + 59L, r.toString)
+    // an all-null source still reports its doc count, values all NULL
+    val r2 = CorpusOps.corpusStats(
+        Seq((0L, null: String, "x")).toDF("doc_id", "text", "source"))
+      .collect().head
+    assert(r2.getAs[Long]("n_docs") == 1L && r2.isNullAt(r2.fieldIndex("mean_tokens"))
+      && r2.isNullAt(r2.fieldIndex("p50_tokens"))
+      && r2.isNullAt(r2.fieldIndex("total_chars")), r2.toString)
+  }
+
   test("corpus stats: exact interpolated percentiles per source") {
     // token counts 10/20/30/40 per shard: p50 = 25 (rank 1.5),
     // p90 = 37 (rank 2.7 → 30 + 0.7·10)

@@ -326,6 +326,22 @@ class OpsSpec extends AnyFunSuite {
     assert(frames == 1 + 4) // 1 frame for 4B doc; ceil(100/16)=7 frames -> idx 0,2,4,6
   }
 
+  test("multimodal decode/frames/features exclude null payloads (the foreign-corpus rule)") {
+    val d = docs(1L -> "abcd", 2L -> (null: String))
+    val meta = Multimodal.decode(spark, d).collect()
+    assert(meta.map(_.doc_id).toSeq == Seq(1L), "null payload must be excluded, not NPE")
+    assert(Multimodal.sampleFrames(spark, d).select("doc_id").as[Long].collect().toSet == Set(1L))
+    assert(Multimodal.featureExtract(spark, d).select("vec_id").as[Long].collect().toSet == Set(1L))
+  }
+
+  test("simhash summary refuses maxHamming past the banding's recall guarantee") {
+    val d = docs(1L -> "a b c")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.simHashSummary(spark, d, maxHamming = 4)
+    }
+    assert(e.getMessage.contains("maxHamming"), e.getMessage)
+  }
+
   test("c36 frame sampling: stride/boundary arithmetic, multibyte frames, null/empty docs") {
     val d = Seq(
       (1L, Option("a" * 40)),       // ceil(40/16)=3 frames -> last idx 2, stride 4 -> [0]
