@@ -13,11 +13,25 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 object GraftFunctions {
   /** Wrap a builder with an arity check, so `vec_norm(a, b)` fails the
     * query with a clear message instead of silently ignoring `b` (and
-    * a missing argument doesn't surface as an index error). */
+    * a missing argument doesn't surface as an index error). Thrown as
+    * Spark's own WRONG_NUM_ARGS AnalysisException — a user error on
+    * the analysis channel (JDBC/Thrift frontends classify it as such),
+    * not an uncategorized IllegalArgumentException with a stack trace. */
   private def arity(n: Int, name: String)(
       b: Seq[Expression] => Expression): Seq[Expression] => Expression =
     es => {
-      require(es.length == n, s"$name expects $n argument(s), got ${es.length}")
+      if (es.length != n)
+        // the public AnalysisException(errorClass, params) constructor
+        // (QueryCompilationErrors is private[sql]); docroot must be
+        // supplied here — only Spark's internal error helpers fill it
+        throw new org.apache.spark.sql.AnalysisException(
+          "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+          Map(
+            "functionName" -> s"`$name`",
+            "expectedNum" -> n.toString,
+            "actualNum" -> es.length.toString,
+            "docroot" -> "https://spark.apache.org/docs/latest"),
+          Option.empty[Throwable])
       b(es)
     }
 

@@ -34,16 +34,23 @@ abstract class VecBinaryExpression extends BinaryExpression {
       s"$prettyName requires two array<float|double> arguments, got " +
         s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
 
-  private def elemIsFloat(e: Expression): Boolean = e.dataType match {
+  // lazy vals: the interpreted eval path reads these per ELEMENT per
+  // row (the VecSum rule) — re-deriving dataType's pattern match there
+  // is 2d matches per row for nothing
+  private lazy val leftIsFloat: Boolean = left.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  private lazy val rightIsFloat: Boolean = right.dataType match {
     case ArrayType(FloatType, _) => true
     case _ => false
   }
   /** Java snippet reading element `idx` of array variable `v` as double. */
   protected def getter(v: String, leftSide: Boolean, idx: String): String =
-    if (elemIsFloat(if (leftSide) left else right)) s"(double) $v.getFloat($idx)"
+    if (if (leftSide) leftIsFloat else rightIsFloat) s"(double) $v.getFloat($idx)"
     else s"$v.getDouble($idx)"
   protected def getD(v: ArrayData, leftSide: Boolean, i: Int): Double =
-    if (elemIsFloat(if (leftSide) left else right)) v.getFloat(i).toDouble
+    if (if (leftSide) leftIsFloat else rightIsFloat) v.getFloat(i).toDouble
     else v.getDouble(i)
 
   protected def checkLengths(x: ArrayData, y: ArrayData): Unit =

@@ -322,6 +322,36 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  // --- sqrt-elimination exactness (the optimizer rule's contract) --
+  test("sqrt-elimination thresholds are exactly value-preserving at every ulp boundary") {
+    // the naive rewrite sqrt(v) < c -> v < fl(c*c) flips boundary rows
+    // by 1 ulp whenever c^2 is not representable; the rule's computed
+    // thresholds must agree with the original predicate for EVERY
+    // double v, in all four comparison shapes. Probe the ulp
+    // neighborhood of c*c (where the only disagreements can live)
+    // plus the thresholds themselves.
+    val cGen = Gen.oneOf(
+      Gen.chooseNum(0.0, 4.0),
+      Gen.chooseNum(0.0, 1e-150), // subnormal-product regime
+      Gen.oneOf(0.0, 0.1, 1.4, 2.0, math.sqrt(2), 1e154))
+    forAll(cGen, 400) { c =>
+      val t1 = graft.plans.SimplifyVectorExpressions.sqrtThreshold(c, strict = false)
+      val t2 = graft.plans.SimplifyVectorExpressions.sqrtThreshold(c, strict = true)
+      val around = (v: Double) => Seq(
+        Math.nextDown(Math.nextDown(v)), Math.nextDown(v), v,
+        Math.nextUp(v), Math.nextUp(Math.nextUp(v)))
+      val probes = (around(c * c) ++ around(t1) ++ around(t2))
+        .filter(v => v >= 0 && !v.isNaN)
+      probes.foreach { v =>
+        val s = Math.sqrt(v)
+        assert((s < c) == (v < t1), s"< : c=$c v=$v t1=$t1")
+        assert((s <= c) == (v < t2), s"<= : c=$c v=$v t2=$t2")
+        assert((s > c) == (v >= t2), s"> : c=$c v=$v t2=$t2")
+        assert((s >= c) == (v >= t1), s">= : c=$c v=$v t1=$t1")
+      }
+    }
+  }
+
   // --- c44 URL-gauntlet fuzzer (ADVICE/VERDICT r15 task 6) ---------
   // URLs are GENERATED FROM COMPONENTS, so the expected canonical form
   // is construction-derived truth (never re-parsed): any parser bug in

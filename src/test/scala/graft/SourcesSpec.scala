@@ -144,11 +144,14 @@ class SourcesSpec extends AnyFunSuite {
     // zero-norm cosine is null, not an ANSI DIVIDE_BY_ZERO error
     assert(spark.sql(
       "SELECT vec_cosine(array(0.0F, 0.0F), array(1.0F, 0.0F))").head().isNullAt(0))
-    // wrong arity fails with a clear message, not an index error
-    val arityErr = intercept[Exception] {
+    // wrong arity fails on the ANALYSIS channel (Spark's own
+    // WRONG_NUM_ARGS user error), not an uncategorized internal
+    // IllegalArgumentException with a stack trace
+    val arityErr = intercept[org.apache.spark.sql.AnalysisException] {
       spark.sql("SELECT vec_norm(array(1.0F), array(2.0F))").head()
     }
-    assert(arityErr.getMessage.contains("expects 1 argument"),
+    assert(arityErr.getMessage.contains("WRONG_NUM_ARGS")
+        && arityErr.getMessage.contains("vec_norm"),
       s"unexpected arity error: ${arityErr.getMessage}")
     // null element -> null; double arrays read natively
     assert(spark.sql("SELECT vec_sum(array(1.0F, NULL))").head().isNullAt(0))
