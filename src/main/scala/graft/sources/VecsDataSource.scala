@@ -248,8 +248,22 @@ class BinScanBuilder(schema: StructType, paths: Seq[String], isFloat: Boolean, s
             val bb = java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN)
             (bb.getInt(), bb.getInt())
           } finally in.close()
-        require(n >= 0 && (d > 0 || n == 0),
-          s"${f.getPath}: invalid fbin/ibin header (n=$n, d=$d)")
+        // bound d the way the fvecs reader bounds per-record dims
+        // (MaxDim rule): a huge header dim means this is NOT an
+        // fbin/ibin file (e.g. an fvecs file read as fbin — its first
+        // 8 bytes are [dim][float-bits], so "n" is small but "d" is a
+        // float's bit pattern ~1e9, which would overflow the Int
+        // buffer size dim*4 on the executor); fail here with the file
+        // named. Also cross-check the advertised size against the
+        // actual file length so a truncated file fails at plan time.
+        require(n >= 0 && (n == 0 || (d > 0 && d <= (1 << 20))),
+          s"${f.getPath}: invalid fbin/ibin header (n=$n, d=$d) — dim must " +
+            s"be in (0, ${1 << 20}] (an fvecs/ivecs file read as fbin/ibin " +
+            "shows up exactly like this)")
+        require(n == 0 || 8L + n.toLong * d.toLong * 4L <= f.getLen,
+          s"${f.getPath}: header advertises n=$n rows of dim $d " +
+            s"(${8L + n.toLong * d.toLong * 4L} bytes) but the file is " +
+            s"${f.getLen} bytes — truncated or not fbin/ibin")
         if (n == 0) Seq.empty
         else {
           val rowBytes = d.toLong * 4
@@ -284,7 +298,12 @@ class BinPartitionReader(p: BinPartition, isFloat: Boolean, conf: SerializableCo
     extends PartitionReader[InternalRow] {
   private val path = new Path(p.file)
   private val stream = path.getFileSystem(conf.value).open(path)
-  stream.seek(8L + p.rowStart * p.dim * 4L)
+  // a seek past EOF (truncated file, stale plan) throws DURING
+  // construction — close the just-opened stream on the way out, or
+  // the descriptor leaks once per failed partition × task retries
+  // (PartitionReader.close() is never called on a half-built reader)
+  try stream.seek(8L + p.rowStart * p.dim * 4L)
+  catch { case e: Throwable => stream.close(); throw e }
   private val in = new DataInputStream(new java.io.BufferedInputStream(stream, 1 << 16))
   private val fileName = org.apache.spark.unsafe.types.UTF8String.fromString(p.file)
   private var produced = 0L

@@ -227,18 +227,20 @@ object EventOps {
   def streamingUserStats(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
-    val updateState = (userId: Long, events: Iterator[(Long, Long, Double)],
+    val updateState = (userId: Long, events: Iterator[(Long, Double)],
         state: GroupState[UserState]) => {
       val prev = state.getOption.getOrElse(UserState(0L, 0L))
       var n = prev.nEvents
       var cents = prev.totalCents
-      events.foreach { t => n += 1; cents += roundHalfAway(t._3 * 100) }
+      events.foreach { t => n += 1; cents += roundHalfAway(t._2 * 100) }
       state.update(UserState(n, cents))
       (userId, n, cents)
     }
+    // only the columns the state function reads — event_id would ride
+    // the groupByKey shuffle decoded and unread
     val agg = eventsStream(spark, dir)
-      .select(col("user_id"), col("event_id"), col("value"))
-      .as[(Long, Long, Double)]
+      .select(col("user_id"), col("value"))
+      .as[(Long, Double)]
       .groupByKey(_._1)
       .mapGroupsWithState(GroupStateTimeout.NoTimeout())(updateState)
       .toDF("user_id", "n_events", "total_cents")

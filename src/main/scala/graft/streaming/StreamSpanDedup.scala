@@ -85,8 +85,12 @@ object StreamSpanDedup {
       tmp.toFile.deleteOnExit() // registered FIRST: deleteOnExit runs LIFO,
       // so the per-file hooks below fire before the (then-empty) dir's
       val docs = graft.Tables.documents(spark, dir)
+      // localCheckpoint: without it each bucket's write re-runs the
+      // full scan + single-partition ntile sort — n global sorts
+      // where one does (verify-scale harness plumbing, but no reason
+      // to pay n-fold)
       val withB = docs.withColumn("b",
-        ntile(n).over(Window.orderBy("doc_id")))
+        ntile(n).over(Window.orderBy("doc_id"))).localCheckpoint(true)
       (1 to n).foreach { k =>
         val stage = java.nio.file.Files.createTempDirectory("graft_d8b_stage")
         withB.filter(col("b") === k).drop("b")
