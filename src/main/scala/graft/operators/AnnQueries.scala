@@ -12,11 +12,21 @@ import graft.ann.{IVFIndex, IVFModel, RaBitQ, SweepEval}
   * SQL-expressible); their numeric behavior is pinned by ScalaTest
   * specs (recall, estimator-error bounds). */
 object AnnQueries {
+  /** Every cache below holds `.cache()`'d DataFrames (or models
+    * holding them) whose plans are bound to ONE SparkContext — a
+    * second session in the same JVM (per-suite sessions) must never
+    * receive a cached plan referencing a stopped context, so every
+    * key carries the session's applicationId. Entries of dead
+    * sessions are few (one verify dir × a handful of sessions) and
+    * die with the JVM. */
+  private def appId(spark: SparkSession): String =
+    spark.sparkContext.applicationId
+
   private val cache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Int), IVFModel]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String, Int), IVFModel]()
 
   def model(spark: SparkSession, dir: String, bits: Int = 4): IVFModel =
-    cache.computeIfAbsent((dir, bits), _ =>
+    cache.computeIfAbsent((appId(spark), dir, bits), _ =>
       IVFIndex.build(spark, Tables.embeddings(spark, dir),
         IVFIndex.Params(totalBits = bits)))
 
@@ -25,32 +35,34 @@ object AnnQueries {
   // (dir, bits) so the expensive scans run once per session, like the
   // model.
   private val searchCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Int), DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String, Int), DataFrame]()
   private val gtCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
 
   /** The shared b-query search workload: top-10, probing 3/4 of the
-    * clusters. b16 reuses these so its result list is directly
-    * comparable to b7's. */
+    * clusters (floored at 1 — a one-cluster model must probe its one
+    * cluster, not crash searchOn's nprobe > 0 require). */
   private val SearchK = 10
-  private def searchNprobe(m: graft.ann.IVFModel): Int = 3 * m.numClusters / 4
+  private def searchNprobe(m: graft.ann.IVFModel): Int =
+    math.max(1, 3 * m.numClusters / 4)
 
   private def searchResults(spark: SparkSession, dir: String, bits: Int = 4): DataFrame =
-    searchCache.computeIfAbsent((dir, bits), _ => {
+    searchCache.computeIfAbsent((appId(spark), dir, bits), _ => {
       val m = model(spark, dir, bits)
       m.search(spark, queryVectors(spark, dir), SearchK, searchNprobe(m)).cache()
     })
 
   private def gtResults(spark: SparkSession, dir: String): DataFrame =
-    gtCache.computeIfAbsent(dir, _ => VectorQueries.gtTopKAll(spark, dir).cache())
+    gtCache.computeIfAbsent((appId(spark), dir), _ =>
+      VectorQueries.gtTopKAll(spark, dir).cache())
 
   // GT with exact distances is the ratio denominator of FOUR certified
   // rows (b7/b7b/b16 + b10); cache it per dir like the GT itself so the
   // corpus scan behind it runs once per session.
   private val gtDistCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
   private def gtDistResults(spark: SparkSession, dir: String): DataFrame =
-    gtDistCache.computeIfAbsent(dir, _ =>
+    gtDistCache.computeIfAbsent((appId(spark), dir), _ =>
       withExactL2(spark, dir, gtResults(spark, dir)).cache())
 
   private def queryVectors(spark: SparkSession, dir: String): Array[(Long, Array[Float])] =
@@ -82,9 +94,24 @@ object AnnQueries {
     val cents = m.centroids.zipWithIndex
       .map { case (c, i) => (i, c.map(_.toDouble).toSeq) }.toSeq
       .toDF("cluster_id", "centroid")
-    OracleSide.write(cents, "b3_centroids")
+    // Serialized + memoized on the model instance (the
+    // writeResidualSidecar discipline): five queries write this
+    // sidecar, and two running concurrently in one JVM must not race
+    // mode("overwrite") on the same path (one job deleting the dir
+    // while the other commits). A repeat write of the same model's
+    // identical content is skipped; a different model still
+    // overwrites, preserving the sequential last-write semantics.
+    if (OracleSide.enabled) centroidSidecarWritten.synchronized {
+      val key = System.identityHashCode(m)
+      if (!centroidSidecarWritten.contains(key)) {
+        OracleSide.write(cents, "b3_centroids")
+        centroidSidecarWritten.add(key)
+      }
+    }
     cents
   }
+  private val centroidSidecarWritten =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
 
   def ivfAssign(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.VectorFunctions.vec_l2sq
@@ -580,6 +607,13 @@ object AnnQueries {
     val tagged = perNp.flatMap { case (np, ids, _) =>
       ids.map { case (q, n) => (np, q, n) }
     }.toDF("nprobe", "query_id", "neighbor_id")
+    // the b11 oracle (NprobeSweepSql) hardcodes k=10 in its gt cut and
+    // recall divisor — a sidecar written at another k would be a
+    // guaranteed hash mismatch misread as a kernel bug; fail loudly
+    // at the write instead
+    if (OracleSide.enabled)
+      require(k == 10, s"the b11 oracle SQL is pinned to k=10; a Verify " +
+        s"sweep at k=$k cannot be certified against it (got k=$k)")
     OracleSide.write(tagged, "b11_results")
     val annDist: Map[(Int, Long, Int), Double] =
       withExactDist(spark, dir, tagged, extraKeys = Seq("nprobe"))
@@ -689,7 +723,7 @@ object AnnQueries {
   // embeddings within one JVM; a long-lived service embedding this
   // would need an evict hook shared with gtCache/gtDistCache
   private val gtFilteredCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (DataFrame, DataFrame)]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String), (DataFrame, DataFrame)]()
 
   def searchFiltered(spark: SparkSession, dir: String): DataFrame = {
     val m = model(spark, dir)
@@ -698,7 +732,7 @@ object AnnQueries {
     // certified vs the GT RESTRICTED to the allowed set (the filter is
     // SQL-derivable — vec_id % 2 = 0 — so the oracle rebuilds this GT
     // from `embeddings` alone; no extra sidecar needed for it)
-    val (gtFiltered, gtFilteredD) = gtFilteredCache.computeIfAbsent(dir, _ => {
+    val (gtFiltered, gtFilteredD) = gtFilteredCache.computeIfAbsent((appId(spark), dir), _ => {
       val gt = graft.ann.KnnExact.topK(spark,
         e.filter(col("vec_id") % 2 === 0), queryVectors(spark, dir), k = 10)
         .cache()

@@ -20,6 +20,10 @@ object PipelineQueries {
     * VALUES (seeded murmur shingle hashing, not SQL-expressible) as
     * input. Written by BOTH c2 and d6 so each is self-contained under
     * a Verify subset run; identical content, idempotent overwrite. */
+  /** The c2/d6 signature sidecar as a standalone pass — used by d6,
+    * whose streaming operator derives its per-batch signatures
+    * internally (nothing to share); c2 writes the same sidecar from
+    * its summary's persisted signatures instead (one pass). */
   private def writeMinhashSidecar(spark: SparkSession, docs: DataFrame): Unit =
     if (OracleSide.enabled)
       OracleSide.write(
@@ -27,8 +31,13 @@ object PipelineQueries {
 
   def dedupMinhash(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    writeMinhashSidecar(spark, docs)
-    Dedup.minHashSummary(spark, docs)
+    // the sidecar consumes the summary's own persisted signatures
+    // (onPersisted) — under Verify the tokenize+hash pass runs ONCE,
+    // not once for the sidecar and again inside the summary
+    Dedup.minHashSummaryOf(spark,
+      Dedup.minHashSignatures(spark, docs, Dedup.MinHashParams()),
+      Dedup.MinHashParams(),
+      sigs => if (OracleSide.enabled) OracleSide.write(sigs, "c2_sigs"))
   }
 
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
@@ -371,9 +380,36 @@ object PipelineQueries {
   private def enList = TextAnalysis.markerSqlList("en")
   private def hashBucketSql = "substring(md5(CAST(doc_id AS VARCHAR)), 1, 2)"
 
-  /** The corpus-gate oracle, shared by c16 (batch) and d7 (stream). */
-  private val CorpusGateSql =
-    """WITH m AS (SELECT doc_id,
+  /** The five language-marker count columns over a CTE exposing
+    * (doc_id, w, text) — ONE copy for the c6 oracle, c43's heuristic
+    * CTE, and c46's lang CTE (three hand-maintained copies let c46's
+    * drift once already). */
+  private def LangCountsSql =
+    s""" CAST(len(list_filter(w, x -> x IN ($enList))) AS INT) AS n_en,
+       | CAST(len(list_filter(w, x -> x IN (${TextAnalysis.markerSqlList("de")}))) AS INT) AS n_de,
+       | CAST(len(list_filter(w, x -> x IN (${TextAnalysis.markerSqlList("fr")}))) AS INT) AS n_fr,
+       | CAST(len(list_filter(w, x -> x IN (${TextAnalysis.markerSqlList("es")}))) AS INT) AS n_es,
+       | CAST(len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) AS INT) AS n_zh""".stripMargin
+
+  /** The shared language-ID CASE over those counts. The IS NULL arm is
+    * the kernel's null-text → 'unknown' rule (TextAnalysis.langId
+    * defends against exactly this 'zh' fall-through): without it a
+    * null-text doc's comparisons all evaluate NULL and fall to ELSE. */
+  private def LangCaseSql =
+    """CASE WHEN n_en IS NULL THEN 'unknown'
+      |  WHEN n_en + n_de + n_fr + n_es + n_zh = 0 THEN 'unknown'
+      |  WHEN n_en >= n_de AND n_en >= n_fr AND n_en >= n_es AND n_en >= n_zh THEN 'en'
+      |  WHEN n_de >= n_fr AND n_de >= n_es AND n_de >= n_zh THEN 'de'
+      |  WHEN n_fr >= n_es AND n_fr >= n_zh THEN 'fr'
+      |  WHEN n_es >= n_zh THEN 'es' ELSE 'zh' END""".stripMargin
+
+  /** The c16 gate's m/r CTEs (metrics + first-failing-rule reason) as
+    * a composable fragment — c16/d7 ([[CorpusGateSql]]) and c38's
+    * survivor filter must never fork the gate rules: a threshold fix
+    * landing in one copy would surface as a phantom hash divergence
+    * on the other (the LmScoreCtes one-copy discipline). */
+  private val GateCtesSql =
+    """m AS (SELECT doc_id,
       |  CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
       |  CASE WHEN length(text) = 0 THEN 0.0
       |   ELSE ROUND(CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
@@ -388,9 +424,13 @@ object PipelineQueries {
       |       WHEN punct_ratio > 0.10 THEN 'punctuation'
       |       WHEN mean_token_len < 2.0 OR mean_token_len > 10.0 THEN 'token_len'
       |       ELSE 'keep' END AS reason
-      | FROM m)
-      |SELECT doc_id, n_tokens, CAST(reason = 'keep' AS INT) AS kept, reason
-      |FROM r ORDER BY doc_id""".stripMargin
+      | FROM m)""".stripMargin
+
+  /** The corpus-gate oracle, shared by c16 (batch) and d7 (stream). */
+  private val CorpusGateSql =
+    s"""WITH $GateCtesSql
+       |SELECT doc_id, n_tokens, CAST(reason = 'keep' AS INT) AS kept, reason
+       |FROM r ORDER BY doc_id""".stripMargin
 
   /** c19's verified near-dup pairs as a CTE body (named `vp`), shared
     * verbatim by the c19 and c20 oracles so the closure is certified
@@ -984,18 +1024,10 @@ object PipelineQueries {
          |sm AS (SELECT doc_id, $predCase AS pred, $expSum AS s FROM mx),
          |ht AS (SELECT doc_id, string_split(text, ' ') AS w, text FROM gsrc),
          |hc AS (SELECT doc_id,
-         | CAST(len(list_filter(w, x -> x IN ($enList))) AS INT) AS n_en,
-         | CAST(len(list_filter(w, x -> x IN (${TextAnalysis.markerSqlList("de")}))) AS INT) AS n_de,
-         | CAST(len(list_filter(w, x -> x IN (${TextAnalysis.markerSqlList("fr")}))) AS INT) AS n_fr,
-         | CAST(len(list_filter(w, x -> x IN (${TextAnalysis.markerSqlList("es")}))) AS INT) AS n_es,
-         | CAST(len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) AS INT) AS n_zh
+         |$LangCountsSql
          |FROM ht),
          |heur AS (SELECT doc_id,
-         | CASE WHEN n_en + n_de + n_fr + n_es + n_zh = 0 THEN 'unknown'
-         |  WHEN n_en >= n_de AND n_en >= n_fr AND n_en >= n_es AND n_en >= n_zh THEN 'en'
-         |  WHEN n_de >= n_fr AND n_de >= n_es AND n_de >= n_zh THEN 'de'
-         |  WHEN n_fr >= n_es AND n_fr >= n_zh THEN 'fr'
-         |  WHEN n_es >= n_zh THEN 'es' ELSE 'zh' END AS predicted
+         | $LangCaseSql AS predicted
          |FROM hc)
          |SELECT d.doc_id,
          | h.predicted AS heuristic_lang,
@@ -1052,22 +1084,9 @@ object PipelineQueries {
     // c16's gate CTE + c18's profile, composed verbatim: a hash match
     // certifies the stages compose exactly
     "c38_pipeline_profile" ->
-      """WITH m AS (SELECT doc_id,
-        |  CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
-        |  CASE WHEN length(text) = 0 THEN 0.0
-        |   ELSE ROUND(CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
-        |    / length(text), 6) END AS punct_ratio,
-        |  ROUND(CAST(list_sum(list_transform(string_split(text, ' '), x -> length(x))) AS DOUBLE)
-        |    / len(string_split(text, ' ')), 6) AS mean_token_len,
-        |  MIN(doc_id) OVER (PARTITION BY md5(text)) AS keep_id
-        | FROM documents),
-        |r AS (SELECT doc_id,
-        |  CASE WHEN doc_id <> keep_id THEN 'duplicate'
-        |       WHEN n_tokens < 15 THEN 'too_short'
-        |       WHEN punct_ratio > 0.10 THEN 'punctuation'
-        |       WHEN mean_token_len < 2.0 OR mean_token_len > 10.0 THEN 'token_len'
-        |       ELSE 'keep' END AS reason
-        | FROM m),
+      // composes the ONE gate fragment (GateCtesSql) — the survivor
+      // set here must be exactly c16/d7's keep set by construction
+      s"""WITH $GateCtesSql,
         |survivors AS (SELECT d.source, d.text FROM documents d
         |  JOIN r USING (doc_id) WHERE r.reason = 'keep'),
         |t AS (SELECT source,
@@ -1272,18 +1291,10 @@ object PipelineQueries {
          |  WHERE gk.url_keep = 1 AND gk.blocked = 0 AND COALESCE(gc.in_cap, 0) = 1),
          |lt AS (SELECT doc_id, string_split(text, ' ') AS w, text FROM s1),
          |lc AS (SELECT doc_id,
-         | CAST(len(list_filter(w, x -> x IN ($enList))) AS INT) AS n_en,
-         | CAST(len(list_filter(w, x -> x IN (${TextAnalysis.markerSqlList("de")}))) AS INT) AS n_de,
-         | CAST(len(list_filter(w, x -> x IN (${TextAnalysis.markerSqlList("fr")}))) AS INT) AS n_fr,
-         | CAST(len(list_filter(w, x -> x IN (${TextAnalysis.markerSqlList("es")}))) AS INT) AS n_es,
-         | CAST(len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) AS INT) AS n_zh
+         |$LangCountsSql
          |FROM lt),
          |lang AS (SELECT doc_id,
-         | CASE WHEN n_en + n_de + n_fr + n_es + n_zh = 0 THEN 'unknown'
-         |  WHEN n_en >= n_de AND n_en >= n_fr AND n_en >= n_es AND n_en >= n_zh THEN 'en'
-         |  WHEN n_de >= n_fr AND n_de >= n_es AND n_de >= n_zh THEN 'de'
-         |  WHEN n_fr >= n_es AND n_fr >= n_zh THEN 'fr'
-         |  WHEN n_es >= n_zh THEN 'es' ELSE 'zh' END AS lang
+         | $LangCaseSql AS lang
          |FROM lc),
          |t AS (SELECT doc_id, string_split(text, ' ') AS w
          |  FROM s1 WHERE text IS NOT NULL),
@@ -1695,19 +1706,10 @@ object PipelineQueries {
     "c6_lang_id" ->
       s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w, text FROM documents),
          |c AS (SELECT doc_id,
-         | CAST(len(list_filter(w, x -> x IN ($enList))) AS INT) AS n_en,
-         | CAST(len(list_filter(w, x -> x IN (${TextAnalysis.markerSqlList("de")}))) AS INT) AS n_de,
-         | CAST(len(list_filter(w, x -> x IN (${TextAnalysis.markerSqlList("fr")}))) AS INT) AS n_fr,
-         | CAST(len(list_filter(w, x -> x IN (${TextAnalysis.markerSqlList("es")}))) AS INT) AS n_es,
-         | CAST(len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) AS INT) AS n_zh
+         |$LangCountsSql
          |FROM t)
          |SELECT doc_id, n_en, n_de, n_fr, n_es, n_zh,
-         | CASE WHEN n_en IS NULL THEN 'unknown'
-         |  WHEN n_en + n_de + n_fr + n_es + n_zh = 0 THEN 'unknown'
-         |  WHEN n_en >= n_de AND n_en >= n_fr AND n_en >= n_es AND n_en >= n_zh THEN 'en'
-         |  WHEN n_de >= n_fr AND n_de >= n_es AND n_de >= n_zh THEN 'de'
-         |  WHEN n_fr >= n_es AND n_fr >= n_zh THEN 'fr'
-         |  WHEN n_es >= n_zh THEN 'es' ELSE 'zh' END AS predicted
+         | $LangCaseSql AS predicted
          |FROM c ORDER BY doc_id""".stripMargin,
     "c7_text_quality" ->
       s"""SELECT doc_id, CAST(length(text) AS INT) AS n_chars,

@@ -216,9 +216,22 @@ object Dedup {
   def minHashSummary(
       spark: SparkSession,
       docs: DataFrame,
-      p: MinHashParams = MinHashParams()): DataFrame = {
+      p: MinHashParams = MinHashParams()): DataFrame =
+    minHashSummaryOf(spark, minHashSignatures(spark, docs, p), p)
+
+  /** [[minHashSummary]] over a PRECOMPUTED signatures frame.
+    * `onPersisted` fires right after the persist — a caller that also
+    * needs the signatures (the c2 sidecar write) consumes the cached
+    * frame there instead of re-running the full tokenize+hash pass,
+    * the most expensive stage of the dedup row. */
+  private[graft] def minHashSummaryOf(
+      spark: SparkSession,
+      sigsIn: DataFrame,
+      p: MinHashParams,
+      onPersisted: DataFrame => Unit = _ => ()): DataFrame = {
     import spark.implicits._
-    val sigs = minHashSignatures(spark, docs, p).persist(StorageLevel.MEMORY_AND_DISK)
+    val sigs = sigsIn.persist(StorageLevel.MEMORY_AND_DISK)
+    onPersisted(sigs)
     try {
       val pairs = lshCandidatePairs(spark, sigs, p)
       val partners = pairs.select(col("id_a").as("doc_id"))
