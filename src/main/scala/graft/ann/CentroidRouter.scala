@@ -28,7 +28,7 @@ final class CentroidRouter(
 
   /** Adjacency lists, built by incremental NSW insertion. Lazy: the
     * flat path must never pay the graph build. */
-  private lazy val neighbors: Array[Array[Int]] = {
+  private[graft] lazy val neighbors: Array[Array[Int]] = {
     val adj = Array.fill(k)(mutable.ArrayBuffer.empty[Int])
     // in-degree guard: pruning must never remove a node's last
     // incoming edge, else it becomes unreachable from the entry point
@@ -57,6 +57,46 @@ final class CentroidRouter(
         }
       }
       i += 1
+    }
+    // Reachability repair: the in-degree guard above preserves SOME
+    // incoming edge per node, but in-degree ≥ 1 does not imply
+    // reachability from the entry — pruning can strand a mutually-
+    // linked pod (a↔b sustain each other's in-degree while every edge
+    // into the pod is legally dropped one at a time), and a stranded
+    // node's cluster would be silently unfindable at any nprobe. One
+    // BFS from the entry, then each stranded node is re-attached via
+    // an edge FROM its exact nearest reachable node and its pod
+    // flood-filled; deterministic (first-minimum ties), O(strays · K),
+    // and strays are rare, so the repair is usually a no-op scan.
+    val reachable = new java.util.BitSet(k)
+    val queue = new java.util.ArrayDeque[Integer]()
+    def flood(start: Int): Unit = {
+      reachable.set(start); queue.add(start)
+      while (!queue.isEmpty) {
+        val c = queue.poll()
+        adj(c).foreach { n =>
+          if (!reachable.get(n)) { reachable.set(n); queue.add(n) }
+        }
+      }
+    }
+    flood(0)
+    var s = 0
+    while (s < k) {
+      if (!reachable.get(s)) {
+        var best = 0
+        var bestD = Double.MaxValue
+        var t = 0
+        while (t < k) {
+          if (reachable.get(t)) {
+            val d = l2sq(centroids(s), centroids(t))
+            if (d < bestD) { bestD = d; best = t } // ascending t: first-min wins ties
+          }
+          t += 1
+        }
+        adj(best) += s
+        flood(s) // the whole pod becomes reachable through s
+      }
+      s += 1
     }
     adj.map(_.toArray)
   }

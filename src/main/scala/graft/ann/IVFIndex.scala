@@ -1300,8 +1300,16 @@ object IVFModel {
     // would lose them. The next successful compact clears it.
     // Renames tolerate a concurrent recoverer: losing the race is fine
     // as long as someone installed the entries dir.
+    // any recovery action below means a compact died mid-flight: the
+    // packed sidecar (if one survives — compacts newer than r16 delete
+    // it before the swap, but a crash under the old order could leave
+    // one) caches pre-compact entries and must not be adopted by the
+    // next load. Deleting it here is idempotent and the next compact
+    // or load re-packs.
+    def dropStalePacked(): Unit = fs.delete(new Path(s"$path/packed"), true)
     if (!fs.exists(entries)) {
       if (fs.exists(neu) && fs.exists(new Path(neu, "_SUCCESS"))) {
+        dropStalePacked()
         // the compacted copy is complete (_SUCCESS is the write's own
         // commit marker; for an index with a real entries dir, staging
         // it aside also only happens after the copy completed) — finish
@@ -1331,6 +1339,7 @@ object IVFModel {
       // swap finished, cleanup didn't: entries_old is the commit
       // evidence, so the folded batch dirs are deleted first — if THIS
       // cleanup crashes too, the evidence is still there next time
+      dropStalePacked()
       deleteFoldedBatches(fs, path)
       fs.delete(old, true)
     }
@@ -1526,6 +1535,19 @@ object IVFModel {
       .write.mode("overwrite").partitionBy("cluster_id").parquet(entriesNew.toString)
     val entries = new Path(s"$path/entries")
     val entriesOld = new Path(s"$path/entries_old")
+    // the packed sidecar caches the PRE-compaction entries: delete it
+    // BEFORE the swap begins (the save() order), not after the
+    // cleanup — a crash anywhere past this point then leaves NO
+    // sidecar (the next load just re-packs) instead of a stale one
+    // the load-time coherence check would happily adopt (entries_old
+    // gone, no deletes dir), silently missing every folded ingest row
+    // and resurrecting tombstoned ids. A crash during the compacted
+    // WRITE above is still fully coherent (no swap happened, old
+    // entries + old sidecar intact), which is why the delete sits
+    // here and not at the top.
+    val packedDir = new Path(s"$path/packed")
+    val hadPacked = fs.exists(packedDir)
+    if (hadPacked) fs.delete(packedDir, true)
     fs.delete(entriesOld, true)
     // a meta-only index (saveMeta before any batch-written entries) has
     // nothing to stage aside; an empty entries_old still gets created —
@@ -1542,14 +1564,9 @@ object IVFModel {
     deleteFoldedBatches(fs, path)
     fs.delete(entriesOld, true)
     fs.delete(new Path(s"$path/deletes"), true)
-    // the packed sidecar (if any) cached the PRE-compaction entries —
-    // rebuild it from the compacted index so a later load stays
-    // coherent AND keeps its cold-start win. Delete-then-rewrite: a
-    // crash in between leaves no sidecar (load just re-packs), never
-    // stale packed data
-    val packedDir = new Path(s"$path/packed")
-    if (fs.exists(packedDir)) {
-      fs.delete(packedDir, true)
+    // rebuild the sidecar from the compacted index so a later load
+    // keeps its cold-start win (it was deleted before the swap)
+    if (hadPacked) {
       val m = load(spark, path)
       try m.savePacked(path)
       finally m.freeSearchCaches()
@@ -1668,11 +1685,20 @@ final class IVFModel(
     * entry cache (the cold-start path). */
   @transient private[graft] var packedAtRestDir: Option[String] = None
 
+  /** [[packedAtRestDir]] with the transient-null case folded in: a
+    * deserialized copy has the field as Java's null, not None (the
+    * sharedState rule) — reading it raw would NPE in [[packedIndex]]
+    * on any serialize/round-tripped model. */
+  private def packedAtRest: Option[String] = {
+    if (packedAtRestDir == null) packedAtRestDir = None
+    packedAtRestDir
+  }
+
   private[graft] def packedIndex(
       spark: SparkSession): org.apache.spark.rdd.RDD[(Int, IVFIndex.PackedRun)] = {
     val s = sharedState
     if (s.packed == null) s.synchronized {
-      if (s.packed == null && packedAtRestDir.isDefined) try {
+      if (s.packed == null && packedAtRest.isDefined) try {
         // cold-load path: adopt the persisted runs (layout pinned by
         // (part_id, seq) — bit-identical scan to the cache that wrote
         // them); one read job instead of a full re-pack
@@ -1761,9 +1787,17 @@ final class IVFModel(
   /** Same model, same (cached) index, same shared router/broadcast,
     * different query-side estimate precision (Params.queryBits) — the
     * knob costs nothing to flip. */
-  def withQueryBits(bits: Int): IVFModel =
-    new IVFModel(params.copy(queryBits = bits), rotator, centroids,
+  def withQueryBits(bits: Int): IVFModel = {
+    val m = new IVFModel(params.copy(queryBits = bits), rotator, centroids,
       rotatedCentroids, index, sharedState)
+    // the at-rest sidecar travels with the shared search state: the
+    // documented load → withQueryBits(N) → searchAll flow must keep
+    // the cold-start win, not silently re-pack the whole index
+    // (PackedColdProbe used to hand-copy this field to dodge exactly
+    // that)
+    m.packedAtRestDir = packedAtRest
+    m
+  }
 
   /** Persist the index columnar, partitioned by cluster (the Spark
     * analogue of IVF::save, IVF.hpp:219-252). Partitioning by
@@ -1993,7 +2027,9 @@ final class IVFModel(
       spark.sparkContext.setJobGroup(jobGroup,
         s"searchAll chunk $idx", interruptOnCancel = true)
       val w0 = System.nanoTime()
-      val res = search(spark, chunkQ, k, nprobe)
+      val bcs = scala.collection.mutable.ArrayBuffer
+        .empty[org.apache.spark.broadcast.Broadcast[_]]
+      val res = searchOn(spark, index, chunkQ, k, nprobe, bcs)
       val out = outputDir match {
         case Some(dir) =>
           val path = s"$dir/chunk-$idx"
@@ -2001,6 +2037,11 @@ final class IVFModel(
           spark.read.parquet(path)
         case None => res.localCheckpoint(true)
       }
+      // the chunk's query broadcast is dead once the result is
+      // materialized above — destroy it NOW so executor blocks free
+      // deterministically (not when driver GC happens to collect the
+      // handle), enforcing the documented O(2·chunk·dim) bound
+      bcs.foreach(_.destroy())
       if (IVFIndex.profileSearch) {
         val (aE, aS, aR) = IVFIndex.profAccs(spark)
         println(f"[search-profile] chunk=$idx%d nq=${chunkQ.length}%d " +
@@ -2064,7 +2105,16 @@ final class IVFModel(
       idx: Dataset[Entry],
       queries: Array[(Long, Array[Float])],
       k: Int,
-      nprobe: Int): DataFrame = {
+      nprobe: Int,
+      // when non-null, the per-call query broadcast is appended here so
+      // the caller can destroy() it once the result is MATERIALIZED —
+      // searchAll's many-chunk pipeline must not leave its O(chunk·dim)
+      // broadcasts to driver-GC luck (the documented two-live-chunks
+      // bound was GC-dependent, not enforced). One-shot search()
+      // callers pass nothing: a single leftover broadcast dies with
+      // the context.
+      bcOut: scala.collection.mutable.Buffer[
+        org.apache.spark.broadcast.Broadcast[_]] = null): DataFrame = {
     // fail loudly on the driver: nprobe <= 0 would silently return an
     // empty frame (empty probe set -> isin filter drops everything),
     // which reads as "no neighbors" instead of a caller bug
@@ -2112,6 +2162,7 @@ final class IVFModel(
     // query state (probes + routing table) ships per chunk
     val bcCent = centroidsBroadcast(spark)
     val bc = spark.sparkContext.broadcast((probes, probeArr))
+    if (bcOut != null) bcOut += bc
     if (IVFIndex.profileSearch) {
       val t2 = System.nanoTime()
       println(f"[search-profile] nq=${queries.length}%d rank=${(t1 - t0) / 1e9}%.2f s " +
