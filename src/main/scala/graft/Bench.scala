@@ -111,15 +111,28 @@ object Bench {
     }
   }
 
+  /** The non-default config knobs that legitimately move timings
+    * (state store, shuffle partitions, AQE flags — the measured d12
+    * curve moves 2.6→7.2 s across SPARK_GRAFT_SHUFFLE alone), joined
+    * into one comparable tag; empty for a default-config run. Stamped
+    * into every snapshot and gated by [[readSnapshotQueries]] — the
+    * cpus rule, extended to every knob that belongs in it. */
+  private[graft] def envConfigTag: String =
+    Seq("SPARK_GRAFT_SHUFFLE", "SPARK_GRAFT_STATE_STORE",
+        "SPARK_GRAFT_CACHED_AQE", "SPARK_GRAFT_PARALLELISM_FIRST")
+      .flatMap(k => sys.env.get(k).map(v => s"$k=$v")).mkString(",")
+
   /** The per-query min map of a previous bench snapshot JSON; empty on
     * any problem (first run, corrupt file), an sf-tag mismatch (an
     * sf1 spot-check snapshot must not adjudicate an sf0.1 run), or a
-    * machine-config mismatch (a CPUS=8 A/B run legitimately moves the
-    * sentinels — comparing across configs would both false-alarm AND
-    * poison the reference for the next standard run; snapshots
-    * predating the cpus field are accepted) — drift is advisory. */
+    * machine-config mismatch (a CPUS=8 or SHUFFLE=32 A/B run
+    * legitimately moves timings 2-3x — comparing across configs would
+    * both false-alarm AND poison the reference for the next standard
+    * run; snapshots predating the cpus/env_config fields are accepted
+    * only from a default-config run) — drift is advisory. */
   private[graft] def readSnapshotQueries(
-      path: String, benchSf: String, benchCpus: Int): Map[String, Double] =
+      path: String, benchSf: String, benchCpus: Int,
+      configTag: String = ""): Map[String, Double] =
     try {
       val p = java.nio.file.Paths.get(path)
       if (!java.nio.file.Files.isReadable(p)) Map.empty
@@ -132,8 +145,15 @@ object Bench {
         val cpusNode = node.get("cpus")
         val cpusOk = cpusNode == null ||
           (cpusNode.isNumber && cpusNode.asInt() == benchCpus)
+        // a snapshot without the field predates it: accept only when
+        // the CURRENT run is also default-config (all committed
+        // pre-field snapshots were default-config runs)
+        val cfgNode = node.get("env_config")
+        val cfgOk =
+          if (cfgNode == null) configTag.isEmpty
+          else cfgNode.isTextual && cfgNode.asText() == configTag
         val q = node.get("queries")
-        if (!sfOk || !cpusOk || q == null || !q.isObject) Map.empty
+        if (!sfOk || !cpusOk || !cfgOk || q == null || !q.isObject) Map.empty
         else {
           val it = q.fields()
           val b = Map.newBuilder[String, Double]
@@ -312,7 +332,8 @@ object Bench {
     // the snapshot carries the verdict itself. Read BEFORE overwrite.
     val driftJson = {
       val ref = readSnapshotQueries("results/bench_last.json",
-        java.nio.file.Paths.get(sfDir).getFileName.toString, cpus.toInt)
+        java.nio.file.Paths.get(sfDir).getFileName.toString, cpus.toInt,
+        envConfigTag)
       drift(ref, results.map { case (k, v, _) => k -> v }.toMap) match {
         case Some((worst, key, verdict, med)) =>
           if (verdict != "ok")
@@ -328,7 +349,7 @@ object Bench {
       }
     }
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"cpus":${cpus.toInt},"queries":$qs,"query_runs":$qruns$vsBaseline$driftJson,"sf":"${esc(sfDir)}"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"cpus":${cpus.toInt},"env_config":"${esc(envConfigTag)}","queries":$qs,"query_runs":$qruns$vsBaseline$driftJson,"sf":"${esc(sfDir)}"}"""
     println(line)
     // the same line, durably: the round-8 committed BENCH artifact
     // truncated mid-list in log capture, losing the total and the a*/b*

@@ -66,7 +66,31 @@ object Golden {
     // Instant (UTC) so snapshots are machine-stable if a future
     // rows-only query ever emits a timestamp column
     case t: java.sql.Timestamp => t.toInstant.toString
-    case x => x.toString
+    case x => escape(x.toString)
+  }
+
+  /** Separator-safety for free-text values: a raw tab/newline in a
+    * VALUE must not read as a column/row boundary (two distinct
+    * results whose characters merely migrate across a boundary would
+    * hash identically, silently passing GoldenSpec), array separators
+    * must not blur element boundaries (the two-element array [a, b]
+    * vs the one-element array ["a,b"]), and a literal "\\N" string
+    * must stay distinct from the null sentinel — backslash escapes
+    * first, making the canonical form injective. Identity for clean
+    * values, so existing numeric golden hashes are unchanged. */
+  private def escape(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    s.foreach {
+      case '\\' => sb.append("\\\\")
+      case '\t' => sb.append("\\t")
+      case '\n' => sb.append("\\n")
+      case '\r' => sb.append("\\r")
+      case ',' => sb.append("\\,")
+      case '[' => sb.append("\\[")
+      case ']' => sb.append("\\]")
+      case c => sb.append(c)
+    }
+    sb.toString
   }
 
   private def fmtD(d: Double): String =

@@ -13,7 +13,10 @@ object SparkEntry {
     VectorQueries.gtTopK(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  // lazy val, not def: callers (Bench validation, Verify, GoldenGen's
+  // per-key loop) read this ~100-entry Map repeatedly — rebuilding it
+  // per access is pure allocation with no laziness benefit
+  lazy val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a1_vec_l2"      -> (VectorQueries.vecL2(_, _)),
     "a2_vec_dot"     -> (VectorQueries.vecDot(_, _)),
     "a3_vec_cosine"  -> (VectorQueries.vecCosine(_, _)),
@@ -163,8 +166,9 @@ object SparkEntry {
       |ORDER BY p.event_id, c.event_id""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] =
+    * the same parquet tables. Omit for non-SQL-expressible ops.
+    * lazy val — see [[queries]]. */
+  lazy val oracleSql: Map[String, String] =
     VectorQueries.oracles ++ AnnQueries.oracles ++ PipelineQueries.oracles ++ Map(
     "e1_q1_agg" ->
       """SELECT l_returnflag, l_linestatus,

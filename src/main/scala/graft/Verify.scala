@@ -7,20 +7,10 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    new java.io.File(outDir).mkdirs()
-    // enable the model-derived oracle sidecars (see OracleSide): the
-    // DuckDB compare that follows this run reads them from the fixed
-    // absolute path named in the oracle SQL
-    System.setProperty("graft.oracle.side", "1")
     // optional subset for local iteration (the driver never sets this);
-    // validated up front like Bench's SPARK_GRAFT_BENCH_ONLY
+    // validated BEFORE the session is built, like Bench's
+    // SPARK_GRAFT_BENCH_ONLY — a typo'd key must fail in milliseconds,
+    // not after the multi-second SparkSession startup
     val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     only.foreach { ks =>
@@ -33,6 +23,18 @@ object Verify {
       System.err.println(s"[verify] SUBSET MODE: ${ks.size} of " +
         s"${SparkEntry.queries.size} queries; oracle_sql.json covers only the subset")
     }
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    new java.io.File(outDir).mkdirs()
+    // enable the model-derived oracle sidecars (see OracleSide): the
+    // DuckDB compare that follows this run reads them from the fixed
+    // absolute path named in the oracle SQL
+    System.setProperty("graft.oracle.side", "1")
     var failed = List.empty[String]
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
@@ -56,18 +58,11 @@ object Verify {
       System.err.println(
         s"[verify] ${failed.size} queries failed (no output written): " +
           failed.reverse.mkString(", "))
-    // JSON string escape: backslash, quote, and ALL control chars (<0x20)
-    // — a tab or CR in builder-authored SQL would otherwise make the
-    // driver's json.load fail and silently zero the round's correctness.
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
+    // JSON string escape — the ONE implementation (ProbeJson.esc): a
+    // tab or CR in builder-authored SQL would otherwise make the
+    // driver's json.load fail and silently zero the round's
+    // correctness, and a second hand-rolled copy here could drift.
+    def q(s: String): String = "\"" + ProbeJson.esc(s) + "\""
     val json = SparkEntry.oracleSql
       .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")

@@ -131,6 +131,22 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.readSnapshotQueries(f.toString, "sf0.1", 32) === Map.empty)
     assert(Bench.readSnapshotQueries(f.toString, "sf0.1", 8) ===
       Map("a2_vec_dot" -> 0.1))
+    // env_config gate: the OTHER knobs (shuffle, state store, AQE
+    // flags) also move timings 2-3x — a SHUFFLE=32 A/B must not
+    // adjudicate (or be adjudicated by) a default-config snapshot. A
+    // field-less snapshot (pre-r16) is accepted only by a
+    // default-config run.
+    Files.write(f, ("""{"metric":"total","cpus":32,"env_config":"SPARK_GRAFT_SHUFFLE=32","queries":""" +
+      """{"a2_vec_dot":0.1},"sf":"/root/testdata/sf0.1"}""").getBytes("UTF-8"))
+    assert(Bench.readSnapshotQueries(f.toString, "sf0.1", 32) === Map.empty)
+    assert(Bench.readSnapshotQueries(f.toString, "sf0.1", 32,
+      "SPARK_GRAFT_SHUFFLE=32") === Map("a2_vec_dot" -> 0.1))
+    Files.write(f, ("""{"metric":"total","cpus":32,"queries":""" +
+      """{"a2_vec_dot":0.1},"sf":"/root/testdata/sf0.1"}""").getBytes("UTF-8"))
+    assert(Bench.readSnapshotQueries(f.toString, "sf0.1", 32,
+      "SPARK_GRAFT_SHUFFLE=32") === Map.empty)
+    assert(Bench.readSnapshotQueries(f.toString, "sf0.1", 32) ===
+      Map("a2_vec_dot" -> 0.1))
     // garbage and absence are silent
     Files.write(f, "not json".getBytes("UTF-8"))
     assert(Bench.readSnapshotQueries(f.toString, "sf0.1", 32) === Map.empty)
