@@ -182,25 +182,26 @@ object Retrieval {
     val qterms = qpairs.toDF("query_id", "term")
     val lex = topK(bm25Scores(docs, qterms, qpairs.map(_._2).toSet), HybridLegK)
       .select(col("query_id"), col("doc_id"), col("rk").as("lex_rk"))
-    // vector leg: the query vectors are a bounded-by-contract driver
-    // list (|HybridQueryIds| rows) carried in the task closure, so the
-    // cosine kernel hoists both norms — each query norm computed ONCE
-    // on the driver, the corpus norm once per ROW — instead of
-    // recomputing an O(dim) norm per (row × query) pair (the
-    // contamScore hoisting rule). Same doubles in the same order
-    // (dot / (qn · vn)), so scores are bit-identical to the unhoisted
-    // form and the oracle hash is unchanged.
-    val e = embeddings.select(col("vec_id").cast(LongType), col("embedding"))
-    val qArr = e.filter(col("vec_id").isin(HybridQueryIds: _*))
-      .as[(Long, Array[Float])].collect().sortBy(_._1)
-      .map { case (q, qv) => (q, qv, math.sqrt(dot(qv, qv))) }
-    val cos = e.as[(Long, Array[Float])]
-      .flatMap { case (d, v) =>
-        val vn = math.sqrt(dot(v, v))
-        qArr.map { case (q, qv, qn) =>
-          val c = dot(qv, v) / (qn * vn)
-          (q, d, math.floor(c * 1e6 + 0.5) / 1e6)
-        }
+    // vector leg: query embeddings broadcast against the corpus scan.
+    // NOTE (r16): a collect-the-queries + flatMap rewrite that hoisted
+    // both norms (query norms to the driver, corpus norm once per row)
+    // was A/B'd and measured INDISTINGUISHABLE from this form
+    // (same-session subset mins 1.720 vs 1.726 s at sf0.1) — the
+    // redundancy it removes is bounded by |HybridQueryIds| = 3 while
+    // it adds a driver collect job, so this simpler one-job broadcast
+    // shape stays. At a query count where per-pair norm redundancy
+    // would matter, searchAll/KnnExact is the right surface, not this
+    // broadcast leg.
+    val e = embeddings.select(col("vec_id"), col("embedding"))
+    val qe = e.filter(col("vec_id").isin(HybridQueryIds: _*))
+      .withColumnRenamed("vec_id", "query_id")
+      .withColumnRenamed("embedding", "qv")
+    val cos = e.crossJoin(broadcast(qe))
+      .select(col("query_id"), col("vec_id").as("doc_id"), col("qv"), col("embedding"))
+      .as[(Long, Long, Array[Float], Array[Float])]
+      .map { case (q, d, qv, v) =>
+        val c = dot(qv, v) / (math.sqrt(dot(qv, qv)) * math.sqrt(dot(v, v)))
+        (q, d, math.floor(c * 1e6 + 0.5) / 1e6)
       }
       .toDF("query_id", "doc_id", "score")
     val vec = topK(cos, HybridLegK)
