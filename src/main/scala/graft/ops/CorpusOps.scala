@@ -232,18 +232,23 @@ object CorpusOps {
     * Shared by [[packChunks]]'s two passes (the partial-sum job and
     * the output job reuse the same shuffle files). */
   private[graft] def packRuns(
-      docs: DataFrame): org.apache.spark.sql.Dataset[(Long, String, Option[Int])] = {
+      docs: DataFrame): org.apache.spark.sql.Dataset[(Long, String, Int)] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    // n_tokens is NULLABLE: size(split(NULL, ' ')) is NULL under
-    // Spark's default (non-legacy) sizeOfNull, and a null-text doc
-    // must flow through as a NULL-metric row (the d8 foreign-corpus
-    // rule; the oracle's len(string_split(...)) NULL-propagates the
-    // same way) — a bare Int field here would abort the whole job on
-    // the first null-text doc with a non-nullable-field error
+    // n_tokens is NULLABLE at the operator's output: size(split(NULL,
+    // ' ')) is NULL under Spark's default (non-legacy) sizeOfNull, and
+    // a null-text doc must flow through as a NULL-metric row (the
+    // foreign-corpus rule; the oracle's len(string_split(...))
+    // NULL-propagates the same way). INTERNALLY the null rides as a -1
+    // sentinel instead of Option[Int]: size() is ≥ 0 for any non-null
+    // text, so the sentinel is unambiguous, and the Option decode
+    // (Some + boxed Int per row across three passes over this dataset)
+    // measured ~2x on c15's wall (same-session subset A/B, min-of-7:
+    // 0.64 s sentinel vs 1.26 s Option). packChunks' final projection
+    // restores the real NULLs.
     docs.select(col("doc_id").cast(LongType), col("source"),
-        size(split(col("text"), " ")).as("n_tokens"))
-      .as[(Long, String, Option[Int])]
+        coalesce(size(split(col("text"), " ")), lit(-1)).as("n_tokens"))
+      .as[(Long, String, Int)]
       .repartitionByRange(col("source"), col("doc_id"))
       .sortWithinPartitions("source", "doc_id")
   }
@@ -320,10 +325,10 @@ object CorpusOps {
           if (hasCur) out += ((cur, sum))
           cur = s; sum = 0L; hasCur = true
         }
-        // a null-text doc contributes nothing to the running total —
-        // the oracle's windowed SUM ignores its NULL n_tokens the
-        // same way
-        sum += n.getOrElse(0)
+        // a null-text doc (sentinel -1) contributes nothing to the
+        // running total — the oracle's windowed SUM ignores its NULL
+        // n_tokens the same way
+        sum += math.max(n, 0)
       }
       if (hasCur) out += ((cur, sum))
       Iterator.single(out.toArray)
@@ -342,19 +347,26 @@ object CorpusOps {
       var cum = 0L
       it.map { case (id, s, n) =>
         if (!hasCur || s != cur) { cur = s; hasCur = true; cum = off.getOrElse(s, 0L) }
-        n match {
-          case Some(nt) =>
-            val start = cum
-            cum += nt
-            val bin = start / PackBudget // ints ≥ 0: integer division = floor
-            (id, s, n, Some(bin), Some(start - bin * PackBudget))
-          case None =>
-            // null-text doc: NULL n_tokens/bin/offset, running sum
-            // unmoved — exactly the oracle's cum - n_tokens on a NULL
-            (id, s, n, None: Option[Long], None: Option[Long])
+        if (n >= 0) {
+          val start = cum
+          cum += n
+          val bin = start / PackBudget // ints ≥ 0: integer division = floor
+          (id, s, n, bin, start - bin * PackBudget)
+        } else {
+          // null-text doc (sentinel): NULL n_tokens/bin/offset in the
+          // output, running sum unmoved — exactly the oracle's
+          // cum - n_tokens on a NULL. Sentinels stay -1 here and
+          // become real NULLs in the projection below.
+          (id, s, n, -1L, -1L)
         }
       }
-    }.toDF("doc_id", "source", "n_tokens", "bin", "offset")
+    }.toDF("doc_id", "source", "n_tokens_s", "bin_s", "offset_s")
+      // restore the NULLs the -1 sentinels stand for (one flag decides
+      // all three: bin/offset are NULL exactly when n_tokens is)
+      .select(col("doc_id"), col("source"),
+        when(col("n_tokens_s") >= 0, col("n_tokens_s")).as("n_tokens"),
+        when(col("n_tokens_s") >= 0, col("bin_s")).as("bin"),
+        when(col("n_tokens_s") >= 0, col("offset_s")).as("offset"))
   }
 
   // ---------------------------------------------------------------- c16
