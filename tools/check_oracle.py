@@ -55,12 +55,30 @@ for key, sql in sorted(oracle.items()):
     gtypes = [str(got.schema.field(c).type) for c in gcols]
     if etypes != gtypes:
         print(f"FAIL {key}: types {gtypes} != {etypes}"); fails += 1; continue
+    def canon(v):
+        # the SORT KEY must be consistent with the row comparison's ==,
+        # which treats -0.0 == 0.0 (IEEE): DuckDB's ROUND preserves the
+        # zero's sign (ROUND(-2e-5, 4) = -0.0) while Spark's
+        # BigDecimal-backed round() never emits -0.0, so sorting by raw
+        # repr misaligns an otherwise equal-multiset block and cascades
+        # into hundreds of phantom "mismatches" (first seen: a6 at
+        # sf0.1, ONE -0.0/0.0 pair -> 1012 misaligned rows). Normalize
+        # zero signs (recursively, for list/struct cells) in the key
+        # only; the equality check below stays exact.
+        if isinstance(v, float):
+            return v + 0.0 if v == 0.0 else v
+        if isinstance(v, list):
+            return [canon(x) for x in v]
+        if isinstance(v, dict):
+            return {k: canon(x) for k, x in v.items()}
+        return v
+
     def rowkey(row):
         # total order over ANY value shape (None inside lists, structs
         # decoded to dicts): repr is deterministic for identical data,
         # and both sides sort with the same key, so equal multisets of
         # rows always align
-        return tuple((v is None, repr(v)) for v in row)
+        return tuple((v is None, repr(canon(v))) for v in row)
     e_rows = sorted([tuple(r[c] for c in ecols) for r in exp.to_pylist()], key=rowkey)
     g_rows = sorted([tuple(r[c] for c in gcols) for r in got.to_pylist()], key=rowkey)
     if len(e_rows) != len(g_rows):
