@@ -122,6 +122,35 @@ object Bench {
         "SPARK_GRAFT_CACHED_AQE", "SPARK_GRAFT_PARALLELISM_FIRST")
       .flatMap(k => sys.env.get(k).map(v => s"$k=$v")).mkString(",")
 
+  /** Parse a Linux /proc/loadavg line ("l1 l5 l15 running/total pid")
+    * into (load1, load5, load15, runnableProcs, totalProcs); None on
+    * any shape surprise. Factored for the spec — the stamp itself must
+    * never fail a bench run. */
+  private[graft] def parseLoadAvg(s: String): Option[(Double, Double, Double, Int, Int)] =
+    s.trim.split("\\s+") match {
+      case Array(l1, l5, l15, rt, _*) if rt.contains("/") =>
+        val Array(r, t) = rt.split("/", 2)
+        for {
+          a <- l1.toDoubleOption; b <- l5.toDoubleOption
+          c <- l15.toDoubleOption; p <- r.toIntOption; q <- t.toIntOption
+        } yield (a, b, c, p, q)
+      case _ => None
+    }
+
+  /** Host-contention stamp for the snapshot (round-16 verdict item 7):
+    * six consecutive re-runs self-stamped drift with nothing in the
+    * snapshot to separate machine eras — now every snapshot records
+    * the launch-time load and process counts. Empty on any problem. */
+  private[graft] def hostStampJson: String =
+    try {
+      val p = java.nio.file.Paths.get("/proc/loadavg")
+      if (!java.nio.file.Files.isReadable(p)) ""
+      else parseLoadAvg(java.nio.file.Files.readString(p)).fold("") {
+        case (l1, l5, l15, r, t) =>
+          s""","host":{"load1":$l1,"load5":$l5,"load15":$l15,"procs_running":$r,"procs_total":$t}"""
+      }
+    } catch { case scala.util.control.NonFatal(_) => "" }
+
   /** The per-query min map of a previous bench snapshot JSON; empty on
     * any problem (first run, corrupt file), an sf-tag mismatch (an
     * sf1 spot-check snapshot must not adjudicate an sf0.1 run), or a
@@ -348,9 +377,21 @@ object Bench {
         case None => ""
       }
     }
+    val host = hostStampJson
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"cpus":${cpus.toInt},"env_config":"${esc(envConfigTag)}","queries":$qs,"query_runs":$qruns$vsBaseline$driftJson,"sf":"${esc(sfDir)}"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"cpus":${cpus.toInt},"env_config":"${esc(envConfigTag)}","queries":$qs,"query_runs":$qruns$vsBaseline$driftJson$host,"sf":"${esc(sfDir)}"}"""
     println(line)
+    // Driver-contract repair (round-16 verdict item 1): the full line
+    // above is ~8 KB and the driver's log capture keeps only a ~2 KB
+    // tail that starts MID-line, so BENCH_r09..r16 all parsed as null.
+    // Emit a second, compact summary line LAST — totals, config, drift,
+    // host stamp, no per-query maps, well under 1 KB — so the tail
+    // always contains one complete parseable JSON record. The full
+    // per-query record stays in the line above and durably in
+    // results/bench_last.json; nothing is removed or renamed.
+    val summary =
+      s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"cpus":${cpus.toInt},"env_config":"${esc(envConfigTag)}","n_queries":${results.size},"n_failed":${results.count(_._2 < 0)}$vsBaseline$driftJson$host,"full_record":"results/bench_last.json","sf":"${esc(sfDir)}"}"""
+    println(summary)
     // the same line, durably: the round-8 committed BENCH artifact
     // truncated mid-list in log capture, losing the total and the a*/b*
     // keys — this file is the self-contained copy of the LAST full run

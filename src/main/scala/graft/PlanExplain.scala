@@ -56,7 +56,11 @@ object PlanExplain {
             val df = SparkEntry.queries(key)(spark, sfDir)
             df.queryExecution.explainString(mode)
           } catch {
-            case e: Throwable => s"PLAN FAILED: ${e.getClass.getName}: ${e.getMessage}"
+            // NonFatal only: a fatal JVM error (OOM, stack overflow)
+            // must abort the run, not be stubbed as "PLAN FAILED" while
+            // later keys' evidence is generated from a corrupted JVM
+            case scala.util.control.NonFatal(e) =>
+              s"PLAN FAILED: ${e.getClass.getName}: ${e.getMessage}"
           } finally Scratch.reap()
         java.nio.file.Files.writeString(outDir.resolve(s"$key.txt"), txt)
         println(s"[plan-explain] wrote $key")

@@ -23,6 +23,46 @@ import graft.Tables
   * join key; aggregations are partial (map-side) by construction.
   */
 object Relational {
+  /** On-disk bytes of a table's parquet (file or directory), through
+    * the Hadoop FS API so any storage scheme works; Long.MaxValue on
+    * any problem so the broadcast gate below fails CLOSED (a dim we
+    * could not size is never broadcast by hint). Driver-side metadata
+    * only — microseconds, no job. */
+  private[operators] def tableBytes(
+      spark: SparkSession, dir: String, name: String): Long =
+    try {
+      val p = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .getContentSummary(p).getLength
+    } catch { case scala.util.control.NonFatal(_) => Long.MaxValue }
+
+  /** Size gate for broadcast hints over FACT-PROPORTIONAL tables
+    * (customer, supplier — both grow as SF×const in TPC-H): an
+    * explicit `broadcast()` strategy hint is honored regardless of
+    * size, so past the 8 GB / 512M-row broadcast cap the job FAILS
+    * rather than falling back (the r16 verdict's e3 finding). Below
+    * the threshold the hint stays (plan identical to r16 at every
+    * test SF); above it the dim side gets a `shuffle_hash` hint
+    * instead — builds the (filtered, projected) dim hash table
+    * per-partition, streams the fact side, degrades instead of dying.
+    *
+    * The gate reads the table's ON-DISK bytes, which overestimates the
+    * broadcast payload (the hinted frames are filtered ~5× and
+    * projected to 2-3 columns), so the gate trips strictly before the
+    * broadcast becomes dangerous. Default 256 MB ≈ TPC-H sf≈180 for
+    * supplier / sf≈6 for customer; override via
+    * SPARK_GRAFT_DIM_BCAST_MAX_BYTES (production knob — at cluster
+    * scale with big executors a larger cap can be right; 0 forces the
+    * shuffle form, which is how the committed forced-large plan probe
+    * was captured). */
+  private def dimBcastMaxBytes: Long =
+    sys.env.get("SPARK_GRAFT_DIM_BCAST_MAX_BYTES").flatMap(_.toLongOption)
+      .getOrElse(256L << 20)
+  private def gatedBroadcast(
+      spark: SparkSession, dir: String, table: String, dim: DataFrame): DataFrame =
+    if (tableBytes(spark, dir, table) <= dimBcastMaxBytes) broadcast(dim)
+    else dim.hint("shuffle_hash")
+
   private def dec(c: Column, p: Int, s: Int): Column = c.cast(DecimalType(p, s))
   private def money(c: Column): Column = dec(c, 18, 6)
   private def revenueExpr: Column =
@@ -86,7 +126,11 @@ object Relational {
     val o = Tables.orders(spark, dir).filter(col("o_orderdate") < cutoff)
     val l = Tables.lineitem(spark, dir).filter(col("l_shipdate") > cutoff)
     l.join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      // customer is fact-proportional: size-gated broadcast (see
+      // gatedBroadcast) so the plan degrades to a shuffled-hash build
+      // of the filtered dim instead of failing past the broadcast cap
+      .join(gatedBroadcast(spark, dir, "customer", c),
+        col("o_custkey") === col("c_custkey"))
       .groupBy("o_orderkey")
       .agg(sum(revenueExpr).cast(DoubleType).as("revenue"))
       .orderBy(col("revenue").desc, col("o_orderkey"))
@@ -126,11 +170,16 @@ object Relational {
     // broadcast-prefilter lineitem by the ASIA-supplier dim BEFORE the
     // orderkey shuffle: only ~1/|regions| of line items survive, so the
     // one fact shuffle carries 1.1 GB instead of 5.6 GB at sf50.
-    // Supplier is 600× smaller than lineitem at every TPC-H SF; at the
-    // scale where one region's suppliers outgrow a broadcast, drop
-    // this hint and AQE falls back to the shuffle form.
+    // Supplier is 600× smaller than lineitem at every TPC-H SF — but
+    // it is still FACT-PROPORTIONAL, and an explicit broadcast() hint
+    // is honored regardless of size (a too-big dim FAILS the job, it
+    // does not fall back), so the hint is size-gated: past
+    // SPARK_GRAFT_DIM_BCAST_MAX_BYTES the supplier join degrades to a
+    // shuffled-hash build of the 3-column ASIA slice (one extra fact
+    // exchange on l_suppkey — slower, never fatal).
     Tables.lineitem(spark, dir)
-      .join(broadcast(asiaSup), col("l_suppkey") === col("s_suppkey"))
+      .join(gatedBroadcast(spark, dir, "supplier", asiaSup),
+        col("l_suppkey") === col("s_suppkey"))
       .join(oc.hint("shuffle_hash"),
         col("l_orderkey") === col("o_orderkey") &&
           col("c_nationkey") === col("s_nationkey"))

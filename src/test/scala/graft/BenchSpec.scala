@@ -178,4 +178,17 @@ class BenchSpec extends AnyFunSuite {
       s"oracle queries absent from the committed baseline TSV (re-run " +
         s"tools/make_baseline.py): $missing")
   }
+
+  test("host stamp: /proc/loadavg parser is shape-strict and never throws") {
+    assert(Bench.parseLoadAvg("1.76 1.26 0.88 3/1080 28313") ===
+      Some((1.76, 1.26, 0.88, 3, 1080)))
+    // trailing fields beyond the 5 standard ones are tolerated
+    assert(Bench.parseLoadAvg("0.00 0.01 0.05 1/200 99 extra").isDefined)
+    assert(Bench.parseLoadAvg("").isEmpty)
+    assert(Bench.parseLoadAvg("a b c d e").isEmpty)
+    assert(Bench.parseLoadAvg("1.0 2.0 3.0 nope 5").isEmpty)
+    // the emitted fragment is valid JSON shape (object key check only)
+    val s = Bench.hostStampJson
+    assert(s.isEmpty || s.startsWith(""","host":{"load1":"""), s)
+  }
 }
