@@ -199,6 +199,11 @@ object Bench {
     // f"%.3f" under a comma-decimal default locale would emit invalid
     // JSON (query_runs, drift) — pin ROOT like every JSON-emitting main
     java.util.Locale.setDefault(java.util.Locale.ROOT)
+    // capture the host stamp at LAUNCH, before the session/warmup —
+    // sampling it at print time (the first cut) measured the bench's
+    // OWN 32-thread load, not the ambient contention the stamp exists
+    // to record
+    val host = hostStampJson
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
@@ -377,7 +382,6 @@ object Bench {
         case None => ""
       }
     }
-    val host = hostStampJson
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"cpus":${cpus.toInt},"env_config":"${esc(envConfigTag)}","queries":$qs,"query_runs":$qruns$vsBaseline$driftJson$host,"sf":"${esc(sfDir)}"}"""
     println(line)

@@ -28,6 +28,19 @@ import org.apache.spark.sql.functions._
   *                               streaming operator to drive (kmv =
   *                               d11, the small-state control for the
   *                               changelog-default trade)
+  *   SPARK_GRAFT_PROBE_FILES_PER_TRIGGER
+  *                               COMMIT-BATCHING knob (r16 verdict
+  *                               item 5): cap source files per
+  *                               trigger, so the same corpus drains as
+  *                               ceil(nFiles/k) micro-batches instead
+  *                               of one — same rows, same final state,
+  *                               k× the state-store commits. Unset =
+  *                               one AvailableNow batch. Runs with
+  *                               this knob pin retention/watermark
+  *                               high (no eviction) so the state
+  *                               volume is identical across trigger
+  *                               counts and the A/B isolates pure
+  *                               per-commit overhead.
   */
 object D8Probe {
   def main(args: Array[String]): Unit = {
@@ -73,10 +86,22 @@ object D8Probe {
         .withColumn("n_chars", length(col("text")).cast("long"))
         .write.mode("overwrite").parquet(docsDir.toString)
       val op = sys.env.getOrElse("SPARK_GRAFT_PROBE_OP", "spans")
+      val filesPerTrigger = sys.env.get("SPARK_GRAFT_PROBE_FILES_PER_TRIGGER")
+        .map(_.toInt).filter(_ > 0)
       val t0 = System.nanoTime()
       val out = op match {
         case "kmv" => graft.streaming.StreamKmv
           .streamingKmvFromDir(spark, docsDir.toString)
+        case _ if filesPerTrigger.isDefined =>
+          // commit-batching A/B: retention/watermark pinned past the
+          // corpus's ts range so NO span evicts between triggers —
+          // final state identical to the one-batch run, only the
+          // number of per-store commits differs
+          graft.streaming.StreamSpanDedup.streamingSpanDedupFromDir(
+            spark, docsDir.toString,
+            retentionSec = 1000000000L,
+            watermarkDelay = "1000000000 seconds",
+            maxFilesPerTrigger = filesPerTrigger)
         case _ => graft.streaming.StreamSpanDedup
           .streamingSpanDedupFromDir(spark, docsDir.toString)
       }
@@ -86,7 +111,8 @@ object D8Probe {
       println(
         f"""{"probe":"d8_ab","op":"${ProbeJson.esc(op)}","n_docs":$nDocs,"cpus":${cpus.toInt},""" +
           f""""provider":"${ProbeJson.esc(provider)}","shuffle":${shuffle.toInt},""" +
-          f""""changelog":$changelog,"bounded_memory":$bounded,"wall_s":$wall%.2f}""")
+          f""""changelog":$changelog,"bounded_memory":$bounded,""" +
+          f""""files_per_trigger":${filesPerTrigger.getOrElse(0)},"wall_s":$wall%.2f}""")
     } finally spark.stop()
   }
 }

@@ -700,9 +700,23 @@ object AnnQueries {
       // index) — a stream path that dropped, duplicated, or misrouted
       // any vector fails the hash
       writeCentroidSidecar(spark, m)
-      m.saveMeta(idxDir)
       val src = graft.streaming.EventOps.symlinkedDir(dir, "embeddings.parquet")
+      // §2.6 overlap (r16 verdict item 6): saveMeta (three tiny
+      // single-task write jobs, ~0.75 s of strictly sequential job
+      // floor) touches only centroids/rotation/meta subdirs and
+      // appendStream only _ingest_*/entries_batches — disjoint paths,
+      // neither reads the other's output; only IVFModel.load below
+      // needs both. Submitting saveMeta from its own thread lets the
+      // scheduler back-fill its tasks into the stream's idle gaps
+      // (job descriptions are thread-local, FIFO scheduling). The
+      // await rethrows a saveMeta failure BEFORE load, so a
+      // half-written meta can never be served; a crash mid-overlap
+      // leaves only an unreferenced Scratch temp dir, same as the
+      // sequential form.
+      val metaJob = java.util.concurrent.CompletableFuture.runAsync(
+        () => m.saveMeta(idxDir))
       IVFIndex.appendStream(spark, m, src, idxDir)
+      metaJob.join()
       IVFModel.load(spark, idxDir).index.toDF()
         .groupBy("cluster_id")
         .agg(count(lit(1)).as("n_vectors"))

@@ -29,6 +29,16 @@ package graft.streaming
   * when the query's FIRST checkpoint is written and are then pinned
   * for the checkpoint's lifetime, so pick by the state volume the
   * query will reach, not the volume it starts with.
+  *
+  * COMMIT BATCHING (r17 A/B, results/d8_state_commit_ab_r17.json):
+  * at identical state volume, per-trigger per-store commit machinery
+  * costs ~2.3 s per extra trigger at 32 stores (1 trigger 15.5 s vs
+  * 8 triggers 31.6 s over the same 100k-doc corpus, rocksdb+
+  * changelog, no eviction). Fewer, larger micro-batches
+  * (maxFilesPerTrigger / trigger interval, bounded by the latency
+  * SLO) are the third lever next to provider and shard count; the
+  * min-of-5 changelog-vs-full-snapshot confirmation (0.77x) is in the
+  * same artifact.
   */
 object StateStoreConf {
   val RocksDbProvider: String =

@@ -227,6 +227,20 @@ class SourcesSpec extends AnyFunSuite {
     assert(a == b, "stream-built index must search identically to the batch build")
   }
 
+  test("b13 operator: overlapped saveMeta + ingest still yields the model's counts") {
+    // streamIndexIngest submits saveMeta concurrently with the ingest
+    // stream (§2.6 job overlap); the output must stay exactly the
+    // per-cluster counts of the session model's assignment
+    val sf = "/root/testdata/sf0.001"
+    val out = operators.AnnQueries.streamIndexIngest(spark, sf)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    val expected = operators.AnnQueries.model(spark, sf).index.toDF()
+      .groupBy("cluster_id").count()
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    assert(out == expected,
+      "overlapped b13 must reproduce the batch assignment counts")
+  }
+
   test("streaming ingest: append to a batch-saved index; second call only new files") {
     val sf = "/root/testdata/sf0.001"
     val m = operators.AnnQueries.model(spark, sf)
