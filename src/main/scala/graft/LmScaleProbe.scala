@@ -51,6 +51,11 @@ object LmScaleProbe {
     // shuffle tax (this VM's virtio disk writes ~330 MB/s) from the
     // plan cost. The dir used is stamped into the JSON row.
     val localDir = sys.env.get("SPARK_GRAFT_LOCAL_DIR")
+    // SPARK_GRAFT_IO_CODEC (lz4|zstd|snappy|lzf): shuffle/spill codec
+    // A/B (guide §2.3 "compression" — r16 verdict item 4 asked for a
+    // serializer/compression A/B on e3's 1.1 GB fact shuffle). The
+    // codec used is stamped into the JSON row.
+    val ioCodec = sys.env.get("SPARK_GRAFT_IO_CODEC")
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-lm-scale-probe")
@@ -58,7 +63,10 @@ object LmScaleProbe {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
-    val spark = localDir.fold(builder)(d => builder.config("spark.local.dir", d))
+    val spark = Seq(
+        localDir.map("spark.local.dir" -> _),
+        ioCodec.map("spark.io.compression.codec" -> _))
+      .flatten.foldLeft(builder)((b, kv) => b.config(kv._1, kv._2))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try {
@@ -78,7 +86,8 @@ object LmScaleProbe {
         f""""${ProbeJson.esc(k)}":{"min_s":$mn%.3f,"runs_s":$raw}"""
       }.mkString(",")
       val localJson = localDir.fold("")(d =>
-        s""","local_dir":"${ProbeJson.esc(d)}"""")
+        s""","local_dir":"${ProbeJson.esc(d)}"""") +
+        ioCodec.fold("")(c => s""","io_codec":"${ProbeJson.esc(c)}"""")
       println(
         s"""{"probe":"lm_scale","sf_dir":"${ProbeJson.esc(sfDir)}","cpus":$cpus$localJson,$fields}""")
     } finally spark.stop()
